@@ -1,0 +1,185 @@
+"""CDC transform (T1-T7) + apply (D1-D5) against the golden corpora.
+
+Pinned behaviors (SURVEY.md §2.2/§2.3, FIXTURES.md §A3):
+- malformed records never fail the batch, they dead-letter (T4);
+- non-DML control records vanish silently (T5);
+- the transformer never inspects schema-name/table-name, so the dirty
+  leading-space table-name record (key 41) survives -> final count 12;
+- the corrupt hour-29 metadata timestamp (key 47) still applies;
+- replaying a batch is idempotent (D1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+    apply_batch,
+    collapse_latest_per_key,
+    typed_rows,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_transform import (
+    decode_base64,
+    to_dead_letter,
+    transform,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import LakeTable
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
+    RETAIL_TRANS,
+    RETAIL_TRANS_KEYS,
+    RETAIL_TRANS_PARTITION,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.cdc_jsonl import (
+    control_records,
+    read_cdc_batch,
+    write_golden_corpus,
+)
+
+DB, TBL = "cdc_iceberg_demo_db", "retail_trans_iceberg"
+
+
+@pytest.fixture(scope="module")
+def corpus_paths(tmp_path_factory):
+    return write_golden_corpus(str(tmp_path_factory.mktemp("cdc")))
+
+
+def _mk_table(tmp_path):
+    return LakeTable.create(
+        str(tmp_path / "retail"),
+        RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS,
+        cluster_by=RETAIL_TRANS_PARTITION,
+    )
+
+
+def test_transform_good_and_routing(spark, corpus_paths):
+    p1, _ = corpus_paths
+    good, dead = transform(read_cdc_batch(spark, p1), DB, TBL)
+    rows = good.collect()
+    assert len(rows) == 10
+    assert all(r["destination_database"] == DB for r in rows)
+    assert all(r["operation"] == "insert" for r in rows)
+    assert dead.count() == 0
+    # pass-through fidelity: data is the raw JSON string, untouched
+    assert rows[0]["data"].strip().startswith("{")
+
+
+def test_transform_malformed_dead_letters_but_does_not_fail(spark):
+    lines = [
+        ('{"data": {"trans_id": 1}, "metadata": {"operation": "insert", '
+         '"timestamp": "2023-01-16T06:00:00.000001Z", "record-type": "data", '
+         '"partition-key-type": "primary-key", "schema-name": "testdb", '
+         '"table-name": "retail_trans", "transaction-id": 1}}',),
+        ("this is not json at all",),
+        ('{"metadata": {"operation": "insert"}}',),  # missing data
+        ('{"data": {"trans_id": 2}}',),  # missing metadata
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    good, dead = transform(df, DB, TBL)
+    assert good.count() == 1
+    dl = to_dead_letter(dead)
+    got = dl.collect()
+    assert len(got) == 3
+    assert {r["error_type"] for r in got} == {"transform-malformed"}
+    assert all(r["year"] is not None for r in got)
+
+
+def test_transform_drops_control_records_silently(spark):
+    import json
+
+    lines = [(json.dumps(e),) for e in control_records()]
+    df = spark.createDataFrame(lines, "value string")
+    good, dead = transform(df, DB, TBL)
+    assert good.count() == 0
+    assert dead.count() == 0  # dropped, NOT dead-lettered (T5 fidelity)
+
+
+def test_transform_base64_path(spark):
+    import base64
+    import json
+
+    payload = {"data": {"trans_id": 5}, "metadata": {
+        "timestamp": "2023-01-16T06:00:00.000001Z", "record-type": "data",
+        "operation": "insert", "partition-key-type": "primary-key",
+        "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 9}}
+    b64 = base64.b64encode(json.dumps(payload).encode()).decode()
+    df = decode_base64(spark.createDataFrame([(b64,)], "value string"))
+    good, _ = transform(df, DB, TBL)
+    assert good.count() == 1
+
+
+def test_collapse_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "old", "2023-01-16T06:00:00.000001Z", 10),
+            (1, "new", "2023-01-16T07:00:00.000001Z", 11),
+            (2, "corrupt-ts-loses", None, 99),
+            (2, "valid-ts-wins", "2023-01-16T06:30:00.000001Z", 5),
+            (3, "only", None, 1),
+        ],
+        "trans_id int, tag string, ts string, txn long",
+    ).select(
+        "trans_id", "tag",
+        F.try_to_timestamp("ts").alias("_order_ts"),
+        F.col("txn").alias("_order_txn"),
+    )
+    got = {r["trans_id"]: r["tag"] for r in collapse_latest_per_key(df, ["trans_id"]).collect()}
+    assert got == {1: "new", 2: "valid-ts-wins", 3: "only"}
+
+
+def test_cdc_end_to_end_golden_replay(spark, tmp_path, corpus_paths):
+    """Reference acceptance: replay both corpora -> 12 live rows
+    (README.md:400-460; FIXTURES.md §A3 item 4)."""
+    p1, p2 = corpus_paths
+    table = _mk_table(tmp_path)
+
+    for p in (p1, p2):
+        good, _dead = transform(read_cdc_batch(spark, p), DB, TBL)
+        apply_batch(table, typed_rows(good))
+
+    final = table.read(spark)
+    rows = {r["trans_id"]: r for r in final.collect()}
+    assert len(rows) == 12
+    assert set(rows) == {19, 21, 24, 27, 28, 30, 35, 37, 38, 41, 43, 47}
+    # updated amounts applied (full after-image replace)
+    for k, amt in [(19, 39), (21, 60), (24, 42), (30, 67), (35, 85)]:
+        assert rows[k]["amount"] == amt, k
+    # deleted keys gone
+    assert not {6, 23, 33} & set(rows)
+    # dirty records survived: leading-space table name (41), hour-29 ts (47)
+    assert 41 in rows and 47 in rows
+    # the reference's own acceptance query (README.md:456-460)
+    final.createOrReplaceTempView("retail_trans_iceberg")
+    assert spark.sql("SELECT COUNT(*) AS cnt FROM retail_trans_iceberg").collect()[0]["cnt"] == 12
+
+
+def test_cdc_replay_idempotent(spark, tmp_path, corpus_paths):
+    """D1: re-applying a micro-batch is a no-op (Firehose retry safety,
+    firehose_to_iceberg.py:52-54)."""
+    p1, p2 = corpus_paths
+    table = _mk_table(tmp_path)
+    for p in (p1, p2, p2):  # second corpus applied twice
+        good, _ = transform(read_cdc_batch(spark, p), DB, TBL)
+        apply_batch(table, typed_rows(good))
+    assert table.read(spark).count() == 12
+
+
+def test_delete_never_seen_key_noop(spark, tmp_path):
+    """CDC stream starting mid-history (migration_type='cdc'):
+    delete of an unknown key must silently no-op (SURVEY §7.3 item 2)."""
+    import json
+
+    table = _mk_table(tmp_path)
+    env = {
+        "data": {"trans_id": 777, "customer_id": "x", "event": "visit", "sku": "s",
+                 "amount": 1, "device": "pc", "trans_datetime": "2023-01-16T06:00:00Z"},
+        "metadata": {"timestamp": "2023-01-16T06:00:00.000001Z", "record-type": "data",
+                     "operation": "delete", "partition-key-type": "primary-key",
+                     "schema-name": "testdb", "table-name": "retail_trans",
+                     "transaction-id": 1},
+    }
+    df = spark.createDataFrame([(json.dumps(env),)], "value string")
+    good, _ = transform(df, DB, TBL)
+    apply_batch(table, typed_rows(good))
+    assert table.read(spark).count() == 0

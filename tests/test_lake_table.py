@@ -1,0 +1,131 @@
+"""LakeTable format: atomic commits, time travel, stats pruning, DML."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+    LakeTable,
+    Predicate,
+    merge_into,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.merge import (
+    MergeSourceNotUnique,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("cat", T.StringType(), True),
+        T.StructField("val", T.DoubleType(), True),
+    ]
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return LakeTable.create(
+        str(tmp_path / "t"), SCHEMA, keys=["id"], cluster_by=["cat"]
+    )
+
+
+def test_append_and_read(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    table.append(_mk(spark, [(3, "a", 3.0)]))
+    df = table.read(spark)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    assert table.row_count() == 3  # manifest-only count, no scan
+
+
+def test_time_travel(spark, table):
+    v1 = table.append(_mk(spark, [(1, "a", 1.0)]))
+    v2 = table.append(_mk(spark, [(2, "b", 2.0)]))
+    assert table.read(spark, version=v1).count() == 1
+    assert table.read(spark, version=v2).count() == 2
+    versions = [s["version"] for s in table.snapshots()]
+    assert versions == [0, v1, v2]
+
+
+def test_stats_pruning(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    table.append(_mk(spark, [(3, "z", 3.0), (4, "z", 4.0)]))
+    all_files = table.file_paths()
+    pruned = table.file_paths(predicates=[Predicate("cat", "=", "a")])
+    assert len(pruned) < len(all_files)
+    # pruning is conservative: full read with filter gives same rows
+    got = table.read(spark, predicates=[Predicate("cat", "=", "a")]).filter("cat = 'a'")
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
+
+
+def test_merge_upsert_delete(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    src = spark.createDataFrame(
+        [(2, "b", 20.0, "update"), (4, "d", 4.0, "insert"), (3, "c", 3.0, "delete"),
+         (99, "x", 0.0, "delete")],  # delete of never-seen key: silent no-op
+        schema="id int, cat string, val double, operation string",
+    )
+    merge_into(table, src, on=["id"], op_col="operation")
+    rows = {r["id"]: r for r in table.read(spark).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[2]["val"] == 20.0
+
+
+def test_merge_requires_unique_source(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    src = spark.createDataFrame(
+        [(1, "a", 2.0, "update"), (1, "a", 3.0, "update")],
+        schema="id int, cat string, val double, operation string",
+    )
+    with pytest.raises(MergeSourceNotUnique):
+        merge_into(table, src, on=["id"], op_col="operation")
+
+
+def test_merge_into_empty_table(spark, table):
+    src = spark.createDataFrame(
+        [(1, "a", 1.0, "insert"), (2, "b", 2.0, "delete")],
+        schema="id int, cat string, val double, operation string",
+    )
+    merge_into(table, src, on=["id"], op_col="operation")
+    assert [r["id"] for r in table.read(spark).collect()] == [1]
+
+
+def test_merge_only_rewrites_touched_files(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    table.append(_mk(spark, [(100, "z", 9.0)]))
+    before = set(table.file_paths())
+    src = spark.createDataFrame([(1, "a", 5.0, "update")],
+                                schema="id int, cat string, val double, operation string")
+    merge_into(table, src, on=["id"], op_col="operation")
+    after = set(table.file_paths())
+    # the file holding id=100 must be carried over untouched
+    untouched = {p for p in before if p in after}
+    assert untouched, "expected untouched files to carry over by reference"
+
+
+def test_delete_where_and_update_where(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0)]))
+    table.delete_where(spark, "cat = 'b' AND val > 2.5")
+    assert sorted(r["id"] for r in table.read(spark).collect()) == [1, 2]
+    table.update_where(spark, "id = 2", {"val": "val * 10"})
+    rows = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    assert rows[2] == 20.0
+    # snapshot isolation: old version still shows pre-DML state
+    assert table.read(spark, version=1).count() == 3
+
+
+def test_overwrite_and_idempotent_replay(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    src = spark.createDataFrame([(2, "b", 22.0, "update")],
+                                schema="id int, cat string, val double, operation string")
+    merge_into(table, src, on=["id"], op_col="operation")
+    state1 = sorted(map(tuple, table.read(spark).collect()))
+    merge_into(table, src, on=["id"], op_col="operation")  # replay same batch
+    state2 = sorted(map(tuple, table.read(spark).collect()))
+    assert state1 == state2

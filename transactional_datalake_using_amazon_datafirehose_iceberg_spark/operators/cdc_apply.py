@@ -1,0 +1,92 @@
+"""CDC apply — D1–D5 of SURVEY.md §2.3: typed rows, latest-per-key
+collapse, MERGE into the transactional table.
+
+Reference semantics (Firehose Iceberg destination,
+cdk_stacks/firehose_to_iceberg.py:109-116 + runbook README.md:400-460):
+insert/update are full-after-image upserts by ``unique_keys``, delete
+removes the row, a delete for a never-seen key is a silent no-op, and a
+replayed batch converges to the same state (idempotency under the 3
+Lambda retries, firehose_to_iceberg.py:52-54).
+
+D4 (latest-per-key collapse) is a *correctness precondition*: a 60 s
+buffer can hold several ops for one key (firehose_to_iceberg.py:100-103)
+and MERGE requires unique source keys. Ordering is
+(``metadata.timestamp`` µs, ``metadata.transaction-id``) — the fields
+the envelopes carry (firehose_to_iceberg_transformer.py:65,71).
+``try_to_timestamp`` tolerates the corpus's deliberately corrupt hour-29
+timestamp (gen_fake_cdc_data.py:58): an unparseable timestamp sorts
+last (stalest) but the record still applies — pinned in tests per
+SURVEY.md §7.3 item 1.
+
+Scale: the window for D4 shuffles one micro-batch (small); the MERGE is
+file-pruned copy-on-write (see plans/merge.py) so cost is bounded by
+touched files, not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.lake_table import LakeTable
+from ..plans.merge import merge_into
+from ..schemas import CDC_DATA_RETAIL
+
+
+def typed_rows(good: DataFrame) -> DataFrame:
+    """Parse the pass-through ``data`` JSON into the retail_trans row
+    image + ordering metadata. The row's ``trans_datetime`` ISO-'Z'
+    string (transformer:62) is cast to timestamp; metadata timestamp is
+    parsed leniently for D4 ordering."""
+    return good.select(
+        F.from_json("data", CDC_DATA_RETAIL).alias("d"),
+        "operation",
+        F.try_to_timestamp(F.col("metadata.timestamp")).alias("_order_ts"),
+        F.col("metadata.`transaction-id`").alias("_order_txn"),
+    ).select(
+        F.col("d.trans_id").alias("trans_id"),
+        F.col("d.customer_id").alias("customer_id"),
+        F.col("d.event").alias("event"),
+        F.col("d.sku").alias("sku"),
+        F.col("d.amount").alias("amount"),
+        F.col("d.device").alias("device"),
+        F.try_to_timestamp(F.col("d.trans_datetime")).alias("trans_datetime"),
+        "operation",
+        "_order_ts",
+        "_order_txn",
+    )
+
+
+def collapse_latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str] = ("_order_ts", "_order_txn"),
+) -> DataFrame:
+    """D4 — keep the newest record per key within a micro-batch.
+
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY ts DESC NULLS LAST,
+    txn DESC NULLS LAST) = 1``. Deterministic: nulls (corrupt
+    timestamps) lose to any parseable timestamp; transaction-id breaks
+    ties (per-key order is guaranteed upstream only within a partition
+    key — gen_fake_cdc_data.py:76)."""
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_batch(table: LakeTable, typed: DataFrame, keys: list[str] | None = None) -> int:
+    """D1–D5: collapse then MERGE; returns the committed snapshot version."""
+    keys = keys or table.keys
+    latest = collapse_latest_per_key(typed, keys)
+    return merge_into(
+        table,
+        latest.drop("_order_ts", "_order_txn"),
+        on=keys,
+        op_col="operation",
+        assume_unique=True,  # D4 just guaranteed it
+    )

@@ -1,0 +1,124 @@
+"""CDC envelope transform — T1–T7 of SURVEY.md §2.2, as a pure DataFrame
+program.
+
+Re-expresses the reference's Lambda record transformer
+(src/main/python/firehose_to_iceberg_transformer.py:14-47) — the only
+first-party dataflow code in the reference — with these pinned
+semantics:
+
+- **T1 base64 decode** (transformer:18): optional here; the JSONL file
+  source delivers plain text. ``decode_base64`` is provided for
+  transports that wrap payloads (Firehose does).
+- **T2 JSON parse** (transformer:19): ``from_json`` in PERMISSIVE mode;
+  a malformed line yields a null struct instead of failing the batch.
+- **T3 projection** (transformer:21-24): ``data`` is re-serialized
+  *verbatim* — no type coercion, no column selection; unknown fields in
+  ``data`` flow through to the writer (transformer:22,33). We therefore
+  parse the envelope with ``data`` typed as a raw JSON string.
+- **T4 malformed filter** (transformer:25-27): drop ≠ fail. Records
+  missing data/metadata/operation are split to the dead-letter side with
+  the original payload (generalizing the reference, which logs and
+  drops; delivery failures land in the S3 error prefix — S9,
+  firehose_to_iceberg.py:97,118).
+- **T5 operation whitelist** (transformer:29-30): keep only
+  insert/update/delete; DMS control records vanish *silently* — they are
+  dropped, not dead-lettered. Note the Lambda never inspects
+  ``schema-name``/``table-name`` (transformer:21-30), so the dirty
+  leading-space table name record survives (FIXTURES.md §A3) — pinned in
+  tests.
+- **T6 routing annotation** (transformer:32-43): attach destination
+  database/table (static config, env vars in the reference
+  firehose_data_proc_lambda.py:32-35).
+- **T7 re-encode** (transformer:33,45-47): unnecessary — the result
+  stays a DataFrame.
+
+Scale: every step is a built-in JVM expression (``from_json``, filters,
+literals) inside one whole-stage-codegen span — no Python in the hot
+path, no shuffle. An optional ``mapInPandas`` plugin hook mirrors the
+Lambda extension point (firehose_to_iceberg.py:41-75 wires an arbitrary
+processor).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import CDC_ENVELOPE_RAW
+
+DML_OPS = ("insert", "update", "delete")
+
+
+def decode_base64(df: DataFrame, col: str = "value") -> DataFrame:
+    """T1 — base64-wrapped payloads (transformer:18)."""
+    return df.withColumn(col, F.unbase64(F.col(col)).cast("string"))
+
+
+def transform(
+    df: DataFrame,
+    destination_database: str,
+    destination_table: str,
+    value_col: str = "value",
+    plugin: Callable[[DataFrame], DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """T2–T6: raw JSONL lines -> (good, dead).
+
+    ``good`` columns: ``data`` (raw JSON string, pass-through fidelity),
+    ``operation``, ``metadata`` (typed struct), ``destination_database``,
+    ``destination_table``.
+    ``dead`` columns: ``raw``, ``error_type`` (+ caller adds time
+    partitions via :func:`to_dead_letter`).
+    """
+    parsed = df.withColumn("v", F.from_json(F.col(value_col), CDC_ENVELOPE_RAW))
+
+    # T5 first in predicate order (mirrors the Lambda's control flow:
+    # extraction succeeds for control records, the whitelist then drops
+    # them silently — transformer:21-30); T4 dead-letters only records
+    # that are unparseable / missing pieces *and* would otherwise be DML.
+    is_dml = F.col("v.metadata.operation").isin(*DML_OPS)
+    ok = (
+        F.col("v").isNotNull()
+        & F.col("v.metadata").isNotNull()
+        & F.col("v.metadata.operation").isNotNull()
+    )
+    dead = (
+        parsed.filter(~ok | (is_dml & F.col("v.data").isNull()))
+        .select(
+            F.col(value_col).alias("raw"),
+            F.lit("transform-malformed").alias("error_type"),
+        )
+    )
+
+    good = (
+        parsed.filter(ok & F.col("v.data").isNotNull())
+        # T5 — whitelist; control records dropped silently (NOT dead-lettered)
+        .filter(is_dml)
+        # T3 + T6 — project and annotate routing
+        .select(
+            F.col("v.data").alias("data"),
+            F.col("v.metadata.operation").alias("operation"),
+            F.col("v.metadata").alias("metadata"),
+            F.lit(destination_database).alias("destination_database"),
+            F.lit(destination_table).alias("destination_table"),
+        )
+    )
+    if plugin is not None:
+        good = plugin(good)
+    return good, dead
+
+
+def to_dead_letter(dead: DataFrame, ts_col=None) -> DataFrame:
+    """Shape dead records like the reference's S3 error prefix:
+    ``error/year=!{timestamp:yyyy}/month=…/day=…/hour=…/<error-type>``
+    (README.md:82) — partition columns derived from delivery time."""
+    ts = ts_col if ts_col is not None else F.current_timestamp()
+    return dead.select(
+        "raw",
+        "error_type",
+        F.year(ts).alias("year"),
+        F.month(ts).alias("month"),
+        F.dayofmonth(ts).alias("day"),
+        F.hour(ts).alias("hour"),
+    )

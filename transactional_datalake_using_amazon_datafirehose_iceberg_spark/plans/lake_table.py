@@ -1,0 +1,504 @@
+"""LakeTable — a snapshot-versioned transactional Parquet table.
+
+A thin, Iceberg-semantics table format (the Iceberg Spark runtime jar is
+unavailable offline; SURVEY.md §7.1 step-1 fallback). It reproduces the
+behavioral surface the reference gets from its managed Iceberg
+destination (cdk_stacks/firehose_to_iceberg.py:79-119; README.md:292-309):
+
+- **Atomic snapshot commits**: every write produces an immutable JSON
+  manifest under ``_snapshots/`` listing the full data-file set; the
+  ``_current`` pointer is swapped with an atomic rename. Readers always
+  see a whole snapshot (snapshot isolation, "transactional data lake").
+- **Time travel**: ``read(version=N)`` ≡ Iceberg ``VERSION AS OF``.
+- **File-level stats pruning**: the manifest stores per-file row counts
+  and min/max for scalar columns (what Iceberg keeps in manifests). A
+  predicate can skip files before Spark plans the scan — this is the
+  partition-pruning story at 100 TB: the driver-side manifest filter
+  replaces listing+footer reads, and data is clustered on the declared
+  ``cluster_by`` columns (reference: ``PARTITIONED BY (event)``,
+  README.md:301) so min/max ranges are tight.
+- **Copy-on-write row-level ops** (see ``merge.py``): only files that
+  contain matched keys are rewritten; everything else is carried over by
+  reference in the new manifest.
+
+Scale posture: manifests are O(#files) JSON on the driver — at 100 TB /
+512 MB files that is ~200k entries, fine for JSON; a production swap-in
+would be Iceberg's Avro manifests, and this class is deliberately
+API-compatible with that move. Data files are self-contained (cluster
+columns stay in the files), so reads are a plain
+``spark.read.schema(...).parquet(*files)`` — pushdown, vectorized scan
+and whole-stage codegen all apply.
+
+Single-writer discipline: commits use exclusive-create of the manifest
+file, so a lost race raises instead of corrupting (optimistic
+concurrency, Iceberg-style).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SNAPSHOT_DIR = "_snapshots"
+_CURRENT = "_current"
+_DATA_DIR = "data"
+
+# columns whose min/max we keep in the manifest (scalar types only)
+_STATS_TYPES = (
+    T.IntegerType,
+    T.LongType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.StringType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.BooleanType,
+)
+
+
+def _encode_stat(v: Any) -> Any:
+    """JSON-safe, totally-ordered encoding for a stats value."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return None
+
+
+def _encode_pred_value(v: Any) -> Any:
+    if isinstance(v, _dt.datetime) or isinstance(v, _dt.date):
+        return _encode_stat(v)
+    return v
+
+
+@dataclass(frozen=True)
+class Predicate:
+    """A simple file-pruning predicate ``col op value``.
+
+    Conservative: a file is skipped only when its stats *prove* no row
+    can match. Spark still applies the full filter after the scan, so
+    pruning is purely an optimization (exactly like Iceberg manifest
+    filtering).
+    """
+
+    col: str
+    op: str  # one of =, <, <=, >, >=, in
+    value: Any
+
+    def may_match(self, fmeta: dict) -> bool:
+        mins, maxs = fmeta.get("min", {}), fmeta.get("max", {})
+        lo, hi = mins.get(self.col), maxs.get(self.col)
+        if lo is None or hi is None:
+            return True  # no stats -> cannot prune
+        v = _encode_pred_value(self.value)
+        try:
+            if self.op == "=":
+                return lo <= v <= hi
+            if self.op == "<":
+                return lo < v
+            if self.op == "<=":
+                return lo <= v
+            if self.op == ">":
+                return hi > v
+            if self.op == ">=":
+                return hi >= v
+            if self.op == "in":
+                return any(lo <= _encode_pred_value(x) <= hi for x in self.value)
+        except TypeError:
+            return True  # incomparable types -> keep
+        return True
+
+
+class SnapshotNotFound(Exception):
+    pass
+
+
+class CommitConflict(Exception):
+    pass
+
+
+class LakeTable:
+    """A snapshot-versioned Parquet table rooted at a directory."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    # ------------------------------------------------------------------
+    # creation / loading
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        keys: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        """Create an empty table (snapshot v0, no files).
+
+        ``keys``: unique key columns for MERGE (reference:
+        ``unique_keys=["trans_id"]``, cdk_stacks/firehose_to_iceberg.py:114).
+        ``cluster_by``: layout columns — writes repartition+sort on these
+        so manifest min/max prune like Iceberg partitions (reference:
+        ``PARTITIONED BY (event)``, README.md:301).
+        """
+        t = cls(root)
+        os.makedirs(os.path.join(t.root, _SNAPSHOT_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.root, _DATA_DIR), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "schema": schema.json(),
+            "keys": keys or [],
+            "cluster_by": cluster_by or [],
+            "properties": properties or {},
+            "files": [],
+            "summary": {"operation": "create", "total_rows": 0},
+            "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+        t._write_manifest(manifest)
+        t._swap_pointer(0)
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "LakeTable":
+        t = cls(root)
+        if not os.path.exists(os.path.join(t.root, _CURRENT)):
+            raise SnapshotNotFound(f"not a LakeTable: {root}")
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(root), _CURRENT))
+
+    # ------------------------------------------------------------------
+    # snapshot plumbing
+    # ------------------------------------------------------------------
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, _CURRENT)) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        p = os.path.join(self.root, _SNAPSHOT_DIR, f"v{v:012d}.json")
+        if not os.path.exists(p):
+            raise SnapshotNotFound(f"version {v} of {self.root}")
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        d = os.path.join(self.root, _SNAPSHOT_DIR)
+        out = []
+        for name in sorted(os.listdir(d)):
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "operation": m["summary"].get("operation"),
+                    "total_rows": m["summary"].get("total_rows"),
+                    "n_files": len(m["files"]),
+                    "created": m.get("created"),
+                }
+            )
+        return out
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
+
+    @property
+    def keys(self) -> list[str]:
+        return list(self.manifest().get("keys", []))
+
+    @property
+    def cluster_by(self) -> list[str]:
+        return list(self.manifest().get("cluster_by", []))
+
+    def _write_manifest(self, manifest: dict) -> None:
+        p = os.path.join(self.root, _SNAPSHOT_DIR, f"v{manifest['version']:012d}.json")
+        try:
+            with open(p, "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError as e:  # optimistic concurrency: lost the race
+            raise CommitConflict(f"snapshot v{manifest['version']} already exists") from e
+
+    def _swap_pointer(self, version: int) -> None:
+        tmp = os.path.join(self.root, f"{_CURRENT}.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.root, _CURRENT))  # atomic
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Project+cast to the table schema (declared-schema discipline)."""
+        schema = self.schema
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        return df.select(*cols)
+
+    def _write_files(self, df: DataFrame, cluster: bool = True) -> list[dict]:
+        """Write df as parquet under data/<uuid>/ and return file metas.
+
+        Clustering (repartition + local sort on ``cluster_by``) makes the
+        per-file min/max tight on those columns — that's what turns the
+        manifest stats into a partition-pruning structure at scale.
+        """
+        df = self._conform(df)
+        cb = self.cluster_by
+        if cluster and cb:
+            df = df.repartition(*[F.col(c) for c in cb]).sortWithinPartitions(*cb)
+        commit_dir = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex[:16])
+        df.write.mode("errorifexists").parquet(commit_dir)
+        return self._collect_stats(commit_dir)
+
+    def _collect_stats(self, commit_dir: str) -> list[dict]:
+        schema = self.schema
+        stat_cols = {f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)}
+        metas: list[dict] = []
+        for dirpath, _dirs, files in os.walk(commit_dir):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, name)
+                pf = _pq.ParquetFile(path)
+                md = pf.metadata
+                if md.num_rows == 0:
+                    continue
+                mins: dict[str, Any] = {}
+                maxs: dict[str, Any] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        cname = col.path_in_schema
+                        if cname not in stat_cols:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            mins[cname] = maxs[cname] = None
+                            continue
+                        lo, hi = _encode_stat(st.min), _encode_stat(st.max)
+                        if cname not in mins:
+                            mins[cname], maxs[cname] = lo, hi
+                        else:
+                            if mins[cname] is not None and lo is not None:
+                                mins[cname] = min(mins[cname], lo)
+                            else:
+                                mins[cname] = None
+                            if maxs[cname] is not None and hi is not None:
+                                maxs[cname] = max(maxs[cname], hi)
+                            else:
+                                maxs[cname] = None
+                metas.append(
+                    {
+                        "path": os.path.relpath(path, self.root),
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(path),
+                        "min": {k: v for k, v in mins.items() if v is not None},
+                        "max": {k: v for k, v in maxs.items() if v is not None},
+                    }
+                )
+        return metas
+
+    def commit(
+        self,
+        added: list[dict],
+        removed_paths: Iterable[str] = (),
+        operation: str = "append",
+        extra_summary: dict | None = None,
+    ) -> int:
+        """Write snapshot N+1 = (current files - removed) + added."""
+        cur = self.manifest()
+        removed = set(removed_paths)
+        kept = [f for f in cur["files"] if f["path"] not in removed]
+        files = kept + added
+        version = cur["version"] + 1
+        manifest = {
+            "version": version,
+            "parent": cur["version"],
+            "schema": cur["schema"],
+            "keys": cur["keys"],
+            "cluster_by": cur["cluster_by"],
+            "properties": cur.get("properties", {}),
+            "files": files,
+            "summary": {
+                "operation": operation,
+                "added_files": len(added),
+                "removed_files": len(removed),
+                "total_rows": sum(f["rows"] for f in files),
+                **(extra_summary or {}),
+            },
+            "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+        self._write_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        """Append rows as a new atomic snapshot (INSERT INTO)."""
+        added = self._write_files(df)
+        return self.commit(added, operation="append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table contents atomically."""
+        cur = self.manifest()
+        added = self._write_files(df)
+        return self.commit(
+            added, removed_paths=[f["path"] for f in cur["files"]], operation="overwrite"
+        )
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+    def file_paths(
+        self, version: int | None = None, predicates: list[Predicate] | None = None
+    ) -> list[str]:
+        m = self.manifest(version)
+        out = []
+        for fmeta in m["files"]:
+            if predicates and not all(p.may_match(fmeta) for p in predicates):
+                continue
+            out.append(os.path.join(self.root, fmeta["path"]))
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        predicates: list[Predicate] | None = None,
+        with_file_path: bool = False,
+    ) -> DataFrame:
+        """Snapshot read (``version`` = time travel, Iceberg VERSION AS OF).
+
+        ``predicates`` prune files via manifest stats before Spark ever
+        lists them; the caller still applies the real filter.
+        """
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        paths = self.file_paths(version, predicates)
+        if not paths:
+            df = spark.createDataFrame([], schema)
+            return df.withColumn("_file", F.lit(None).cast("string")) if with_file_path else df
+        df = spark.read.schema(schema).parquet(*paths)
+        if with_file_path:
+            df = df.withColumn("_file", F.col("_metadata.file_path"))
+        return df
+
+    def row_count(self, version: int | None = None) -> int:
+        """Exact row count from manifest stats — no scan (Iceberg parity)."""
+        return sum(f["rows"] for f in self.manifest(version)["files"])
+
+    # ------------------------------------------------------------------
+    # row-level DML (copy-on-write, file-pruned)
+    # ------------------------------------------------------------------
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        predicates: list[Predicate] | None = None,
+    ) -> int:
+        """``DELETE FROM t WHERE condition`` (reference runbook Q6,
+        README.md:421-431). Rewrites only files that may contain matches."""
+        cand = self.file_paths(predicates=predicates)
+        if not cand:
+            return self.current_version()
+        schema = self.schema
+        df = spark.read.schema(schema).parquet(*cand).withColumn(
+            "_file", F.col("_metadata.file_path")
+        )
+        hit_files = [
+            r["_file"] for r in df.filter(condition).select("_file").distinct().collect()
+        ]
+        hit_rel = {self._relpath(p) for p in hit_files}
+        if not hit_rel:
+            return self.current_version()
+        hit_abs = [os.path.join(self.root, p) for p in sorted(hit_rel)]
+        survivors = spark.read.schema(schema).parquet(*hit_abs).filter(f"NOT ({condition})")
+        added = self._write_files(survivors)
+        return self.commit(added, removed_paths=hit_rel, operation="delete")
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        assignments: dict[str, str],
+        predicates: list[Predicate] | None = None,
+    ) -> int:
+        """``UPDATE t SET c=expr WHERE condition`` (reference runbook Q5,
+        README.md:400-418)."""
+        cand = self.file_paths(predicates=predicates)
+        if not cand:
+            return self.current_version()
+        schema = self.schema
+        df = spark.read.schema(schema).parquet(*cand).withColumn(
+            "_file", F.col("_metadata.file_path")
+        )
+        hit_files = [
+            r["_file"] for r in df.filter(condition).select("_file").distinct().collect()
+        ]
+        hit_rel = {self._relpath(p) for p in hit_files}
+        if not hit_rel:
+            return self.current_version()
+        hit_abs = [os.path.join(self.root, p) for p in sorted(hit_rel)]
+        old = spark.read.schema(schema).parquet(*hit_abs)
+        cond = F.expr(condition)
+        cols = []
+        for f in schema.fields:
+            if f.name in assignments:
+                cols.append(
+                    F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        added = self._write_files(old.select(*cols))
+        return self.commit(added, removed_paths=hit_rel, operation="update")
+
+    def _relpath(self, spark_file_path: str) -> str:
+        p = spark_file_path
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        return os.path.relpath(os.path.abspath(p), self.root)
+
+    # ------------------------------------------------------------------
+    # maintenance (see also plans/maintenance.py)
+    # ------------------------------------------------------------------
+    def referenced_files(self) -> set[str]:
+        d = os.path.join(self.root, _SNAPSHOT_DIR)
+        refs: set[str] = set()
+        for name in os.listdir(d):
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+            refs.update(fm["path"] for fm in m["files"])
+        return refs
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,156 @@
+"""Copy-on-write MERGE INTO for LakeTable.
+
+Reproduces the apply semantics of the reference's Firehose Iceberg
+destination (cdk_stacks/firehose_to_iceberg.py:109-116: route by
+``otfMetadata``, apply ``operation`` with ``unique_keys=["trans_id"]``):
+
+- source row with op ``insert``/``update`` and a matching target key →
+  full-row replace (DMS sends complete after-images, not deltas —
+  reference: src/utils/gen_fake_cdc_data.py:42-46);
+- op ``insert``/``update`` with no match → insert;
+- op ``delete`` with a match → row removed; with no match → silent no-op
+  (CDC streams can start mid-history, ``migration_type='cdc'`` skips the
+  full load — cdk_stacks/dms_aurora_mysql_to_kinesis.py:147);
+- duplicate keys in the source are an error, as in Iceberg/Spark MERGE
+  (SURVEY.md §7.3 item 5) — run latest-per-key dedup (D4) first.
+
+Physical strategy (the 100 TB story):
+
+1. A semi-join of target×source-keys — with the source side broadcast,
+   since a CDC micro-batch is small — identifies the *files* containing
+   matched keys via the ``_metadata.file_path`` virtual column. Manifest
+   stats have already pruned candidate files by key range.
+2. Only those files are rewritten: their rows are full-outer-joined with
+   the source (shuffle bounded by touched-file volume, not table volume).
+3. Untouched files carry over into the new snapshot by reference.
+
+This is exactly Iceberg's copy-on-write MERGE; the alternative
+merge-on-read (delete files) is traded away for read speed, matching the
+reference's compaction-threshold choice (README.md:307).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .lake_table import LakeTable, Predicate
+
+
+class MergeSourceNotUnique(Exception):
+    """Iceberg parity: MERGE throws when two source rows match one target row."""
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    on: list[str] | None = None,
+    op_col: str | None = None,
+    delete_value: str = "delete",
+    assume_unique: bool = False,
+    broadcast_source: bool = True,
+) -> int:
+    """MERGE ``source`` into ``table`` by key columns ``on``.
+
+    ``op_col``: optional source column holding insert/update/delete; when
+    None every source row is an upsert. Extra source columns beyond the
+    table schema (e.g. CDC metadata) are ignored on write.
+    Returns the committed snapshot version.
+    """
+    spark = source.sparkSession
+    keys = on or table.keys
+    if not keys:
+        raise ValueError("merge_into requires key columns (table.keys or on=)")
+    schema = table.schema
+    data_cols = [f.name for f in schema.fields]
+
+    needed = keys + ([op_col] if op_col else [])
+    src = source.select(*dict.fromkeys(data_cols + [c for c in needed if c not in data_cols]))
+
+    if not assume_unique:
+        dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise MergeSourceNotUnique(
+                f"MERGE source has duplicate keys on {keys}; run latest-per-key "
+                "dedup (cdc_apply.collapse_latest_per_key) first"
+            )
+
+    is_delete = (
+        F.col(op_col) == F.lit(delete_value) if op_col else F.lit(False)
+    )
+
+    # ---- 1. find touched files (manifest-stats prune + semi join) --------
+    src_keys = src.select(*keys).distinct()
+    key_preds = _key_range_predicates(src, keys)
+    tgt = table.read(spark, predicates=key_preds, with_file_path=True)
+    probe = F.broadcast(src_keys) if broadcast_source else src_keys
+    touched = [
+        r["_file"]
+        for r in tgt.join(probe, on=keys, how="left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    touched_rel = sorted({table._relpath(p) for p in touched if p})
+
+    # ---- 2. fast path: nothing matched -> append the non-delete rows -----
+    if not touched_rel:
+        inserts = src.filter(~is_delete).select(*data_cols)
+        added = table._write_files(inserts)
+        return table.commit(added, operation="merge", extra_summary={"matched_files": 0})
+
+    # ---- 3. rewrite touched files via full-outer join --------------------
+    import os
+
+    touched_abs = [os.path.join(table.root, p) for p in touched_rel]
+    old = (
+        spark.read.schema(schema)
+        .parquet(*touched_abs)
+        .withColumn("__tgt", F.lit(1))
+        .alias("t")
+    )
+    new = src.withColumn("__src", F.lit(1)).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = old.join(new, on=cond, how="full_outer")
+
+    src_present = F.col("s.__src").isNotNull()
+    src_is_delete = (
+        (F.col(f"s.{op_col}") == F.lit(delete_value)) if op_col else F.lit(False)
+    )
+    keep = ~(src_present & src_is_delete)
+
+    out_cols = []
+    for f in schema.fields:
+        if f.name in keys:
+            c = F.coalesce(F.col(f"t.{f.name}"), F.col(f"s.{f.name}"))
+        else:
+            c = F.when(src_present, F.col(f"s.{f.name}")).otherwise(F.col(f"t.{f.name}"))
+        out_cols.append(c.cast(f.dataType).alias(f.name))
+    result = joined.filter(keep).select(*out_cols)
+
+    added = table._write_files(result)
+    return table.commit(
+        added,
+        removed_paths=touched_rel,
+        operation="merge",
+        extra_summary={"matched_files": len(touched_rel)},
+    )
+
+
+def _key_range_predicates(src: DataFrame, keys: list[str]) -> list[Predicate]:
+    """min/max of single integer-ish key -> manifest range predicate.
+
+    One tiny aggregate on the (small) source buys file skipping on the
+    (huge) target; only computed for a single numeric key where a range
+    is meaningful.
+    """
+    if len(keys) != 1:
+        return []
+    k = keys[0]
+    dt = dict(src.dtypes).get(k)
+    if dt not in ("int", "bigint", "smallint", "tinyint", "date", "timestamp", "string"):
+        return []
+    row = src.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
+    if row["lo"] is None:
+        return []
+    return [Predicate(k, ">=", row["lo"]), Predicate(k, "<=", row["hi"])]

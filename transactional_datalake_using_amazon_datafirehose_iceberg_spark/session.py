@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Pins the configs that the oracle-differential tests and the 100 TB
+design posture depend on:
+
+- ``spark.sql.session.timeZone=UTC`` — DuckDB timestamps are UTC-naive;
+  the reference's envelopes carry ISO-8601 ``Z`` timestamps
+  (reference: src/main/python/firehose_to_iceberg_transformer.py:62).
+- AQE on (runtime join-strategy switch, skew split, partition
+  coalescing) — stands in for the reference's managed-engine tuning
+  (reference: cdk_stacks/dms_aurora_mysql_to_kinesis.py:137-140 keyed
+  parallel apply).
+- ``spark.sql.shuffle.partitions`` sized to cores for local mode; on a
+  real cluster AQE coalescing makes the static value a ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "transactional-datalake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    all cores). All configs can be overridden via ``extra_conf``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = os.cpu_count() or 8 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
+        # natively (PARQUET_TYPE_ILLEGAL); read as long, convert in loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # deterministic timestamp semantics for the DuckDB oracle
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    )
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        builder = builder.config("spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"])
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

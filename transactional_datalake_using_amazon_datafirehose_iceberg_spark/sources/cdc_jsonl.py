@@ -1,0 +1,147 @@
+"""CDC JSONL source — batch and stream readers + golden corpus writer.
+
+The reference transports CDC envelopes as JSON-lines on Kinesis
+(dms_aurora_mysql_to_kinesis.py:91 ``message_format='json-unformatted'``;
+gen_fake_cdc_data.py:75 one JSON object per line, partition key =
+primary key :76). Kinesis is a transport, not semantics — this engine's
+equivalent source is a directory of JSONL files read in batch or as a
+file stream (``spark.readStream``); a Kafka source drops in unchanged.
+
+The golden corpus reproduces the *behavior* of the reference's
+hand-written test corpus (gen_fake_cdc_data.py:26-59, documented in
+/root/repo/FIXTURES.md §A3): same keys, operations, amounts and
+deliberate dirty entries — key 41 carries a leading-space table name,
+key 47 an unparseable hour-29 metadata timestamp — with independently
+generated incidental field values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import CDC_ENVELOPE_RAW
+
+_EVENTS = ["visit", "view", "cart", "list", "like", "purchase"]
+_DEVICES = ["pc", "mobile", "tablet"]
+_BASE_TXN = 12884904641
+
+
+def _mk_row(rng: random.Random, trans_id: int, event: str | None = None, amount: int | None = None):
+    event = event or rng.choice(_EVENTS)
+    if amount is None:
+        amount = rng.randint(0, 100) if event in ("cart", "purchase") else 1
+    sku = (
+        "".join(rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ") for _ in range(2))
+        + str(rng.randint(100, 999))
+        + "".join(rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ") for _ in range(4))
+    )
+    return {
+        "trans_id": trans_id,
+        "customer_id": "".join(rng.choice("0123456789") for _ in range(12)),
+        "event": event,
+        "sku": sku,
+        "amount": amount,
+        "device": rng.choice(_DEVICES),
+        "trans_datetime": f"2023-01-16T06:{rng.randint(0,25):02d}:{rng.randint(0,59):02d}Z",
+    }
+
+
+def _envelope(data: dict, op: str, ts: str, txn_id: int, table_name: str = "retail_trans"):
+    return {
+        "data": data,
+        "metadata": {
+            "timestamp": ts,
+            "record-type": "data",
+            "operation": op,
+            "partition-key-type": "primary-key",
+            "schema-name": "testdb",
+            "table-name": table_name,
+            "transaction-id": txn_id,
+        },
+    }
+
+
+def golden_corpora() -> tuple[list[dict], list[dict]]:
+    """(insert-only corpus, DML corpus) per FIXTURES.md §A3."""
+    rng = random.Random(47)
+    insert_keys = [6, 19, 21, 23, 24, 27, 28, 30, 33, 35]
+    rows = {k: _mk_row(rng, k) for k in insert_keys}
+    insert_only = [
+        _envelope(rows[k], "insert", f"2023-01-16T06:26:{10+i:02d}.{100000+i*7:06d}Z", _BASE_TXN + i * 700)
+        for i, k in enumerate(insert_keys)
+    ]
+
+    dml: list[dict] = []
+    txn = _BASE_TXN + 70_000
+    # 5 full-after-image updates (new amounts per FIXTURES.md)
+    for i, (k, amt) in enumerate([(19, 39), (21, 60), (24, 42), (30, 67), (35, 85)]):
+        img = dict(rows[k])
+        img["amount"] = amt
+        dml.append(_envelope(img, "update", f"2023-01-16T08:05:{10+i:02d}.{200000+i*11:06d}Z", txn + i * 400))
+    # 3 deletes (last row image carried, as DMS does)
+    for i, k in enumerate([6, 33, 23]):
+        dml.append(_envelope(dict(rows[k]), "delete", f"2023-01-16T08:11:{10+i:02d}.{300000+i*13:06d}Z", txn + 2000 + i * 350))
+    # 5 inserts, two deliberately dirty (FIXTURES.md §A3 item 3)
+    new_keys = [37, 38, 41, 43, 47]
+    for i, k in enumerate(new_keys):
+        row = _mk_row(rng, k)
+        table_name = " retail_trans" if k == 41 else "retail_trans"  # leading space survives
+        ts = "2023-01-16T29:10:49.737891Z" if k == 47 else f"2023-01-16T08:20:{10+i:02d}.{400000+i*17:06d}Z"
+        dml.append(_envelope(row, "insert", ts, txn + 3000 + i * 12, table_name=table_name))
+    return insert_only, dml
+
+
+def control_records() -> list[dict]:
+    """Non-DML records DMS can emit; the transform must drop them
+    silently (T5, firehose_to_iceberg_transformer.py:29-30)."""
+    return [
+        {
+            "data": None,
+            "metadata": {
+                "timestamp": "2023-01-16T06:00:00.000001Z",
+                "record-type": "control",
+                "operation": "create-table",
+                "partition-key-type": "task-id",
+                "schema-name": "testdb",
+                "table-name": "retail_trans",
+                "transaction-id": None,
+            },
+        }
+    ]
+
+
+def write_golden_corpus(out_dir: str) -> tuple[str, str]:
+    """Materialize both corpora as JSONL files; returns their paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    insert_only, dml = golden_corpora()
+    p1 = os.path.join(out_dir, "cdc_insert_only.jsonl")
+    p2 = os.path.join(out_dir, "cdc_dml.jsonl")
+    with open(p1, "w") as f:
+        for e in insert_only:
+            f.write(json.dumps(e) + "\n")
+    with open(p2, "w") as f:
+        for e in dml:
+            f.write(json.dumps(e) + "\n")
+    return p1, p2
+
+
+def read_cdc_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read raw JSONL envelope lines (one string column ``value``).
+
+    The raw line is kept so malformed records can be dead-lettered with
+    their original payload (reference keeps the raw record for the S3
+    error prefix, firehose_to_iceberg.py:118)."""
+    return spark.read.text(path)
+
+
+def read_cdc_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-stream equivalent of the Kinesis consume (S5); each discovered
+    file ≈ one delivery buffer flush (S6)."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.text(path)
