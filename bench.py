@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once after a warm-up pass of the catalog
+(view registration + file listing), timed wall-clock to completion of a
+full materialization (count of the result — results are small aggregate
+outputs, so the count forces the whole plan without driver transfer
+cost dominating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries import (  # noqa: E402
+    QUERY_SPECS,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+# headline set: one per operator family (joins, aggs, windows, llm-ops)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topk_per_group",
+    "events_sessionize_gap",
+    "agg_rollup",
+    "join_broadcast_dims",
+    "higher_order_array_funcs",
+    # llm-ops (present once queries/llmops.py lands)
+    "dedup_minhash_lsh_pairs",
+    "similarity_topk_cosine",
+    "text_stats_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = QUERY_SPECS.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        df = spec.run_spark(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

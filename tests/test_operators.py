@@ -1,0 +1,112 @@
+"""Unit semantics for the custom operators (asof, dedup, similarity,
+multimodal plumbing) on tiny hand-built frames."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.asof import (
+    asof_join,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.similarity import (
+    cosine_topk,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),
+            (1, _ts("2024-01-01T12:00:00"), 101),
+            (2, _ts("2024-01-01T09:00:00"), 102),  # no prior quote
+            (1, _ts("2024-01-01T11:00:00"), 103),  # equal-ts quote applies (<=)
+        ],
+        "user_id int, ts timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 9.5),
+            (1, _ts("2024-01-01T11:00:00"), 11.0),
+            (2, _ts("2024-01-01T10:00:00"), 20.0),
+        ],
+        "user_id int, ts timestamp, px double",
+    )
+    out = asof_join(trades, quotes, ["user_id"], "ts", "ts", ["px"])
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    assert got == {100: 9.5, 101: 11.0, 102: None, 103: 11.0}
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "aa"), (1, "aa"), (2, "bb"), (5, "aa")], "doc_id int, text string"
+    )
+    out = exact_dedup(df, ["text"], "doc_id").collect()
+    assert sorted((r["doc_id"], r["text"]) for r in out) == [(1, "aa"), (2, "bb")]
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content about spark catalyst optimizer internals"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = char_shingles(df, "text", "doc_id")
+    pairs = lsh_candidate_pairs(minhash_signature(sh, "doc_id"), "doc_id").collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_bands"]) for r in pairs] == [(1, 2, 4)]
+    verified = jaccard_verify(
+        sh, spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"), "doc_id"
+    ).collect()
+    assert verified[0]["jaccard"] == 1.0
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),   # closest to 0
+            (2, [0.0, 1.0]),   # orthogonal
+            (3, [-1.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(df, [0], k=3).collect()
+    assert [r["vec_id_n"] for r in out] == [1, 2, 3]
+    assert out[0]["sim"] > 0.99 and out[1]["sim"] == 0.0 and out[2]["sim"] == -1.0
+
+
+def test_multimodal_plumbing_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"
+    )
+    mm = attach_binary_payload(docs)
+    # binary column survives a parquet round-trip
+    p = str(tmp_path / "mm")
+    mm.write.parquet(p)
+    back = spark.read.parquet(p)
+    assert dict(back.dtypes)["payload"] == "binary"
+    decoded = decode_features(back).orderBy("doc_id").collect()
+    assert decoded[0]["n_bytes"] == len("hello world")
+    assert decoded[0]["width"] == len("hello world") % 64 + 1
+    frames = frame_sample(decode_features(back)).collect()
+    assert all(r["frame_idx"] == 0 for r in frames)

@@ -1,0 +1,94 @@
+"""Oracle-differential harness — mirrors what the driver does at sf0.01:
+run every declared query on Spark AND its oracle SQL on DuckDB over the
+same parquet tables; compare row count, column names, and order-
+insensitive normalized values (doubles at 6 dp, timestamps as ISO)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries import (
+    QUERY_SPECS,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
+    FIXTURE_TABLES,
+)
+
+from conftest import SF_DIR_ORACLE
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        r = round(v, 6)
+        if r == int(r) and abs(r) < 1e15:
+            return str(int(r))
+        return f"{r:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    try:  # decimals
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return _norm(float(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return sorted(c for c in cols), out
+
+
+@pytest.fixture(scope="module")
+def ducked():
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR_ORACLE, t)}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+_ORACLE_SPECS = [s for s in QUERY_SPECS.values() if s.oracle_text() is not None]
+
+
+@pytest.mark.parametrize("spec", _ORACLE_SPECS, ids=[s.name for s in _ORACLE_SPECS])
+def test_query_matches_oracle(spark, ducked, spec):
+    sdf = spec.run_spark(spark, SF_DIR_ORACLE)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ducked.execute(spec.oracle_text())
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sr = _normalize(s_cols, s_rows)
+    dc, dr = _normalize(d_cols, d_rows)
+    assert sc == dc, f"{spec.name}: column mismatch {sc} vs {dc}"
+    assert len(sr) == len(dr), f"{spec.name}: row count {len(sr)} vs {len(dr)}"
+    mismatches = [(a, b) for a, b in zip(sr, dr) if a != b][:5]
+    assert not mismatches, f"{spec.name}: value mismatches (first 5): {mismatches}"
+
+
+def test_no_oracle_specs_still_run(spark):
+    for spec in QUERY_SPECS.values():
+        if spec.oracle_text() is None:
+            df = spec.run_spark(spark, SF_DIR_ORACLE)
+            assert df.count() >= 0, spec.name

@@ -1,0 +1,140 @@
+"""Structured Streaming surface: CDC stream pipeline (micro-batch
+triggers, checkpointing, dead-letter, batch-id exactly-once), windowed
+and sessionized stream aggs, stateful dedup."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import LakeTable
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
+    DEAD_LETTER,
+    RETAIL_TRANS,
+    RETAIL_TRANS_KEYS,
+    RETAIL_TRANS_PARTITION,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.cdc_jsonl import (
+    write_golden_corpus,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.catalog import (
+    load_table,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.streaming import (
+    CdcStreamPipeline,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.streaming.pipeline import (
+    sessionized_event_counts,
+    stateful_dedup,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def stream_env(tmp_path):
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    table = LakeTable.create(
+        str(tmp_path / "retail"), RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    dl = LakeTable.create(str(tmp_path / "dead"), DEAD_LETTER)
+    return str(in_dir), table, dl, str(tmp_path / "ckpt")
+
+
+def test_cdc_stream_end_to_end(spark, stream_env, tmp_path):
+    in_dir, table, dl, ckpt = stream_env
+    p1, p2 = write_golden_corpus(str(tmp_path / "gen"))
+    shutil.copy(p1, in_dir)
+    shutil.copy(p2, in_dir)
+    with open(os.path.join(in_dir, "garbage.jsonl"), "w") as f:
+        f.write("this is not json\n")
+
+    pipe = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl)
+    q = pipe.start(
+        spark, in_dir, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 12
+    assert dl.read(spark).count() == 1  # the garbage line dead-lettered
+
+    # restart over the same checkpoint: no new data -> state unchanged
+    q2 = pipe.start(spark, in_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert table.read(spark).count() == 12
+
+
+def test_cdc_stream_batch_id_skip(spark, stream_env, tmp_path):
+    """Replaying an already-applied batchId is a no-op (exactly-once)."""
+    in_dir, table, dl, ckpt = stream_env
+    p1, _ = write_golden_corpus(str(tmp_path / "gen"))
+    shutil.copy(p1, in_dir)
+    pipe = CdcStreamPipeline(table, "db", "tbl")
+    q = pipe.start(spark, in_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    v = table.current_version()
+    # simulate foreachBatch retry of batch 0
+    df = spark.read.text(in_dir)
+    pipe.process_batch(df, 0)
+    assert table.current_version() == v  # skipped, no new snapshot
+
+
+def _stream_events(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "events_stream_src")
+    ev.write.parquet(p)
+    return spark.readStream.schema(ev.schema).parquet(p)
+
+
+def test_windowed_stream_agg_matches_batch(spark, sf_dir, tmp_path):
+    stream = _stream_events(spark, sf_dir, tmp_path)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_out").start()
+    )
+    q.processAllAvailable(); q.stop()
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exp = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+        .collect()
+    }
+    assert got == exp
+
+
+def test_session_window_stream(spark, sf_dir, tmp_path):
+    stream = _stream_events(spark, sf_dir, tmp_path)
+    q = (
+        sessionized_event_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("sess_out").start()
+    )
+    q.processAllAvailable(); q.stop()
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert rows and all(r["n_events"] >= 1 for r in rows)
+    total = sum(r["n_events"] for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_stateful_dedup_stream(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "dups_src")
+    ev.union(ev).write.parquet(p)  # duplicate every event
+    stream = spark.readStream.schema(ev.schema).parquet(p)
+    q = (
+        stateful_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out").start()
+    )
+    q.processAllAvailable(); q.stop()
+    assert spark.sql("SELECT COUNT(*) c FROM dedup_out").collect()[0]["c"] == ev.count()

@@ -1,0 +1,160 @@
+"""Deduplication operators for LLM-training-data pipelines (NORTH-STAR
+tier, SURVEY.md §2.5): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All pure DataFrame programs (no UDFs): hashing uses md5 (portable to
+the DuckDB oracle), shingling uses higher-order array functions.
+
+100 TB posture:
+- exact dedup = hash-aggregate on a fingerprint, shuffle O(rows) but
+  with map-side partial aggregation on the (smaller) hash key;
+- MinHash-LSH is the linear-scalable near-dup path: per-doc signature
+  (map-only after one shuffle by doc), then candidates come from a
+  *bucket equi-join* (shuffle by band value) — never an all-pairs
+  comparison; exact Jaccard runs only on candidates;
+- SimHash groups by a 16-bit key -> tiny shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per distinct ``cols`` — deterministically the
+    min ``id_col`` (dropDuplicates keeps an arbitrary row; a deterministic
+    keeper is required for oracle parity and reproducible pipelines)."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def char_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 12
+) -> DataFrame:
+    """Distinct char-k-gram shingle set per document (classic w-shingling).
+    Implemented JVM-side: sequence -> transform(substring) -> explode."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+                    f" i -> substring(lower({text_col}), i, {k}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signature(shingled: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
+    """K minhashes per doc. Hash family: md5 over a seed-prefixed shingle;
+    MIN of the hex string is a valid uniform minhash and is bit-identical
+    across engines (lexicographic on lowercase hex)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band are
+    candidates. Returns (doc_a, doc_b, n_bands). The join shuffles by
+    (band_idx, band_val) — the LSH scale trick: no all-pairs."""
+    stacked = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "x.band_idx", "x.band_val")
+    a, c = stacked.alias("a"), stacked.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"c.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_bands"))
+    )
+
+
+def jaccard_verify(
+    shingled: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only (the verify
+    stage of the near-dup pipeline). Jaccard is a ratio of integers, so
+    the threshold comparison is bit-identical across engines."""
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    s1 = shingled.select(F.col(id_col).alias("doc_a"), "sh")
+    s2 = shingled.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        candidates.select("doc_a", "doc_b")
+        .join(s1, "doc_a")
+        .join(s2, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 4).cast("double").alias("jaccard"),
+        )
+    )
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens. Bit j = sign of the sum of
+    per-token parities of hex digit j of md5(token). Hex-digit parity is
+    expressed as an IN-list so the same logic runs on the oracle."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    bits = [F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
+    return bit_sums.select(F.col(id_col), F.concat(*bits).alias("simhash"))

@@ -1,0 +1,91 @@
+"""Multimodal column plumbing (NORTH-STAR tier): opaque binary payloads
+with typed metadata, decoded/feature-extracted via Arrow-batched
+``mapInPandas``.
+
+The image/audio codec libraries are not in this container, so the
+decode step is a DETERMINISTIC FAKE (clearly marked below) — what is
+real and tested is the Spark-side plumbing that matters at 100 TB:
+
+- binary payloads ride as a ``BinaryType`` column with a metadata
+  struct (modality, byte size), Parquet round-trippable;
+- decode runs per Arrow batch (``mapInPandas``), never per row, and
+  only over the projected columns (column pruning keeps the binary
+  blob out of queries that don't touch it);
+- batch shape and output schema are declared, so swapping the fake for
+  a real codec (PIL/ffmpeg) changes one function body.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Model a multimodal table: payload = opaque bytes + typed metadata.
+    (Here the bytes are the encoded text — a stand-in for image bytes.)"""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE decoder (no codec libs in this container).
+
+    A real implementation would be e.g. PIL.Image.open(BytesIO(payload)).
+    The fake derives dimensions from the byte length so results are
+    stable and oracle-checkable.
+    """
+    n = len(payload)
+    return (n % 64 + 1, (n * 7) % 64 + 1, 1)
+
+
+def decode_features(multimodal: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow-batched, per-partition, projection-safe."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["meta"].map(lambda m: m["modality"]),
+                    "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+                    "width": dims.map(lambda d: d[0]),
+                    "height": dims.map(lambda d: d[1]),
+                    "n_frames": dims.map(lambda d: d[2]),
+                }
+            )
+
+    return multimodal.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: explode a frame
+    index per row (real decoders would emit actual frames)."""
+    return decoded.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+        "width",
+        "height",
+    )

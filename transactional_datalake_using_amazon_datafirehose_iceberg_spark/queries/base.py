@@ -1,0 +1,52 @@
+"""QuerySpec — one declared operator/query with its DuckDB oracle.
+
+Parity conventions (FIXTURES.md §C, SURVEY.md §7.3 item 6):
+- session TZ pinned UTC (session.py);
+- every ORDER BY fully deterministic (explicit NULLS, unique tiebreak);
+- double aggregates ROUND()ed identically on both sides; ranking on the
+  *rounded* value + id tiebreak so FP noise cannot reorder across
+  engines;
+- integer-ish aggregates CAST explicitly (DuckDB SUM(int)->HUGEINT vs
+  Spark->BIGINT);
+- same column aliases on both sides (driver sorts columns by name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import register_views
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    doc: str
+    # dialect-portable ANSI SQL executed by BOTH engines (strongest parity)
+    sql: str | None = None
+    # DataFrame-API build (overrides `sql` on the Spark side)
+    build: Callable[[SparkSession, str], DataFrame] | None = None
+    # DuckDB override when dialects diverge; None -> use `sql`;
+    # may also be a zero-arg callable returning SQL (computed oracles)
+    oracle: str | Callable[[], str] | None = None
+    # True -> genuinely non-SQL-expressible; driver does rows-only check
+    no_oracle: bool = False
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+    def run_spark(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        if self.build is not None:
+            return self.build(spark, sf_dir)
+        assert self.sql is not None, f"{self.name}: no spark implementation"
+        return spark.sql(self.sql)
+
+    def oracle_text(self) -> str | None:
+        if self.no_oracle:
+            return None
+        o = self.oracle if self.oracle is not None else self.sql
+        if callable(o):
+            o = o()
+        return o

@@ -1,0 +1,441 @@
+"""LLM-data-pipeline query surface (NORTH-STAR tier): dedup family,
+similarity search, text analysis, multimodal plumbing — each wired to a
+DuckDB oracle that re-expresses the same math independently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..operators.multimodal import attach_binary_payload, decode_features
+from .base import QuerySpec
+
+_SPECS: list[QuerySpec] = []
+
+
+def _add(s: QuerySpec) -> None:
+    _SPECS.append(s)
+
+
+# shared oracle CTE: distinct char-12-gram shingles per doc
+_SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, substring(lower(text), CAST(i AS INTEGER), 12) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 11, 1))) AS i
+        FROM documents) t
+)
+"""
+
+_SIG_CTE = """
+sig AS (
+  SELECT doc_id,
+    MIN(md5(CONCAT('0:', sh))) AS h0, MIN(md5(CONCAT('1:', sh))) AS h1,
+    MIN(md5(CONCAT('2:', sh))) AS h2, MIN(md5(CONCAT('3:', sh))) AS h3,
+    MIN(md5(CONCAT('4:', sh))) AS h4, MIN(md5(CONCAT('5:', sh))) AS h5,
+    MIN(md5(CONCAT('6:', sh))) AS h6, MIN(md5(CONCAT('7:', sh))) AS h7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, h0 || h1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="dedup_exact_by_text",
+    doc="Exact dedup (deterministic keep-min-id) summarized per lang.",
+    tags=("llm", "dedup"),
+    build=lambda spark, sf: (
+        D.exact_dedup(spark.table("documents"), ["text"], "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang")
+    ),
+    oracle="""
+SELECT lang, COUNT(*) AS n_unique, CAST(MIN(keep_id) AS BIGINT) AS first_doc
+FROM (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text) d
+JOIN documents ON doc_id = keep_id
+GROUP BY lang
+ORDER BY lang
+""",
+))
+
+_add(QuerySpec(
+    name="dedup_minhash_lsh_pairs",
+    doc="MinHash(8)+LSH(4 bands x 2 rows) candidate pairs over char-12-gram "
+        "shingles. Bucket equi-join — no all-pairs at any scale.",
+    tags=("llm", "dedup", "headline"),
+    build=lambda spark, sf: (
+        D.lsh_candidate_pairs(
+            D.minhash_signature(
+                D.char_shingles(spark.table("documents"), "text", "doc_id"), "doc_id"
+            ),
+            "doc_id",
+        ).orderBy("doc_a", "doc_b")
+    ),
+    oracle=f"""
+WITH {_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()}
+SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b
+""",
+))
+
+_add(QuerySpec(
+    name="dedup_neardup_jaccard",
+    doc="Near-dup pipeline: LSH candidates verified by exact shingle-set "
+        "Jaccard >= 0.6 (integer-ratio math, bit-identical across engines).",
+    tags=("llm", "dedup"),
+    build=lambda spark, sf: (
+        (lambda sh: D.jaccard_verify(
+            sh,
+            D.lsh_candidate_pairs(D.minhash_signature(sh, "doc_id"), "doc_id"),
+            "doc_id",
+            threshold=0.6,
+        ))(D.char_shingles(spark.table("documents"), "text", "doc_id"))
+        .orderBy("doc_a", "doc_b")
+    ),
+    oracle=f"""
+WITH {_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(1.0 * i.i / (sa.n + sb.n - i.i), 4) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 1.0 * i.i / (sa.n + sb.n - i.i) >= 0.6
+ORDER BY doc_a, doc_b
+""",
+))
+
+
+def _simhash_oracle() -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN substring(h, {j + 1}, 1) IN {odd} THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    bits = " || ".join(f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents
+), sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM toks GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {bits} AS simhash FROM sums
+)
+SELECT simhash, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM sh GROUP BY simhash ORDER BY simhash
+"""
+
+
+_add(QuerySpec(
+    name="dedup_simhash_buckets",
+    doc="16-bit SimHash buckets over tokens (hex-digit-parity hash family).",
+    tags=("llm", "dedup"),
+    build=lambda spark, sf: (
+        D.simhash16(spark.table("documents"), "text", "doc_id")
+        .groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("simhash")
+    ),
+    oracle=_simhash_oracle,
+))
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE_BODY = """
+norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings) t
+  GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+dots AS (
+  SELECT qid, vec_id, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM (
+    SELECT q.qid, e.vec_id, unnest(q.qe) AS x, unnest(e.embedding) AS y
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.qid
+  ) p
+  GROUP BY qid, vec_id
+),
+sims AS (
+  SELECT d.qid, d.vec_id,
+         ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms ne ON ne.vec_id = d.vec_id
+)
+"""
+
+_add(QuerySpec(
+    name="similarity_topk_cosine",
+    doc="Exact brute-force top-10 cosine neighbors for query vectors "
+        "(vec_id < 5); broadcast query set, JVM fold dot product, ranked "
+        "on ROUND(sim,6)+id so FP noise cannot reorder.",
+    tags=("llm", "similarity", "headline"),
+    build=lambda spark, sf: S.cosine_topk(
+        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    ),
+    oracle=f"""
+WITH {_COSINE_ORACLE_BODY.strip()},
+ranked AS (
+  SELECT qid, vec_id, CAST(sim AS DOUBLE) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT qid, vec_id AS vec_id_n, sim, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10 ORDER BY qid, rn
+""",
+))
+
+
+def _sign_bits_duck(col: str, n: int = 8) -> str:
+    return " || ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(n)
+    )
+
+
+_add(QuerySpec(
+    name="similarity_ann_lsh_bucket",
+    doc="Approximate NN: sign-LSH bucket (8 leading dims) restricts "
+        "candidates to the query's bucket before exact cosine — the IVF-"
+        "style partition-pruned scale path.",
+    tags=("llm", "similarity"),
+    build=lambda spark, sf: S.lsh_bucket_topk(
+        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    ),
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings) t
+  GROUP BY vec_id
+),
+bk AS (SELECT vec_id, {_sign_bits_duck('embedding')} AS bucket FROM embeddings),
+q AS (
+  SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket AS qbucket
+  FROM embeddings e JOIN bk b ON b.vec_id = e.vec_id
+  WHERE e.vec_id < 5
+),
+dots AS (
+  SELECT qid, vec_id, bucket, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM (
+    SELECT q.qid, e.vec_id, be.bucket, unnest(q.qe) AS x, unnest(e.embedding) AS y
+    FROM q
+    JOIN bk be ON be.bucket = q.qbucket
+    JOIN embeddings e ON e.vec_id = be.vec_id AND e.vec_id <> q.qid
+  ) p
+  GROUP BY qid, vec_id, bucket
+),
+sims AS (
+  SELECT d.qid, d.vec_id, d.bucket,
+         ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms ne ON ne.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, CAST(sim AS DOUBLE) AS sim, bucket,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT qid, vec_id AS vec_id_n, sim, CAST(rn AS BIGINT) AS rn, bucket
+FROM ranked WHERE rn <= 5 ORDER BY qid, rn
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="text_stats_quality",
+    doc="Per-doc char/token counts, avg token length, stopword count, "
+        "quality gate — pure length/replace arithmetic, one map stage.",
+    tags=("llm", "text", "headline"),
+    build=lambda spark, sf: TX.text_stats(spark.table("documents")).orderBy("doc_id"),
+    oracle="""
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_q,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       CAST(ROUND(LENGTH(REPLACE(text, ' ', '')) * 1.0 /
+            (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS DOUBLE) AS avg_tok_len,
+       CAST((LENGTH(CONCAT(' ', lower(text), ' '))
+             - LENGTH(REPLACE(CONCAT(' ', lower(text), ' '), ' the ', ''))) / 5 AS BIGINT) AS n_the,
+       CASE WHEN LENGTH(text) >= 50
+             AND (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 10
+            THEN 1 ELSE 0 END AS quality_ok
+FROM documents
+ORDER BY doc_id
+""",
+))
+
+
+def _langid_oracle() -> str:
+    markers = {"en": (" the ", " and "), "es": (" el ", " la "),
+               "de": (" der ", " und "), "fr": (" le ", " et ")}
+    cols = []
+    for lang, ms in markers.items():
+        terms = " + ".join(
+            f"(LENGTH(t) - LENGTH(REPLACE(t, '{m}', ''))) / {len(m)}" for m in ms
+        )
+        cols.append(f"CAST({terms} AS BIGINT) AS c_{lang}")
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang AS actual_lang,
+       {cols_sql}
+  FROM (SELECT doc_id, lang, CONCAT(' ', lower(text), ' ') AS t FROM documents) x
+)
+SELECT doc_id, actual_lang, c_en, c_es, c_de, c_fr,
+       CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+            WHEN c_de >= c_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM c
+ORDER BY doc_id
+"""
+
+
+_add(QuerySpec(
+    name="text_lang_id_markers",
+    doc="Marker-word language ID with deterministic tie-break order.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: TX.lang_id_scores(spark.table("documents")).orderBy("doc_id"),
+    oracle=_langid_oracle,
+))
+
+_add(QuerySpec(
+    name="text_fingerprints",
+    doc="Exact + bag-of-words md5 fingerprints; groups shuffled dups.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: (
+        TX.fingerprints(spark.table("documents"))
+        .groupBy("fp_bag")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.count_distinct("fp_exact").cast("bigint").alias("n_exact_variants"),
+        )
+        .orderBy("fp_bag")
+    ),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(text)) AS fp_exact,
+         md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp_bag
+  FROM documents
+)
+SELECT fp_bag, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(COUNT(DISTINCT fp_exact) AS BIGINT) AS n_exact_variants
+FROM fp GROUP BY fp_bag ORDER BY fp_bag
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas decode — deterministic fake codec)
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="multimodal_decode_features",
+    doc="Binary payload column + Arrow-batched mapInPandas decode "
+        "(deterministic fake codec; real plumbing/schema/batching).",
+    tags=("llm", "multimodal"),
+    build=lambda spark, sf: (
+        decode_features(attach_binary_payload(spark.table("documents")))
+        .orderBy("doc_id")
+    ),
+    oracle="""
+SELECT doc_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 7) % 64 + 1 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_frames
+FROM documents
+ORDER BY doc_id
+""",
+))
+
+# ---------------------------------------------------------------------------
+# As-of join (events: purchases pick up the latest prior click per user)
+# ---------------------------------------------------------------------------
+
+
+def _asof_build(spark, sf):
+    from ..operators.asof import asof_join
+
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"), F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_event_id", "click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_event_id").cast("bigint").alias("click_event_id"),
+        F.round(F.col("asof_click_value"), 2).cast("double").alias("click_value"),
+    ).orderBy("event_id")
+
+
+_add(QuerySpec(
+    name="asof_join_purchase_click",
+    doc="As-of join: each purchase event picks up the latest click at or "
+        "before it per user (union+window trick, one shuffle by key). "
+        "Oracle uses DuckDB's native ASOF JOIN.",
+    tags=("join", "asof", "headline"),
+    build=_asof_build,
+    oracle="""
+SELECT p.event_id, p.user_id,
+       CAST(c.event_id AS BIGINT) AS click_event_id,
+       CAST(ROUND(c.value, 2) AS DOUBLE) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+""",
+))
+
+
+SPECS = list(_SPECS)

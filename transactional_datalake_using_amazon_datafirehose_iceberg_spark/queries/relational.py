@@ -1,0 +1,845 @@
+"""Relational query surface (SURVEY.md §2.4 runbook + §2.5 declared set).
+
+Most specs are dialect-portable ANSI SQL executed verbatim by both Spark
+and the DuckDB oracle — the strongest form of differential testing.
+DataFrame-API builds are used where the *operator* is the point (pivot,
+broadcast hint, semi/anti join API) and for dialect-divergent functions.
+
+Scale notes are embedded per query (what Catalyst does with it, and why
+the shape survives 100 TB: pushdown, partial aggs, broadcastable dims).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import QuerySpec
+
+_SPECS: list[QuerySpec] = []
+
+
+def _add(spec: QuerySpec) -> None:
+    _SPECS.append(spec)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="q1_pricing_summary",
+    doc="TPC-H Q1 shape: scan+filter+groupBy with 8 aggregates. Catalyst "
+        "plans partial+final HashAggregate; the shipdate filter pushes to "
+        "the parquet scan. At 100 TB the partial agg reduces shuffle to "
+        "O(groups), not O(rows).",
+    tags=("agg", "headline"),
+    sql="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+       CAST(ROUND(AVG(l_discount), 4) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""",
+))
+
+_add(QuerySpec(
+    name="agg_global_stats",
+    doc="Ungrouped aggregate (runbook Q3 generalized, README.md:456-460): "
+        "count/count-distinct/sum/avg/stddev/var/min/max in one pass.",
+    tags=("agg",),
+    sql="""
+SELECT COUNT(*) AS n,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+       CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+       CAST(ROUND(STDDEV_SAMP(l_extendedprice), 3) AS DOUBLE) AS sd_price,
+       CAST(ROUND(VAR_SAMP(l_quantity), 4) AS DOUBLE) AS var_qty,
+       CAST(ROUND(MIN(l_extendedprice), 2) AS DOUBLE) AS min_price,
+       CAST(ROUND(MAX(l_extendedprice), 2) AS DOUBLE) AS max_price
+FROM lineitem
+""",
+))
+
+_add(QuerySpec(
+    name="agg_filtered",
+    doc="FILTER (WHERE ...) and CASE-guarded aggregates.",
+    tags=("agg",),
+    sql="""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+       CAST(ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END), 2) AS DOUBLE) AS taxed_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag NULLS LAST
+""",
+))
+
+_add(QuerySpec(
+    name="agg_rollup",
+    doc="GROUP BY ROLLUP with GROUPING() disambiguation of the NULL rows.",
+    tags=("agg",),
+    sql="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""",
+))
+
+_add(QuerySpec(
+    name="agg_cube",
+    doc="GROUP BY CUBE over two dimensions.",
+    tags=("agg",),
+    sql="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""",
+))
+
+_add(QuerySpec(
+    name="agg_grouping_sets",
+    doc="Explicit GROUPING SETS incl. grand total.",
+    tags=("agg",),
+    sql="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_flag, g_status, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+""",
+))
+
+_add(QuerySpec(
+    name="agg_distinct_rows",
+    doc="DISTINCT projection feeding a count.",
+    tags=("agg",),
+    sql="""
+SELECT COUNT(*) AS n
+FROM (SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem) t
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="q3_shipping_priority",
+    doc="TPC-H Q3 shape: 3-way join + group + top-k. customer filter "
+        "pushes below the join; top-k collapses to TakeOrderedAndProject.",
+    tags=("join", "headline"),
+    sql="""
+SELECT o_orderkey,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC NULLS LAST, o_orderkey
+LIMIT 10
+""",
+))
+
+_add(QuerySpec(
+    name="q5_region_revenue",
+    doc="Flagship: 5-way star join lineitem⋈orders⋈customer⋈nation⋈region. "
+        "nation(25)/region(5) broadcast; at 100 TB only the fact-side "
+        "lineitem⋈orders shuffle survives, bounded by the date filter.",
+    tags=("join", "headline", "flagship"),
+    sql="""
+SELECT n_name,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC NULLS LAST, n_name
+""",
+))
+
+_add(QuerySpec(
+    name="join_left_outer_agg",
+    doc="LEFT OUTER join preserving customers without orders; NULL-safe "
+        "aggregation over the outer side.",
+    tags=("join",),
+    sql="""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS DOUBLE) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY n_orders DESC, c_custkey
+LIMIT 25
+""",
+))
+
+_add(QuerySpec(
+    name="join_full_outer_months",
+    doc="FULL OUTER join of two monthly aggregates (order vs ship months).",
+    tags=("join",),
+    sql="""
+WITH om AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS order_total
+  FROM orders GROUP BY 1
+), lm AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+         CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS ship_total
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(om.m, lm.m) AS month, om.order_total, lm.ship_total
+FROM om FULL OUTER JOIN lm ON om.m = lm.m
+ORDER BY month NULLS LAST
+""",
+))
+
+_add(QuerySpec(
+    name="join_semi_exists",
+    doc="Left-semi join (EXISTS). Spark side uses the DataFrame "
+        "left_semi operator explicitly.",
+    tags=("join",),
+    build=lambda spark, sf: (
+        spark.table("customer")
+        .join(
+            spark.table("orders").filter(
+                F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .agg(
+            F.count("*").alias("n_customers_early"),
+            F.sum(F.col("c_custkey")).cast("bigint").alias("sum_keys"),
+        )
+    ),
+    oracle="""
+SELECT COUNT(*) AS n_customers_early,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+""",
+))
+
+_add(QuerySpec(
+    name="join_anti_not_exists",
+    doc="Left-anti join (NOT EXISTS) via the DataFrame API.",
+    tags=("join",),
+    build=lambda spark, sf: (
+        spark.table("customer")
+        .join(
+            spark.table("orders").filter(
+                F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .agg(
+            F.count("*").alias("n_customers_no_early"),
+            F.sum(F.col("c_custkey")).cast("bigint").alias("sum_keys"),
+        )
+    ),
+    oracle="""
+SELECT COUNT(*) AS n_customers_no_early,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+""",
+))
+
+_add(QuerySpec(
+    name="join_broadcast_dims",
+    doc="Explicit broadcast() of the two dimension tables — the plan must "
+        "show BroadcastHashJoin (asserted in tests). The fact side never "
+        "shuffles for these joins at any scale.",
+    tags=("join", "plan"),
+    build=lambda spark, sf: (
+        spark.table("lineitem")
+        .join(F.broadcast(spark.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(spark.table("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("s_name", "p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("qty"),
+        )
+        .orderBy(F.col("s_name").asc_nulls_last(), F.col("p_brand").asc_nulls_last())
+    ),
+    oracle="""
+SELECT s_name, p_brand, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY s_name, p_brand
+ORDER BY s_name NULLS LAST, p_brand NULLS LAST
+""",
+))
+
+_add(QuerySpec(
+    name="join_range_bands",
+    doc="Non-equi (theta/range) join against a tiny literal band table -> "
+        "BroadcastNestedLoopJoin; the band side is always broadcast.",
+    tags=("join",),
+    sql="""
+SELECT b.band, COUNT(*) AS n,
+       CAST(ROUND(SUM(l.l_extendedprice), 2) AS DOUBLE) AS total
+FROM lineitem l
+JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 60.0))
+     AS b(band, lo, hi)
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band
+ORDER BY b.band
+""",
+))
+
+_add(QuerySpec(
+    name="join_cross_grid",
+    doc="CROSS JOIN of two tiny relations (explicit cartesian).",
+    tags=("join",),
+    sql="""
+SELECT r_name, s.seg, s.n
+FROM region
+CROSS JOIN (SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY 1) s
+ORDER BY r_name, s.seg
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="subq_scalar_threshold",
+    doc="Scalar subquery threshold (1.5x average order price).",
+    tags=("subquery",),
+    sql="""
+SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+ORDER BY price DESC, o_orderkey
+LIMIT 20
+""",
+))
+
+_add(QuerySpec(
+    name="subq_in_list",
+    doc="IN-subquery semi join.",
+    tags=("subquery",),
+    sql="""
+SELECT COUNT(*) AS n,
+       CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS total
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+""",
+))
+
+_add(QuerySpec(
+    name="subq_correlated_avg",
+    doc="Correlated scalar subquery: lineitems above their part's average "
+        "price (Catalyst decorrelates to a join).",
+    tags=("subquery",),
+    sql="""
+SELECT COUNT(*) AS n_above_avg
+FROM lineitem l1
+WHERE l_extendedprice > (SELECT AVG(l_extendedprice) * 1.2
+                         FROM lineitem l2
+                         WHERE l2.l_partkey = l1.l_partkey)
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="window_topk_per_group",
+    doc="Top-3 parts by revenue per brand via ROW_NUMBER. Ranking is on "
+        "the ROUNDED value + key tiebreak so FP noise cannot reorder "
+        "across engines.",
+    tags=("window", "headline"),
+    sql="""
+SELECT p_brand, p_partkey, rev, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT p_brand, p_partkey,
+         CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS rev,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY ROUND(SUM(l_extendedprice), 2) DESC, p_partkey) AS rn
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+) t
+WHERE rn <= 3
+ORDER BY p_brand, rn
+""",
+))
+
+_add(QuerySpec(
+    name="window_running_lag_rank",
+    doc="Running sum, LAG, RANK, NTILE over per-customer order history.",
+    tags=("window",),
+    sql="""
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+       CAST(ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+       CAST(ROUND(COALESCE(LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS DOUBLE) AS prev_price,
+       CAST(RANK() OVER (
+         PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2) DESC) AS BIGINT) AS price_rank,
+       CAST(NTILE(4) OVER (
+         PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey) AS BIGINT) AS quartile
+FROM orders
+ORDER BY o_custkey, od, o_orderkey
+LIMIT 200
+""",
+))
+
+_add(QuerySpec(
+    name="window_moving_avg",
+    doc="Moving average over a 7-row frame + FIRST/LAST_VALUE.",
+    tags=("window",),
+    sql="""
+SELECT event_id, user_id,
+       CAST(ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS mov_avg,
+       CAST(ROUND(FIRST_VALUE(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), 2) AS DOUBLE) AS first_val,
+       CAST(ROUND(LAST_VALUE(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS DOUBLE) AS last_val
+FROM events
+ORDER BY user_id, event_id
+LIMIT 300
+""",
+))
+
+_add(QuerySpec(
+    name="window_percent_dense",
+    doc="PERCENT_RANK + DENSE_RANK on rounded values.",
+    tags=("window",),
+    sql="""
+SELECT p_partkey,
+       CAST(ROUND(PERCENT_RANK() OVER (ORDER BY ROUND(p_retailprice, 2), p_partkey), 6) AS DOUBLE) AS pr,
+       CAST(DENSE_RANK() OVER (ORDER BY p_size) AS BIGINT) AS dr
+FROM part
+ORDER BY p_partkey
+LIMIT 100
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="sort_topk_global",
+    doc="Global ORDER BY ... LIMIT — Catalyst collapses to "
+        "TakeOrderedAndProject (no full sort at scale).",
+    tags=("sort",),
+    sql="""
+SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice, 2) AS DOUBLE) AS price
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 50
+""",
+))
+
+_add(QuerySpec(
+    name="setops_union_intersect_except",
+    doc="UNION ALL / UNION / INTERSECT / EXCEPT cardinalities.",
+    tags=("setop",),
+    sql="""
+WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+     b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000)
+SELECT 'union_all' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b) t
+UNION ALL
+SELECT 'union_distinct' AS op, COUNT(*) AS n FROM (SELECT k FROM a UNION SELECT k FROM b) t
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b) t
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT SELECT k FROM b) t
+ORDER BY op
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="scalar_string_funcs",
+    doc="String function family over part (all whole-stage-codegen'd).",
+    tags=("scalar",),
+    sql="""
+SELECT p_partkey,
+       UPPER(p_name) AS up,
+       LOWER(p_brand) AS lo,
+       SUBSTRING(p_name, 1, 5) AS sub5,
+       CAST(LENGTH(p_name) AS BIGINT) AS len,
+       CONCAT(p_brand, ':', p_type) AS cat,
+       REPLACE(p_type, ' ', '_') AS repl,
+       TRIM(CONCAT(' ', p_name, ' ')) AS trm,
+       LPAD(CONCAT('', p_size), 5, '0') AS pad,
+       CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+       CAST(INSTR(p_name, 'e') AS BIGINT) AS pos_e
+FROM part
+ORDER BY p_partkey
+LIMIT 100
+""",
+))
+
+_add(QuerySpec(
+    name="scalar_date_funcs",
+    doc="Date/time extraction and truncation over orders.",
+    tags=("scalar",),
+    sql="""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS first_day,
+       CAST(MAX(CAST(date_trunc('week', o_orderdate) AS DATE)) AS DATE) AS last_week_start
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, mo
+""",
+))
+
+_add(QuerySpec(
+    name="scalar_math_funcs",
+    doc="Math function family with pinned integer/double semantics.",
+    tags=("scalar",),
+    sql="""
+SELECT l_linenumber,
+       CAST(ROUND(SUM(ABS(l_extendedprice - 30000)), 2) AS DOUBLE) AS s_abs,
+       CAST(ROUND(SUM(SQRT(l_quantity)), 4) AS DOUBLE) AS s_sqrt,
+       CAST(ROUND(SUM(LN(l_extendedprice)), 4) AS DOUBLE) AS s_ln,
+       CAST(ROUND(SUM(LOG10(l_extendedprice)), 4) AS DOUBLE) AS s_log10,
+       CAST(ROUND(SUM(POWER(l_discount, 2)), 6) AS DOUBLE) AS s_pow,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS s_floor,
+       CAST(SUM(CAST(CEIL(l_tax * 100) AS BIGINT)) AS BIGINT) AS s_ceil,
+       CAST(SUM(SIGN(l_discount - 0.05)) AS DOUBLE) AS s_sign,
+       CAST(SUM(CAST(l_partkey % 7 AS BIGINT)) AS BIGINT) AS s_mod
+FROM lineitem
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+""",
+))
+
+_add(QuerySpec(
+    name="scalar_conditional_funcs",
+    doc="CASE/COALESCE/NULLIF/GREATEST/LEAST family.",
+    tags=("scalar",),
+    sql="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       CAST(ROUND(SUM(COALESCE(NULLIF(c_acctbal, 0.0), 0.0)), 2) AS DOUBLE) AS bal,
+       CAST(ROUND(SUM(GREATEST(c_acctbal, 0.0)), 2) AS DOUBLE) AS pos_bal,
+       CAST(ROUND(SUM(LEAST(c_acctbal, 0.0)), 2) AS DOUBLE) AS neg_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+))
+
+_add(QuerySpec(
+    name="scalar_regex_funcs",
+    doc="regexp_extract / regexp_replace / rlike with patterns identical "
+        "under Java and RE2 regex semantics.",
+    tags=("scalar",),
+    build=lambda spark, sf: (
+        spark.table("part")
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_type", "[AEIOU]", "_").alias("devowel"),
+            F.col("p_name").rlike("^[a-z]+ ").cast("integer").alias("starts_word"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    ),
+    oracle="""
+SELECT p_partkey,
+       COALESCE(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel,
+       CAST(regexp_matches(p_name, '^[a-z]+ ') AS INTEGER) AS starts_word
+FROM part
+ORDER BY p_partkey
+LIMIT 100
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Array / map / JSON
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="array_funcs_tokens",
+    doc="Array construction + size/sort/element access via tokenized text.",
+    tags=("array",),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_toks"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
+            F.element_at("toks", 1).alias("first_tok"),
+            F.element_at(F.sort_array("toks"), 1).alias("min_tok"),
+            F.element_at(F.sort_array("toks"), -1).alias("max_tok"),
+            F.array_contains("toks", "spark").cast("integer").alias("has_spark"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    ),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       toks[1] AS first_tok,
+       list_sort(toks)[1] AS min_tok,
+       list_sort(toks)[-1] AS max_tok,
+       CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark
+FROM t
+ORDER BY doc_id
+LIMIT 200
+""",
+))
+
+_add(QuerySpec(
+    name="higher_order_array_funcs",
+    doc="Higher-order transform/filter/aggregate over embedding vectors — "
+        "all JVM-side, no UDF.",
+    tags=("array",),
+    build=lambda spark, sf: (
+        spark.table("embeddings")
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).cast("double").alias("sq_norm"),
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+            F.round(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).cast("double").alias("comp_sum"),
+        )
+        .orderBy("vec_id")
+    ),
+    oracle="""
+WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+SELECT vec_id,
+       CAST(ROUND(SUM(x * x), 6) AS DOUBLE) AS sq_norm,
+       CAST(COUNT(*) FILTER (WHERE x > 0) AS BIGINT) AS n_pos,
+       CAST(ROUND(SUM(x), 6) AS DOUBLE) AS comp_sum
+FROM u
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+))
+
+_add(QuerySpec(
+    name="json_extract_props",
+    doc="JSON extraction from the events.props string column "
+        "(get_json_object ≡ json_extract_string).",
+    tags=("json",),
+    build=lambda spark, sf: (
+        spark.table("events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    ),
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+))
+
+_add(QuerySpec(
+    name="map_from_json_props",
+    doc="from_json -> MapType -> map_keys/element_at (declared map surface).",
+    tags=("json", "map"),
+    build=lambda spark, sf: (
+        spark.table("events")
+        .select(
+            "event_id",
+            F.from_json("props", "map<string,string>").alias("m"),
+        )
+        .select(
+            "event_id",
+            F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+            F.element_at("m", "k").cast("bigint").alias("k_val"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    ),
+    oracle="""
+SELECT event_id,
+       CAST(1 AS BIGINT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+ORDER BY event_id
+LIMIT 200
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Pivot / sessionize / time-bucketed
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="pivot_status_by_flag",
+    doc="DataFrame pivot (quantity by linestatus per returnflag).",
+    tags=("pivot",),
+    build=lambda spark, sf: (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2).cast("double"))
+        .orderBy("l_returnflag")
+    ),
+    oracle="""
+SELECT l_returnflag,
+       CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS DOUBLE) AS "F",
+       CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS DOUBLE) AS "O"
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+))
+
+_add(QuerySpec(
+    name="events_hourly_windows",
+    doc="Tumbling 1-hour windows over the event stream (batch shape of "
+        "the streaming windowed agg) using Spark's window() operator.",
+    tags=("events", "window_time"),
+    build=lambda spark, sf: (
+        spark.table("events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("win_start", "event_type")
+    ),
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+))
+
+
+def _sessionize_sql(epoch_us_fn: str) -> str:
+    """Gap-based sessionization (30 min) — identical plan in both
+    dialects modulo the epoch-µs function name."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, {epoch_us_fn} AS t FROM events
+), g AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > 1800000000
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, event_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       -- FLOOR before CAST: DuckDB's double->int cast rounds, Spark's truncates
+       CAST(FLOOR((MAX(t) - MIN(t)) / 1000000.0) AS BIGINT) AS dur_s
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_id
+"""
+
+
+_add(QuerySpec(
+    name="events_sessionize_gap",
+    doc="Sessionization via lag + cumulative-sum windows (30-min gap) — "
+        "the batch shape of streaming session_window.",
+    tags=("events", "session"),
+    # NB: DuckDB's ns->µs CAST rounds; Spark-side ingestion truncates.
+    # epoch_ns // 1000 reproduces the truncation exactly.
+    sql=_sessionize_sql("unix_micros(ts)"),
+    oracle=_sessionize_sql("(epoch_ns(ts) // 1000)"),
+))
+
+
+SPECS = list(_SPECS)

@@ -26,8 +26,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns since epoch -> µs timestamp (floor), matching DuckDB's cast
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+        # ns since epoch -> µs timestamp. MUST be integer division (`div`):
+        # `/` promotes int64 ns to double, which loses precision above
+        # 2^53 and shifts some values ±1 µs vs DuckDB's exact epoch_ns//1000
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

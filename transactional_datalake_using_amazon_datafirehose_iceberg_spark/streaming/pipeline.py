@@ -1,0 +1,132 @@
+"""Streaming CDC pipeline — the reference's Kinesis→Firehose→Iceberg path
+as one Structured Streaming job (SURVEY.md §3.1 Spark mapping).
+
+readStream(JSONL dir)  ≡ Kinesis consume (S5)
+trigger(processingTime)≡ 60 s / 128 MB delivery buffer (S6,
+                         firehose_to_iceberg.py:100-103)
+foreachBatch:
+    transform (T1-T7) -> dead-letter split (S9) ->
+    latest-per-key collapse (D4) -> MERGE INTO (S7/D1-D3)
+
+Exactly-once: Structured Streaming checkpointing gives at-least-once
+foreachBatch invocations; the batchId high-watermark stored in the
+table's snapshot summary makes the apply idempotent (a replayed batch
+is skipped), and the MERGE itself is idempotent by key on top of that
+(reference analogue: 3 Firehose retries, firehose_to_iceberg.py:52-54,
+must not duplicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.cdc_apply import apply_batch, typed_rows
+from ..operators.cdc_transform import to_dead_letter, transform
+from ..plans.lake_table import LakeTable
+from ..sources.cdc_jsonl import read_cdc_stream
+
+
+class CdcStreamPipeline:
+    def __init__(
+        self,
+        table: LakeTable,
+        destination_database: str,
+        destination_table: str,
+        dead_letter_table: LakeTable | None = None,
+    ):
+        self.table = table
+        self.db = destination_database
+        self.tbl = destination_table
+        self.dead_letter_table = dead_letter_table
+
+    # -- exactly-once bookkeeping ------------------------------------------
+    def _last_applied_batch(self) -> int:
+        m = self.table.manifest()
+        return int(m["summary"].get("stream_batch_id", -1))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body. Skips batches at or below the applied
+        high-watermark (idempotent under checkpoint replay)."""
+        if batch_id <= self._last_applied_batch():
+            return
+        good, dead = transform(batch_df, self.db, self.tbl)
+        if self.dead_letter_table is not None:
+            dl = to_dead_letter(dead)
+            if dl.limit(1).count() > 0:
+                self.dead_letter_table.append(dl)
+        typed = typed_rows(good)
+        apply_batch(self.table, typed)
+        # stamp the batch id on the snapshot we just committed
+        m = self.table.manifest()
+        m["summary"]["stream_batch_id"] = batch_id
+        import json as _json
+        import os as _os
+
+        p = _os.path.join(
+            self.table.root, "_snapshots", f"v{m['version']:012d}.json"
+        )
+        with open(p, "w") as f:
+            _json.dump(m, f)
+
+    def start(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        checkpoint_dir: str,
+        trigger_seconds: int | None = None,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        raw = read_cdc_stream(spark, input_dir, max_files_per_trigger)
+        writer = raw.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window streaming agg with watermarked late-data drop
+    (S6/S9 generalization; Kinesis 24 h retention ⇒ bounded lateness)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+def sessionized_event_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window streaming agg (SURVEY.md §2.5 streaming table)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stateful_dedup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup by event_id within the watermark horizon
+    (replay idempotency, D1)."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
