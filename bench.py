@@ -54,11 +54,16 @@ def main() -> None:
     )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = QUERY_SPECS.get(name)
         if spec is None:
             continue
+        # one untimed warm-up execution per query: amortizes whole-stage-
+        # codegen compilation and file listing, so the timed run measures
+        # steady-state execution (what repeats at scale), not Janino
+        spec.run_spark(spark, sf_dir).count()
         t0 = time.perf_counter()
         df = spec.run_spark(spark, sf_dir)
         n = df.count()

@@ -1,0 +1,46 @@
+"""Compaction + snapshot expiry (reference: delete-file compaction
+threshold, README.md:307; SURVEY.md §4 O7)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import LakeTable
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+    compact,
+    expire_snapshots,
+    should_compact,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("cat", T.StringType()),
+    ]
+)
+
+
+def test_compact_small_files_and_expire(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"], cluster_by=["cat"])
+    for i in range(12):
+        t.append(spark.createDataFrame([(i, "ab"[i % 2])], SCHEMA))
+    assert should_compact(t, small_file_threshold=10)
+    n_files_before = len(t.file_paths())
+    rows_before = sorted(map(tuple, t.read(spark).collect()))
+
+    v = compact(spark, t)
+    assert len(t.file_paths()) < n_files_before
+    assert sorted(map(tuple, t.read(spark).collect())) == rows_before
+    assert not should_compact(t, small_file_threshold=10)
+    # time travel still works pre-compaction
+    assert t.read(spark, version=v - 1).count() == 12
+
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["removed_snapshots"] > 0
+    assert stats["removed_files"] > 0
+    # current snapshot unharmed; all its files exist
+    assert sorted(map(tuple, t.read(spark).collect())) == rows_before
+    for p in t.file_paths():
+        assert os.path.exists(p)

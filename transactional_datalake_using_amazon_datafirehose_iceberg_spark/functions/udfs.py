@@ -1,0 +1,64 @@
+"""Vectorized UDF surface.
+
+The slow-path discipline (SURVEY.md guidance): built-in functions first;
+when user code is genuinely needed, Arrow-batched ``pandas_udf`` /
+``applyInPandas`` — never row-at-a-time Python UDFs in a hot path. These
+examples are deterministic arithmetic so they remain oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def quality_score_udf(text: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF: a toy quality score =
+    trunc6(unique_token_ratio * min(1, chars/200)). Truncation (floor),
+    not round: numpy rounds half-even while SQL rounds half-away, so
+    floor is the only bitwise-portable 6-dp normalization."""
+    import numpy as np
+
+    toks = text.str.split(" ")
+    n = toks.str.len().clip(lower=1)
+    uniq = toks.map(lambda t: len(set(t)))
+    chars = text.str.len()
+    raw = (uniq / n) * (chars / 200.0).clip(upper=1.0)
+    return np.floor(raw * 1_000_000) / 1_000_000
+
+
+def zscore_per_group(df: DataFrame, group_col: str, value_col: str, id_col: str) -> DataFrame:
+    """Grouped applyInPandas (UDTF-like): per-group z-score with the
+    sample standard deviation. Demonstrates the grouped-map path; the
+    same result is expressible with window functions (the oracle does)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(group_col, T.StringType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf[value_col].astype("float64")
+        sd = v.std(ddof=1)
+        z = (v - v.mean()) / sd if sd and sd > 0 else v * 0.0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                "z": np.floor(z * 10_000) / 10_000,  # floor: portable 4-dp
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(per_group, out_schema)
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """Expose the UDFs to the SQL surface (spark.udf.register)."""
+    spark.udf.register("quality_score", quality_score_udf)

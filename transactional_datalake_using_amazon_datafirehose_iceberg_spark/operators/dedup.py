@@ -36,7 +36,11 @@ def char_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 12
 ) -> DataFrame:
     """Distinct char-k-gram shingle set per document (classic w-shingling).
-    Implemented JVM-side: sequence -> transform(substring) -> explode."""
+    Implemented JVM-side: sequence -> transform(substring) -> explode.
+    Repartitions first so a single-file input doesn't serialize the
+    explode on one core."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = df.repartition(n_part, F.col(id_col))
     return (
         df.select(
             F.col(id_col),
@@ -52,14 +56,65 @@ def char_shingles(
 
 
 def minhash_signature(shingled: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
-    """K minhashes per doc. Hash family: md5 over a seed-prefixed shingle;
-    MIN of the hex string is a valid uniform minhash and is bit-identical
-    across engines (lexicographic on lowercase hex)."""
+    """K minhashes per doc from an exploded shingle relation. Hash
+    family: md5 over a seed-prefixed shingle; MIN of the hex string is a
+    valid uniform minhash and is bit-identical across engines
+    (lexicographic on lowercase hex)."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
+
+
+_HEX = "0123456789abcdef"
+
+
+def slot_hex_digits(slot: int, num_slots: int = 8) -> tuple[str, ...]:
+    """Hex first-chars owned by a signature slot (16 digits / num_slots)."""
+    per = 16 // num_slots
+    return tuple(_HEX[slot * per : (slot + 1) * per])
+
+
+def minhash_signature_mapside(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Shuffle-free one-permutation minhash (Li et al., NeurIPS 2012):
+    ONE md5 per shingle; signature slot j = min hash among shingles whose
+    hash starts with slot j's hex digits; empty slots densified with the
+    global min tagged by slot. Entirely map-side — the shingle array
+    never leaves the row — so the only shuffle in the LSH pipeline is
+    the tiny band-bucket join. This is the 100 TB path: one hash pass
+    over corpus bytes, embarrassingly parallel.
+
+    The input is repartitioned to the session's shuffle parallelism
+    first: a fixture table arrives as ONE parquet file -> one partition,
+    which would serialize the hash work on a single core (at real scale
+    the input is already many files; shuffling id+text is trivial next
+    to the hash work)."""
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> md5(substring(lower({text_col}), i, {k})))"
+    )
+    hashed = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col), hashes.alias("__h")
+    )
+    cols = []
+    for j in range(num_hashes):
+        digits = slot_hex_digits(j, num_hashes)
+        slot_min = F.array_min(
+            F.filter("__h", lambda h: F.substring(h, 1, 1).isin(*digits))
+        )
+        cols.append(
+            F.coalesce(slot_min, F.concat(F.array_min("__h"), F.lit(f"#{j}"))).alias(f"h{j}")
+        )
+    return hashed.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(

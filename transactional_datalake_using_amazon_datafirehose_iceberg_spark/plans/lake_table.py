@@ -270,10 +270,26 @@ class LakeTable:
         """
         df = self._conform(df)
         cb = self.cluster_by
-        if cluster and cb:
-            df = df.repartition(*[F.col(c) for c in cb]).sortWithinPartitions(*cb)
         commit_dir = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex[:16])
-        df.write.mode("errorifexists").parquet(commit_dir)
+        if cluster and cb:
+            # RANGE partitioning, not hash: each output file covers a
+            # contiguous range of the cluster columns, so per-file
+            # min/max are tight and disjoint -> manifest pruning behaves
+            # like partition pruning (hash would co-locate unrelated
+            # values and widen every file's range). AQE partition
+            # coalescing would merge adjacent ranges back together on
+            # small batches, so it is suspended for the clustered write
+            # (single-writer; restored immediately after).
+            df = df.repartitionByRange(*[F.col(c) for c in cb]).sortWithinPartitions(*cb)
+            spark = df.sparkSession
+            prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+            try:
+                df.write.mode("errorifexists").parquet(commit_dir)
+            finally:
+                spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+        else:
+            df.write.mode("errorifexists").parquet(commit_dir)
         return self._collect_stats(commit_dir)
 
     def _collect_stats(self, commit_dir: str) -> list[dict]:

@@ -1,0 +1,190 @@
+"""Extended declared surface: UDF paths, dead-letter split, runbook DML
+lifecycle, time travel — each still oracle-checked."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..functions.udfs import quality_score_udf, zscore_per_group
+from ..operators.cdc_apply import apply_batch, typed_rows
+from ..operators.cdc_transform import to_dead_letter, transform
+from ..plans.lake_table import LakeTable
+from ..schemas import RETAIL_TRANS, RETAIL_TRANS_KEYS, RETAIL_TRANS_PARTITION
+from ..sources.cdc_jsonl import read_cdc_batch, write_golden_corpus
+from .base import QuerySpec
+
+_SPECS: list[QuerySpec] = []
+
+
+def _add(s: QuerySpec) -> None:
+    _SPECS.append(s)
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (vectorized pandas UDF + grouped applyInPandas)
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="udf_pandas_quality_score",
+    doc="Arrow-vectorized scalar pandas UDF (the engine's Lambda-"
+        "extension-point equivalent); floor-normalized so the pure-SQL "
+        "oracle matches bitwise.",
+    tags=("udf",),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .select("doc_id", quality_score_udf(F.col("text")).alias("score"))
+        .orderBy("doc_id")
+    ),
+    oracle="""
+SELECT doc_id,
+       FLOOR((len(list_distinct(string_split(text, ' '))) * 1.0
+              / greatest(len(string_split(text, ' ')), 1))
+             * LEAST(1.0, LENGTH(text) / 200.0) * 1000000) / 1000000 AS score
+FROM documents
+ORDER BY doc_id
+""",
+))
+
+_add(QuerySpec(
+    name="udf_applyinpandas_zscore",
+    doc="Grouped applyInPandas (UDTF-like grouped map): per-language "
+        "z-score of doc length; oracle = window functions.",
+    tags=("udf",),
+    build=lambda spark, sf: (
+        zscore_per_group(
+            spark.table("documents").select(
+                "doc_id", "lang", F.col("n_chars").cast("double").alias("v")
+            ),
+            group_col="lang",
+            value_col="v",
+            id_col="doc_id",
+        ).orderBy("doc_id")
+    ),
+    oracle="""
+SELECT doc_id, lang,
+       FLOOR(CASE WHEN stddev_samp(n_chars) OVER (PARTITION BY lang) > 0
+                  THEN (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                       / stddev_samp(n_chars) OVER (PARTITION BY lang)
+                  ELSE 0.0 END * 10000) / 10000 AS z
+FROM documents
+ORDER BY doc_id
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Dead-letter split (S9) as a deterministic query
+# ---------------------------------------------------------------------------
+
+_BAD_LINES = [
+    "definitely not json",
+    '{"metadata": {"operation": "insert"}}',  # DML but no data -> dead
+    '{"data": null, "metadata": {"operation": "create-table", "timestamp": "x",'
+    ' "record-type": "control", "partition-key-type": "t", "schema-name": "s",'
+    ' "table-name": "t", "transaction-id": null}}',  # control -> silent drop
+    '{"data": {"trans_id": 1}, "metadata": {"operation": "insert",'
+    ' "timestamp": "2023-01-16T06:00:00.000001Z", "record-type": "data",'
+    ' "partition-key-type": "primary-key", "schema-name": "testdb",'
+    ' "table-name": "retail_trans", "transaction-id": 7}}',  # good
+]
+
+
+def _dead_letter_build(spark, sf):
+    df = spark.createDataFrame([(l,) for l in _BAD_LINES], "value string")
+    _good, dead = transform(df, "db", "tbl")
+    # fixed delivery timestamp => deterministic time partitions
+    return to_dead_letter(
+        dead, ts_col=F.lit("2023-01-16 08:00:00").cast("timestamp")
+    ).orderBy("raw")
+
+
+_add(QuerySpec(
+    name="cdc_dead_letter_split",
+    doc="T4/S9 semantics as data: malformed records dead-letter with "
+        "time partitions, control records vanish, good records do not "
+        "appear (reference error prefix, README.md:82).",
+    tags=("cdc",),
+    build=_dead_letter_build,
+    oracle=f"""
+SELECT raw, 'transform-malformed' AS error_type,
+       2023 AS year, 1 AS month, 16 AS day, 8 AS hour
+FROM (VALUES ('{_BAD_LINES[1].replace("'", "''")}'),
+             ('{_BAD_LINES[0]}')) t(raw)
+ORDER BY raw
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Runbook DML lifecycle (Q2/Q4-Q7) + time travel (D5)
+# ---------------------------------------------------------------------------
+
+
+def _runbook_dml_build(spark, sf):
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="runbook_"), "retail"),
+        RETAIL_TRANS, keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (1, 'c1', 'cart', 'SKU1', 10, 'pc', TIMESTAMP '2023-01-16 06:00:00'),
+        (2, 'c2', 'visit', 'SKU2', 1, 'mobile', TIMESTAMP '2023-01-16 06:01:00'),
+        (3, 'c3', 'purchase', 'SKU3', 55, 'tablet', TIMESTAMP '2023-01-16 06:02:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))
+    t.update_where(spark, "trans_id = 1", {"amount": "3"})   # Q5
+    t.delete_where(spark, "trans_id = 2")                     # Q6
+    return t.read(spark).orderBy("trans_id")
+
+
+_add(QuerySpec(
+    name="runbook_dml_lifecycle",
+    doc="The README runbook as one query: CREATE PARTITIONED TABLE, "
+        "INSERT VALUES, point UPDATE, point DELETE, final state "
+        "(README.md:292-309, 400-443).",
+    tags=("cdc", "dml"),
+    build=_runbook_dml_build,
+    oracle="""
+SELECT CAST(trans_id AS INTEGER) AS trans_id, customer_id, event, sku,
+       CAST(amount AS INTEGER) AS amount, device, trans_datetime
+FROM (VALUES
+  (1, 'c1', 'cart', 'SKU1', 3, 'pc', TIMESTAMP '2023-01-16 06:00:00'),
+  (3, 'c3', 'purchase', 'SKU3', 55, 'tablet', TIMESTAMP '2023-01-16 06:02:00')
+) t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+ORDER BY trans_id
+""",
+))
+
+
+def _time_travel_build(spark, sf):
+    workdir = tempfile.mkdtemp(prefix="tt_")
+    p1, p2 = write_golden_corpus(os.path.join(workdir, "in"))
+    t = LakeTable.create(
+        os.path.join(workdir, "retail"), RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    for p in (p1, p2):
+        good, _ = transform(read_cdc_batch(spark, p), "db", "tbl")
+        apply_batch(t, typed_rows(good))
+    counts = [
+        (v, t.read(spark, version=v).count()) for v in (1, 2)
+    ]
+    return spark.createDataFrame(counts, "version int, n_rows bigint").orderBy("version")
+
+
+_add(QuerySpec(
+    name="time_travel_versions",
+    doc="Snapshot isolation / VERSION AS OF (D5): row counts of the two "
+        "CDC commits read back by version.",
+    tags=("cdc", "timetravel"),
+    build=_time_travel_build,
+    oracle="""
+SELECT CAST(version AS INTEGER) AS version, CAST(n_rows AS BIGINT) AS n_rows
+FROM (VALUES (1, 10), (2, 12)) t(version, n_rows)
+ORDER BY version
+""",
+))
+
+
+SPECS = list(_SPECS)

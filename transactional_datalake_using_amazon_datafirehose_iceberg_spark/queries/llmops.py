@@ -29,15 +29,31 @@ sh AS (
 )
 """
 
-_SIG_CTE = """
+def _sig_cte() -> str:
+    """One-permutation minhash signature, mirroring
+    operators.dedup.minhash_signature_mapside exactly: one md5 per
+    shingle, slot j = min of hashes with first hex digit in slot j's
+    range, empty slots densified by global-min || '#j'."""
+    from ..operators.dedup import slot_hex_digits
+
+    slots = []
+    for j in range(8):
+        digits = ", ".join(f"'{d}'" for d in slot_hex_digits(j))
+        slots.append(
+            f"COALESCE(MIN(CASE WHEN substring(h, 1, 1) IN ({digits}) THEN h END),"
+            f" MIN(h) || '#{j}') AS h{j}"
+        )
+    slots_sql = ",\n    ".join(slots)
+    return f"""
 sig AS (
   SELECT doc_id,
-    MIN(md5(CONCAT('0:', sh))) AS h0, MIN(md5(CONCAT('1:', sh))) AS h1,
-    MIN(md5(CONCAT('2:', sh))) AS h2, MIN(md5(CONCAT('3:', sh))) AS h3,
-    MIN(md5(CONCAT('4:', sh))) AS h4, MIN(md5(CONCAT('5:', sh))) AS h5,
-    MIN(md5(CONCAT('6:', sh))) AS h6, MIN(md5(CONCAT('7:', sh))) AS h7
-  FROM sh GROUP BY doc_id
-),
+    {slots_sql}
+  FROM (SELECT doc_id, md5(sh) AS h FROM sh) hs
+  GROUP BY doc_id
+),"""
+
+
+_SIG_CTE = _sig_cte() + """
 bands AS (
   SELECT doc_id, 0 AS band_idx, h0 || h1 AS band_val FROM sig
   UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
@@ -86,9 +102,7 @@ _add(QuerySpec(
     tags=("llm", "dedup", "headline"),
     build=lambda spark, sf: (
         D.lsh_candidate_pairs(
-            D.minhash_signature(
-                D.char_shingles(spark.table("documents"), "text", "doc_id"), "doc_id"
-            ),
+            D.minhash_signature_mapside(spark.table("documents"), "text", "doc_id"),
             "doc_id",
         ).orderBy("doc_a", "doc_b")
     ),
@@ -104,13 +118,15 @@ _add(QuerySpec(
         "Jaccard >= 0.6 (integer-ratio math, bit-identical across engines).",
     tags=("llm", "dedup"),
     build=lambda spark, sf: (
-        (lambda sh: D.jaccard_verify(
-            sh,
-            D.lsh_candidate_pairs(D.minhash_signature(sh, "doc_id"), "doc_id"),
+        D.jaccard_verify(
+            D.char_shingles(spark.table("documents"), "text", "doc_id"),
+            D.lsh_candidate_pairs(
+                D.minhash_signature_mapside(spark.table("documents"), "text", "doc_id"),
+                "doc_id",
+            ),
             "doc_id",
             threshold=0.6,
-        ))(D.char_shingles(spark.table("documents"), "text", "doc_id"))
-        .orderBy("doc_a", "doc_b")
+        ).orderBy("doc_a", "doc_b")
     ),
     oracle=f"""
 WITH {_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()},

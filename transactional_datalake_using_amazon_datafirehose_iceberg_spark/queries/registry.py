@@ -26,6 +26,12 @@ def _all_specs() -> list[QuerySpec]:
         specs.extend(cdcops.SPECS)
     except ImportError:
         pass
+    try:
+        from . import extended
+
+        specs.extend(extended.SPECS)
+    except ImportError:
+        pass
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     return specs

@@ -842,4 +842,142 @@ _add(QuerySpec(
 ))
 
 
+# ---------------------------------------------------------------------------
+# Ordered-collection aggregates / arg-extremes / set-op ALL variants
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="agg_collect_sorted",
+    doc="collect_list canonicalized by sort_array (deterministic form of "
+        "the orderless collect).",
+    tags=("agg",),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderstatus")).alias("statuses"),
+            F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
+        )
+        .orderBy("o_custkey")
+        .limit(100)
+    ),
+    oracle="""
+SELECT o_custkey,
+       list_sort(list(o_orderstatus)) AS statuses,
+       list_sort(list(DISTINCT o_orderpriority)) AS prios
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+LIMIT 100
+""",
+))
+
+_add(QuerySpec(
+    name="agg_min_max_by",
+    doc="max_by/min_by (arg-extremes) with struct tiebreak for full "
+        "determinism.",
+    tags=("agg",),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+            .cast("bigint").alias("priciest_order"),
+            F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+            .cast("bigint").alias("cheapest_order"),
+        )
+        .orderBy("o_orderpriority")
+    ),
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_hi,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_lo
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(MAX(CASE WHEN rn_hi = 1 THEN o_orderkey END) AS BIGINT) AS priciest_order,
+       CAST(MAX(CASE WHEN rn_lo = 1 THEN o_orderkey END) AS BIGINT) AS cheapest_order
+FROM r
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+))
+
+_add(QuerySpec(
+    name="setops_all_variants",
+    doc="INTERSECT ALL / EXCEPT ALL (multiset semantics).",
+    tags=("setop",),
+    build=lambda spark, sf: (
+        spark.table("orders").select("o_custkey").filter("o_orderstatus = 'F'")
+        .intersectAll(
+            spark.table("orders").select("o_custkey").filter("o_totalprice > 100000")
+        )
+        .agg(F.count("*").alias("n_intersect_all"))
+        .crossJoin(
+            spark.table("orders").select("o_custkey").filter("o_orderstatus = 'F'")
+            .exceptAll(
+                spark.table("orders").select("o_custkey").filter("o_totalprice > 100000")
+            )
+            .agg(F.count("*").alias("n_except_all"))
+        )
+    ),
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+     INTERSECT ALL
+     SELECT o_custkey FROM orders WHERE o_totalprice > 100000) t) AS n_intersect_all,
+  (SELECT COUNT(*) FROM (
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+     EXCEPT ALL
+     SELECT o_custkey FROM orders WHERE o_totalprice > 100000) t) AS n_except_all
+""",
+))
+
+_add(QuerySpec(
+    name="unpivot_stack",
+    doc="Unpivot via stack() — long-form attribute/value pairs.",
+    tags=("pivot",),
+    build=lambda spark, sf: (
+        spark.table("part")
+        .selectExpr(
+            "p_partkey",
+            "stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice)"
+            " AS (attr, val)",
+        )
+        .orderBy("p_partkey", "attr")
+        .limit(200)
+    ),
+    oracle="""
+SELECT p_partkey, attr, val FROM (
+  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'price' AS attr, p_retailprice AS val FROM part
+) t
+ORDER BY p_partkey, attr
+LIMIT 200
+""",
+))
+
+_add(QuerySpec(
+    name="approx_distinct_percentile",
+    doc="Approximate aggregates (approx_count_distinct, percentile_approx)"
+        " — declared approximate, excluded from the hash-matched oracle "
+        "set (SURVEY.md §2.5); the driver records a rows-only check.",
+    tags=("agg", "approx"),
+    no_oracle=True,
+    build=lambda spark, sf: (
+        spark.table("lineitem")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+            F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
+        )
+    ),
+))
+
+
 SPECS = list(_SPECS)
