@@ -187,4 +187,60 @@ ORDER BY version
 ))
 
 
+# ---------------------------------------------------------------------------
+# Streaming-as-query: the windowed streaming agg replayed to completion
+# must equal the batch aggregation (exactly-once + watermark semantics)
+# ---------------------------------------------------------------------------
+
+
+def _streaming_window_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import windowed_event_counts
+
+    ev = load_table(spark, sf, "events")
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_src_"), "events")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "win_start",
+            "event_type",
+            "n",
+            F.col("total").cast("double").alias("total"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_windowed_counts",
+    doc="Structured Streaming tumbling-window agg with watermark, "
+        "replayed to completion via a memory sink; must equal the batch "
+        "groupBy (S6 buffering generalization).",
+    tags=("streaming",),
+    build=_streaming_window_build,
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+))
+
+
 SPECS = list(_SPECS)

@@ -963,6 +963,102 @@ LIMIT 200
 ))
 
 _add(QuerySpec(
+    name="join_right_outer",
+    doc="RIGHT OUTER join (all orders kept, even without a matching "
+        "filtered customer).",
+    tags=("join",),
+    sql="""
+SELECT o_orderkey, c_name,
+       CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+RIGHT JOIN orders ON c_custkey = o_custkey
+ORDER BY o_orderkey
+LIMIT 100
+""",
+))
+
+_add(QuerySpec(
+    name="window_lead_range_frame",
+    doc="LEAD + RANGE BETWEEN frame (value-based window) + MIN/MAX OVER.",
+    tags=("window",),
+    sql="""
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(COALESCE(LEAD(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1), 2) AS DOUBLE) AS next_price,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k,
+       CAST(ROUND(MIN(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS DOUBLE) AS min_price,
+       CAST(ROUND(MAX(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS DOUBLE) AS max_price
+FROM orders
+ORDER BY o_custkey, o_orderkey
+LIMIT 300
+""",
+))
+
+_add(QuerySpec(
+    name="scalar_date_arith",
+    doc="Date arithmetic: datediff, date_add, epoch seconds, "
+        "from-epoch reconstruction (per-engine function names).",
+    tags=("scalar",),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .select(
+            "o_orderkey",
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("bigint").alias("days_to_eoy"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+            F.from_unixtime(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp")), "yyyy-MM-dd"
+            ).alias("roundtrip_day"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    ),
+    oracle="""
+SELECT o_orderkey,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m-%d') AS roundtrip_day
+FROM orders
+ORDER BY o_orderkey
+LIMIT 200
+""",
+))
+
+_add(QuerySpec(
+    name="array_posexplode_map_values",
+    doc="posexplode + map_values/map_keys over parsed JSON props.",
+    tags=("array", "map"),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("pos") < 3)
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("tok").alias("min_tok"),
+            F.max("tok").alias("max_tok"),
+        )
+        .orderBy("pos")
+    ),
+    oracle="""
+WITH toks AS (
+  -- parallel unnest zips the token list with its index list
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos
+  FROM documents
+)
+SELECT pos, COUNT(*) AS n, MIN(tok) AS min_tok, MAX(tok) AS max_tok
+FROM toks WHERE pos < 3
+GROUP BY pos ORDER BY pos
+""",
+))
+
+_add(QuerySpec(
     name="approx_distinct_percentile",
     doc="Approximate aggregates (approx_count_distinct, percentile_approx)"
         " — declared approximate, excluded from the hash-matched oracle "
