@@ -120,6 +120,25 @@ def test_delete_where_and_update_where(spark, table):
     assert table.read(spark, version=1).count() == 3
 
 
+def test_commit_conflict_detected(spark, table):
+    """Optimistic concurrency: a lost commit race raises CommitConflict
+    instead of corrupting the snapshot chain."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+    )
+
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    added = table._write_files(_mk(spark, [(2, "b", 2.0)]))
+    # another writer commits v2 first
+    table.commit(table._write_files(_mk(spark, [(3, "c", 3.0)])), operation="append")
+    cur = table.manifest(version=1)  # stale base
+    manifest = dict(cur)
+    manifest["version"] = 2  # would collide with the winner
+    manifest["files"] = cur["files"] + added
+    with pytest.raises(CommitConflict):
+        table._write_manifest(manifest)
+
+
 def test_overwrite_and_idempotent_replay(spark, table):
     table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
     src = spark.createDataFrame([(2, "b", 22.0, "update")],

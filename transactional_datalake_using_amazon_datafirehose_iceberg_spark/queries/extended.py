@@ -188,6 +188,47 @@ ORDER BY version
 
 
 # ---------------------------------------------------------------------------
+# Skew-salted join — must equal the plain join bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+def _salted_join_build(spark, sf):
+    from ..operators.skew import salted_join
+
+    li = spark.table("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    od = spark.table("orders").select("o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_join(li, od, on=["l_orderkey"], n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_add(QuerySpec(
+    name="join_skew_salted",
+    doc="Explicitly salted equi-join (hot-key spreading, right side "
+        "replicated x salts) — result must equal the plain join; the "
+        "oracle IS the plain join.",
+    tags=("join", "skew"),
+    build=_salted_join_build,
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+))
+
+# ---------------------------------------------------------------------------
 # Streaming-as-query: the windowed streaming agg replayed to completion
 # must equal the batch aggregation (exactly-once + watermark semantics)
 # ---------------------------------------------------------------------------
