@@ -31,15 +31,20 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q19_disjunctive_predicates",
     "window_topk_per_group",
     "events_sessionize_gap",
     "agg_rollup",
     "join_broadcast_dims",
+    "asof_join_purchase_click",
     "higher_order_array_funcs",
-    # llm-ops (present once queries/llmops.py lands)
+    # llm-ops
     "dedup_minhash_lsh_pairs",
     "similarity_topk_cosine",
     "text_stats_quality",
+    # full transactional path (transform + collapse + COW MERGE)
+    "cdc_retail_replay",
 ]
 
 

@@ -120,6 +120,30 @@ def test_delete_where_and_update_where(spark, table):
     assert table.read(spark, version=1).count() == 3
 
 
+def test_schema_evolution_add_column(spark, table):
+    """Add-column is metadata-only: old files read back with NULLs, new
+    writes carry the column (Iceberg semantics)."""
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    table.add_column("note", T.StringType())
+    df = table.read(spark)
+    assert df.columns == ["id", "cat", "val", "note"]
+    assert df.collect()[0]["note"] is None
+    new = spark.createDataFrame(
+        [(2, "b", 2.0, "hello")], "id int, cat string, val double, note string"
+    )
+    table.append(new)
+    got = {r["id"]: r["note"] for r in table.read(spark).collect()}
+    assert got == {1: None, 2: "hello"}
+    # merge still works across the evolved schema
+    src = spark.createDataFrame(
+        [(1, "a", 9.0, "patched", "update")],
+        "id int, cat string, val double, note string, operation string",
+    )
+    merge_into(table, src, on=["id"], op_col="operation")
+    got = {r["id"]: (r["val"], r["note"]) for r in table.read(spark).collect()}
+    assert got == {1: (9.0, "patched"), 2: (2.0, "hello")}
+
+
 def test_commit_conflict_detected(spark, table):
     """Optimistic concurrency: a lost commit race raises CommitConflict
     instead of corrupting the snapshot chain."""

@@ -505,6 +505,35 @@ class LakeTable:
         return os.path.relpath(os.path.abspath(p), self.root)
 
     # ------------------------------------------------------------------
+    # schema evolution (Iceberg-parity: add-column is a metadata-only op)
+    # ------------------------------------------------------------------
+    def add_column(self, name: str, dtype: T.DataType) -> int:
+        """ALTER TABLE ADD COLUMN — metadata-only commit. Existing data
+        files lack the column; the explicit-schema parquet read fills it
+        with NULLs (exactly Iceberg's add-column semantics: no rewrite)."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name} already exists")
+        new_schema = T.StructType(list(schema.fields) + [T.StructField(name, dtype, True)])
+        version = cur["version"] + 1
+        manifest = {
+            **cur,
+            "version": version,
+            "parent": cur["version"],
+            "schema": new_schema.json(),
+            "summary": {
+                "operation": "add-column",
+                "total_rows": sum(f["rows"] for f in cur["files"]),
+                "column": name,
+            },
+            "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+        self._write_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
+    # ------------------------------------------------------------------
     # maintenance (see also plans/maintenance.py)
     # ------------------------------------------------------------------
     def referenced_files(self) -> set[str]:

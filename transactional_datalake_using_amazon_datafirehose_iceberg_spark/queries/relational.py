@@ -339,6 +339,90 @@ ORDER BY r_name, s.seg
 """,
 ))
 
+_add(QuerySpec(
+    name="q6_forecast_revenue",
+    doc="TPC-H Q6 shape: pure scan + conjunctive predicate + single agg "
+        "— everything pushes to the parquet scan.",
+    tags=("agg", "headline"),
+    sql="""
+SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+))
+
+_add(QuerySpec(
+    name="q10_returned_items",
+    doc="TPC-H Q10 shape: 4-way join + group + top-k revenue of "
+        "returned items.",
+    tags=("join",),
+    sql="""
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+))
+
+_add(QuerySpec(
+    name="q12_shipmode_priority",
+    doc="TPC-H Q12 shape: join + CASE-bucketed counts per group.",
+    tags=("join", "agg"),
+    sql="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+))
+
+_add(QuerySpec(
+    name="q14_promo_share",
+    doc="TPC-H Q14 shape: conditional-aggregate ratio (promo revenue %).",
+    tags=("join", "agg"),
+    sql="""
+SELECT CAST(ROUND(
+         100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
+""",
+))
+
+_add(QuerySpec(
+    name="q19_disjunctive_predicates",
+    doc="TPC-H Q19 shape: OR-of-ANDs join predicates (tests predicate "
+        "normalization + partial pushdown).",
+    tags=("join",),
+    sql="""
+SELECT CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_type = 'ECONOMY' AND p_size BETWEEN 5 AND 25 AND l_quantity >= 15 AND l_quantity <= 45)
+""",
+))
+
 # ---------------------------------------------------------------------------
 # Subqueries
 # ---------------------------------------------------------------------------
