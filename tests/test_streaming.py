@@ -126,6 +126,40 @@ def test_session_window_stream(spark, sf_dir, tmp_path):
     assert total == load_table(spark, sf_dir, "events").count()
 
 
+def test_apply_in_pandas_with_state(spark, sf_dir, tmp_path):
+    """Custom stateful operator: running per-user counts via
+    applyInPandasWithState across multiple micro-batches equal the batch
+    groupBy counts."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.streaming.pipeline import (
+        running_user_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "state_src")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    ev.repartition(4).write.parquet(p)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(p)
+    )
+    q = (
+        running_user_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("state_out").start()
+    )
+    q.processAllAvailable(); q.stop()
+    # the max emitted running count per user == total batch count
+    got = {
+        r["user_id"]: r["mx"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(n) AS mx FROM state_out GROUP BY user_id"
+        ).collect()
+    }
+    exp = {r["user_id"]: r["c"] for r in ev.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    assert got == exp
+
+
 def test_stateful_dedup_stream(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     p = str(tmp_path / "dups_src")

@@ -292,6 +292,78 @@ FROM ranked WHERE rn <= 5 ORDER BY qid, rn
 """,
 ))
 
+def _embedding_neardup_build(spark, sf):
+    """Embedding-cosine similar pairs: sign-LSH bucket join restricts
+    candidates, exact double cosine >= threshold confirms. Never
+    all-pairs. (Production near-dup would use ~0.95; the fixture tops
+    out at cosine 0.52 so the spec mines at 0.4.)"""
+    from ..operators.similarity import _dot, sign_bucket, with_norm
+
+    base = with_norm(spark.table("embeddings")).withColumn(
+        "__bucket", sign_bucket("embedding", 8)
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("__norm").alias("na"),
+        F.col("__bucket").alias("bk"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("__norm").alias("nb"),
+        F.col("__bucket").alias("bk"),
+    )
+    pairs = a.join(b, ["bk"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "sim", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", F.col("sim").cast("double").alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_add(QuerySpec(
+    name="dedup_embedding_cosine",
+    doc="Embedding similar-pair mining: sign-LSH bucket equi-join then "
+        "exact cosine >= 0.4 (the vector analogue of LSH+Jaccard; the "
+        "fixture has no pairs above 0.52, so a production near-dup cut "
+        "of ~0.95 would be vacuous here).",
+    tags=("llm", "dedup", "similarity"),
+    build=_embedding_neardup_build,
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings) t
+  GROUP BY vec_id
+),
+bk AS (SELECT vec_id, {_sign_bits_duck('embedding')} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT id_a, id_b, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM (
+    SELECT p.id_a, p.id_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+  ) z
+  GROUP BY id_a, id_b
+)
+SELECT d.id_a, d.id_b,
+       CAST(ROUND(d.dot / (na.nrm * nb.nrm), 6) AS DOUBLE) AS sim
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
+ORDER BY id_a, id_b
+""",
+))
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

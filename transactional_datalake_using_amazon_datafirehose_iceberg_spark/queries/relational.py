@@ -1143,6 +1143,76 @@ GROUP BY pos ORDER BY pos
 ))
 
 _add(QuerySpec(
+    name="scalar_string_extras",
+    doc="levenshtein / split_part / repeat / reverse — edit distance is "
+        "a text-analysis primitive (fuzzy dedup).",
+    tags=("scalar", "text"),
+    build=lambda spark, sf: (
+        spark.table("part")
+        .select(
+            "p_partkey",
+            F.levenshtein("p_brand", "p_type").cast("bigint").alias("lev"),
+            F.split_part("p_type", F.lit(" "), F.lit(1)).alias("first_word"),
+            F.repeat(F.lit("ab"), 3).alias("rep"),
+            F.reverse("p_brand").alias("rev"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    ),
+    oracle="""
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+       split_part(p_type, ' ', 1) AS first_word,
+       repeat('ab', 3) AS rep,
+       reverse(p_brand) AS rev
+FROM part
+ORDER BY p_partkey
+LIMIT 100
+""",
+))
+
+_add(QuerySpec(
+    name="array_set_ops",
+    doc="array_union / array_intersect / array_except over token arrays "
+        "(canonicalized by sort for cross-engine order independence).",
+    tags=("array",),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("a"),
+            F.split(F.lower(F.col("source")), "c").alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.sort_array(F.array_union("a", "b")).alias("u"),
+            F.sort_array(F.array_intersect("a", "b")).alias("i"),
+            F.sort_array(F.array_except("a", "b")).alias("e"),
+            F.size(F.flatten(F.array("a", "b"))).cast("bigint").alias("n_flat"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    ),
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' ')) AS da,
+         string_split(text, ' ') AS a,
+         string_split(lower(source), 'c') AS b
+  FROM documents
+)
+SELECT doc_id,
+       list_sort(list_distinct(list_concat(a, b))) AS u,
+       list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS i,
+       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS e,
+       CAST(len(a) + len(b) AS BIGINT) AS n_flat
+FROM t
+ORDER BY doc_id
+LIMIT 100
+""",
+))
+
+_add(QuerySpec(
     name="approx_distinct_percentile",
     doc="Approximate aggregates (approx_count_distinct, percentile_approx)"
         " — declared approximate, excluded from the hash-matched oracle "

@@ -126,6 +126,31 @@ def sessionized_event_counts(
     )
 
 
+def running_user_counts(events_stream: DataFrame) -> DataFrame:
+    """Arbitrary-state custom operator via applyInPandasWithState
+    (SURVEY.md §2.5 'arbitrary state'): a per-user running event count
+    kept in the state store, emitted on every update. The engine's CDC
+    apply deliberately does NOT use this (state = the table itself via
+    foreachBatch+MERGE is deterministic and replayable); this exists for
+    operators whose state genuinely isn't a table."""
+    import pandas as pd
+
+    def count_fn(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stateful_dedup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup by event_id within the watermark horizon
     (replay idempotency, D1)."""
