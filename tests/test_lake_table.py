@@ -120,6 +120,20 @@ def test_delete_where_and_update_where(spark, table):
     assert table.read(spark, version=1).count() == 3
 
 
+def test_empty_edges(spark, table):
+    """Empty-source merge, empty-batch append and empty-table read are
+    all well-defined (streaming delivers empty micro-batches routinely)."""
+    assert table.read(spark).count() == 0  # fresh table readable
+    empty = spark.createDataFrame(
+        [], "id int, cat string, val double, operation string"
+    )
+    v = merge_into(table, empty, on=["id"], op_col="operation")
+    assert table.read(spark, version=v).count() == 0
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    v2 = merge_into(table, empty, on=["id"], op_col="operation")
+    assert table.read(spark, version=v2).count() == 1  # no-op on data
+
+
 def test_schema_evolution_add_column(spark, table):
     """Add-column is metadata-only: old files read back with NULLs, new
     writes carry the column (Iceberg semantics)."""

@@ -1143,6 +1143,21 @@ GROUP BY pos ORDER BY pos
 ))
 
 _add(QuerySpec(
+    name="agg_correlation",
+    doc="Bivariate aggregates: corr / covar_samp / covar_pop per group.",
+    tags=("agg",),
+    sql="""
+SELECT l_returnflag,
+       CAST(ROUND(CORR(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
+       CAST(ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS DOUBLE) AS cov_s,
+       CAST(ROUND(COVAR_POP(l_quantity, l_discount), 6) AS DOUBLE) AS cov_p
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+))
+
+_add(QuerySpec(
     name="scalar_string_extras",
     doc="levenshtein / split_part / repeat / reverse — edit distance is "
         "a text-analysis primitive (fuzzy dedup).",
