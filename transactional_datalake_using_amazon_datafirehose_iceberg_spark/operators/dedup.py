@@ -82,6 +82,7 @@ def minhash_signature_mapside(
     id_col: str,
     k: int = 12,
     num_hashes: int = 8,
+    stride: int = 2,
 ) -> DataFrame:
     """Shuffle-free one-permutation minhash (Li et al., NeurIPS 2012):
     ONE md5 per shingle; signature slot j = min hash among shingles whose
@@ -98,8 +99,11 @@ def minhash_signature_mapside(
     to the hash work)."""
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # stride-2 shingling halves the hash work; k=12 chars still overlap
+    # by 10 so near-dup recall is essentially unchanged (candidates are
+    # verified by exact stride-1 Jaccard downstream anyway)
     hashes = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1), {stride}),"
         f" i -> md5(substring(lower({text_col}), i, {k})))"
     )
     hashed = df.repartition(n_part, F.col(id_col)).select(
@@ -142,6 +146,11 @@ def lsh_candidate_pairs(
             )
         ).alias("x"),
     ).select(id_col, "x.band_idx", "x.band_val")
+    # materialize once: both sides of the self-join would otherwise
+    # recompute the whole signature pipeline (hashing the corpus twice).
+    # Banded signatures are O(#docs) — tiny next to the corpus — so this
+    # is the standard "signature table" materialization at any scale.
+    stacked = stacked.localCheckpoint(eager=True)
     a, c = stacked.alias("a"), stacked.alias("c")
     return (
         a.join(

@@ -19,12 +19,24 @@ def _add(s: QuerySpec) -> None:
     _SPECS.append(s)
 
 
-# shared oracle CTE: distinct char-12-gram shingles per doc
+# shared oracle CTE: distinct char-12-gram shingles per doc (stride 1,
+# used by the exact Jaccard verify)
 _SHINGLES_CTE = """
 sh AS (
   SELECT DISTINCT doc_id, substring(lower(text), CAST(i AS INTEGER), 12) AS sh
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, greatest(length(text) - 11, 1))) AS i
+        FROM documents) t
+)
+"""
+
+# stride-2 shingle multiset feeding the minhash signature (mirrors
+# minhash_signature_mapside's stride=2)
+_SIG_SHINGLES_CTE = """
+shs AS (
+  SELECT doc_id, substring(lower(text), CAST(i AS INTEGER), 12) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 11, 1), 2)) AS i
         FROM documents) t
 )
 """
@@ -48,7 +60,7 @@ def _sig_cte() -> str:
 sig AS (
   SELECT doc_id,
     {slots_sql}
-  FROM (SELECT doc_id, md5(sh) AS h FROM sh) hs
+  FROM (SELECT doc_id, md5(sh) AS h FROM shs) hs
   GROUP BY doc_id
 ),"""
 
@@ -107,7 +119,7 @@ _add(QuerySpec(
         ).orderBy("doc_a", "doc_b")
     ),
     oracle=f"""
-WITH {_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()}
+WITH {_SIG_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()}
 SELECT doc_a, doc_b, n_bands FROM cand ORDER BY doc_a, doc_b
 """,
 ))
@@ -129,7 +141,7 @@ _add(QuerySpec(
         ).orderBy("doc_a", "doc_b")
     ),
     oracle=f"""
-WITH {_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()},
+WITH {_SHINGLES_CTE.strip()}, {_SIG_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS i
