@@ -65,15 +65,18 @@ def main() -> None:
         spec = QUERY_SPECS.get(name)
         if spec is None:
             continue
-        # one untimed warm-up execution per query: amortizes whole-stage-
-        # codegen compilation and file listing, so the timed run measures
-        # steady-state execution (what repeats at scale), not Janino
-        spec.run_spark(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        df = spec.run_spark(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            # one untimed warm-up execution per query: amortizes whole-
+            # stage-codegen compilation and file listing, so the timed run
+            # measures steady-state execution (what repeats at scale)
+            spec.run_spark(spark, sf_dir).count()
+            t0 = time.perf_counter()
+            df = spec.run_spark(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # one broken query must not lose the run
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -21,6 +21,27 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.catalog import register_views
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Oracle-parity confs the queries depend on, pinned defensively at
+    query time: the driver's harness builds its OWN SparkSession, which
+    may not carry session.py's settings. All are runtime-settable.
+
+    - UTC session TZ (DuckDB timestamps are UTC-naive; date_trunc etc.
+      operate in session TZ);
+    - nanosAsLong so events.parquet's TIMESTAMP(NANOS) column is
+      readable at all (PARQUET_TYPE_ILLEGAL otherwise).
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in some contexts; session.py already set it
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -37,6 +58,7 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
     def run_spark(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_session_confs(spark)
         register_views(spark, sf_dir)
         if self.build is not None:
             return self.build(spark, sf_dir)
