@@ -90,3 +90,29 @@ def apply_batch(table: LakeTable, typed: DataFrame, keys: list[str] | None = Non
         op_col="operation",
         assume_unique=True,  # D4 just guaranteed it
     )
+
+
+def apply_routed(
+    tables: dict[str, LakeTable],
+    good: DataFrame,
+    typed_fn=None,
+) -> dict[str, int]:
+    """S7 routed apply: split one transformed micro-batch by its
+    ``destination_table`` annotation and MERGE each slice into its own
+    table — exactly what the Firehose Iceberg destination does with
+    per-record ``otfMetadata`` (firehose_to_iceberg.py:109-116;
+    ``destination_table_configuration_list``).
+
+    ``tables``: destination_table name -> LakeTable.
+    Unknown destinations are ignored (they would be delivery failures ->
+    dead letter in the managed service). Returns {table: version}.
+    """
+    typed_fn = typed_fn or typed_rows
+    dests = [r["destination_table"] for r in good.select("destination_table").distinct().collect()]
+    versions: dict[str, int] = {}
+    for dest in dests:
+        if dest not in tables:
+            continue
+        slice_df = good.filter(F.col("destination_table") == dest)
+        versions[dest] = apply_batch(tables[dest], typed_fn(slice_df))
+    return versions

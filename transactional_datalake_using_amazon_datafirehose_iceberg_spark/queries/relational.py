@@ -1143,6 +1143,32 @@ GROUP BY pos ORDER BY pos
 ))
 
 _add(QuerySpec(
+    name="json_tuple_schema_of",
+    doc="json_tuple extraction + schema_of_json introspection (the rest "
+        "of the declared JSON family).",
+    tags=("json",),
+    build=lambda spark, sf: (
+        spark.table("events")
+        .selectExpr("event_id", "json_tuple(props, 'k') AS k")
+        .withColumn("k", F.col("k").cast("bigint"))
+        .withColumn(
+            "schema_str",
+            F.schema_of_json(F.lit('{"k": 87}')),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    ),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       'STRUCT<k: BIGINT>' AS schema_str
+FROM events
+ORDER BY event_id
+LIMIT 200
+""",
+))
+
+_add(QuerySpec(
     name="agg_correlation",
     doc="Bivariate aggregates: corr / covar_samp / covar_pop per group.",
     tags=("agg",),
