@@ -1254,6 +1254,59 @@ LIMIT 100
 ))
 
 _add(QuerySpec(
+    name="agg_exact_percentiles",
+    doc="EXACT continuous percentiles (median/quartiles) — deterministic "
+        "interpolation, unlike the approx variant.",
+    tags=("agg",),
+    build=lambda spark, sf: (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+            .cast("double").alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4)
+            .cast("double").alias("q1_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4)
+            .cast("double").alias("q3_price"),
+        )
+        .orderBy("l_returnflag")
+    ),
+    oracle="""
+SELECT l_returnflag,
+       CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS median_price,
+       CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS q1_price,
+       CAST(ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) AS q3_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+))
+
+_add(QuerySpec(
+    name="agg_string_concat",
+    doc="Ordered string aggregation (listagg shape): sorted token join.",
+    tags=("agg",),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderstatus")))
+            .alias("status_cat"),
+        )
+        .orderBy("o_custkey")
+        .limit(100)
+    ),
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderstatus)), ',') AS status_cat
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+LIMIT 100
+""",
+))
+
+_add(QuerySpec(
     name="approx_distinct_percentile",
     doc="Approximate aggregates (approx_count_distinct, percentile_approx)"
         " — declared approximate, excluded from the hash-matched oracle "
