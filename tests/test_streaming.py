@@ -126,6 +126,43 @@ def test_session_window_stream(spark, sf_dir, tmp_path):
     assert total == load_table(spark, sf_dir, "events").count()
 
 
+def test_delivery_log_listener(spark, sf_dir, tmp_path):
+    """S10: per-micro-batch delivery log via StreamingQueryListener
+    (CloudWatch delivery-log analogue)."""
+    import json as _json
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.streaming.monitor import (
+        DeliveryLogListener,
+    )
+
+    log_path = str(tmp_path / "delivery.jsonl")
+    listener = DeliveryLogListener(log_path)
+    spark.streams.addListener(listener)
+    try:
+        stream = _stream_events(spark, sf_dir, tmp_path)
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.outputMode("complete")
+            .format("memory").queryName("mon_out").start()
+        )
+        q.processAllAvailable(); q.stop()
+        # listener events are delivered asynchronously
+        import time as _time
+
+        for _ in range(40):
+            if os.path.exists(log_path):
+                lines = [_json.loads(l) for l in open(log_path)]
+                if any(l["event"] == "progress" and l["numInputRows"] > 0 for l in lines):
+                    break
+            _time.sleep(0.25)
+        lines = [_json.loads(l) for l in open(log_path)]
+        assert any(l["event"] == "started" for l in lines)
+        progress = [l for l in lines if l["event"] == "progress"]
+        assert any(l["numInputRows"] > 0 for l in progress)
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_apply_in_pandas_with_state(spark, sf_dir, tmp_path):
     """Custom stateful operator: running per-user counts via
     applyInPandasWithState across multiple micro-batches equal the batch

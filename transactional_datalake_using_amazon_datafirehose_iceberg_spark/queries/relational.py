@@ -1254,6 +1254,39 @@ LIMIT 100
 ))
 
 _add(QuerySpec(
+    name="window_nth_cume_dist",
+    doc="NTH_VALUE + CUME_DIST window functions (completing the window "
+        "family).",
+    tags=("window",),
+    sql="""
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(COALESCE(NTH_VALUE(o_totalprice, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1), 2) AS DOUBLE) AS second_price,
+       CAST(ROUND(CUME_DIST() OVER (
+         PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2), o_orderkey), 6) AS DOUBLE) AS cd
+FROM orders
+ORDER BY o_custkey, o_orderkey
+LIMIT 200
+""",
+))
+
+_add(QuerySpec(
+    name="agg_bitwise",
+    doc="Bitwise aggregate functions (bit_and/bit_or/bit_xor).",
+    tags=("agg",),
+    sql="""
+SELECT l_returnflag,
+       CAST(BIT_AND(l_linenumber) AS BIGINT) AS b_and,
+       CAST(BIT_OR(l_linenumber) AS BIGINT) AS b_or,
+       CAST(BIT_XOR(l_linenumber) AS BIGINT) AS b_xor
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+))
+
+_add(QuerySpec(
     name="agg_exact_percentiles",
     doc="EXACT continuous percentiles (median/quartiles) — deterministic "
         "interpolation, unlike the approx variant.",
