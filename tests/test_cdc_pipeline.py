@@ -165,6 +165,32 @@ def test_cdc_replay_idempotent(spark, tmp_path, corpus_paths):
     assert table.read(spark).count() == 12
 
 
+def test_null_key_rows_dropped_at_apply(spark, tmp_path):
+    """A 'data' payload that is valid JSON but carries no trans_id (e.g.
+    a foreign table's row) must not upsert a null-key row."""
+    import json
+
+    table = _mk_table(tmp_path)
+    envs = [
+        {"data": {"foo": 1},  # no trans_id
+         "metadata": {"timestamp": "2023-01-16T06:00:00.000001Z", "record-type": "data",
+                      "operation": "insert", "partition-key-type": "primary-key",
+                      "schema-name": "testdb", "table-name": "other_table",
+                      "transaction-id": 1}},
+        {"data": {"trans_id": 5, "customer_id": "c", "event": "visit", "sku": "s",
+                  "amount": 1, "device": "pc", "trans_datetime": "2023-01-16T06:00:00Z"},
+         "metadata": {"timestamp": "2023-01-16T06:00:01.000001Z", "record-type": "data",
+                      "operation": "insert", "partition-key-type": "primary-key",
+                      "schema-name": "testdb", "table-name": "retail_trans",
+                      "transaction-id": 2}},
+    ]
+    df = spark.createDataFrame([(json.dumps(e),) for e in envs], "value string")
+    good, _ = transform(df, DB, TBL)
+    apply_batch(table, typed_rows(good))
+    rows = table.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["trans_id"] == 5
+
+
 def test_delete_never_seen_key_noop(spark, tmp_path):
     """CDC stream starting mid-history (migration_type='cdc'):
     delete of an unknown key must silently no-op (SURVEY §7.3 item 2)."""

@@ -80,9 +80,19 @@ def collapse_latest_per_key(
 
 
 def apply_batch(table: LakeTable, typed: DataFrame, keys: list[str] | None = None) -> int:
-    """D1–D5: collapse then MERGE; returns the committed snapshot version."""
+    """D1–D5: collapse then MERGE; returns the committed snapshot version.
+
+    Rows whose unique key is NULL (a ``data`` payload that parsed as JSON
+    but carries no key — e.g. a foreign table's row) are dropped before
+    the MERGE: with a null-safe join they would otherwise upsert a
+    single garbage null-key row. The managed reference would fail such a
+    delivery into the S3 error prefix; key-less rows are this engine's
+    equivalent of an unroutable record."""
     keys = keys or table.keys
-    latest = collapse_latest_per_key(typed, keys)
+    key_ok = F.lit(True)
+    for k in keys:
+        key_ok = key_ok & F.col(k).isNotNull()
+    latest = collapse_latest_per_key(typed.filter(key_ok), keys)
     return merge_into(
         table,
         latest.drop("_order_ts", "_order_txn"),
