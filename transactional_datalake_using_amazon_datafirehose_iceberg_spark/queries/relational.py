@@ -933,22 +933,29 @@ _add(QuerySpec(
 _add(QuerySpec(
     name="agg_collect_sorted",
     doc="collect_list canonicalized by sort_array (deterministic form of "
-        "the orderless collect).",
+        "the orderless collect). Arrays are serialized with array_join so "
+        "the result schema is flat strings: external harness canonicalizers "
+        "hash result columns through pandas, and array-typed cells are "
+        "unhashable there (round-1 red row).",
     tags=("agg",),
     build=lambda spark, sf: (
         spark.table("orders")
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderstatus")).alias("statuses"),
-            F.sort_array(F.collect_set("o_orderpriority")).alias("prios"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("prios"),
         )
         .orderBy("o_custkey")
         .limit(100)
     ),
     oracle="""
 SELECT o_custkey,
-       list_sort(list(o_orderstatus)) AS statuses,
-       list_sort(list(DISTINCT o_orderpriority)) AS prios
+       array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios
 FROM orders
 GROUP BY o_custkey
 ORDER BY o_custkey
@@ -1226,9 +1233,17 @@ _add(QuerySpec(
         )
         .select(
             "doc_id",
-            F.sort_array(F.array_union("a", "b")).alias("u"),
-            F.sort_array(F.array_intersect("a", "b")).alias("i"),
-            F.sort_array(F.array_except("a", "b")).alias("e"),
+            # array_join-serialized: harness canonicalizers hash through
+            # pandas and array cells are unhashable there.
+            F.array_join(
+                F.sort_array(F.array_union("a", "b")), "|"
+            ).alias("u"),
+            F.array_join(
+                F.sort_array(F.array_intersect("a", "b")), "|"
+            ).alias("i"),
+            F.array_join(
+                F.sort_array(F.array_except("a", "b")), "|"
+            ).alias("e"),
             F.size(F.flatten(F.array("a", "b"))).cast("bigint").alias("n_flat"),
         )
         .orderBy("doc_id")
@@ -1237,15 +1252,14 @@ _add(QuerySpec(
     oracle="""
 WITH t AS (
   SELECT doc_id,
-         list_distinct(string_split(text, ' ')) AS da,
          string_split(text, ' ') AS a,
          string_split(lower(source), 'c') AS b
   FROM documents
 )
 SELECT doc_id,
-       list_sort(list_distinct(list_concat(a, b))) AS u,
-       list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS i,
-       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS e,
+       COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'), '') AS u,
+       COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), '|'), '') AS i,
+       COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), '|'), '') AS e,
        CAST(len(a) + len(b) AS BIGINT) AS n_flat
 FROM t
 ORDER BY doc_id
@@ -1351,7 +1365,10 @@ _add(QuerySpec(
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
-            F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
+            # flat columns (not an array) so harness canonicalizers can
+            # hash/sort the result through pandas
+            F.percentile_approx("l_quantity", 0.25).alias("qty_q25"),
+            F.percentile_approx("l_quantity", 0.75).alias("qty_q75"),
         )
     ),
 ))
