@@ -126,10 +126,21 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 4,
     rows_per_band: int = 2,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band are
     candidates. Returns (doc_a, doc_b, n_bands). The join shuffles by
-    (band_idx, band_val) — the LSH scale trick: no all-pairs."""
+    (band_idx, band_val) — the LSH scale trick: no all-pairs.
+
+    Hot-bucket bound (the 100 TB guard): a band value shared by more
+    than ``max_bucket`` docs — boilerplate-identical pages, guaranteed
+    in any real crawl — would emit O(n²) clique pairs on ONE shuffle
+    partition. Buckets above the bound are instead STAR-collapsed:
+    every member pairs with the bucket's min-id hub, O(n) pairs,
+    deterministic, and the dup cluster stays connected (downstream
+    connected-components / keep-one collapse sees the same clusters).
+    Docs in a >max_bucket bucket are near-certain dup-cluster members
+    by definition, so pairwise verify adds nothing there."""
     stacked = signatures.select(
         F.col(id_col),
         F.explode(
@@ -151,18 +162,32 @@ def lsh_candidate_pairs(
     # Banded signatures are O(#docs) — tiny next to the corpus — so this
     # is the standard "signature table" materialization at any scale.
     stacked = stacked.localCheckpoint(eager=True)
-    a, c = stacked.alias("a"), stacked.alias("c")
+    # bucket sizes: one window count keyed exactly like the join shuffle
+    sized = stacked.withColumn(
+        "__bsz", F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    )
+    small = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+    hot = sized.filter(F.col("__bsz") > max_bucket).drop("__bsz")
+
+    a, c = small.alias("a"), small.alias("c")
+    clique = a.join(
+        c,
+        (F.col("a.band_idx") == F.col("c.band_idx"))
+        & (F.col("a.band_val") == F.col("c.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"c.{id_col}").alias("doc_b"),
+    )
+    hub = hot.groupBy("band_idx", "band_val").agg(F.min(id_col).alias("doc_a"))
+    star = (
+        hot.join(hub, ["band_idx", "band_val"])
+        .filter(F.col(id_col) > F.col("doc_a"))
+        .select("doc_a", F.col(id_col).alias("doc_b"))
+    )
     return (
-        a.join(
-            c,
-            (F.col("a.band_idx") == F.col("c.band_idx"))
-            & (F.col("a.band_val") == F.col("c.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"c.{id_col}").alias("doc_b"),
-        )
+        clique.unionByName(star)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_bands"))
     )
 

@@ -304,29 +304,59 @@ FROM ranked WHERE rn <= 5 ORDER BY qid, rn
 """,
 ))
 
-def _embedding_neardup_build(spark, sf):
+def _embedding_neardup_build(spark, sf, max_bucket=256):
     """Embedding-cosine similar pairs: sign-LSH bucket join restricts
     candidates, exact double cosine >= threshold confirms. Never
     all-pairs. (Production near-dup would use ~0.95; the fixture tops
-    out at cosine 0.52 so the spec mines at 0.4.)"""
+    out at cosine 0.52 so the spec mines at 0.4.)
+
+    Hot-bucket bound (100 TB guard, mirrors operators/dedup.py
+    lsh_candidate_pairs): a sign bucket with > ``max_bucket`` members
+    (e.g. near-zero embeddings all hashing to one pattern) would emit
+    O(n²) pairs on one shuffle partition; such buckets are star-collapsed
+    to their min-id hub — O(n) pairs, cluster connectivity preserved."""
+    from pyspark.sql import Window
+
     from ..operators.similarity import _dot, sign_bucket, with_norm
 
     base = with_norm(spark.table("embeddings")).withColumn(
         "__bucket", sign_bucket("embedding", 8)
     )
-    a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        F.col("__norm").alias("na"),
-        F.col("__bucket").alias("bk"),
+    base = base.withColumn(
+        "__bsz", F.count("*").over(Window.partitionBy("__bucket"))
     )
-    b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("__norm").alias("nb"),
-        F.col("__bucket").alias("bk"),
-    )
+    small = base.filter(F.col("__bsz") <= max_bucket)
+    hot = base.filter(F.col("__bsz") > max_bucket)
+
+    def _sides(df):
+        a = df.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("ea"),
+            F.col("__norm").alias("na"),
+            F.col("__bucket").alias("bk"),
+        )
+        b = df.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("eb"),
+            F.col("__norm").alias("nb"),
+            F.col("__bucket").alias("bk"),
+        )
+        return a, b
+
+    a, b = _sides(small)
     pairs = a.join(b, ["bk"]).filter(F.col("id_a") < F.col("id_b"))
+
+    hub = hot.groupBy("__bucket").agg(F.min("vec_id").alias("id_a"))
+    ha, hb = _sides(hot)
+    hot_pairs = (
+        hub.join(ha.withColumnRenamed("id_a", "__hub_chk"), hub["id_a"] == F.col("__hub_chk"))
+        .select("id_a", "ea", "na", F.col("bk"))
+        .join(hb, ["bk"])
+        .filter(F.col("id_b") > F.col("id_a"))
+    )
+    pairs = pairs.select("id_a", "ea", "na", "id_b", "eb", "nb").unionByName(
+        hot_pairs.select("id_a", "ea", "na", "id_b", "eb", "nb")
+    )
     return (
         pairs.withColumn(
             "sim", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
