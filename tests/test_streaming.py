@@ -82,6 +82,52 @@ def test_cdc_stream_batch_id_skip(spark, stream_env, tmp_path):
     assert table.current_version() == v  # skipped, no new snapshot
 
 
+def test_batch_id_committed_atomically_with_data(spark, stream_env, tmp_path):
+    """The stream_batch_id watermark must land INSIDE the merge commit's
+    manifest (exclusive-create), never via a post-commit rewrite of the
+    snapshot file — a crash between commit and a separate stamp write
+    would corrupt the current snapshot."""
+    in_dir, table, dl, ckpt = stream_env
+    p1, _ = write_golden_corpus(str(tmp_path / "gen"))
+    pipe = CdcStreamPipeline(table, "db", "tbl")
+    df = spark.read.text(p1)
+    pipe.process_batch(df, 7)
+    m = table.manifest()
+    # same manifest carries both the merge result and the watermark
+    assert m["summary"]["operation"] == "merge"
+    assert m["summary"]["stream_batch_id"] == 7
+    # and it is the manifest of the CURRENT version, written exactly once
+    assert pipe._last_applied_batch() == 7
+
+
+def test_batch_id_survives_maintenance_and_dml(spark, stream_env, tmp_path):
+    """Compaction / manual DML between stream batches must not erase the
+    exactly-once watermark (a replayed batch would re-apply stale
+    after-images over newer data)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        compact,
+    )
+
+    in_dir, table, dl, ckpt = stream_env
+    p1, _ = write_golden_corpus(str(tmp_path / "gen"))
+    pipe = CdcStreamPipeline(table, "db", "tbl")
+    pipe.process_batch(spark.read.text(p1), 3)
+    assert pipe._last_applied_batch() == 3
+
+    # maintenance commit
+    compact(spark, table, target_file_bytes=1 << 30)
+    assert pipe._last_applied_batch() == 3, "compact() erased the watermark"
+
+    # manual DML commit (append)
+    table.append(table.read(spark).limit(0))
+    assert pipe._last_applied_batch() == 3, "append() erased the watermark"
+
+    # replay of batch 3 after maintenance is still a no-op
+    v = table.current_version()
+    pipe.process_batch(spark.read.text(p1), 3)
+    assert table.current_version() == v
+
+
 def _stream_events(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     p = str(tmp_path / "events_stream_src")

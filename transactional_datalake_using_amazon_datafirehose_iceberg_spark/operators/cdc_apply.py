@@ -79,8 +79,19 @@ def collapse_latest_per_key(
     )
 
 
-def apply_batch(table: LakeTable, typed: DataFrame, keys: list[str] | None = None) -> int:
+def apply_batch(
+    table: LakeTable,
+    typed: DataFrame,
+    keys: list[str] | None = None,
+    extra_summary: dict | None = None,
+) -> int:
     """D1–D5: collapse then MERGE; returns the committed snapshot version.
+
+    ``extra_summary`` lands inside the atomic manifest commit — the
+    streaming pipeline uses it to stamp ``stream_batch_id`` with the
+    data (a post-commit rewrite of the manifest would break the
+    exclusive-create immutability contract and could corrupt the
+    current snapshot on crash).
 
     Rows whose unique key is NULL (a ``data`` payload that parsed as JSON
     but carries no key — e.g. a foreign table's row) are dropped before
@@ -99,6 +110,7 @@ def apply_batch(table: LakeTable, typed: DataFrame, keys: list[str] | None = Non
         on=keys,
         op_col="operation",
         assume_unique=True,  # D4 just guaranteed it
+        extra_summary=extra_summary,
     )
 
 

@@ -141,6 +141,10 @@ class CommitConflict(Exception):
 class LakeTable:
     """A snapshot-versioned Parquet table rooted at a directory."""
 
+    # summary keys carried forward across commits unless overridden
+    # (streaming exactly-once watermark must survive compaction/DML)
+    _CARRY_SUMMARY_KEYS = ("stream_batch_id",)
+
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
 
@@ -348,12 +352,23 @@ class LakeTable:
         operation: str = "append",
         extra_summary: dict | None = None,
     ) -> int:
-        """Write snapshot N+1 = (current files - removed) + added."""
+        """Write snapshot N+1 = (current files - removed) + added.
+
+        Watermark keys (``stream_batch_id``) are carried forward from the
+        parent summary unless the caller overrides them: a maintenance
+        compaction or manual DML between stream batches must not erase
+        the exactly-once replay guard (a checkpoint-replayed batch would
+        otherwise re-apply stale after-images over newer data)."""
         cur = self.manifest()
         removed = set(removed_paths)
         kept = [f for f in cur["files"] if f["path"] not in removed]
         files = kept + added
         version = cur["version"] + 1
+        carried = {
+            k: cur["summary"][k]
+            for k in self._CARRY_SUMMARY_KEYS
+            if k in cur.get("summary", {})
+        }
         manifest = {
             "version": version,
             "parent": cur["version"],
@@ -367,6 +382,7 @@ class LakeTable:
                 "added_files": len(added),
                 "removed_files": len(removed),
                 "total_rows": sum(f["rows"] for f in files),
+                **carried,
                 **(extra_summary or {}),
             },
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),

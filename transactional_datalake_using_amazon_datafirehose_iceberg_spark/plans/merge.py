@@ -49,6 +49,7 @@ def merge_into(
     delete_value: str = "delete",
     assume_unique: bool = False,
     broadcast_source: bool = True,
+    extra_summary: dict | None = None,
 ) -> int:
     """MERGE ``source`` into ``table`` by key columns ``on``.
 
@@ -97,7 +98,11 @@ def merge_into(
     if not touched_rel:
         inserts = src.filter(~is_delete).select(*data_cols)
         added = table._write_files(inserts)
-        return table.commit(added, operation="merge", extra_summary={"matched_files": 0})
+        return table.commit(
+            added,
+            operation="merge",
+            extra_summary={"matched_files": 0, **(extra_summary or {})},
+        )
 
     # ---- 3. rewrite touched files via full-outer join --------------------
     import os
@@ -133,7 +138,7 @@ def merge_into(
         added,
         removed_paths=touched_rel,
         operation="merge",
-        extra_summary={"matched_files": len(touched_rel)},
+        extra_summary={"matched_files": len(touched_rel), **(extra_summary or {})},
     )
 
 

@@ -49,6 +49,15 @@ class CdcStreamPipeline:
         """foreachBatch body. Skips batches at or below the applied
         high-watermark (idempotent under checkpoint replay).
 
+        The batch-id watermark is committed ATOMICALLY with the data:
+        ``apply_batch`` threads ``stream_batch_id`` into the manifest's
+        summary inside the exclusive-create commit. (An earlier version
+        re-opened and rewrote the committed manifest in place — a crash
+        mid-rewrite could truncate the CURRENT snapshot file, exactly the
+        window exactly-once exists to close.) ``LakeTable.commit`` then
+        carries the watermark forward across later compaction/DML
+        commits so the replay guard survives table maintenance.
+
         The micro-batch is cached first: the dead-letter probe and the
         MERGE's two passes (touched-file semi-join + rewrite) would
         otherwise re-read the source three times — 3x read amplification
@@ -64,20 +73,11 @@ class CdcStreamPipeline:
                 if dl.limit(1).count() > 0:
                     self.dead_letter_table.append(dl)
             typed = typed_rows(good)
-            apply_batch(self.table, typed)
+            apply_batch(
+                self.table, typed, extra_summary={"stream_batch_id": batch_id}
+            )
         finally:
             batch_df.unpersist()
-        # stamp the batch id on the snapshot we just committed
-        m = self.table.manifest()
-        m["summary"]["stream_batch_id"] = batch_id
-        import json as _json
-        import os as _os
-
-        p = _os.path.join(
-            self.table.root, "_snapshots", f"v{m['version']:012d}.json"
-        )
-        with open(p, "w") as f:
-            _json.dump(m, f)
 
     def start(
         self,
