@@ -234,7 +234,7 @@ ORDER BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
-def _streaming_window_build(spark, sf):
+def _streaming_window_build(spark, sf, slide=None):
     import uuid
 
     from ..sources.catalog import load_table
@@ -246,7 +246,7 @@ def _streaming_window_build(spark, sf):
     stream = spark.readStream.schema(ev.schema).parquet(src)
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
     q = (
-        windowed_event_counts(stream)
+        windowed_event_counts(stream, slide=slide)
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
@@ -264,6 +264,26 @@ def _streaming_window_build(spark, sf):
         )
         .orderBy("win_start", "event_type")
     )
+
+
+_add(QuerySpec(
+    name="events_sliding_windows",
+    doc="Structured Streaming SLIDING-window agg (1 h window / 30 min "
+        "slide): each event lands in 2 overlapping windows. Oracle "
+        "re-derives the window set with a slide-offset unnest (window "
+        "starts = 30-min bucket of ts minus k*30 min for k in 0..1).",
+    tags=("streaming",),
+    build=lambda spark, sf: _streaming_window_build(spark, sf, slide="30 minutes"),
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+            AS TIMESTAMP) AS win_start,
+       event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+))
 
 
 _add(QuerySpec(

@@ -103,14 +103,19 @@ def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window streaming agg with watermarked late-data drop
-    (S6/S9 generalization; Kinesis 24 h retention ⇒ bounded lateness)."""
+    """Tumbling- or sliding-window streaming agg with watermarked
+    late-data drop (S6/S9 generalization; Kinesis 24 h retention ⇒
+    bounded lateness). ``slide=None`` tumbles; ``slide`` < ``window``
+    assigns each event to window/slide overlapping windows (state cost
+    multiplies by that ratio — keep it small at scale)."""
     from pyspark.sql import functions as F
 
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events_stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
     )
