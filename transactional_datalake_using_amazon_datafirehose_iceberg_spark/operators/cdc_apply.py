@@ -104,6 +104,28 @@ def apply_batch(
     for k in keys:
         key_ok = key_ok & F.col(k).isNotNull()
     latest = collapse_latest_per_key(typed.filter(key_ok), keys)
+
+    # merge-on-read CDC: route the batch's deletes to a position-delete
+    # file (O(deleted rows) written) instead of a copy-on-write file
+    # rewrite — bounded write amplification for delete-heavy streams
+    # (reference tables run merge-on-read, README.md:307). Upserts still
+    # MERGE copy-on-write. Keys are disjoint (D4 collapsed per key), so
+    # the two commits cannot conflict; the watermark stamps the final one.
+    props = table.manifest().get("properties", {})
+    if props.get("write.delete.mode") == "merge-on-read":
+        from ..plans.merge import _key_range_predicates
+
+        deletes = latest.filter(F.col("operation") == "delete")
+        del_keys = deletes.select(*keys)
+        if del_keys.limit(1).count() > 0:
+            table.delete_by_keys_mor(
+                typed.sparkSession,
+                del_keys,
+                keys,
+                predicates=_key_range_predicates(deletes, keys),
+            )
+        latest = latest.filter(F.col("operation") != "delete")
+
     return merge_into(
         table,
         latest.drop("_order_ts", "_order_txn"),

@@ -179,6 +179,7 @@ class LakeTable:
             "cluster_by": cluster_by or [],
             "properties": properties or {},
             "files": [],
+            "delete_files": [],
             "summary": {"operation": "create", "total_rows": 0},
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
@@ -351,6 +352,8 @@ class LakeTable:
         removed_paths: Iterable[str] = (),
         operation: str = "append",
         extra_summary: dict | None = None,
+        added_deletes: list[dict] | None = None,
+        removed_delete_paths: Iterable[str] = (),
     ) -> int:
         """Write snapshot N+1 = (current files - removed) + added.
 
@@ -358,12 +361,30 @@ class LakeTable:
         parent summary unless the caller overrides them: a maintenance
         compaction or manual DML between stream batches must not erase
         the exactly-once replay guard (a checkpoint-replayed batch would
-        otherwise re-apply stale after-images over newer data)."""
+        otherwise re-apply stale after-images over newer data).
+
+        Merge-on-read bookkeeping: ``added_deletes`` registers position-
+        delete files; delete entries are carried forward, minus
+        ``removed_delete_paths``, and minus entries made dangling by
+        ``removed_paths`` (a copy-on-write rewrite of a data file applies
+        pending deletes, so entries referencing it are pruned — via
+        pyarrow rewrite when a delete file also references surviving
+        files). Keeping the delete set dangling-free makes
+        ``total_rows = data rows − delete rows`` exact with no scan."""
         cur = self.manifest()
         removed = set(removed_paths)
         kept = [f for f in cur["files"] if f["path"] not in removed]
         files = kept + added
         version = cur["version"] + 1
+
+        removed_del = set(removed_delete_paths)
+        kept_deletes = [
+            d for d in cur.get("delete_files", []) if d["path"] not in removed_del
+        ]
+        if removed:
+            kept_deletes = self._prune_dangling_deletes(kept_deletes, removed)
+        delete_files = kept_deletes + list(added_deletes or [])
+
         carried = {
             k: cur["summary"][k]
             for k in self._CARRY_SUMMARY_KEYS
@@ -377,11 +398,21 @@ class LakeTable:
             "cluster_by": cur["cluster_by"],
             "properties": cur.get("properties", {}),
             "files": files,
+            "delete_files": delete_files,
             "summary": {
                 "operation": operation,
                 "added_files": len(added),
                 "removed_files": len(removed),
-                "total_rows": sum(f["rows"] for f in files),
+                "total_rows": sum(f["rows"] for f in files)
+                - sum(d["rows"] for d in delete_files),
+                **(
+                    {
+                        "position_delete_files": len(delete_files),
+                        "position_delete_rows": sum(d["rows"] for d in delete_files),
+                    }
+                    if delete_files
+                    else {}
+                ),
                 **carried,
                 **(extra_summary or {}),
             },
@@ -390,6 +421,48 @@ class LakeTable:
         self._write_manifest(manifest)
         self._swap_pointer(version)
         return version
+
+    def _prune_dangling_deletes(
+        self, delete_files: list[dict], removed_data_paths: set[str]
+    ) -> list[dict]:
+        """Drop/rewrite delete entries that reference removed data files.
+
+        Each delete meta records ``refs`` (the distinct data relpaths it
+        covers) at write time, so the common cases are metadata-only:
+        refs disjoint from removed -> keep; refs subset of removed ->
+        drop. Only a straddling delete file (some refs removed, some
+        live) is rewritten — driver-side pyarrow, fine because position
+        deletes are metadata-scale (ids, not rows)."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        out: list[dict] = []
+        for d in delete_files:
+            refs = set(d.get("refs", []))
+            if not (refs & removed_data_paths):
+                out.append(d)
+                continue
+            live_refs = refs - removed_data_paths
+            if not live_refs:
+                continue  # fully dangling -> drop the entry
+            tbl = _pq.read_table(os.path.join(self.root, d["path"]))
+            live_abs = _pa.array(
+                [os.path.join(self.root, r) for r in live_refs], type=_pa.string()
+            )
+            kept_tbl = tbl.filter(_pc.is_in(tbl.column("file"), value_set=live_abs))
+            new_rel = os.path.join(
+                _DATA_DIR, f"del-{uuid.uuid4().hex[:16]}.parquet"
+            )
+            _pq.write_table(kept_tbl, os.path.join(self.root, new_rel))
+            out.append(
+                {
+                    "path": new_rel,
+                    "rows": kept_tbl.num_rows,
+                    "bytes": os.path.getsize(os.path.join(self.root, new_rel)),
+                    "refs": sorted(live_refs),
+                }
+            )
+        return out
 
     def append(self, df: DataFrame) -> int:
         """Append rows as a new atomic snapshot (INSERT INTO)."""
@@ -418,6 +491,29 @@ class LakeTable:
             out.append(os.path.join(self.root, fmeta["path"]))
         return out
 
+    # normalizes _metadata.file_path ("file:/x" or "file:///x") to "/x"
+    _NORM_FILE_EXPR = "regexp_replace(_metadata.file_path, '^file:/+', '/')"
+
+    def _apply_position_deletes(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
+        """Merge-on-read: anti-join the position-delete set (broadcast —
+        deletes are metadata-scale next to data). No-op without deletes,
+        so the copy-on-write fast path keeps its plain scan."""
+        dels = m.get("delete_files", [])
+        if not dels:
+            return df
+        del_paths = [os.path.join(self.root, d["path"]) for d in dels]
+        del_df = spark.read.schema("file string, pos long").parquet(*del_paths)
+        return (
+            df.withColumn("__file", F.expr(self._NORM_FILE_EXPR))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(del_df),
+                (F.col("__file") == F.col("file")) & (F.col("__pos") == F.col("pos")),
+                "left_anti",
+            )
+            .drop("__file", "__pos")
+        )
+
     def read(
         self,
         spark: SparkSession,
@@ -428,7 +524,8 @@ class LakeTable:
         """Snapshot read (``version`` = time travel, Iceberg VERSION AS OF).
 
         ``predicates`` prune files via manifest stats before Spark ever
-        lists them; the caller still applies the real filter.
+        lists them; the caller still applies the real filter. Pending
+        position deletes (merge-on-read) are applied transparently.
         """
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
@@ -437,13 +534,38 @@ class LakeTable:
             df = spark.createDataFrame([], schema)
             return df.withColumn("_file", F.lit(None).cast("string")) if with_file_path else df
         df = spark.read.schema(schema).parquet(*paths)
+        df = self._apply_position_deletes(spark, df, m)
+        if with_file_path:
+            df = df.withColumn("_file", F.col("_metadata.file_path"))
+        return df
+
+    def read_files(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        version: int | None = None,
+        with_file_path: bool = False,
+    ) -> DataFrame:
+        """Delete-aware read of SPECIFIC data files of a snapshot — the
+        read every copy-on-write rewrite (merge/update/delete/compact)
+        must use, or it would resurrect rows deleted by pending
+        merge-on-read delete files."""
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        df = spark.read.schema(schema).parquet(*paths)
+        df = self._apply_position_deletes(spark, df, m)
         if with_file_path:
             df = df.withColumn("_file", F.col("_metadata.file_path"))
         return df
 
     def row_count(self, version: int | None = None) -> int:
-        """Exact row count from manifest stats — no scan (Iceberg parity)."""
-        return sum(f["rows"] for f in self.manifest(version)["files"])
+        """Exact row count from manifest stats — no scan (Iceberg parity).
+        With merge-on-read deletes: data rows − delete rows (exact
+        because the delete set is kept dangling-free and deduplicated)."""
+        m = self.manifest(version)
+        return sum(f["rows"] for f in m["files"]) - sum(
+            d["rows"] for d in m.get("delete_files", [])
+        )
 
     # ------------------------------------------------------------------
     # row-level DML (copy-on-write, file-pruned)
@@ -453,16 +575,27 @@ class LakeTable:
         spark: SparkSession,
         condition: str,
         predicates: list[Predicate] | None = None,
+        mode: str | None = None,
     ) -> int:
         """``DELETE FROM t WHERE condition`` (reference runbook Q6,
-        README.md:421-431). Rewrites only files that may contain matches."""
+        README.md:421-431).
+
+        ``mode``: ``copy-on-write`` (default) rewrites only files that may
+        contain matches; ``merge-on-read`` writes a position-delete file
+        instead — O(matched rows) written, no data-file rewrite — the
+        right trade for delete-heavy CDC (the reference runs its Iceberg
+        tables merge-on-read with
+        ``optimize_rewrite_delete_file_threshold=10``, README.md:307).
+        Defaults to the table property ``write.delete.mode``."""
+        mode = mode or self.manifest().get("properties", {}).get(
+            "write.delete.mode", "copy-on-write"
+        )
+        if mode == "merge-on-read":
+            return self._delete_where_mor(spark, condition, predicates)
         cand = self.file_paths(predicates=predicates)
         if not cand:
             return self.current_version()
-        schema = self.schema
-        df = spark.read.schema(schema).parquet(*cand).withColumn(
-            "_file", F.col("_metadata.file_path")
-        )
+        df = self.read_files(spark, cand, with_file_path=True)
         hit_files = [
             r["_file"] for r in df.filter(condition).select("_file").distinct().collect()
         ]
@@ -470,9 +603,118 @@ class LakeTable:
         if not hit_rel:
             return self.current_version()
         hit_abs = [os.path.join(self.root, p) for p in sorted(hit_rel)]
-        survivors = spark.read.schema(schema).parquet(*hit_abs).filter(f"NOT ({condition})")
+        survivors = self.read_files(spark, hit_abs).filter(f"NOT ({condition})")
         added = self._write_files(survivors)
         return self.commit(added, removed_paths=hit_rel, operation="delete")
+
+    def _delete_where_mor(
+        self,
+        spark: SparkSession,
+        condition: str,
+        predicates: list[Predicate] | None = None,
+    ) -> int:
+        """Merge-on-read DELETE: record (file, pos) of matched rows in a
+        position-delete file; the data files are untouched. Already-
+        deleted positions are excluded first so the delete set stays
+        duplicate-free (keeps manifest row accounting exact)."""
+        cand = self.file_paths(predicates=predicates)
+        if not cand:
+            return self.current_version()
+        m = self.manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        df = spark.read.schema(schema).parquet(*cand)
+        df = self._apply_position_deletes(spark, df, m)
+        hits = (
+            df.filter(condition)
+            .select(
+                F.expr(self._NORM_FILE_EXPR).alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .orderBy("file", "pos")
+        )
+        meta = self._write_delete_file(hits)
+        if meta is None:
+            return self.current_version()
+        return self.commit(
+            [],
+            operation="delete",
+            added_deletes=[meta],
+            extra_summary={"delete_mode": "merge-on-read"},
+        )
+
+    def delete_by_keys_mor(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        keys: list[str] | None = None,
+        predicates: list[Predicate] | None = None,
+        extra_summary: dict | None = None,
+    ) -> int:
+        """Merge-on-read DELETE by key set — the CDC delete path: rows
+        whose key appears in ``keys_df`` get their (file, pos) recorded
+        in a position-delete file; no data file is rewritten. The key set
+        is broadcast (a micro-batch's delete keys are tiny next to the
+        table)."""
+        keys = keys or self.keys
+        cand = self.file_paths(predicates=predicates)
+        if not cand:
+            return self.current_version()
+        m = self.manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        # materialize (file, pos) into plain columns straight off the
+        # scan: the hidden _metadata column does not survive joins
+        df = spark.read.schema(schema).parquet(*cand).select(
+            *[F.col(k) for k in keys],
+            F.expr(self._NORM_FILE_EXPR).alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        dels = m.get("delete_files", [])
+        if dels:
+            del_paths = [os.path.join(self.root, d["path"]) for d in dels]
+            existing = spark.read.schema("file string, pos long").parquet(*del_paths)
+            df = df.join(F.broadcast(existing), ["file", "pos"], "left_anti")
+        hits = (
+            df.join(F.broadcast(keys_df.select(*keys).distinct()), on=keys, how="left_semi")
+            .select("file", "pos")
+            .orderBy("file", "pos")
+        )
+        meta = self._write_delete_file(hits)
+        if meta is None:
+            return self.current_version()
+        return self.commit(
+            [],
+            operation="delete",
+            added_deletes=[meta],
+            extra_summary={"delete_mode": "merge-on-read", **(extra_summary or {})},
+        )
+
+    def _write_delete_file(self, dels: DataFrame) -> dict | None:
+        """Write a position-delete DataFrame (file string, pos long) as a
+        single parquet file; returns its manifest entry (with ``refs`` =
+        the distinct data files it covers) or None when empty."""
+        commit_dir = os.path.join(self.root, _DATA_DIR, f"del-{uuid.uuid4().hex[:16]}")
+        dels.coalesce(1).write.mode("errorifexists").parquet(commit_dir)
+        part = None
+        for name in sorted(os.listdir(commit_dir)):
+            if name.endswith(".parquet"):
+                part = os.path.join(commit_dir, name)
+                break
+        if part is None:
+            shutil.rmtree(commit_dir)
+            return None
+        tbl = _pq.read_table(part, columns=["file"])
+        if tbl.num_rows == 0:
+            shutil.rmtree(commit_dir)
+            return None
+        refs = sorted(
+            {self._relpath(f) for f in tbl.column("file").to_pylist()}
+        )
+        return {
+            "path": os.path.relpath(part, self.root),
+            "rows": tbl.num_rows,
+            "bytes": os.path.getsize(part),
+            "refs": refs,
+        }
 
     def update_where(
         self,
@@ -487,9 +729,7 @@ class LakeTable:
         if not cand:
             return self.current_version()
         schema = self.schema
-        df = spark.read.schema(schema).parquet(*cand).withColumn(
-            "_file", F.col("_metadata.file_path")
-        )
+        df = self.read_files(spark, cand, with_file_path=True)
         hit_files = [
             r["_file"] for r in df.filter(condition).select("_file").distinct().collect()
         ]
@@ -497,7 +737,7 @@ class LakeTable:
         if not hit_rel:
             return self.current_version()
         hit_abs = [os.path.join(self.root, p) for p in sorted(hit_rel)]
-        old = spark.read.schema(schema).parquet(*hit_abs)
+        old = self.read_files(spark, hit_abs)
         cond = F.expr(condition)
         cols = []
         for f in schema.fields:
@@ -559,6 +799,7 @@ class LakeTable:
             with open(os.path.join(d, name)) as f:
                 m = json.load(f)
             refs.update(fm["path"] for fm in m["files"])
+            refs.update(fm["path"] for fm in m.get("delete_files", []))
         return refs
 
     def drop(self) -> None:

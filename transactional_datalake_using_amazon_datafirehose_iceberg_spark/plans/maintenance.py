@@ -2,11 +2,19 @@
 
 Reference: ``optimize_rewrite_delete_file_threshold=10`` (README.md:307)
 bounds merge-on-read amplification; OSS Iceberg exposes this as
-``rewrite_data_files`` procedures with no auto-trigger (SURVEY.md §4 O7).
-This engine is copy-on-write, so the analogous degradation is *small
-files* accumulating across micro-batch commits; ``compact`` rewrites the
-live file set into target-sized files, and ``expire_snapshots`` retires
-history + unreferenced data files (Iceberg ``expire_snapshots``).
+``rewrite_data_files`` / ``rewrite_position_delete_files`` procedures
+with no auto-trigger (SURVEY.md §4 O7). Both degradation axes are
+covered here:
+
+- *small files* accumulating across micro-batch commits -> ``compact``
+  rewrites the live file set into target-sized files;
+- *position-delete files* accumulating under merge-on-read DML ->
+  ``rewrite_delete_files`` folds pending deletes into the affected data
+  files once the count crosses the reference's threshold (mirroring
+  ``optimize_rewrite_delete_file_threshold``), restoring the plain-scan
+  read path;
+- history -> ``expire_snapshots`` retires old snapshots + unreferenced
+  files (Iceberg ``expire_snapshots``).
 """
 
 from __future__ import annotations
@@ -61,9 +69,57 @@ def compact(
     )
 
 
+DEFAULT_DELETE_FILE_THRESHOLD = 10  # reference README.md:307
+
+
+def should_rewrite_deletes(table: LakeTable, threshold: int | None = None) -> bool:
+    """Auto-trigger mirroring the reference's
+    ``optimize_rewrite_delete_file_threshold`` table property: rewrite
+    once >= N position-delete files have accumulated."""
+    m = table.manifest()
+    if threshold is None:
+        threshold = int(
+            m.get("properties", {}).get(
+                "optimize_rewrite_delete_file_threshold",
+                DEFAULT_DELETE_FILE_THRESHOLD,
+            )
+        )
+    return len(m.get("delete_files", [])) >= threshold
+
+
+def rewrite_delete_files(spark: SparkSession, table: LakeTable) -> int:
+    """Fold ALL pending position deletes into their data files (Iceberg
+    ``rewrite_position_delete_files`` + targeted ``rewrite_data_files``):
+    only the data files actually referenced by a delete file are
+    rewritten; untouched files carry over by reference. Afterwards the
+    read path is a plain pruned scan again (no anti-join)."""
+    m = table.manifest()
+    dels = m.get("delete_files", [])
+    if not dels:
+        return m["version"]
+    affected = sorted({r for d in dels for r in d.get("refs", [])})
+    affected_abs = [os.path.join(table.root, p) for p in affected]
+    # read_files applies the pending deletes; the rewrite materializes
+    # the net rows of exactly those files
+    net = table.read_files(spark, affected_abs)
+    added = table._write_files(net)
+    return table.commit(
+        added,
+        removed_paths=affected,
+        operation="rewrite-deletes",
+        removed_delete_paths=[d["path"] for d in dels],
+    )
+
+
 def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and physically
-    delete data files no surviving snapshot references."""
+    delete data/delete files no surviving snapshot references.
+
+    Crash-safe ordering: expired MANIFESTS are removed first (making the
+    old versions unreachable), then the newly-unreferenced files. A crash
+    mid-way leaves only unreachable-but-present files — re-running
+    converges — never a listed snapshot pointing at deleted data (the
+    old order could strand time travel on FileNotFound)."""
     snap_dir = os.path.join(table.root, _SNAPSHOT_DIR)
     names = sorted(os.listdir(snap_dir))
     if len(names) <= keep_last:
@@ -72,17 +128,21 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     keep_refs: set[str] = set()
     for n in to_keep:
         with open(os.path.join(snap_dir, n)) as f:
-            keep_refs.update(fm["path"] for fm in json.load(f)["files"])
-    removed_files = 0
+            km = json.load(f)
+        keep_refs.update(fm["path"] for fm in km["files"])
+        keep_refs.update(fm["path"] for fm in km.get("delete_files", []))
+    drop_refs: set[str] = set()
     for n in to_drop:
         p = os.path.join(snap_dir, n)
         with open(p) as f:
-            refs = [fm["path"] for fm in json.load(f)["files"]]
-        for r in refs:
-            if r not in keep_refs:
-                fp = os.path.join(table.root, r)
-                if os.path.exists(fp):
-                    os.remove(fp)
-                    removed_files += 1
-        os.remove(p)
+            dm = json.load(f)
+        drop_refs.update(fm["path"] for fm in dm["files"])
+        drop_refs.update(fm["path"] for fm in dm.get("delete_files", []))
+        os.remove(p)  # manifest first: version becomes unreachable
+    removed_files = 0
+    for r in sorted(drop_refs - keep_refs):
+        fp = os.path.join(table.root, r)
+        if os.path.exists(fp):
+            os.remove(fp)
+            removed_files += 1
     return {"removed_snapshots": len(to_drop), "removed_files": removed_files}

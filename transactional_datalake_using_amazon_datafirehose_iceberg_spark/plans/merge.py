@@ -108,9 +108,10 @@ def merge_into(
     import os
 
     touched_abs = [os.path.join(table.root, p) for p in touched_rel]
+    # delete-aware read: rewriting a file with pending merge-on-read
+    # position deletes must not resurrect the deleted rows
     old = (
-        spark.read.schema(schema)
-        .parquet(*touched_abs)
+        table.read_files(spark, touched_abs)
         .withColumn("__tgt", F.lit(1))
         .alias("t")
     )

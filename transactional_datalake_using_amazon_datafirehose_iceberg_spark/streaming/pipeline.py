@@ -76,6 +76,16 @@ class CdcStreamPipeline:
             apply_batch(
                 self.table, typed, extra_summary={"stream_batch_id": batch_id}
             )
+            # merge-on-read upkeep: fold accumulated position-delete
+            # files back into data once past the reference's
+            # optimize_rewrite_delete_file_threshold (README.md:307)
+            from ..plans.maintenance import (
+                rewrite_delete_files,
+                should_rewrite_deletes,
+            )
+
+            if should_rewrite_deletes(self.table):
+                rewrite_delete_files(batch_df.sparkSession, self.table)
         finally:
             batch_df.unpersist()
 
