@@ -22,17 +22,35 @@ from ..schemas import FIXTURE_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (applicationId, sf_dir, table) -> DataFrame. Loading a fixture table
+# costs a file listing + parquet footer read (~0.1 s each, ~1 s for the
+# set — over half the measured per-query floor when every query
+# re-registered all views). DataFrames are lazy plans: caching one
+# caches only the resolved SCHEMA, every action still re-scans data, so
+# this is safe for immutable fixture paths. Keyed by applicationId so a
+# new session (driver harness builds its own) never sees another
+# session's plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _TABLE_CACHE.get(key)
+    if df is not None:
+        return df
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns since epoch -> µs timestamp. MUST be integer division (`div`):
         # `/` promotes int64 ns to double, which loses precision above
         # 2^53 and shifts some values ±1 µs vs DuckDB's exact epoch_ns//1000
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    # createOrReplaceTempView on a cached plan is a local catalog op —
+    # always re-run it (cheap) so a view another caller dropped or
+    # replaced comes back; only the schema load is cached.
     for name in tables or FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
