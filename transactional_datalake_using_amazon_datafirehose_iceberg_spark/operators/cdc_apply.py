@@ -112,7 +112,11 @@ def apply_batch(
     # MERGE copy-on-write. Keys are disjoint (D4 collapsed per key), so
     # the two commits cannot conflict; the watermark stamps the final one.
     props = table.manifest().get("properties", {})
-    if props.get("write.delete.mode") == "merge-on-read":
+    # (hasattr guard: a real-Iceberg backend handles merge-on-read
+    # natively inside MERGE INTO, no position-delete routing needed)
+    if props.get("write.delete.mode") == "merge-on-read" and hasattr(
+        table, "delete_by_keys_mor"
+    ):
         from ..plans.merge import _key_range_predicates
 
         deletes = latest.filter(F.col("operation") == "delete")

@@ -1,0 +1,172 @@
+"""Opportunistic real-Iceberg backend.
+
+The reference's tables are genuine Apache Iceberg (S3 + Glue,
+cdk_stacks/firehose_to_iceberg.py:109-116; README.md:292-309
+``table_type='iceberg'``). This repo's ``LakeTable`` is an offline,
+API-compatible stand-in because the Iceberg Spark runtime jar cannot be
+fetched in the build sandbox (SURVEY.md §7.1 step-1 fallback).
+
+This module is the slot the real thing drops into: when
+``org.apache.iceberg.spark.SparkCatalog`` is loadable in the session JVM
+(jar on the classpath, e.g. via ``spark.jars.packages`` on a real
+cluster), ``IcebergTable`` exposes the same surface the CDC pipeline
+uses — create/append/read/time-travel/delete/update and a SQL ``MERGE
+INTO`` — against a hadoop catalog, so ``tests/test_iceberg_backend.py``
+runs the golden CDC replay on BOTH backends (and skips the Iceberg half
+cleanly when the jar is absent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CATALOG = "lakehouse"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on this session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def configure_catalog(spark: SparkSession, warehouse: str, name: str = CATALOG) -> None:
+    """Register a hadoop (filesystem) Iceberg catalog on the session —
+    the local-test analogue of the reference's Glue catalog."""
+    spark.conf.set(f"spark.sql.catalog.{name}", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{name}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
+
+
+class IcebergTable:
+    """The LakeTable call surface, backed by a real Iceberg table.
+
+    Methods intentionally mirror ``LakeTable`` (same names/shapes for
+    everything the CDC apply path and the runbook SQL touch) so the two
+    backends are drop-in interchangeable in tests and pipelines.
+    """
+
+    def __init__(self, spark: SparkSession, identifier: str, keys: list[str]):
+        self.spark = spark
+        self.identifier = identifier  # catalog.db.table
+        self._keys = list(keys)
+
+    # -- creation ------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        identifier: str,
+        schema: T.StructType,
+        keys: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "IcebergTable":
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        part = f" PARTITIONED BY ({', '.join(cluster_by)})" if cluster_by else ""
+        props = dict(properties or {})
+        # reference table properties, README.md:301-308
+        props.setdefault("format-version", "2")
+        props.setdefault("write.parquet.compression-codec", "snappy")
+        tblprops = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        db = identifier.rsplit(".", 1)[0]
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {db}")
+        spark.sql(
+            f"CREATE TABLE {identifier} ({cols}) USING iceberg{part}"
+            f" TBLPROPERTIES ({tblprops})"
+        )
+        return cls(spark, identifier, keys or [])
+
+    # -- LakeTable surface --------------------------------------------
+    @property
+    def keys(self) -> list[str]:
+        return list(self._keys)
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.spark.table(self.identifier).schema
+
+    def manifest(self) -> dict:
+        """Minimal manifest shim (properties + summary) for callers that
+        branch on table properties (e.g. write.delete.mode)."""
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
+        }
+        snaps = self.snapshots()
+        return {
+            "version": snaps[-1]["version"] if snaps else 0,
+            "properties": props,
+            "summary": snaps[-1].get("summary", {}) if snaps else {},
+        }
+
+    def append(self, df: DataFrame) -> int:
+        df.writeTo(self.identifier).append()
+        return self.current_version()
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        if version is None:
+            return spark.table(self.identifier)
+        return spark.sql(f"SELECT * FROM {self.identifier} VERSION AS OF {version}")
+
+    def row_count(self) -> int:
+        return self.spark.table(self.identifier).count()
+
+    def current_version(self) -> int:
+        snaps = self.snapshots()
+        return snaps[-1]["version"] if snaps else 0
+
+    def snapshots(self) -> list[dict]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, operation, summary FROM {self.identifier}.snapshots"
+            " ORDER BY committed_at"
+        ).collect()
+        return [
+            {"version": r["snapshot_id"], "operation": r["operation"], "summary": dict(r["summary"] or {})}
+            for r in rows
+        ]
+
+    # -- DML -----------------------------------------------------------
+    def delete_where(self, spark: SparkSession, condition: str, **_kw) -> int:
+        spark.sql(f"DELETE FROM {self.identifier} WHERE {condition}")
+        return self.current_version()
+
+    def update_where(self, spark: SparkSession, condition: str, assignments: dict[str, str], **_kw) -> int:
+        sets = ", ".join(f"{c} = {expr}" for c, expr in assignments.items())
+        spark.sql(f"UPDATE {self.identifier} SET {sets} WHERE {condition}")
+        return self.current_version()
+
+    def sql_merge(
+        self,
+        source: DataFrame,
+        on: list[str] | None = None,
+        op_col: str | None = None,
+        delete_value: str = "delete",
+        extra_summary: dict | None = None,
+    ) -> int:
+        """Native MERGE INTO — what the Firehose Iceberg destination does
+        per delivery (routed upsert/delete by unique key). ``merge_into``
+        dispatches here when the target is an IcebergTable."""
+        src_view = f"__merge_src_{abs(hash(self.identifier)) % 10**8}"
+        source.createOrReplaceTempView(src_view)
+        keys = on or self._keys
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        data_cols = [f.name for f in self.schema.fields]
+        set_clause = ", ".join(f"t.{c} = s.{c}" for c in data_cols)
+        ins_cols = ", ".join(data_cols)
+        ins_vals = ", ".join(f"s.{c}" for c in data_cols)
+        delete_clause = (
+            f"WHEN MATCHED AND s.{op_col} = '{delete_value}' THEN DELETE " if op_col else ""
+        )
+        insert_guard = f" AND s.{op_col} <> '{delete_value}'" if op_col else ""
+        self.spark.sql(
+            f"MERGE INTO {self.identifier} t USING {src_view} s ON {cond} "
+            + delete_clause
+            + f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+            + f"WHEN NOT MATCHED{insert_guard} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+        self.spark.catalog.dropTempView(src_view)
+        return self.current_version()

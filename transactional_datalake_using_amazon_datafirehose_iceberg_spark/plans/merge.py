@@ -58,6 +58,16 @@ def merge_into(
     table schema (e.g. CDC metadata) are ignored on write.
     Returns the committed snapshot version.
     """
+    # real-Iceberg backend (plans/iceberg_compat.py): native MERGE INTO
+    if hasattr(table, "sql_merge"):
+        return table.sql_merge(
+            source,
+            on=on,
+            op_col=op_col,
+            delete_value=delete_value,
+            extra_summary=extra_summary,
+        )
+
     spark = source.sparkSession
     keys = on or table.keys
     if not keys:
