@@ -128,6 +128,41 @@ def test_batch_id_survives_maintenance_and_dml(spark, stream_env, tmp_path):
     assert table.current_version() == v
 
 
+def test_pipeline_custom_source_transport(spark, stream_env, tmp_path):
+    """The pipeline accepts any streaming source honoring the one-column
+    `value` envelope contract (the Kafka transport shim's contract) —
+    here a rate-limited file stream standing in for a broker."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.cdc_jsonl import (
+        read_cdc_stream,
+    )
+
+    in_dir, table, dl, ckpt = stream_env
+    p1, p2 = write_golden_corpus(str(tmp_path / "gen"))
+    shutil.copy(p1, in_dir)
+    shutil.copy(p2, in_dir)
+    src = read_cdc_stream(spark, in_dir, max_files_per_trigger=1)
+    pipe = CdcStreamPipeline(table, "db", "tbl")
+    q = pipe.start(spark, None, ckpt, available_now=True, source=src)
+    q.awaitTermination(120)
+    assert table.read(spark).count() == 12
+
+
+def test_kafka_source_requires_package(spark):
+    """Offline sandbox has no spark-sql-kafka package: the Kafka shim
+    must fail loudly at source construction (never silently), and is
+    exercised for real only on a cluster with the package present."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.cdc_jsonl import (
+        read_cdc_kafka_stream,
+    )
+
+    try:
+        df = read_cdc_kafka_stream(spark, "localhost:9092", "cdc")
+    except Exception:
+        return  # expected offline: DATA_SOURCE_NOT_FOUND
+    # package present (real cluster): the envelope contract must hold
+    assert df.columns == ["value"]
+
+
 def _stream_events(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     p = str(tmp_path / "events_stream_src")

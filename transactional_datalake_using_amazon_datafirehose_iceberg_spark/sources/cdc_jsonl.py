@@ -145,3 +145,36 @@ def read_cdc_stream(spark: SparkSession, path: str, max_files_per_trigger: int |
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.text(path)
+
+
+def read_cdc_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka transport variant of the CDC source — the production stand-in
+    for the reference's Kinesis stream (cdk_stacks/kds.py:28-32; DMS
+    also targets Kafka with the same JSON envelope). Emits the SAME
+    one-string-column ``value`` contract as ``read_cdc_stream``, so the
+    whole transform→apply pipeline is transport-agnostic: swap the
+    source call, nothing downstream changes.
+
+    Requires the spark-sql-kafka package on the classpath (absent in the
+    offline sandbox — ``tests/test_sources.py`` asserts the contract via
+    the file transport; the option-wiring here follows the stock
+    Structured Streaming Kafka source API)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        # fail loudly on retention-expired offsets: silently skipping
+        # data would break the exactly-once replay contract
+        .option("failOnDataLoss", "true")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    # Kafka rows: key/value binary + metadata -> the envelope contract
+    return reader.load().selectExpr("CAST(value AS STRING) AS value")

@@ -92,13 +92,22 @@ class CdcStreamPipeline:
     def start(
         self,
         spark: SparkSession,
-        input_dir: str,
+        input_dir: str | None,
         checkpoint_dir: str,
         trigger_seconds: int | None = None,
         max_files_per_trigger: int | None = None,
         available_now: bool = False,
+        source: DataFrame | None = None,
     ) -> StreamingQuery:
-        raw = read_cdc_stream(spark, input_dir, max_files_per_trigger)
+        """``source`` overrides the file transport with any streaming
+        DataFrame honoring the one-string-column ``value`` envelope
+        contract (e.g. ``sources.cdc_jsonl.read_cdc_kafka_stream``) —
+        the pipeline is transport-agnostic past this point."""
+        raw = (
+            source
+            if source is not None
+            else read_cdc_stream(spark, input_dir, max_files_per_trigger)
+        )
         writer = raw.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint_dir
         )
