@@ -30,6 +30,28 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
     return np.floor(raw * 1_000_000) / 1_000_000
 
 
+@F.pandas_udf(T.DoubleType())
+def weighted_avg_price_udaf(ep: pd.Series, qty: pd.Series) -> float:
+    """Grouped-AGGREGATE pandas UDF (vectorized UDAF — the third member
+    of the pandas-UDF family next to scalar and grouped-map): quantity-
+    weighted average price.
+
+    Exact-integer formulation for cross-engine determinism: prices are
+    2-decimal, so cents*quantity sums are exact int64 on BOTH engines —
+    summation ORDER cannot change the result (double summation would
+    differ between pandas pairwise sum and SQL sequential sum). One
+    final double division, floor-normalized to 4 dp."""
+    import numpy as np
+
+    cents = np.round(ep.to_numpy() * 100).astype("int64")
+    q = np.round(qty.to_numpy()).astype("int64")
+    num = int((cents * q).sum())
+    den = int(q.sum()) * 100
+    if den == 0:
+        return 0.0
+    return float(np.floor(num / den * 10_000) / 10_000)
+
+
 def zscore_per_group(df: DataFrame, group_col: str, value_col: str, id_col: str) -> DataFrame:
     """Grouped applyInPandas (UDTF-like): per-group z-score with the
     sample standard deviation. Demonstrates the grouped-map path; the

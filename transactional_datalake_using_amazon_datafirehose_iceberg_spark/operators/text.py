@@ -75,6 +75,74 @@ def lang_id_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return scored.withColumn("predicted_lang", pred)
 
 
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting three ways (LLM-pipeline budgeting): whitespace
+    tokens, word/punctuation tokens, and a BPE-ish piece count (greedy
+    <=4-char alpha chunks + single digits + punctuation — a portable
+    approximation of subword tokenizer piece counts for cost
+    estimation). All regex counting, one map stage, regexes chosen to
+    behave identically under Java regex and RE2."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(t, " ")).cast("bigint").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+        .cast("bigint")
+        .alias("n_word_tokens"),
+        F.regexp_count(t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))
+        .cast("bigint")
+        .alias("n_bpe_pieces"),
+        F.round(
+            F.length(t)
+            * 1.0
+            / F.greatest(
+                F.regexp_count(t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")),
+                F.lit(1),
+            ),
+            4,
+        ).cast("double").alias("chars_per_piece"),
+    )
+
+
+def rolling_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    base: int = 31,
+    mod: int = 1_000_003,
+    window: int = 8,
+) -> DataFrame:
+    """Rolling polynomial-hash fingerprints, all JVM-side higher-order
+    expressions (no UDF):
+
+    - ``fp_poly``: the full-document polynomial hash
+      (fold of ``acc*base + code mod p`` over char codes);
+    - ``fp_winnow_min``: the MINIMUM hash over all ``window``-char
+      substrings — the winnowing/MinHash-style selector that is stable
+      under appends and local edits outside the chosen window.
+
+    Char codes come from ``ascii(substring(text, i, 1))`` so the DuckDB
+    oracle (``ord``/``list_reduce``) folds char-for-char identically;
+    mod keeps every intermediate < 2^35, exact in int64 on both engines.
+    """
+    t = text_col
+    poly = (
+        f"aggregate(transform(sequence(1, length({t})), i -> ascii(substring({t}, i, 1))), "
+        f"0L, (acc, c) -> (acc * {base} + c) % {mod})"
+    )
+    win = (
+        f"array_min(transform(sequence(1, greatest(length({t}) - {window - 1}, 1)), "
+        f"i -> aggregate(transform(sequence(i, least(i + {window - 1}, length({t}))), "
+        f"j -> ascii(substring({t}, j, 1))), "
+        f"0L, (acc, c) -> (acc * {base} + c) % {mod})))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(poly).cast("bigint").alias("fp_poly"),
+        F.expr(win).cast("bigint").alias("fp_winnow_min"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Two document fingerprints: exact (md5 of lowered text) and
     bag-of-words (md5 of the sorted token multiset) — the latter is

@@ -8,7 +8,11 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ..functions.udfs import quality_score_udf, zscore_per_group
+from ..functions.udfs import (
+    quality_score_udf,
+    weighted_avg_price_udaf,
+    zscore_per_group,
+)
 from ..operators.cdc_apply import apply_batch, typed_rows
 from ..operators.cdc_transform import to_dead_letter, transform
 from ..plans.lake_table import LakeTable
@@ -71,6 +75,35 @@ SELECT doc_id, lang,
                   ELSE 0.0 END * 10000) / 10000 AS z
 FROM documents
 ORDER BY doc_id
+""",
+))
+
+_add(QuerySpec(
+    name="udf_grouped_agg_pandas",
+    doc="Grouped-aggregate pandas UDF (vectorized UDAF): quantity-"
+        "weighted avg price per return flag; exact-integer cents "
+        "arithmetic makes the result summation-order independent, so "
+        "the SQL oracle matches bitwise.",
+    tags=("udf",),
+    build=lambda spark, sf: (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            weighted_avg_price_udaf(
+                F.col("l_extendedprice"), F.col("l_quantity")
+            ).alias("wavg_price")
+        )
+        .orderBy("l_returnflag")
+    ),
+    oracle="""
+SELECT l_returnflag,
+       FLOOR(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT)) * 1.0
+             / (SUM(CAST(ROUND(l_quantity) AS BIGINT)) * 100)
+             * 10000) / 10000 AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """,
 ))
 

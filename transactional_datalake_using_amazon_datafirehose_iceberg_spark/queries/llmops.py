@@ -494,6 +494,58 @@ FROM fp GROUP BY fp_bag ORDER BY fp_bag
 """,
 ))
 
+_add(QuerySpec(
+    name="text_token_counts",
+    doc="Token counting three ways (whitespace, word/punct, BPE-ish "
+        "piece approximation) for LLM cost budgeting — pure regex "
+        "counting, one map stage; regexes portable Java-regex/RE2.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: TX.token_counts(spark.table("documents")).orderBy("doc_id"),
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS n_bpe_pieces,
+       CAST(ROUND(LENGTH(text) * 1.0 /
+            GREATEST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')), 1),
+            4) AS DOUBLE) AS chars_per_piece
+FROM documents
+ORDER BY doc_id
+""",
+))
+
+_add(QuerySpec(
+    name="text_rolling_hash",
+    doc="Rolling polynomial-hash fingerprints (full-doc fold + winnowing "
+        "minimum over 8-char windows), all JVM-side higher-order "
+        "expressions; the oracle folds char-for-char identically via "
+        "ord/list_reduce.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: TX.rolling_hashes(spark.table("documents")).orderBy("doc_id"),
+    oracle="""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substring(text, i, 1))) AS cs,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE
+         list_reduce(list_prepend(0, cs), (acc, c) -> (acc * 31 + c) % 1000003)
+       END AS BIGINT) AS fp_poly,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE
+         list_min(list_transform(range(1, greatest(n - 7, 1) + 1),
+           i -> list_reduce(list_prepend(0, cs[i : least(i + 7, n)]),
+                            (acc, c) -> (acc * 31 + c) % 1000003)))
+       END AS BIGINT) AS fp_winnow_min
+FROM codes
+ORDER BY doc_id
+""",
+))
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas decode — deterministic fake codec)
 # ---------------------------------------------------------------------------

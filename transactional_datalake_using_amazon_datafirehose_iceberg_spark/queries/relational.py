@@ -1354,6 +1354,50 @@ LIMIT 100
 ))
 
 _add(QuerySpec(
+    name="scalar_sequence_slice_funcs",
+    doc="Array-constructor scalar breadth: sequence, slice, "
+        "array_repeat, array_position, element_at (flattened to "
+        "strings/scalars for the hash compare).",
+    tags=("array",),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .select(
+            "o_orderkey",
+            F.array_join(
+                F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int")), ","
+            ).alias("seq"),
+            F.array_join(
+                F.slice(
+                    F.sequence(F.lit(1), F.lit(10)),
+                    (F.col("o_orderkey") % 3 + 1).cast("int"),
+                    3,
+                ),
+                ",",
+            ).alias("sliced"),
+            F.array_join(F.array_repeat(F.col("o_orderstatus"), 3), "").alias("rep"),
+            F.array_position(
+                F.split(F.col("o_orderpriority"), "-"), "URGENT"
+            ).cast("bigint").alias("pos_urgent"),
+            F.element_at(F.split(F.col("o_orderpriority"), "-"), 2).alias("prio_word"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    ),
+    oracle="""
+SELECT o_orderkey,
+       array_to_string(range(1, (o_orderkey % 5 + 1) + 1), ',') AS seq,
+       array_to_string((range(1, 11))[(o_orderkey % 3 + 1) : (o_orderkey % 3 + 3)], ',') AS sliced,
+       repeat(o_orderstatus, 3) AS rep,
+       CAST(COALESCE(list_position(string_split(o_orderpriority, '-'), 'URGENT'), 0) AS BIGINT)
+         AS pos_urgent,
+       string_split(o_orderpriority, '-')[2] AS prio_word
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100
+""",
+))
+
+_add(QuerySpec(
     name="approx_distinct_percentile",
     doc="Approximate aggregates (approx_count_distinct, percentile_approx)"
         " — declared approximate, excluded from the hash-matched oracle "
