@@ -78,6 +78,117 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer assigns every
+    vector to its nearest centroid cell (argmin L2), queries probe the
+    ``nprobe`` nearest cells, and exact cosine ranks only the candidates
+    in probed cells.
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a
+    deterministic stand-in for k-means training (swap the centroid
+    DataFrame for a trained set in production; everything downstream is
+    unchanged). The centroid table is metadata-scale, so it is collected
+    once and inlined as an array literal: CELL ASSIGNMENT IS PURE
+    MAP-SIDE (no join, no shuffle of the corpus) — the IVF scale
+    property. Candidate matching is an equi-join on cell id (shuffle by
+    cell, queries broadcast), never all-pairs.
+
+    Determinism: distances and similarities round to 6 dp before any
+    argmin/rank, ties break on cell/vec id — so FP summation-order noise
+    cannot flip cells or ranks across engines."""
+    cent_rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r[vec_col]]) for r in cent_rows]
+    )
+
+    def d2(c):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    c,
+                    F.col(vec_col),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    base = (
+        with_norm(emb, vec_col)
+        .withColumn("__dists", F.transform(cents, d2))
+        .withColumn(
+            "__cell",
+            F.array_position(F.col("__dists"), F.array_min("__dists")).cast("int"),
+        )
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_centroids)),
+                    lambda i: F.struct(
+                        F.element_at("__dists", i).alias("d"), i.alias("c")
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["c"],
+    )
+    q = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("__qe"),
+            F.col("__norm").alias("__qnorm"),
+            F.explode(probe_cells).alias("__cell"),
+        )
+    )
+    # both sides carry a __cell column -> alias-qualified equi-join
+    sims = base.alias("b").join(
+        F.broadcast(q.alias("p")),
+        (F.col("b.__cell") == F.col("p.__cell"))
+        & (F.col(f"b.{id_col}") != F.col("p.qid")),
+    ).withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("p.__qe"), F.col(f"b.{vec_col}"))
+            / (F.col("p.__qnorm") * F.col("b.__norm")),
+            6,
+        ).cast("double"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(f"b.{id_col}").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid",
+            F.col(f"b.{id_col}").alias("vec_id_n"),
+            "sim",
+            F.col("rn").cast("bigint").alias("rn"),
+            F.col("b.__cell").cast("bigint").alias("cell"),
+        )
+        .orderBy("qid", "rn")
+    )
+
+
 def sign_bucket(vec_col, n_bits: int = 8):
     """LSH bucket: sign bits of the first n_bits components."""
     bits = [

@@ -304,6 +304,80 @@ FROM ranked WHERE rn <= 5 ORDER BY qid, rn
 """,
 ))
 
+_add(QuerySpec(
+    name="similarity_ann_ivf",
+    doc="IVF-style ANN: deterministic coarse quantizer (8 centroid "
+        "cells, map-side argmin-L2 assignment from an inlined centroid "
+        "array — no corpus shuffle), queries probe the 2 nearest cells, "
+        "exact cosine ranks candidates only. Distances/sims rounded to "
+        "6 dp before argmin/rank so FP order noise cannot flip cells.",
+    tags=("llm", "similarity"),
+    build=lambda spark, sf: S.ivf_topk(
+        spark.table("embeddings"), query_ids=[0, 1, 2, 3, 4],
+        k=5, n_centroids=8, nprobe=2,
+    ),
+    oracle="""
+WITH cents AS (
+  SELECT vec_id AS cvid, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+d2 AS (
+  SELECT vid, cvid + 1 AS cell, ROUND(SUM((x - y) * (x - y)), 6) AS d
+  FROM (
+    SELECT e.vec_id AS vid, c.cvid,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(c.ce) AS DOUBLE) AS y
+    FROM embeddings e, cents c
+  ) z
+  GROUP BY vid, cvid
+),
+assign AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vid AS qid, cell FROM (
+    SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+    FROM d2 WHERE vid < 5
+  ) WHERE rn <= 2
+),
+norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings) t
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT p.qid, a.vid, a.cell
+  FROM probe p JOIN assign a ON a.cell = p.cell AND a.vid <> p.qid
+),
+dots AS (
+  SELECT qid, vid, cell, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM (
+    SELECT c.qid, c.vid, c.cell, unnest(eq.embedding) AS x, unnest(ev.embedding) AS y
+    FROM cand c
+    JOIN embeddings eq ON eq.vec_id = c.qid
+    JOIN embeddings ev ON ev.vec_id = c.vid
+  ) p
+  GROUP BY qid, vid, cell
+),
+sims AS (
+  SELECT d.qid, d.vid, d.cell, ROUND(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms nv ON nv.vec_id = d.vid
+),
+ranked AS (
+  SELECT qid, vid, CAST(sim AS DOUBLE) AS sim, cell,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+  FROM sims
+)
+SELECT qid, vid AS vec_id_n, sim, CAST(rn AS BIGINT) AS rn, CAST(cell AS BIGINT) AS cell
+FROM ranked WHERE rn <= 5 ORDER BY qid, rn
+""",
+))
+
+
 def _embedding_neardup_build(spark, sf, max_bucket=256):
     """Embedding-cosine similar pairs: sign-LSH bucket join restricts
     candidates, exact double cosine >= threshold confirms. Never
