@@ -59,3 +59,38 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     plan = _plan(spark, "q1_pricing_summary", sf_dir)
     # partial+final HashAggregate pair around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_mor_read_broadcasts_delete_antijoin(spark, tmp_path):
+    """Merge-on-read reads must apply position deletes with a BROADCAST
+    anti-join (deletes are metadata-scale; a shuffled anti-join of the
+    corpus by (file,pos) would be a scale regression), and delete-free
+    tables must keep the plain scan (no join at all)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = LakeTable.create(
+        str(tmp_path / "t"), schema, keys=["id"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(10)], schema))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.read(spark).explain("formatted")
+    assert "Join" not in buf.getvalue(), "delete-free read should be a plain scan"
+
+    t.delete_where(spark, "id = 3")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.read(spark).explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
