@@ -1,12 +1,20 @@
 """Assembles the full declared query surface from the per-domain modules.
 
-Registry ordering matters: the external correctness harness may sample a
-prefix of the registry (round 1 checked only the first 50 entries, all
-relational).  Specs that already have a green external CORRECTNESS row have
-nothing left to prove, so they are pushed to the BACK; everything unproven —
-the LLM-ops/CDC/extended surface, late relational specs, the one red spec,
-and any spec added after round 1 — is emitted FIRST so a prefix sample
-always carries the unproven surface.
+Registry ordering matters: the external correctness harness samples a
+PREFIX of the registry (50 entries per round).  Ordering is
+least-recently-verified-first: specs with no green CORRECTNESS row yet
+come first, then specs whose newest green row is oldest, so that
+
+- every unproven spec is inside the next sampling window, and
+- previously-green specs rotate back through the window instead of
+  falling out of regression coverage forever (a frozen front-load of
+  unproven specs would let a regression in an old-green spec evade
+  external verification indefinitely).
+
+``_GREEN_BY_ROUND`` is appended to (never rewritten) each round from the
+driver's CORRECTNESS_r{N}.json, and every recorded name is asserted to
+still exist in the registry so the ledger cannot silently rot as specs
+are renamed.
 """
 
 from __future__ import annotations
@@ -17,28 +25,57 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .base import QuerySpec
 
-# Spec names with a green rows+schema+hash row in CORRECTNESS_r01.json.
-# Frozen on purpose: anything not listed here (including every spec added in
-# round 2+) sorts to the front of the registry.
-_DRIVER_GREEN_R01: frozenset[str] = frozenset({
-    "q1_pricing_summary", "agg_global_stats", "agg_filtered", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_distinct_rows",
-    "q3_shipping_priority", "q5_region_revenue", "join_left_outer_agg",
-    "join_full_outer_months", "join_semi_exists", "join_anti_not_exists",
-    "join_broadcast_dims", "join_range_bands", "join_cross_grid",
-    "q6_forecast_revenue", "q10_returned_items", "q12_shipmode_priority",
-    "q14_promo_share", "q19_disjunctive_predicates", "subq_scalar_threshold",
-    "subq_in_list", "subq_correlated_avg", "window_topk_per_group",
-    "window_running_lag_rank", "window_moving_avg", "window_percent_dense",
-    "sort_topk_global", "setops_union_intersect_except",
-    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
-    "scalar_conditional_funcs", "scalar_regex_funcs", "array_funcs_tokens",
-    "higher_order_array_funcs", "json_extract_props", "map_from_json_props",
-    "pivot_status_by_flag", "events_hourly_windows", "events_sessionize_gap",
-    "agg_min_max_by", "setops_all_variants", "unpivot_stack",
-    "join_right_outer", "window_lead_range_frame", "scalar_date_arith",
-    "array_posexplode_map_values",
-})
+# Ledger of driver-verified specs: round -> names with a green
+# rows+schema+hash row in that round's CORRECTNESS_r{N}.json.
+_GREEN_BY_ROUND: dict[int, frozenset[str]] = {
+    1: frozenset({
+        "q1_pricing_summary", "agg_global_stats", "agg_filtered", "agg_rollup",
+        "agg_cube", "agg_grouping_sets", "agg_distinct_rows",
+        "q3_shipping_priority", "q5_region_revenue", "join_left_outer_agg",
+        "join_full_outer_months", "join_semi_exists", "join_anti_not_exists",
+        "join_broadcast_dims", "join_range_bands", "join_cross_grid",
+        "q6_forecast_revenue", "q10_returned_items", "q12_shipmode_priority",
+        "q14_promo_share", "q19_disjunctive_predicates", "subq_scalar_threshold",
+        "subq_in_list", "subq_correlated_avg", "window_topk_per_group",
+        "window_running_lag_rank", "window_moving_avg", "window_percent_dense",
+        "sort_topk_global", "setops_union_intersect_except",
+        "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+        "scalar_conditional_funcs", "scalar_regex_funcs", "array_funcs_tokens",
+        "higher_order_array_funcs", "json_extract_props", "map_from_json_props",
+        "pivot_status_by_flag", "events_hourly_windows", "events_sessionize_gap",
+        "agg_min_max_by", "setops_all_variants", "unpivot_stack",
+        "join_right_outer", "window_lead_range_frame", "scalar_date_arith",
+        "array_posexplode_map_values",
+    }),
+    2: frozenset({
+        "dedup_exact_by_text", "dedup_minhash_lsh_pairs", "dedup_neardup_jaccard",
+        "dedup_simhash_buckets", "similarity_topk_cosine",
+        "similarity_ann_lsh_bucket", "similarity_ann_ivf",
+        "dedup_embedding_cosine", "text_stats_quality", "text_lang_id_markers",
+        "text_fingerprints", "text_token_counts", "text_rolling_hash",
+        "multimodal_decode_features", "asof_join_purchase_click",
+        "cdc_retail_replay", "udf_pandas_quality_score",
+        "udf_applyinpandas_zscore", "udf_grouped_agg_pandas",
+        "cdc_dead_letter_split", "runbook_dml_lifecycle", "time_travel_versions",
+        "join_skew_salted", "events_sliding_windows", "streaming_windowed_counts",
+        "agg_collect_sorted", "json_tuple_schema_of", "agg_correlation",
+        "scalar_string_extras", "array_set_ops", "window_nth_cume_dist",
+        "agg_bitwise", "agg_exact_percentiles", "agg_string_concat",
+        "scalar_sequence_slice_funcs", "q1_pricing_summary", "agg_global_stats",
+        "agg_filtered", "agg_rollup", "agg_cube", "agg_grouping_sets",
+        "agg_distinct_rows", "q3_shipping_priority", "q5_region_revenue",
+        "join_left_outer_agg", "join_full_outer_months", "join_semi_exists",
+        "join_anti_not_exists", "join_broadcast_dims",
+    }),
+}
+
+
+def _last_green_round(name: str) -> int:
+    """Newest round with a green driver row for this spec (0 = never)."""
+    return max(
+        (rnd for rnd, names in _GREEN_BY_ROUND.items() if name in names),
+        default=0,
+    )
 
 
 def _all_specs() -> list[QuerySpec]:
@@ -57,8 +94,19 @@ def _all_specs() -> list[QuerySpec]:
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
 
-    # Stable partition: unproven/new specs first, round-1-green specs last.
-    specs.sort(key=lambda s: s.name in _DRIVER_GREEN_R01)
+    # The green ledger must track renames/removals, or rotation silently
+    # rots (round-2 advice): every recorded name must still be declared.
+    name_set = set(names)
+    for rnd, green in _GREEN_BY_ROUND.items():
+        missing = green - name_set
+        assert not missing, (
+            f"green ledger round {rnd} references unknown specs {sorted(missing)}"
+            " — update _GREEN_BY_ROUND after renaming"
+        )
+
+    # Stable least-recently-verified-first: never-green specs lead, then
+    # oldest-green; ties keep family order.
+    specs.sort(key=lambda s: _last_green_round(s.name))
     return specs
 
 
