@@ -1399,22 +1399,45 @@ LIMIT 100
 
 _add(QuerySpec(
     name="approx_distinct_percentile",
-    doc="Approximate aggregates (approx_count_distinct, percentile_approx)"
-        " — declared approximate, excluded from the hash-matched oracle "
-        "set (SURVEY.md §2.5); the driver records a rows-only check.",
+    doc="Approximate aggregates (approx_count_distinct, percentile_approx) "
+        "made deterministically oracle-checkable: the spec emits TOLERANCE "
+        "BOOLEANS — |approx − exact| within a bound that the sketch "
+        "guarantees with huge margin (HLL++ rsd=0.05 → 15% = 3σ bound; "
+        "percentile_approx accuracy=10000 → ≤ n/10000 rank error) — so the "
+        "expected output is the constant all-true row and the oracle is a "
+        "plain VALUES row. Both sketches are deterministic functions of the "
+        "data (no RNG), so the booleans are stable across runs.",
     tags=("agg", "approx"),
-    no_oracle=True,
     build=lambda spark, sf: (
         spark.table("lineitem")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
-            # flat columns (not an array) so harness canonicalizers can
-            # hash/sort the result through pandas
-            F.percentile_approx("l_quantity", 0.25).alias("qty_q25"),
-            F.percentile_approx("l_quantity", 0.75).alias("qty_q75"),
+            F.approx_count_distinct("l_partkey").alias("ad"),
+            F.count_distinct("l_partkey").alias("ed"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("ep50"),
+            F.percentile_approx("l_quantity", F.lit(0.25), F.lit(10000)).alias("aq25"),
+            F.expr("percentile(l_quantity, 0.25)").alias("eq25"),
+            F.percentile_approx("l_quantity", F.lit(0.75), F.lit(10000)).alias("aq75"),
+            F.expr("percentile(l_quantity, 0.75)").alias("eq75"),
+        )
+        .select(
+            (F.abs(F.col("ad") - F.col("ed")) / F.col("ed") < 0.15)
+            .alias("distinct_within_15pct"),
+            (F.abs(F.col("ap50") - F.col("ep50")) / F.col("ep50") < 0.02)
+            .alias("median_price_within_2pct"),
+            # quantity is a dense small-int domain: the approx sketch
+            # returns a real data value, the exact percentile interpolates
+            # — they can differ by at most one adjacent value
+            (F.abs(F.col("aq25") - F.col("eq25")) <= 1.0).alias("qty_q25_within_1"),
+            (F.abs(F.col("aq75") - F.col("eq75")) <= 1.0).alias("qty_q75_within_1"),
         )
     ),
+    oracle="""
+SELECT TRUE AS distinct_within_15pct,
+       TRUE AS median_price_within_2pct,
+       TRUE AS qty_q25_within_1,
+       TRUE AS qty_q75_within_1
+""",
 ))
 
 
