@@ -95,6 +95,53 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert out[0]["sim"] > 0.99 and out[1]["sim"] == 0.0 and out[2]["sim"] == -1.0
 
 
+def test_ivf_topk_neighbors_from_probed_cells(spark):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    # two tight clusters; centroids = vectors 0 and 1 (one per cluster)
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.05]),   # cluster of 0
+            (3, [0.05, 1.0]),   # cluster of 1
+            (4, [1.0, -0.05]),  # cluster of 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_topk(df, [0], k=2, n_centroids=2, nprobe=1).collect()
+    assert [r["vec_id_n"] for r in out] == [2, 4]
+    assert all(r["cell"] == 1 for r in out)
+
+
+def test_ivf_topk_survives_real_centroid_counts(spark, sf_dir):
+    """256 centroids x 64 dims must plan and run without codegen blowup —
+    the centroid set is broadcast DATA, not an inlined literal expression
+    (round-2 verdict: a literal tree of k*dim constants breaks Janino
+    long before data size matters)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, query_ids=[0, 1, 2], k=3, n_centroids=256, nprobe=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+        assert 1 <= r["cell"] <= 256
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert 1 <= len(rows) <= 3
+        assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
+
+
 def test_multimodal_plumbing_roundtrip(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"

@@ -93,13 +93,23 @@ def ivf_topk(
     in probed cells.
 
     Centroids are the ``n_centroids`` lowest-id vectors — a
-    deterministic stand-in for k-means training (swap the centroid
-    DataFrame for a trained set in production; everything downstream is
-    unchanged). The centroid table is metadata-scale, so it is collected
-    once and inlined as an array literal: CELL ASSIGNMENT IS PURE
-    MAP-SIDE (no join, no shuffle of the corpus) — the IVF scale
-    property. Candidate matching is an equi-join on cell id (shuffle by
-    cell, queries broadcast), never all-pairs.
+    deterministic stand-in for k-means training (swap ``cent_data`` for
+    a trained set in production; everything downstream is unchanged).
+    The centroid table is metadata-scale; it is shipped to executors as
+    a BROADCAST one-row DataFrame holding an array<array<double>>
+    column — DATA, not an inlined literal expression (an earlier
+    version built ``F.array(F.lit(...)*k*dim)``, whose expression tree
+    breaks codegen at real centroid counts; a broadcast relation is
+    O(1) in the plan no matter how many centroids). CELL ASSIGNMENT IS
+    STILL PURE MAP-SIDE: the broadcast nested-loop join with a single
+    row adds the centroid array to every partition without shuffling
+    the corpus, and the argmin folds over it per row. Candidate
+    matching is an equi-join on cell id (shuffle by cell, queries
+    broadcast), never all-pairs. (Per-row assignment cost is
+    O(n_centroids * dim) inside JVM higher-order functions; for
+    thousands of centroids x hundreds of dims, the same broadcast
+    array would feed an Arrow-batched pandas UDF doing one matmul per
+    batch — the plan shape is identical.)
 
     Determinism: distances and similarities round to 6 dp before any
     argmin/rank, ties break on cell/vec id — so FP summation-order noise
@@ -108,11 +118,13 @@ def ivf_topk(
         emb.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
         .orderBy(id_col)
-        .collect()
+        .collect()  # metadata-scale: centroids only, never the corpus
     )
-    cents = F.array(
-        *[F.array(*[F.lit(float(v)) for v in r[vec_col]]) for r in cent_rows]
+    cent_data = [[float(v) for v in r[vec_col]] for r in cent_rows]
+    cent_df = emb.sparkSession.createDataFrame(
+        [(cent_data,)], "__cents array<array<double>>"
     )
+    cents = F.col("__cents")
 
     def d2(c):
         return F.round(
@@ -131,7 +143,9 @@ def ivf_topk(
 
     base = (
         with_norm(emb, vec_col)
+        .crossJoin(F.broadcast(cent_df))  # 1-row broadcast: map-side attach
         .withColumn("__dists", F.transform(cents, d2))
+        .drop("__cents")
         .withColumn(
             "__cell",
             F.array_position(F.col("__dists"), F.array_min("__dists")).cast("int"),
