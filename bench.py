@@ -48,6 +48,68 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_streaming_ingest(spark, trigger_seconds: int = 60, n_records: int = 6000) -> dict:
+    """BASELINE.md's one real latency target: a CDC delivery buffer must
+    be applied within the trigger interval (reference: 60 s/128 MB
+    Firehose buffer, 3-5 min end-to-end visibility, README.md:447). Runs
+    the real Structured Streaming pipeline with a processingTime trigger
+    over one buffer of demo-rate inserts and reports the non-empty
+    batch's triggerExecution wall time from the query progress."""
+    import tempfile
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
+        DEAD_LETTER,
+        RETAIL_TRANS,
+        RETAIL_TRANS_KEYS,
+        RETAIL_TRANS_PARTITION,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.cdc_jsonl import (
+        write_demo_rate_corpus,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.streaming import (
+        CdcStreamPipeline,
+    )
+
+    d = tempfile.mkdtemp(prefix="bench_stream_")
+    in_dir = os.path.join(d, "in")
+    write_demo_rate_corpus(os.path.join(in_dir, "buffer0.jsonl"), n_records)
+    table = LakeTable.create(
+        os.path.join(d, "retail"), RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    dl = LakeTable.create(os.path.join(d, "dead"), DEAD_LETTER)
+    pipe = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl)
+    q = pipe.start(
+        spark, in_dir, os.path.join(d, "ckpt"), trigger_seconds=trigger_seconds
+    )
+    applied = None
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            for p in q.recentProgress:
+                if p and p.get("numInputRows", 0) > 0:
+                    applied = p
+                    break
+            if applied:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    if applied is None:
+        return {"error": "no non-empty batch within 120s"}
+    batch_sec = round(applied["durationMs"]["triggerExecution"] / 1000.0, 3)
+    return {
+        "records": n_records,
+        "rows_applied": table.row_count(),
+        "trigger_interval_sec": trigger_seconds,
+        "batch_apply_sec": batch_sec,
+        "applied_within_interval": batch_sec < trigger_seconds,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -78,6 +140,15 @@ def main() -> None:
         except Exception as exc:  # one broken query must not lose the run
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
+    try:
+        streaming = bench_streaming_ingest(spark)
+        if "batch_apply_sec" in streaming:
+            timings["streaming_ingest"] = streaming["batch_apply_sec"]
+        print(f"# streaming_ingest: {streaming}", file=sys.stderr)
+    except Exception as exc:
+        streaming = {"error": f"{type(exc).__name__}: {exc}"}
+        print(f"# streaming_ingest: FAILED {streaming['error']}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -86,6 +157,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_ingest": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -118,9 +118,16 @@ def test_batch_id_survives_maintenance_and_dml(spark, stream_env, tmp_path):
     compact(spark, table, target_file_bytes=1 << 30)
     assert pipe._last_applied_batch() == 3, "compact() erased the watermark"
 
-    # manual DML commit (append)
-    table.append(table.read(spark).limit(0))
+    # manual DML commit (append of a real row; empty appends are no-ops)
+    v_before = table.current_version()
+    table.append(table.read(spark).limit(1))
+    assert table.current_version() == v_before + 1
     assert pipe._last_applied_batch() == 3, "append() erased the watermark"
+
+    # empty append: no-op, no empty snapshot, watermark intact
+    table.append(table.read(spark).limit(0))
+    assert table.current_version() == v_before + 1
+    assert pipe._last_applied_batch() == 3
 
     # replay of batch 3 after maintenance is still a no-op
     v = table.current_version()

@@ -295,7 +295,10 @@ class LakeTable:
                 spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
         else:
             df.write.mode("errorifexists").parquet(commit_dir)
-        return self._collect_stats(commit_dir)
+        metas = self._collect_stats(commit_dir)
+        if not metas:  # all parts empty: leave no orphan dir behind
+            shutil.rmtree(commit_dir, ignore_errors=True)
+        return metas
 
     def _collect_stats(self, commit_dir: str) -> list[dict]:
         schema = self.schema
@@ -465,8 +468,16 @@ class LakeTable:
         return out
 
     def append(self, df: DataFrame) -> int:
-        """Append rows as a new atomic snapshot (INSERT INTO)."""
+        """Append rows as a new atomic snapshot (INSERT INTO).
+
+        An empty ``df`` is a no-op returning the current version (no
+        empty snapshot): callers can append unconditionally — e.g. the
+        streaming dead-letter sink — without paying a probe job to ask
+        "is there anything?" first; emptiness falls out of the one write
+        action itself."""
         added = self._write_files(df)
+        if not added:
+            return self.current_version()
         return self.commit(added, operation="append")
 
     def overwrite(self, df: DataFrame) -> int:

@@ -58,7 +58,7 @@ class CdcStreamPipeline:
         carries the watermark forward across later compaction/DML
         commits so the replay guard survives table maintenance.
 
-        The micro-batch is cached first: the dead-letter probe and the
+        The micro-batch is cached first: the dead-letter write and the
         MERGE's two passes (touched-file semi-join + rewrite) would
         otherwise re-read the source three times — 3x read amplification
         per delivery buffer at scale (observed via the delivery log:
@@ -69,9 +69,11 @@ class CdcStreamPipeline:
         try:
             good, dead = transform(batch_df, self.db, self.tbl)
             if self.dead_letter_table is not None:
-                dl = to_dead_letter(dead)
-                if dl.limit(1).count() > 0:
-                    self.dead_letter_table.append(dl)
+                # unconditional append: LakeTable.append skips the commit
+                # when the write lands zero rows, so the clean-batch case
+                # costs one (empty) write action instead of a separate
+                # probe job per micro-batch
+                self.dead_letter_table.append(to_dead_letter(dead))
             typed = typed_rows(good)
             apply_batch(
                 self.table, typed, extra_summary={"stream_batch_id": batch_id}
