@@ -44,3 +44,42 @@ def test_compact_small_files_and_expire(spark, tmp_path):
     assert sorted(map(tuple, t.read(spark).collect())) == rows_before
     for p in t.file_paths():
         assert os.path.exists(p)
+
+
+def test_expire_rerun_collects_crash_orphans(spark, tmp_path):
+    """A crash after manifest removal but before file deletion leaves
+    data files referenced by NO manifest. The targeted drop pass cannot
+    see them on a re-run; the orphan sweep must collect them so expiry
+    converges (round-2 advice: they leaked permanently before)."""
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))
+    # compaction rewrites the file set: pre-compact data files are
+    # referenced only by pre-compact manifests
+    compact(spark, t)
+
+    # simulate the crashed first run: every pre-compact manifest was
+    # removed, their files were not
+    snap_dir = os.path.join(t.root, "_snapshots")
+    old_manifests = sorted(os.listdir(snap_dir))[:-1]
+    orphaned: set[str] = set()
+    import json
+
+    for n in old_manifests:
+        with open(os.path.join(snap_dir, n)) as f:
+            m = json.load(f)
+        orphaned.update(fm["path"] for fm in m["files"])
+        os.remove(os.path.join(snap_dir, n))
+    orphaned -= t.referenced_files()
+    assert orphaned, "test setup: expected at least one orphaned file"
+    for r in orphaned:
+        assert os.path.exists(os.path.join(t.root, r))
+
+    stats = expire_snapshots(t, keep_last=1)
+    for r in orphaned:
+        assert not os.path.exists(os.path.join(t.root, r)), f"leaked {r}"
+    assert stats["removed_orphans"] >= len(orphaned)
+    # live table unharmed
+    assert t.read(spark).count() == 4
+    for p in t.file_paths():
+        assert os.path.exists(p)

@@ -212,3 +212,58 @@ def test_cdc_golden_corpus_same_result_mor(spark, tmp_path):
         )
     assert results["copy-on-write"] == results["merge-on-read"]
     assert len(results["merge-on-read"]) == 12
+
+
+def test_mor_table_survives_relocation(spark, mor_table, tmp_path):
+    """Position-delete files store ROOT-RELATIVE data-file paths, so a
+    moved/copied table root still matches its pending deletes — deleted
+    rows must not resurrect and row_count must agree with the scan
+    (round-2 advice: absolute paths broke relocation)."""
+    import shutil
+
+    t = mor_table
+    t.append(_mk(spark, [(i, "a", float(i)) for i in range(10)]))
+    t.delete_where(spark, "id >= 6")
+    assert t.read(spark).count() == 6 and t.row_count() == 6
+
+    moved = str(tmp_path / "relocated")
+    shutil.move(t.root, moved)
+    t2 = LakeTable.load(moved)
+    assert sorted(r["id"] for r in t2.read(spark).collect()) == list(range(6))
+    assert t2.row_count() == 6
+    # and further MOR DML on the moved table still composes
+    t2.delete_where(spark, "id = 0")
+    assert sorted(r["id"] for r in t2.read(spark).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_mor_with_reserved_like_column_names(spark, tmp_path):
+    """A table whose OWN schema has columns named ``file`` and ``pos``
+    must read and delete cleanly under merge-on-read — the engine's
+    internal delete-join columns are namespaced (round-2 advice:
+    unqualified join names hit ambiguous-reference errors)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("file", T.StringType(), True),
+            T.StructField("pos", T.LongType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "clash"),
+        schema,
+        keys=["id"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"f{i}", i * 10) for i in range(8)], schema=schema
+        )
+    )
+    t.delete_where(spark, "id >= 6")
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(6))
+    # keyed MOR delete (the CDC path) with the clashing schema
+    keys_df = spark.createDataFrame([(0,), (1,)], "id int")
+    t.delete_by_keys_mor(spark, keys_df)
+    out = sorted((r["id"], r["file"], r["pos"]) for r in t.read(spark).collect())
+    assert out == [(2, "f2", 20), (3, "f3", 30), (4, "f4", 40), (5, "f5", 50)]
+    assert t.row_count() == 4

@@ -91,16 +91,25 @@ class IcebergTable:
 
     def manifest(self) -> dict:
         """Minimal manifest shim (properties + summary) for callers that
-        branch on table properties (e.g. write.delete.mode)."""
+        branch on table properties (e.g. write.delete.mode).
+
+        The streaming exactly-once watermark (``stream_batch_id``) is
+        persisted as a TABLE PROPERTY on this backend (``sql_merge``
+        stamps it after the MERGE), so it is surfaced into ``summary``
+        here — ``CdcStreamPipeline._last_applied_batch`` reads
+        ``summary["stream_batch_id"]`` identically on both backends."""
         props = {
             r["key"]: r["value"]
             for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
         }
         snaps = self.snapshots()
+        summary = dict(snaps[-1].get("summary", {})) if snaps else {}
+        if "stream_batch_id" in props:
+            summary.setdefault("stream_batch_id", props["stream_batch_id"])
         return {
             "version": snaps[-1]["version"] if snaps else 0,
             "properties": props,
-            "summary": snaps[-1].get("summary", {}) if snaps else {},
+            "summary": summary,
         }
 
     def append(self, df: DataFrame) -> int:
@@ -149,7 +158,21 @@ class IcebergTable:
     ) -> int:
         """Native MERGE INTO — what the Firehose Iceberg destination does
         per delivery (routed upsert/delete by unique key). ``merge_into``
-        dispatches here when the target is an IcebergTable."""
+        dispatches here when the target is an IcebergTable.
+
+        ``extra_summary`` (the streaming ``stream_batch_id`` watermark)
+        is persisted as TABLE PROPERTIES immediately after the MERGE —
+        previously it was silently dropped, leaving the pipeline's
+        replay guard inert on this backend (a checkpoint-replayed batch
+        would re-apply stale after-images over newer data). The stamp is
+        a second statement, so there is a one-batch crash window between
+        MERGE and stamp; a replay inside that window re-merges ONE batch
+        whose source rows are unchanged (latest-per-key collapse makes
+        the merge deterministic), never an older one — the guard is
+        monotone. A production tightening would attach the watermark to
+        the commit itself via Iceberg's CommitMetadata snapshot
+        properties (JVM API); the table-property stamp keeps the surface
+        pure-SQL."""
         src_view = f"__merge_src_{abs(hash(self.identifier)) % 10**8}"
         source.createOrReplaceTempView(src_view)
         keys = on or self._keys
@@ -169,4 +192,9 @@ class IcebergTable:
             + f"WHEN NOT MATCHED{insert_guard} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         )
         self.spark.catalog.dropTempView(src_view)
+        if extra_summary:
+            kv = ", ".join(
+                f"'{k}'='{v}'" for k, v in extra_summary.items()
+            )
+            self.spark.sql(f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ({kv})")
         return self.current_version()

@@ -449,10 +449,8 @@ class LakeTable:
             if not live_refs:
                 continue  # fully dangling -> drop the entry
             tbl = _pq.read_table(os.path.join(self.root, d["path"]))
-            live_abs = _pa.array(
-                [os.path.join(self.root, r) for r in live_refs], type=_pa.string()
-            )
-            kept_tbl = tbl.filter(_pc.is_in(tbl.column("file"), value_set=live_abs))
+            live_arr = _pa.array(sorted(live_refs), type=_pa.string())
+            kept_tbl = tbl.filter(_pc.is_in(tbl.column("file"), value_set=live_arr))
             new_rel = os.path.join(
                 _DATA_DIR, f"del-{uuid.uuid4().hex[:16]}.parquet"
             )
@@ -505,21 +503,37 @@ class LakeTable:
     # normalizes _metadata.file_path ("file:/x" or "file:///x") to "/x"
     _NORM_FILE_EXPR = "regexp_replace(_metadata.file_path, '^file:/+', '/')"
 
+    def _rel_file_col(self):
+        """The scanned row's data file as a ROOT-RELATIVE path — the same
+        coordinate system the manifest and position-delete files use.
+        Delete files storing relpaths keep the table relocation-safe: a
+        moved/copied table root still matches its pending deletes."""
+        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        return F.replace(norm, F.lit(self.root + os.sep), F.lit(""))
+
     def _apply_position_deletes(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
         """Merge-on-read: anti-join the position-delete set (broadcast —
         deletes are metadata-scale next to data). No-op without deletes,
-        so the copy-on-write fast path keeps its plain scan."""
+        so the copy-on-write fast path keeps its plain scan.
+
+        The delete side is renamed to reserved ``__del_*`` columns before
+        the join: a table whose OWN schema has columns named ``file`` or
+        ``pos`` must not trip an ambiguous-reference error (``__``-prefixed
+        names are reserved for engine internals)."""
         dels = m.get("delete_files", [])
         if not dels:
             return df
         del_paths = [os.path.join(self.root, d["path"]) for d in dels]
-        del_df = spark.read.schema("file string, pos long").parquet(*del_paths)
+        del_df = spark.read.schema("file string, pos long").parquet(*del_paths).select(
+            F.col("file").alias("__del_file"), F.col("pos").alias("__del_pos")
+        )
         return (
-            df.withColumn("__file", F.expr(self._NORM_FILE_EXPR))
+            df.withColumn("__file", self._rel_file_col())
             .withColumn("__pos", F.col("_metadata.row_index"))
             .join(
                 F.broadcast(del_df),
-                (F.col("__file") == F.col("file")) & (F.col("__pos") == F.col("pos")),
+                (F.col("__file") == F.col("__del_file"))
+                & (F.col("__pos") == F.col("__del_pos")),
                 "left_anti",
             )
             .drop("__file", "__pos")
@@ -638,7 +652,7 @@ class LakeTable:
         hits = (
             df.filter(condition)
             .select(
-                F.expr(self._NORM_FILE_EXPR).alias("file"),
+                self._rel_file_col().alias("file"),
                 F.col("_metadata.row_index").alias("pos"),
             )
             .orderBy("file", "pos")
@@ -673,20 +687,24 @@ class LakeTable:
         m = self.manifest()
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         # materialize (file, pos) into plain columns straight off the
-        # scan: the hidden _metadata column does not survive joins
+        # scan — the hidden _metadata column does not survive joins —
+        # under reserved __-names so a key/schema column named file/pos
+        # cannot collide
         df = spark.read.schema(schema).parquet(*cand).select(
             *[F.col(k) for k in keys],
-            F.expr(self._NORM_FILE_EXPR).alias("file"),
-            F.col("_metadata.row_index").alias("pos"),
+            self._rel_file_col().alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
         )
         dels = m.get("delete_files", [])
         if dels:
             del_paths = [os.path.join(self.root, d["path"]) for d in dels]
-            existing = spark.read.schema("file string, pos long").parquet(*del_paths)
-            df = df.join(F.broadcast(existing), ["file", "pos"], "left_anti")
+            existing = spark.read.schema("file string, pos long").parquet(*del_paths).select(
+                F.col("file").alias("__file"), F.col("pos").alias("__pos")
+            )
+            df = df.join(F.broadcast(existing), ["__file", "__pos"], "left_anti")
         hits = (
             df.join(F.broadcast(keys_df.select(*keys).distinct()), on=keys, how="left_semi")
-            .select("file", "pos")
+            .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
             .orderBy("file", "pos")
         )
         meta = self._write_delete_file(hits)
@@ -700,9 +718,10 @@ class LakeTable:
         )
 
     def _write_delete_file(self, dels: DataFrame) -> dict | None:
-        """Write a position-delete DataFrame (file string, pos long) as a
-        single parquet file; returns its manifest entry (with ``refs`` =
-        the distinct data files it covers) or None when empty."""
+        """Write a position-delete DataFrame (file string, pos long; the
+        ``file`` values are ROOT-RELATIVE) as a single parquet file;
+        returns its manifest entry (with ``refs`` = the distinct data
+        files it covers) or None when empty."""
         commit_dir = os.path.join(self.root, _DATA_DIR, f"del-{uuid.uuid4().hex[:16]}")
         dels.coalesce(1).write.mode("errorifexists").parquet(commit_dir)
         part = None
@@ -717,9 +736,7 @@ class LakeTable:
         if tbl.num_rows == 0:
             shutil.rmtree(commit_dir)
             return None
-        refs = sorted(
-            {self._relpath(f) for f in tbl.column("file").to_pylist()}
-        )
+        refs = sorted(set(tbl.column("file").to_pylist()))  # already relative
         return {
             "path": os.path.relpath(part, self.root),
             "rows": tbl.num_rows,

@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-from .lake_table import LakeTable, _SNAPSHOT_DIR
+from .lake_table import LakeTable, _DATA_DIR, _SNAPSHOT_DIR
 
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
@@ -111,20 +111,32 @@ def rewrite_delete_files(spark: SparkSession, table: LakeTable) -> int:
     )
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
+def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool = True) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and physically
     delete data/delete files no surviving snapshot references.
 
     Crash-safe ordering: expired MANIFESTS are removed first (making the
-    old versions unreachable), then the newly-unreferenced files. A crash
-    mid-way leaves only unreachable-but-present files — re-running
-    converges — never a listed snapshot pointing at deleted data (the
-    old order could strand time travel on FileNotFound)."""
+    old versions unreachable), then the newly-unreferenced files — never
+    a listed snapshot pointing at deleted data (the old order could
+    strand time travel on FileNotFound). A crash mid-way leaves only
+    unreachable-but-present files; those no longer appear in any
+    manifest, so the targeted drop pass cannot see them on a re-run —
+    the ORPHAN SWEEP closes that leak: every ``*.parquet`` under
+    ``data/`` referenced by no surviving manifest is collected (and
+    commit dirs left holding only ``_SUCCESS``/CRC sidecars are pruned),
+    making re-runs actually converge (Iceberg's separate
+    ``remove_orphan_files`` folded into expiry). Single-writer
+    discipline applies: run expiry from the writer, not concurrently
+    with an in-flight commit whose files are not yet manifested."""
+    import shutil
+
     snap_dir = os.path.join(table.root, _SNAPSHOT_DIR)
     names = sorted(os.listdir(snap_dir))
-    if len(names) <= keep_last:
-        return {"removed_snapshots": 0, "removed_files": 0}
-    to_drop, to_keep = names[:-keep_last], names[-keep_last:]
+    # NB: no early return when nothing is left to expire — the orphan
+    # sweep must still run (a re-run after a crashed expiry has the
+    # manifests already gone but the files still present)
+    to_drop = names[:-keep_last] if len(names) > keep_last else []
+    to_keep = names[-keep_last:] if len(names) > keep_last else names
     keep_refs: set[str] = set()
     for n in to_keep:
         with open(os.path.join(snap_dir, n)) as f:
@@ -145,4 +157,30 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
         if os.path.exists(fp):
             os.remove(fp)
             removed_files += 1
-    return {"removed_snapshots": len(to_drop), "removed_files": removed_files}
+
+    removed_orphans = 0
+    if sweep_orphans:
+        refs = table.referenced_files()  # union over surviving manifests
+        data_root = os.path.join(table.root, _DATA_DIR)
+        for dirpath, _dirs, files in os.walk(data_root):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                if os.path.relpath(full, table.root) not in refs:
+                    os.remove(full)
+                    removed_orphans += 1
+        # prune commit dirs reduced to sidecars (_SUCCESS, .crc)
+        for dirpath, dirnames, files in os.walk(data_root, topdown=False):
+            if dirpath == data_root:
+                continue
+            if not dirnames and all(
+                name.startswith((".", "_")) and not name.endswith(".parquet")
+                for name in files
+            ):
+                shutil.rmtree(dirpath, ignore_errors=True)
+    return {
+        "removed_snapshots": len(to_drop),
+        "removed_files": removed_files,
+        "removed_orphans": removed_orphans,
+    }
