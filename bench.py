@@ -110,6 +110,81 @@ def bench_streaming_ingest(spark, trigger_seconds: int = 60, n_records: int = 60
     }
 
 
+def bench_cow_vs_mor_deletes(
+    spark, n_rows: int = 200_000, n_files: int = 8, n_batches: int = 6
+) -> dict:
+    """Quantify the write-amplification win that justifies merge-on-read
+    for delete-heavy CDC (the reference runs its Iceberg tables
+    merge-on-read with optimize_rewrite_delete_file_threshold=10,
+    README.md:307). Same workload in both modes: ~30% of rows deleted in
+    6 batches whose keys scatter across every file (no file pruning —
+    the worst case copy-on-write has to rewrite the whole table per
+    batch). Reports bytes written by the delete traffic, delete wall
+    time, and the MOR read path before/after rewrite_delete_files."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        rewrite_delete_files,
+    )
+
+    def _du(root):
+        total = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(root, "data")):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    base = (
+        spark.range(n_rows)
+        .repartition(n_files)
+        .select(
+            F.col("id"),
+            (F.col("id") % 100).cast("string").alias("cat"),
+            (F.col("id") * 7 % 9973).cast("double").alias("val"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="bench_mor_")
+    out: dict = {"rows": n_rows, "delete_batches": n_batches, "delete_pct": 30}
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = LakeTable.create(
+            os.path.join(d, mode),
+            base.schema,
+            keys=["id"],
+            properties={"write.delete.mode": mode},
+        )
+        t.append(base)
+        bytes0 = _du(t.root)
+        t0 = time.perf_counter()
+        for k in range(n_batches):  # id % 20 == k: 5% per batch, every file
+            t.delete_where(spark, f"id % 20 = {k}")
+        delete_sec = round(time.perf_counter() - t0, 3)
+        stats = {
+            "delete_sec": delete_sec,
+            "bytes_written_by_deletes": _du(t.root) - bytes0,
+        }
+        t0 = time.perf_counter()
+        n_after = t.read(spark).count()
+        stats["read_sec"] = round(time.perf_counter() - t0, 3)
+        assert n_after == n_rows - n_batches * (n_rows // 20), n_after
+        if mode == "merge-on-read":
+            t0 = time.perf_counter()
+            rewrite_delete_files(spark, t)
+            stats["rewrite_delete_files_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            assert t.read(spark).count() == n_after
+            stats["read_sec_after_rewrite"] = round(time.perf_counter() - t0, 3)
+        out[mode] = stats
+    cow_b = out["copy-on-write"]["bytes_written_by_deletes"]
+    mor_b = out["merge-on-read"]["bytes_written_by_deletes"]
+    out["mor_bytes_written_vs_cow"] = round(mor_b / cow_b, 4) if cow_b else None
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -141,6 +216,13 @@ def main() -> None:
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
     try:
+        cow_mor = bench_cow_vs_mor_deletes(spark)
+        print(f"# cow_vs_mor_deletes: {cow_mor}", file=sys.stderr)
+    except Exception as exc:
+        cow_mor = {"error": f"{type(exc).__name__}: {exc}"}
+        print(f"# cow_vs_mor_deletes: FAILED {cow_mor['error']}", file=sys.stderr)
+
+    try:
         streaming = bench_streaming_ingest(spark)
         if "batch_apply_sec" in streaming:
             timings["streaming_ingest"] = streaming["batch_apply_sec"]
@@ -158,6 +240,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming_ingest": streaming,
+                "cow_vs_mor_deletes": cow_mor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -319,6 +319,68 @@ ORDER BY win_start, event_type
 ))
 
 
+def _streaming_session_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import sessionized_event_counts
+
+    ev = load_table(spark, sf, "events")
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_sess_"), "events")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionized_event_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .select("session_start", "user_id", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_session_windows",
+    doc="Structured Streaming SESSION-window agg (30-min gap, "
+        "session_window operator), replayed to completion via a memory "
+        "sink. Oracle re-derives sessions with lag + cumulative-sum gap "
+        "sessionization; session_start = first event's µs-truncated "
+        "timestamp (DuckDB's ns->µs CAST rounds, so the oracle floors "
+        "via epoch_ns // 1000 — FIXTURES.md §C).",
+    tags=("streaming", "session"),
+    build=_streaming_session_build,
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS t FROM events
+), g AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > 1800000000
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT CAST(make_timestamp(MIN(t)) AS TIMESTAMP) AS session_start,
+       user_id, COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+))
+
+
 _add(QuerySpec(
     name="streaming_windowed_counts",
     doc="Structured Streaming tumbling-window agg with watermark, "
