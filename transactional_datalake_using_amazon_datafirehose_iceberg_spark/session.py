@@ -58,6 +58,13 @@ def get_spark(
     )
     if os.environ.get("SPARK_DRIVER_MEMORY"):
         builder = builder.config("spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"])
+    # Opportunistic real-Iceberg backend (plans/iceberg_compat.py): point
+    # SPARK_GRAFT_ICEBERG_JAR at a vendored iceberg-spark-runtime jar and
+    # the dual-backend tests run both halves instead of skipping; offline
+    # (no jar) everything runs on the built-in LakeTable format. See
+    # README "Real Apache Iceberg backend".
+    if os.environ.get("SPARK_GRAFT_ICEBERG_JAR"):
+        builder = builder.config("spark.jars", os.environ["SPARK_GRAFT_ICEBERG_JAR"])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
