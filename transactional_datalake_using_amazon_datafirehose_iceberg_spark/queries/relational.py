@@ -1441,4 +1441,147 @@ SELECT TRUE AS distinct_within_15pct,
 ))
 
 
+_add(QuerySpec(
+    name="map_transform_funcs",
+    doc="Map construction/transformation family: str_to_map, map_concat, "
+        "transform_values, transform_keys, map_filter — serialized to a "
+        "sorted k=v string (map cells are unhashable in the harness "
+        "canonicalizer, same discipline as agg_collect_sorted). Oracle "
+        "re-derives the final string directly from the source columns.",
+    tags=("map", "scalar"),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .select(
+            "o_orderkey",
+            F.map_filter(
+                F.transform_keys(
+                    F.transform_values(
+                        F.map_concat(
+                            F.expr(
+                                "str_to_map(concat('status:', o_orderstatus,"
+                                " ',prio:', split_part(o_orderpriority, '-', 2)),"
+                                " ',', ':')"
+                            ),
+                            F.create_map(F.lit("ok"), F.lit("1")),
+                        ),
+                        lambda k, v: F.lower(v),
+                    ),
+                    lambda k, v: F.upper(k),
+                ),
+                lambda k, v: k != F.lit("OK"),
+            ).alias("m"),
+        )
+        .select(
+            "o_orderkey",
+            F.array_join(
+                F.sort_array(
+                    F.transform(
+                        F.map_entries("m"),
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                    )
+                ),
+                ",",
+            ).alias("kv"),
+            F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    ),
+    oracle="""
+SELECT o_orderkey,
+       concat('PRIO=', lower(split_part(o_orderpriority, '-', 2)),
+              ',STATUS=', lower(o_orderstatus)) AS kv,
+       CAST(2 AS BIGINT) AS n_keys
+FROM orders
+ORDER BY o_orderkey
+LIMIT 200
+""",
+))
+
+
+_add(QuerySpec(
+    name="window_time_range_frame",
+    doc="Time-INTERVAL RANGE frame (rolling 1-hour window per user) — "
+        "the value-based frame over timestamps, complementing the "
+        "numeric RANGE frame spec. Oracle windows over the same "
+        "µs-truncated timestamps (epoch_ns // 1000, FIXTURES.md §C).",
+    tags=("window", "events"),
+    sql="""
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(ROUND(SUM(value) OVER w, 2) AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+LIMIT 2000
+""",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         make_timestamp(epoch_ns(ts) // 1000) AS ts
+  FROM events
+)
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(ROUND(SUM(value) OVER w, 2) AS DOUBLE) AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+LIMIT 2000
+""",
+))
+
+
+_add(QuerySpec(
+    name="scalar_try_funcs",
+    doc="ANSI-safe try_* family (Spark 4 runs ANSI mode ON): try_divide "
+        "by zero, try_cast of non-numeric text and of a valid numeral, "
+        "try_to_timestamp of garbage and of a real date — NULL where "
+        "unparseable, never an exception.",
+    tags=("scalar",),
+    build=lambda spark, sf: (
+        spark.table("lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide(
+                F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+            ).alias("div0"),
+            # FLOOR(x*100 + 0.5)/100, not ROUND: Spark rounds the decimal
+            # rendering (BigDecimal HALF_UP), DuckDB rounds the double —
+            # they disagree on exact .xx5 boundaries (FIXTURES.md §C)
+            (
+                F.floor(
+                    F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")) * 100
+                    + 0.5
+                )
+                / 100
+            ).cast("double").alias("unit_price"),
+            F.expr("try_cast(l_returnflag AS INT)").alias("flag_int"),
+            F.expr("try_cast(cast(l_linenumber AS STRING) AS INT)").alias("line_int"),
+            F.expr("try_to_timestamp('not-a-date')").alias("bad_ts"),
+            F.expr(
+                "try_to_timestamp(date_format(l_shipdate, 'yyyy-MM-dd'))"
+            ).alias("ship_ts"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(300)
+    ),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(NULL AS DOUBLE) AS div0,
+       CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) / 100 AS DOUBLE) AS unit_price,
+       TRY_CAST(l_returnflag AS INT) AS flag_int,
+       CAST(l_linenumber AS INT) AS line_int,
+       TRY_CAST('not-a-date' AS TIMESTAMP) AS bad_ts,
+       TRY_CAST(strftime(l_shipdate, '%Y-%m-%d') AS TIMESTAMP) AS ship_ts
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 300
+""",
+))
+
+
 SPECS = list(_SPECS)

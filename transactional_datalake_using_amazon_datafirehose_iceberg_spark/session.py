@@ -47,7 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 8 MB: dimension tables broadcast, filtered FACT tables never do.
+        # (An earlier 64 MB setting made Q3 broadcast half of lineitem —
+        # fast-looking locally, exactly the plan that cannot exist at
+        # 100 TB; 8 MB is both faster here and the honest scale shape.)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
         # natively (PARQUET_TYPE_ILLEGAL); read as long, convert in loader
