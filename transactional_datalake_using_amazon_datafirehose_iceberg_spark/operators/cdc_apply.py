@@ -117,16 +117,31 @@ def apply_batch(
     if props.get("write.delete.mode") == "merge-on-read" and hasattr(
         table, "delete_by_keys_mor"
     ):
-        from ..plans.merge import _key_range_predicates
+        from ..plans.lake_table import Predicate
+        from ..plans.merge import _rangeable_key
 
         deletes = latest.filter(F.col("operation") == "delete")
-        del_keys = deletes.select(*keys)
-        if del_keys.limit(1).count() > 0:
+        # one fused aggregate answers "any deletes?" AND the key range
+        # for manifest pruning (was two separate jobs per micro-batch)
+        range_key = _rangeable_key(deletes, keys)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        if range_key:
+            aggs += [F.min(range_key).alias("__lo"), F.max(range_key).alias("__hi")]
+        stats = deletes.agg(*aggs).collect()[0]
+        if stats["__n"] > 0:
+            preds = (
+                [
+                    Predicate(range_key, ">=", stats["__lo"]),
+                    Predicate(range_key, "<=", stats["__hi"]),
+                ]
+                if range_key and stats["__lo"] is not None
+                else []
+            )
             table.delete_by_keys_mor(
                 typed.sparkSession,
-                del_keys,
+                deletes.select(*keys),
                 keys,
-                predicates=_key_range_predicates(deletes, keys),
+                predicates=preds,
             )
         latest = latest.filter(F.col("operation") != "delete")
 

@@ -78,33 +78,60 @@ def merge_into(
     needed = keys + ([op_col] if op_col else [])
     src = source.select(*dict.fromkeys(data_cols + [c for c in needed if c not in data_cols]))
 
-    if not assume_unique:
-        dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
-        if dup:
+    # ---- 1. one source pass: dup check + key range for manifest pruning --
+    # (previously two separate jobs per merge; a streaming micro-batch
+    # pays this on every trigger, so the fused aggregate halves the
+    # source-side job count)
+    key_preds: list[Predicate] = []
+    range_key = _rangeable_key(src, keys)
+    if assume_unique:
+        # dedup already guaranteed (D4): plain min/max agg, no groupBy
+        # shuffle; composite/unordered keys need no source job at all
+        if not range_key:
+            stats = [{"__lo": None}]
+        else:
+            stats = src.agg(
+                F.min(range_key).alias("__lo"), F.max(range_key).alias("__hi")
+            ).collect()
+    else:
+        aggs = [F.max("count").alias("__mx")]
+        if range_key:
+            aggs += [F.min(range_key).alias("__lo"), F.max(range_key).alias("__hi")]
+        stats = src.groupBy(*keys).count().agg(*aggs).collect()
+        if stats[0]["__mx"] is not None and stats[0]["__mx"] > 1:
             raise MergeSourceNotUnique(
                 f"MERGE source has duplicate keys on {keys}; run latest-per-key "
                 "dedup (cdc_apply.collapse_latest_per_key) first"
             )
+    if range_key and stats[0]["__lo"] is not None:
+        key_preds = [
+            Predicate(range_key, ">=", stats[0]["__lo"]),
+            Predicate(range_key, "<=", stats[0]["__hi"]),
+        ]
 
     is_delete = (
         F.col(op_col) == F.lit(delete_value) if op_col else F.lit(False)
     )
 
-    # ---- 1. find touched files (manifest-stats prune + semi join) --------
-    src_keys = src.select(*keys).distinct()
-    key_preds = _key_range_predicates(src, keys)
-    tgt = table.read(spark, predicates=key_preds, with_file_path=True)
-    probe = F.broadcast(src_keys) if broadcast_source else src_keys
-    touched = [
-        r["_file"]
-        for r in tgt.join(probe, on=keys, how="left_semi")
-        .select("_file")
-        .distinct()
-        .collect()
-    ]
-    touched_rel = sorted({table._relpath(p) for p in touched if p})
+    # ---- 2. find touched files (manifest-stats prune + semi join) --------
+    # zero candidate files after pruning (empty table, or the source key
+    # range misses every file) -> skip the probe job entirely
+    if not table.file_paths(predicates=key_preds):
+        touched_rel: list[str] = []
+    else:
+        src_keys = src.select(*keys).distinct()
+        tgt = table.read(spark, predicates=key_preds, with_file_path=True)
+        probe = F.broadcast(src_keys) if broadcast_source else src_keys
+        touched = [
+            r["_file"]
+            for r in tgt.join(probe, on=keys, how="left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        touched_rel = sorted({table._relpath(p) for p in touched if p})
 
-    # ---- 2. fast path: nothing matched -> append the non-delete rows -----
+    # ---- 3. fast path: nothing matched -> append the non-delete rows -----
     if not touched_rel:
         inserts = src.filter(~is_delete).select(*data_cols)
         added = table._write_files(inserts)
@@ -114,7 +141,7 @@ def merge_into(
             extra_summary={"matched_files": 0, **(extra_summary or {})},
         )
 
-    # ---- 3. rewrite touched files via full-outer join --------------------
+    # ---- 4. rewrite touched files via full-outer join --------------------
     import os
 
     touched_abs = [os.path.join(table.root, p) for p in touched_rel]
@@ -153,20 +180,14 @@ def merge_into(
     )
 
 
-def _key_range_predicates(src: DataFrame, keys: list[str]) -> list[Predicate]:
-    """min/max of single integer-ish key -> manifest range predicate.
-
-    One tiny aggregate on the (small) source buys file skipping on the
-    (huge) target; only computed for a single numeric key where a range
-    is meaningful.
-    """
+def _rangeable_key(src: DataFrame, keys: list[str]) -> str | None:
+    """The single orderable key whose min/max buys manifest file skipping
+    on the target (None when keys are composite or unordered). The
+    min/max itself rides along in merge_into's fused source aggregate."""
     if len(keys) != 1:
-        return []
+        return None
     k = keys[0]
     dt = dict(src.dtypes).get(k)
     if dt not in ("int", "bigint", "smallint", "tinyint", "date", "timestamp", "string"):
-        return []
-    row = src.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
-    if row["lo"] is None:
-        return []
-    return [Predicate(k, ">=", row["lo"]), Predicate(k, "<=", row["hi"])]
+        return None
+    return k
