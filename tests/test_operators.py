@@ -157,3 +157,43 @@ def test_multimodal_plumbing_roundtrip(spark, tmp_path):
     assert decoded[0]["width"] == len("hello world") % 64 + 1
     frames = frame_sample(decode_features(back)).collect()
     assert all(r["frame_idx"] == 0 for r in frames)
+
+
+def test_connected_components_semantics(spark):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 0-1-2-...-9 (diameter 9: exercises pointer jumping),
+    # star 100-{101,102,103}, isolated pair 200-201
+    pairs = (
+        [(i, i + 1) for i in range(9)]
+        + [(100, 101), (100, 102), (100, 103)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(df).collect()
+    }
+    want = (
+        {(i, 0) for i in range(10)}
+        | {(i, 100) for i in (100, 101, 102, 103)}
+        | {(200, 200), (201, 200)}
+    )
+    assert got == want
+
+
+def test_connected_components_empty_and_converged(spark):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert connected_components(empty).count() == 0
+    # already-minimal labels converge in one round
+    one = spark.createDataFrame([(5, 6)], ["doc_a", "doc_b"])
+    rows = dict(
+        (r["id"], r["cluster_id"]) for r in connected_components(one).collect()
+    )
+    assert rows == {5: 5, 6: 5}

@@ -226,6 +226,72 @@ def jaccard_verify(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into connected components: every node gets
+    ``cluster_id`` = the minimum node id reachable through the pair graph
+    (the canonical final step of dedup — keep one representative per
+    cluster, mirroring the reference pipeline's keep-one-row-per-key
+    apply, firehose_to_iceberg.py:114 ``unique_keys``).
+
+    Algorithm: iterative min-label propagation with path shortcutting
+    (Hash-to-Min shape). Each round does (1) propagate the label across
+    edges, (2) replace every label by its OWN current label — the
+    pointer-jumping step that turns O(diameter) convergence into
+    O(log diameter). Per-round cost on a cluster: one shuffle of the
+    edge relation by node id plus one label self-join; lineage is cut
+    with an eager localCheckpoint per round so 100 TB graphs don't build
+    an unbounded plan. The driver-side loop iterates over *rounds*
+    (metadata scale, bounded by log of the largest cluster diameter),
+    never over rows. Convergence is detected with a 1-row changed-count
+    probe per round.
+    """
+    sym = (
+        pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+        .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # (1) each node offers its label to every neighbor
+        msgs = sym.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # (2) shortcut: follow the label's own label (pointer jumping)
+        hop = new.select(F.col("id").alias("__lid"), F.col("lbl").alias("__lbl2"))
+        new = (
+            new.join(hop, new["lbl"] == hop["__lid"], "left")
+            .select("id", F.coalesce("__lbl2", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens. Bit j = sign of the sum of
     per-token parities of hex digit j of md5(token). Hex-digit parity is

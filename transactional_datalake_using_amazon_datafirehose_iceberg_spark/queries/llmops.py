@@ -161,6 +161,120 @@ ORDER BY doc_a, doc_b
 ))
 
 
+def _components_build(spark, sf):
+    from pyspark.sql import Window
+
+    pairs = D.jaccard_verify(
+        D.char_shingles(spark.table("documents"), "text", "doc_id"),
+        D.lsh_candidate_pairs(
+            D.minhash_signature_mapside(spark.table("documents"), "text", "doc_id"),
+            "doc_id",
+        ),
+        "doc_id",
+        threshold=0.6,
+    ).select("doc_a", "doc_b")
+    comp = D.connected_components(pairs)
+    return (
+        comp.withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("bigint"),
+        )
+        .select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_members",
+            (F.col("id") == F.col("cluster_id")).cast("int").alias("is_representative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_add(QuerySpec(
+    name="dedup_cluster_components",
+    doc="Near-dup clustering: connected components over the jaccard-"
+        "verified pair graph (iterative min-label propagation with "
+        "pointer jumping — O(log diameter) rounds, one keyed shuffle per "
+        "round). cluster_id = min reachable doc_id; representative = the "
+        "kept row. Oracle = recursive-CTE reachability.",
+    tags=("llm", "dedup"),
+    build=_components_build,
+    oracle=lambda: f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()}, {_SIG_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 1.0 * i.i / (sa.n + sb.n - i.i) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       CAST(CASE WHEN id = cluster_id THEN 1 ELSE 0 END AS INTEGER) AS is_representative
+FROM comp
+ORDER BY doc_id
+""",
+))
+
+
+_add(QuerySpec(
+    name="split_train_holdout",
+    doc="Deterministic train/val/holdout split by md5 hash bucket of the "
+        "doc id (the standard leakage-free dataset split: stable under "
+        "re-runs, insert-order-independent, cross-engine identical). "
+        "Summarized per (lang, split).",
+    tags=("llm", "text"),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .withColumn("__b", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2))
+        .withColumn(
+            "split",
+            F.when(F.col("__b") < "1a", "holdout")
+            .when(F.col("__b") < "4d", "val")
+            .otherwise("train"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("lang", "split")
+    ),
+    oracle="""
+WITH s AS (
+  SELECT lang, text, doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'holdout'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '4d' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+FROM s GROUP BY lang, split ORDER BY lang, split
+""",
+))
+
+
 def _simhash_oracle() -> str:
     odd = "('1','3','5','7','9','b','d','f')"
     sums = ",\n    ".join(
