@@ -11,6 +11,7 @@ the shape survives 100 TB: pushdown, partial aggs, broadcastable dims).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .base import QuerySpec
@@ -1580,6 +1581,157 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 ORDER BY l_orderkey, l_linenumber
 LIMIT 300
+""",
+))
+
+
+_add(QuerySpec(
+    name="agg_stats_moments",
+    doc="Higher statistical moments: population skewness and excess "
+        "kurtosis per group (Spark built-ins; oracle recomputes from raw "
+        "central moments, so the definitions are pinned, not assumed).",
+    tags=("agg",),
+    build=lambda spark, sf: (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness("l_quantity"), 4).cast("double").alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 4).cast("double").alias("kurt_qty"),
+            F.round(F.skewness("l_extendedprice"), 4).cast("double").alias("skew_price"),
+            F.round(F.kurtosis("l_extendedprice"), 4).cast("double").alias("kurt_price"),
+        )
+        .orderBy("l_returnflag")
+    ),
+    oracle="""
+WITH mu AS (
+  SELECT l_returnflag,
+         AVG(l_quantity) AS mq, AVG(l_extendedprice) AS mp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(ROUND(AVG(POW(l_quantity - mq, 3))
+            / POW(AVG(POW(l_quantity - mq, 2)), 1.5), 4) AS DOUBLE) AS skew_qty,
+       CAST(ROUND(AVG(POW(l_quantity - mq, 4))
+            / POW(AVG(POW(l_quantity - mq, 2)), 2) - 3, 4) AS DOUBLE) AS kurt_qty,
+       CAST(ROUND(AVG(POW(l_extendedprice - mp, 3))
+            / POW(AVG(POW(l_extendedprice - mp, 2)), 1.5), 4) AS DOUBLE) AS skew_price,
+       CAST(ROUND(AVG(POW(l_extendedprice - mp, 4))
+            / POW(AVG(POW(l_extendedprice - mp, 2)), 2) - 3, 4) AS DOUBLE) AS kurt_price
+FROM lineitem l JOIN mu USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+))
+
+_add(QuerySpec(
+    name="agg_regression",
+    doc="Linear-regression aggregates (regr_slope/intercept/r2/count of "
+        "price on quantity per group) — both engines implement the "
+        "standard least-squares definitions.",
+    tags=("agg",),
+    build=lambda spark, sf: (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+            .cast("double").alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4)
+            .cast("double").alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6)
+            .cast("double").alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity")
+            .cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("l_returnflag")
+    ),
+    oracle="""
+SELECT l_returnflag,
+       CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE) AS slope,
+       CAST(ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS DOUBLE) AS intercept,
+       CAST(ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS DOUBLE) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+))
+
+_add(QuerySpec(
+    name="window_fill_forward",
+    doc="Forward-fill (gap-fill) via last_value IGNORE NULLS over a "
+        "running frame — the standard time-series repair for sparse "
+        "sensor/metric columns. Nulls planted deterministically "
+        "(event_id % 7 = 0).",
+    tags=("window",),
+    build=lambda spark, sf: (
+        spark.table("events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("event_id") % 7 != 0, F.round("value", 2)).alias("v"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.last("v", ignorenulls=True)
+            .over(
+                W.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .cast("double")
+            .alias("v_filled"),
+        )
+        .orderBy("event_id")
+    ),
+    oracle="""
+SELECT event_id, user_id,
+       CAST(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_filled
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 <> 0 THEN ROUND(value, 2) END AS v
+  FROM events WHERE user_id < 20
+) t
+ORDER BY event_id
+""",
+))
+
+_add(QuerySpec(
+    name="scalar_fuzzy_levenshtein",
+    doc="Fuzzy string matching: Levenshtein edit distance and a length-"
+        "normalized similarity — the cheap pre-filter of entity "
+        "resolution / near-dup pipelines.",
+    tags=("scalar", "text"),
+    build=lambda spark, sf: (
+        spark.table("part")
+        .select(
+            "p_partkey",
+            F.levenshtein("p_brand", "p_type").cast("int").alias("lev_bt"),
+            F.levenshtein(F.lower("p_name"), F.lower("p_type"))
+            .cast("int").alias("lev_nt"),
+            F.round(
+                1
+                - F.levenshtein(F.lower("p_name"), F.lower("p_type"))
+                / F.greatest(F.length("p_name"), F.length("p_type")),
+                4,
+            ).cast("double").alias("sim_nt"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    ),
+    oracle="""
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev_bt,
+       CAST(levenshtein(lower(p_name), lower(p_type)) AS INTEGER) AS lev_nt,
+       CAST(ROUND(1 - levenshtein(lower(p_name), lower(p_type)) * 1.0
+            / GREATEST(LENGTH(p_name), LENGTH(p_type)), 4) AS DOUBLE) AS sim_nt
+FROM part
+ORDER BY p_partkey
+LIMIT 200
 """,
 ))
 
