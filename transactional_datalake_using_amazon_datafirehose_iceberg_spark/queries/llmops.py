@@ -275,6 +275,124 @@ FROM s GROUP BY lang, split ORDER BY lang, split
 ))
 
 
+def _curate_build(spark, sf):
+    docs = spark.table("documents")
+    # 1. exact dedup (keep min doc_id per identical text)
+    uniq = D.exact_dedup(docs, ["text"], "doc_id")
+    # 2. near-dup collapse: LSH -> jaccard verify -> connected components;
+    #    only each cluster's representative (min id) survives
+    pairs = D.jaccard_verify(
+        D.char_shingles(uniq, "text", "doc_id"),
+        D.lsh_candidate_pairs(
+            D.minhash_signature_mapside(uniq, "text", "doc_id"), "doc_id"
+        ),
+        "doc_id",
+        threshold=0.6,
+    ).select("doc_a", "doc_b")
+    dupes = (
+        D.connected_components(pairs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = uniq.join(F.broadcast(dupes), "doc_id", "left_anti")
+    # 3. quality gate (same thresholds as text_stats_quality)
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    kept = kept.filter((F.length("text") >= 50) & (n_tokens >= 10))
+    # 4. deterministic split, summarized per (lang, split)
+    return (
+        kept.withColumn(
+            "__b", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("__b") < "1a", "holdout")
+            .when(F.col("__b") < "4d", "val")
+            .otherwise("train"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _curate_oracle() -> str:
+    # the shingle/signature CTEs run over the exact-deduped set
+    over_uniq = (
+        _SHINGLES_CTE.strip().replace("FROM documents", "FROM uniq")
+        + ", "
+        + _SIG_SHINGLES_CTE.strip().replace("FROM documents", "FROM uniq")
+        + ", "
+        + _SIG_CTE.strip()
+    )
+    return f"""
+WITH RECURSIVE uniq AS (
+  SELECT d.* FROM (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text) k
+  JOIN documents d ON d.doc_id = k.keep_id
+), {over_uniq},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 1.0 * i.i / (sa.n + sb.n - i.i) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+dupes AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(lbl)),
+kept AS (
+  SELECT * FROM uniq
+  WHERE doc_id NOT IN (SELECT id FROM dupes)
+    AND LENGTH(text) >= 50
+    AND LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 10
+),
+labeled AS (
+  SELECT lang, text, doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'holdout'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '4d' THEN 'val'
+              ELSE 'train' END AS split
+  FROM kept
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM labeled GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+_add(QuerySpec(
+    name="pipeline_curate_corpus",
+    doc="End-to-end corpus curation — the flagship training-data flow: "
+        "exact dedup -> MinHash-LSH near-dup clustering (connected "
+        "components, keep representatives) -> quality gate -> "
+        "deterministic hash split. Every stage is the already-verified "
+        "operator; the oracle composes the same math in one SQL program.",
+    tags=("llm", "dedup", "text", "headline"),
+    build=_curate_build,
+    oracle=_curate_oracle,
+))
+
+
 def _simhash_oracle() -> str:
     odd = "('1','3','5','7','9','b','d','f')"
     sums = ",\n    ".join(
