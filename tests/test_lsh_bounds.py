@@ -80,3 +80,20 @@ def test_embedding_hot_bucket_star_collapse(spark):
         assert all(r["id_a"] == 0 and r["sim"] == 1.0 for r in out)
     finally:
         spark.catalog.dropTempView("embeddings")
+
+
+def test_connected_components_rounds_logarithmic(spark):
+    """A 100-node chain has diameter 99: plain min-label propagation
+    needs 99 rounds, pointer jumping needs ~log2(99). max_iter=10 passes
+    only because the shortcut step is doing its job — this pins the
+    O(log diameter) round bound the 100 TB design depends on."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], ["doc_a", "doc_b"]
+    )
+    labels = connected_components(chain, max_iter=10).collect()
+    assert len(labels) == 100
+    assert all(r["cluster_id"] == 0 for r in labels)
