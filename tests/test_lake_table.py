@@ -186,3 +186,86 @@ def test_overwrite_and_idempotent_replay(spark, table):
     merge_into(table, src, on=["id"], op_col="operation")  # replay same batch
     state2 = sorted(map(tuple, table.read(spark).collect()))
     assert state1 == state2
+
+
+# ---------------------------------------------------------------------------
+# changelog (incremental CDC-out read)
+# ---------------------------------------------------------------------------
+
+
+def _changes(df):
+    return sorted(
+        (r["_change_version"], r["_change_type"], r["id"], r["val"])
+        for r in df.collect()
+    )
+
+
+def test_changelog_append_is_inserts(spark, table):
+    v1 = table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    v2 = table.append(_mk(spark, [(3, "a", 3.0)]))
+    got = _changes(table.changelog(spark, 0, v2))
+    assert got == [
+        (v1, "INSERT", 1, 1.0),
+        (v1, "INSERT", 2, 2.0),
+        (v2, "INSERT", 3, 3.0),
+    ]
+
+
+def test_changelog_merge_classifies_update_insert_delete(spark, table):
+    v1 = table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    src = spark.createDataFrame(
+        [(2, "b", 20.0, "update"), (3, "c", 3.0, "delete"), (4, "d", 4.0, "insert")],
+        schema="id int, cat string, val double, op string",
+    )
+    v2 = merge_into(table, src, on=["id"], op_col="op")
+    got = _changes(table.changelog(spark, v1, v2))
+    assert got == [
+        (v2, "DELETE", 3, 3.0),
+        (v2, "INSERT", 4, 4.0),
+        (v2, "UPDATE_AFTER", 2, 20.0),
+        (v2, "UPDATE_BEFORE", 2, 2.0),
+    ]
+
+
+def test_changelog_skips_compaction_and_survives_mor_delete(spark, tmp_path):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        compact,
+    )
+
+    t = LakeTable.create(
+        str(tmp_path / "mor"), SCHEMA, keys=["id"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    v1 = t.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.append(_mk(spark, [(3, "c", 3.0)]))
+    v3 = t.delete_where(spark, "id = 2")  # position-delete file, no rewrite
+    v4 = compact(spark, t)
+    got = _changes(t.changelog(spark, v1, v4))
+    assert got == [
+        (v1 + 1, "INSERT", 3, 3.0),
+        (v3, "DELETE", 2, 2.0),
+    ]  # the compaction transition contributes nothing
+
+
+def test_changelog_replays_to_current_state(spark, table):
+    table.append(_mk(spark, [(i, "a", float(i)) for i in range(1, 6)]))
+    src = spark.createDataFrame(
+        [(1, "a", 10.0, "update"), (5, "a", 5.0, "delete"), (9, "z", 9.0, "insert")],
+        schema="id int, cat string, val double, op string",
+    )
+    merge_into(table, src, on=["id"], op_col="op")
+    table.delete_where(spark, "id = 3")
+    head = table.current_version()
+    log = table.changelog(spark, 0, head)
+    # apply the log to an empty dict model: last change per key wins
+    rows = sorted(
+        log.collect(), key=lambda r: (r["_change_version"], r["_change_type"])
+    )
+    state = {}
+    for r in rows:
+        if r["_change_type"] in ("INSERT", "UPDATE_AFTER"):
+            state[r["id"]] = r["val"]
+        elif r["_change_type"] == "DELETE":
+            state.pop(r["id"], None)
+    want = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    assert state == want

@@ -220,6 +220,53 @@ ORDER BY version
 ))
 
 
+def _changelog_build(spark, sf):
+    workdir = tempfile.mkdtemp(prefix="cl_")
+    p1, p2 = write_golden_corpus(os.path.join(workdir, "in"))
+    t = LakeTable.create(
+        os.path.join(workdir, "retail"), RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    for p in (p1, p2):
+        good, _ = transform(read_cdc_batch(spark, p), "db", "tbl")
+        apply_batch(t, typed_rows(good))
+    log = t.changelog(spark, 1, t.current_version())
+    return (
+        log.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("trans_id").cast("bigint").alias("min_key"),
+            F.max("trans_id").cast("bigint").alias("max_key"),
+            F.sum("amount").cast("bigint").alias("sum_amount"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_add(QuerySpec(
+    name="changelog_incremental_read",
+    doc="Incremental CDC-out read (Iceberg create_changelog_view "
+        "parity): the row-level change stream between the two golden "
+        "CDC commits, classified INSERT / DELETE / UPDATE_BEFORE / "
+        "UPDATE_AFTER from the manifest diff — only changed files are "
+        "read, cost tracks touched bytes not table size.",
+    tags=("cdc", "changelog"),
+    build=_changelog_build,
+    oracle="""
+SELECT change_type, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(min_key AS BIGINT) AS min_key, CAST(max_key AS BIGINT) AS max_key,
+       CAST(sum_amount AS BIGINT) AS sum_amount
+FROM (VALUES
+  ('DELETE', 3, 6, 33, 10),
+  ('INSERT', 5, 37, 47, 172),
+  ('UPDATE_AFTER', 5, 19, 35, 293),
+  ('UPDATE_BEFORE', 5, 19, 35, 104)
+) t(change_type, n_rows, min_key, max_key, sum_amount)
+ORDER BY change_type
+""",
+))
+
+
 # ---------------------------------------------------------------------------
 # Skew-salted join — must equal the plain join bit-for-bit
 # ---------------------------------------------------------------------------
