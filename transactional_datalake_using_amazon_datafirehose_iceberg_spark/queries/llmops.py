@@ -4,6 +4,7 @@ DuckDB oracle that re-expresses the same math independently."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -851,6 +852,95 @@ FROM codes
 ORDER BY doc_id
 """,
 ))
+
+_add(QuerySpec(
+    name="text_redact_scrub",
+    doc="Scrubbing pass: redact digit runs and collapse whitespace (the "
+        "PII/noise-removal shape of a training-data pipeline), with "
+        "per-doc counts of redactions — one map stage, portable regexes.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("text", "[0-9]+", "<NUM>"), "\\s+", " "
+            ).alias("scrubbed"),
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+            .cast("bigint").alias("n_digit_runs"),
+            (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+            .cast("bigint").alias("n_digits"),
+        )
+        .orderBy("doc_id")
+    ),
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '\s+', ' ', 'g')
+         AS scrubbed,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+         AS n_digits
+FROM documents
+ORDER BY doc_id
+""",
+))
+
+_add(QuerySpec(
+    name="text_top_ngrams_per_lang",
+    doc="Corpus vocabulary profile: top-5 word bigrams per language "
+        "(explode -> hash-agg -> windowed top-k; at 100 TB the explode "
+        "is map-side and the only shuffle is the count agg on bigram "
+        "keys, with map-side partial aggregation).",
+    tags=("llm", "text"),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .select("lang", F.split(F.lower("text"), " ").alias("w"))
+        # guard: Spark sequence(1, 0) is DESCENDING [1,0], not empty —
+        # a 1-token doc would emit null bigrams without this filter
+        .filter(F.size("w") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(w[i-1], ' ', w[i]))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("lang", "bigram", "n", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("lang", "rk")
+    ),
+    oracle="""
+WITH words AS (
+  SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+bigrams AS (
+  SELECT lang, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS bigram
+  FROM (SELECT lang, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM words WHERE len(w) >= 2) t
+),
+counted AS (
+  SELECT lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY lang, bigram
+),
+ranked AS (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+  FROM counted
+)
+SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5 ORDER BY lang, rk
+""",
+))
+
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas decode — deterministic fake codec)
