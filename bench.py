@@ -215,6 +215,27 @@ def main() -> None:
         except Exception as exc:  # one broken query must not lose the run
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
+    # round-3 additions, reported OUTSIDE the headline total so the
+    # 15-query total stays comparable across rounds
+    extras: dict[str, float] = {}
+    for name in (
+        "dedup_cluster_components",
+        "pipeline_curate_corpus",
+        "changelog_incremental_read",
+        "text_top_ngrams_per_lang",
+    ):
+        spec = QUERY_SPECS.get(name)
+        if spec is None:
+            continue
+        try:
+            spec.run_spark(spark, sf_dir).count()
+            t0 = time.perf_counter()
+            n = spec.run_spark(spark, sf_dir).count()
+            extras[name] = round(time.perf_counter() - t0, 3)
+            print(f"# extra {name}: {extras[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:
+            print(f"# extra {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+
     try:
         cow_mor = bench_cow_vs_mor_deletes(spark)
         print(f"# cow_vs_mor_deletes: {cow_mor}", file=sys.stderr)
@@ -239,6 +260,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "llm_pipeline_extras": extras,
                 "streaming_ingest": streaming,
                 "cow_vs_mor_deletes": cow_mor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
