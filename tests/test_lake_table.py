@@ -158,6 +158,28 @@ def test_schema_evolution_add_column(spark, table):
     assert got == {1: (9.0, "patched"), 2: (2.0, "hello")}
 
 
+def test_schema_evolution_drop_column(spark, table):
+    """Drop-column is metadata-only (no rewrite): reads project to the
+    manifest schema so the bytes are pruned at the scanner; key/cluster
+    columns are protected; time travel still sees the old schema."""
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    v_before = table.current_version()
+    table.drop_column("val")
+    df = table.read(spark)
+    assert df.columns == ["id", "cat"]
+    assert df.count() == 2
+    # old snapshot still reads the dropped column (snapshot schema)
+    old = table.read(spark, version=v_before)
+    assert "val" in old.columns
+    # new writes use the narrowed schema
+    table.append(spark.createDataFrame([(3, "c")], "id int, cat string"))
+    assert table.read(spark).count() == 3
+    with pytest.raises(ValueError):
+        table.drop_column("id")  # key column protected
+    with pytest.raises(ValueError):
+        table.drop_column("nope")
+
+
 def test_commit_conflict_detected(spark, table):
     """Optimistic concurrency: a lost commit race raises CommitConflict
     instead of corrupting the snapshot chain."""

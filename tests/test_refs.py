@@ -1,0 +1,153 @@
+"""Named refs (tags/branches), rollback, and write-audit-publish —
+Iceberg SnapshotRef parity over the LakeTable snapshot DAG (reference
+contract: Iceberg table_type, README.md:292-309)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import LakeTable
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+    CommitConflict,
+    SnapshotNotFound,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+    expire_snapshots,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, path, rows=((1, "a"), (2, "b"))):
+    t = LakeTable.create(str(path), SCHEMA, keys=["id"])
+    t.append(spark.createDataFrame(list(rows), SCHEMA))
+    return t
+
+
+# ---------------------------------------------------------------- rollback
+def test_rollback_restores_old_state_and_forks_lineage(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))  # v2
+    assert t.row_count() == 3
+
+    assert t.rollback_to(1) == 1
+    assert t.current_version() == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # rolled-back snapshot stays time-travel readable until expiry
+    assert t.read(spark, version=2).count() == 3
+
+    # next commit parents off v1 and mints a FRESH number (v3, not v2)
+    t.append(spark.createDataFrame([(9, "z")], SCHEMA))
+    assert t.current_version() == 3
+    assert t.manifest()["parent"] == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 9]
+
+
+def test_rollback_to_non_ancestor_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))  # v2
+    t.rollback_to(1)
+    # v2 exists but is no longer on the current lineage
+    with pytest.raises(SnapshotNotFound):
+        t.rollback_to(2)
+    with pytest.raises(SnapshotNotFound):
+        t.rollback_to(99)
+
+
+def test_changelog_walks_parent_chain_not_version_range(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))  # v2
+    t.rollback_to(1)
+    t.append(spark.createDataFrame([(4, "d")], SCHEMA))  # v3, parent=1
+    log = t.changelog(spark, 0).collect()
+    # v2's orphaned insert (id=3) must NOT appear: lineage is 0->1->3
+    assert sorted(r.id for r in log) == [1, 2, 4]
+    assert all(r._change_type == "INSERT" for r in log)
+    with pytest.raises(SnapshotNotFound):
+        t.changelog(spark, 2)  # v2 is not an ancestor of current
+
+
+# ---------------------------------------------------------------- tags
+def test_tag_pins_version_and_is_immutable(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.create_tag("audited")  # at current=v1
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))  # v2
+
+    assert t.resolve_ref("audited") == 1
+    assert t.read(spark, ref="audited").count() == 2
+    assert t.read(spark).count() == 3
+    with pytest.raises(CommitConflict):
+        t.create_tag("audited", 2)
+    with pytest.raises(ValueError):
+        t.branch("audited")  # tags are not writable
+    t.drop_ref("audited")
+    with pytest.raises(SnapshotNotFound):
+        t.resolve_ref("audited")
+
+
+# ---------------------------------------------------------------- WAP
+def test_branch_stages_writes_fast_forward_publishes(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.append(spark.createDataFrame([(3, "c"), (4, "d")], SCHEMA))  # v2 on branch
+
+    # staged rows invisible on main: readers see v1 until publish
+    assert t.current_version() == 1
+    assert t.read(spark).count() == 2
+    assert b.read(spark).count() == 4
+    assert t.read(spark, ref="audit").count() == 4
+
+    published = t.fast_forward("audit")
+    assert published == t.current_version() == 2
+    assert t.read(spark).count() == 4
+
+
+def test_fast_forward_refuses_diverged_branch(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.append(spark.createDataFrame([(3, "c")], SCHEMA))  # branch head v2
+    t.append(spark.createDataFrame([(5, "e")], SCHEMA))  # main moves to v3
+    with pytest.raises(CommitConflict):
+        t.fast_forward("audit")
+    # branch itself is intact and still readable
+    assert t.read(spark, ref="audit").count() == 3
+
+
+def test_branch_dml_does_not_touch_main(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.create_branch("fix")
+    b = t.branch("fix")
+    b.delete_where(spark, "id = 1")
+    b.update_where(spark, "id = 2", {"v": "'patched'"})
+    assert t.read(spark).count() == 2  # main untouched
+    rows = {(r.id, r.v) for r in b.read(spark).collect()}
+    assert rows == {(2, "patched")}
+    t.fast_forward("fix")
+    assert {(r.id, r.v) for r in t.read(spark).collect()} == {(2, "patched")}
+
+
+# ---------------------------------------------------------------- expiry
+def test_expiry_protects_tags_branches_and_rolled_back_current(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.create_tag("keepme")  # pins v1
+    t.create_branch("wip")  # at v1
+    b = t.branch("wip")
+    b.append(spark.createDataFrame([(7, "g")], SCHEMA))  # v2 branch head
+    for i in range(3, 7):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))  # v3..v6 on main
+    t.rollback_to(1)  # current now OLDER than newest snapshots
+
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["removed_snapshots"] > 0
+    # pinned survivors: tag v1 (== current after rollback), branch head v2
+    assert t.read(spark, ref="keepme").count() == 2
+    assert t.read(spark, ref="wip").count() == 3
+    assert t.read(spark).count() == 2

@@ -52,6 +52,7 @@ from pyspark.sql import types as T
 _SNAPSHOT_DIR = "_snapshots"
 _CURRENT = "_current"
 _DATA_DIR = "data"
+_REFS_DIR = "refs"
 
 # columns whose min/max we keep in the manifest (scalar types only)
 _STATS_TYPES = (
@@ -145,8 +146,12 @@ class LakeTable:
     # (streaming exactly-once watermark must survive compaction/DML)
     _CARRY_SUMMARY_KEYS = ("stream_batch_id",)
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, pointer: str = _CURRENT):
         self.root = os.path.abspath(root)
+        # relative path of the pointer file this handle reads/advances:
+        # _CURRENT for the main table, refs/<name>.json for a branch
+        # handle (see branch()) — all snapshot/data plumbing is shared
+        self._pointer = pointer
 
     # ------------------------------------------------------------------
     # creation / loading
@@ -202,8 +207,10 @@ class LakeTable:
     # snapshot plumbing
     # ------------------------------------------------------------------
     def current_version(self) -> int:
-        with open(os.path.join(self.root, _CURRENT)) as f:
-            return int(f.read().strip())
+        with open(os.path.join(self.root, self._pointer)) as f:
+            content = f.read().strip()
+        # main pointer holds a bare version; ref pointers hold JSON
+        return int(json.loads(content)["version"]) if content.startswith("{") else int(content)
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -252,10 +259,23 @@ class LakeTable:
             raise CommitConflict(f"snapshot v{manifest['version']} already exists") from e
 
     def _swap_pointer(self, version: int) -> None:
-        tmp = os.path.join(self.root, f"{_CURRENT}.tmp.{uuid.uuid4().hex[:8]}")
+        target = os.path.join(self.root, self._pointer)
+        tmp = f"{target}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(self.root, _CURRENT))  # atomic
+            if self._pointer == _CURRENT:
+                f.write(str(version))
+            else:
+                json.dump({"type": "branch", "version": version}, f)
+        os.replace(tmp, target)  # atomic
+
+    def _next_version(self) -> int:
+        """Next free snapshot number — global max + 1, NOT head + 1:
+        with branches and rollback the snapshot graph is a DAG (lineage
+        lives in each manifest's ``parent``), so two heads must never
+        mint the same number. Exclusive-create in _write_manifest still
+        backstops a lost race."""
+        d = os.path.join(self.root, _SNAPSHOT_DIR)
+        return 1 + max(int(n[1:13]) for n in os.listdir(d) if n.startswith("v"))
 
     # ------------------------------------------------------------------
     # write path
@@ -378,7 +398,7 @@ class LakeTable:
         removed = set(removed_paths)
         kept = [f for f in cur["files"] if f["path"] not in removed]
         files = kept + added
-        version = cur["version"] + 1
+        version = self._next_version()
 
         removed_del = set(removed_delete_paths)
         kept_deletes = [
@@ -545,13 +565,19 @@ class LakeTable:
         version: int | None = None,
         predicates: list[Predicate] | None = None,
         with_file_path: bool = False,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Snapshot read (``version`` = time travel, Iceberg VERSION AS OF).
+        """Snapshot read (``version`` = time travel, Iceberg VERSION AS OF;
+        ``ref`` = a named tag/branch, Iceberg branch/tag read).
 
         ``predicates`` prune files via manifest stats before Spark ever
         lists them; the caller still applies the real filter. Pending
         position deletes (merge-on-read) are applied transparently.
         """
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass either version or ref, not both")
+            version = self.resolve_ref(ref)
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         paths = self.file_paths(version, predicates)
@@ -621,9 +647,23 @@ class LakeTable:
         to_version = self.current_version() if to_version is None else to_version
         schema = self.schema
         cols = [f.name for f in schema.fields]
+        # walk the parent chain (the snapshot graph is a DAG once
+        # branches/rollback exist — consecutive integers are NOT lineage)
+        chain: list[dict] = []
+        v_walk: int | None = to_version
+        while v_walk != from_version:
+            if v_walk is None:
+                raise SnapshotNotFound(
+                    f"v{from_version} is not an ancestor of v{to_version}"
+                )
+            m_walk = self.manifest(v_walk)
+            chain.append(m_walk)
+            v_walk = m_walk["parent"]
+        chain.reverse()
         parts: list[DataFrame] = []
-        for v in range(from_version + 1, to_version + 1):
-            prev, cur = self.manifest(v - 1), self.manifest(v)
+        for cur in chain:
+            v = cur["version"]
+            prev = self.manifest(cur["parent"])
             if cur["summary"].get("operation") in ("compact", "rewrite-deletes"):
                 continue
             prev_files = {f["path"] for f in prev["files"]}
@@ -647,7 +687,7 @@ class LakeTable:
                 ).select(*cols)
 
             after = _visible(after_paths, v)
-            before = _visible(before_paths, v - 1)
+            before = _visible(before_paths, prev["version"])
             ins = after.exceptAll(before)
             dels = before.exceptAll(after)
             if self.keys:
@@ -890,20 +930,155 @@ class LakeTable:
         if name in [f.name for f in schema.fields]:
             raise ValueError(f"column {name} already exists")
         new_schema = T.StructType(list(schema.fields) + [T.StructField(name, dtype, True)])
-        version = cur["version"] + 1
+        return self._metadata_commit(cur, new_schema, {"operation": "add-column", "column": name})
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only commit (Iceberg
+        semantics: no rewrite). Data files keep the column bytes on disk,
+        but every read projects to the manifest schema, so the parquet
+        scanner prunes the dropped column at the reader; the bytes are
+        physically dropped whenever a copy-on-write rewrite or compaction
+        next touches the file."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no such column: {name}")
+        if name in cur.get("keys", []) or name in cur.get("cluster_by", []):
+            raise ValueError(f"cannot drop key/cluster column: {name}")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        return self._metadata_commit(cur, new_schema, {"operation": "drop-column", "column": name})
+
+    def _metadata_commit(self, cur: dict, new_schema: T.StructType, summary: dict) -> int:
+        """Schema-evolution commit: same files, new schema. Carries the
+        streaming watermark and keeps total_rows delete-aware (a
+        metadata-only DDL between stream batches must not erase the
+        exactly-once guard or distort the row count)."""
+        version = self._next_version()
+        carried = {
+            k: cur["summary"][k]
+            for k in self._CARRY_SUMMARY_KEYS
+            if k in cur.get("summary", {})
+        }
         manifest = {
             **cur,
             "version": version,
             "parent": cur["version"],
             "schema": new_schema.json(),
             "summary": {
-                "operation": "add-column",
-                "total_rows": sum(f["rows"] for f in cur["files"]),
-                "column": name,
+                **summary,
+                "total_rows": sum(f["rows"] for f in cur["files"])
+                - sum(d["rows"] for d in cur.get("delete_files", [])),
+                **carried,
             },
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
         self._write_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
+    # ------------------------------------------------------------------
+    # named refs: tags (immutable) + branches (movable) — Iceberg
+    # SnapshotRef parity; branches enable write-audit-publish staging
+    # (reference contract: Iceberg table_type, README.md:292-309)
+    # ------------------------------------------------------------------
+    def _ref_file(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid ref name: {name!r}")
+        return os.path.join(self.root, _REFS_DIR, f"{name}.json")
+
+    def refs(self) -> dict[str, dict]:
+        """All named refs: ``{name: {"type": "tag"|"branch", "version": N}}``."""
+        d = os.path.join(self.root, _REFS_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, dict] = {}
+        for fname in sorted(os.listdir(d)):
+            if fname.endswith(".json"):
+                with open(os.path.join(d, fname)) as f:
+                    out[fname[:-5]] = json.load(f)
+        return out
+
+    def _create_ref(self, name: str, kind: str, version: int | None) -> int:
+        v = self.current_version() if version is None else version
+        self.manifest(v)  # must exist
+        os.makedirs(os.path.join(self.root, _REFS_DIR), exist_ok=True)
+        try:  # exclusive create: a ref is born once (tags stay immutable)
+            with open(self._ref_file(name), "x") as f:
+                json.dump({"type": kind, "version": v}, f)
+        except FileExistsError as e:
+            raise CommitConflict(f"ref {name!r} already exists") from e
+        return v
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default current) under an immutable name.
+        Tagged snapshots are protected from expiry (see expire_snapshots)."""
+        return self._create_ref(name, "tag", version)
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Create a movable branch ref at ``version`` (default current)."""
+        return self._create_ref(name, "branch", version)
+
+    def drop_ref(self, name: str) -> None:
+        p = self._ref_file(name)
+        if not os.path.exists(p):
+            raise SnapshotNotFound(f"no such ref: {name}")
+        os.remove(p)
+
+    def resolve_ref(self, name: str) -> int:
+        p = self._ref_file(name)
+        if not os.path.exists(p):
+            raise SnapshotNotFound(f"no such ref: {name}")
+        with open(p) as f:
+            return int(json.load(f)["version"])
+
+    def branch(self, name: str) -> "LakeTable":
+        """A writable handle on a branch: every append/MERGE/DML through
+        it advances ``refs/<name>.json`` while the main pointer (and
+        every concurrent reader of the table) is untouched. This is the
+        staging half of write-audit-publish; fast_forward() publishes."""
+        r = self.refs().get(name)
+        if r is None:
+            raise SnapshotNotFound(f"no such ref: {name}")
+        if r["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag (immutable); cannot write")
+        return LakeTable(self.root, pointer=os.path.join(_REFS_DIR, f"{name}.json"))
+
+    def is_ancestor(self, anc: int, desc: int) -> bool:
+        """True iff ``anc`` is on ``desc``'s parent chain (or equal).
+        Driver-side metadata walk — O(history), no data touched."""
+        v: int | None = desc
+        while v is not None:
+            if v == anc:
+                return True
+            v = self.manifest(v)["parent"]
+        return False
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: move THIS handle's pointer to the branch
+        head, iff the head is a descendant of the handle's current
+        version (Iceberg ``fast_forward``). The audited branch state
+        becomes visible to readers in one atomic pointer swap; diverged
+        branches are refused rather than silently merged."""
+        target = self.resolve_ref(name)
+        cur = self.current_version()
+        if not self.is_ancestor(cur, target):
+            raise CommitConflict(
+                f"cannot fast-forward: v{cur} is not an ancestor of {name}@v{target}"
+            )
+        self._swap_pointer(target)
+        return target
+
+    def rollback_to(self, version: int) -> int:
+        """Iceberg ``rollback_to_snapshot``: atomically move the current
+        pointer back to an ancestor snapshot. No manifest is written and
+        nothing is deleted — later snapshots stay readable by version
+        until expiry; the next commit parents off the restored snapshot
+        (the snapshot graph becomes a DAG, see _next_version)."""
+        cur = self.current_version()
+        if not self.is_ancestor(version, cur):
+            raise SnapshotNotFound(
+                f"v{version} is not an ancestor of current v{cur}"
+            )
         self._swap_pointer(version)
         return version
 

@@ -132,11 +132,19 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
 
     snap_dir = os.path.join(table.root, _SNAPSHOT_DIR)
     names = sorted(os.listdir(snap_dir))
+    # Pinned versions survive regardless of age: the current pointer
+    # (which after a rollback may be OLDER than the newest keep_last
+    # manifests) and every named ref — tags pin forever, branch heads
+    # pin until the branch moves (Iceberg ref-retention semantics).
+    pinned = {table.current_version()}
+    pinned.update(r["version"] for r in table.refs().values())
+    newest = set(names[-keep_last:]) if len(names) > keep_last else set(names)
+    keep_names = {n for n in names if n in newest or int(n[1:13]) in pinned}
+    to_drop = [n for n in names if n not in keep_names]
+    to_keep = sorted(keep_names)
     # NB: no early return when nothing is left to expire — the orphan
     # sweep must still run (a re-run after a crashed expiry has the
     # manifests already gone but the files still present)
-    to_drop = names[:-keep_last] if len(names) > keep_last else []
-    to_keep = names[-keep_last:] if len(names) > keep_last else names
     keep_refs: set[str] = set()
     for n in to_keep:
         with open(os.path.join(snap_dir, n)) as f:

@@ -267,6 +267,119 @@ ORDER BY change_type
 ))
 
 
+def _wap_build(spark, sf):
+    """Write-audit-publish over named refs (Iceberg SnapshotRef /
+    fast_forward parity; reference contract: Iceberg table_type,
+    README.md:292-309)."""
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="wap_"), "retail"),
+        RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
+    )
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (1, 'c1', 'cart', 'SKU1', 10, 'pc', TIMESTAMP '2023-01-16 06:00:00'),
+        (2, 'c2', 'visit', 'SKU2', 1, 'mobile', TIMESTAMP '2023-01-16 06:01:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))  # v1 on main
+    t.create_tag("v1-audited")          # immutable pin of v1
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.append(spark.sql("""
+      SELECT * FROM VALUES
+        (3, 'c3', 'purchase', 'SKU3', 55, 'tablet', TIMESTAMP '2023-01-16 06:02:00'),
+        (4, 'c4', 'purchase', 'SKU4', 7, 'pc', TIMESTAMP '2023-01-16 06:03:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))                               # staged, invisible on main
+    b.update_where(spark, "trans_id = 4", {"amount": "70"})  # audit fix, still staged
+    steps = [
+        ("1_main_before_publish", t.read(spark).count()),
+        ("2_branch_staged", b.read(spark).count()),
+    ]
+    t.fast_forward("audit")             # atomic publish
+    steps.append(("3_main_after_publish", t.read(spark).count()))
+    steps.append(
+        ("4_published_amount_sum",
+         t.read(spark).agg(F.sum("amount")).collect()[0][0])
+    )
+    t.rollback_to(1)                    # un-publish: pointer back to v1
+    steps.append(("5_main_after_rollback", t.read(spark).count()))
+    t.fast_forward("audit")             # branch still descends from v1
+    steps.append(("6_main_republished", t.read(spark).count()))
+    steps.append(("7_tag_still_pinned", t.read(spark, ref="v1-audited").count()))
+    return spark.createDataFrame(steps, "step string, n bigint").orderBy("step")
+
+
+_add(QuerySpec(
+    name="wap_branch_publish",
+    doc="Write-audit-publish lifecycle as data: stage CDC writes + an "
+        "audit fix on a branch (invisible to main readers), publish via "
+        "fast-forward in one atomic pointer swap, rollback, republish; "
+        "a tag stays pinned throughout (Iceberg SnapshotRef parity).",
+    tags=("cdc", "refs"),
+    build=_wap_build,
+    oracle="""
+SELECT step, CAST(n AS BIGINT) AS n
+FROM (VALUES
+  ('1_main_before_publish', 2),
+  ('2_branch_staged', 4),
+  ('3_main_after_publish', 4),
+  ('4_published_amount_sum', 136),
+  ('5_main_after_rollback', 2),
+  ('6_main_republished', 4),
+  ('7_tag_still_pinned', 2)
+) t(step, n)
+ORDER BY step
+""",
+))
+
+
+def _schema_evo_build(spark, sf):
+    """ALTER TABLE ADD/DROP COLUMN as metadata-only commits (Iceberg
+    schema evolution): old files read back with NULLs for added columns,
+    dropped columns vanish from reads without a rewrite."""
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="evo_"), "retail"),
+        RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
+    )
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (1, 'c1', 'cart', 'SKU1', 10, 'pc', TIMESTAMP '2023-01-16 06:00:00'),
+        (2, 'c2', 'visit', 'SKU2', 1, 'mobile', TIMESTAMP '2023-01-16 06:01:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))
+    from pyspark.sql import types as T
+
+    t.add_column("coupon", T.StringType())       # metadata-only
+    t.drop_column("device")                      # metadata-only, no rewrite
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (3, 'c3', 'purchase', 'SKU3', 55, TIMESTAMP '2023-01-16 06:02:00', 'SAVE10')
+      AS t(trans_id, customer_id, event, sku, amount, trans_datetime, coupon)
+    """))
+    return t.read(spark).orderBy("trans_id")
+
+
+_add(QuerySpec(
+    name="schema_evolution_add_drop",
+    doc="Runbook Q2-adjacent DDL: ADD COLUMN then DROP COLUMN as "
+        "metadata-only snapshot commits; pre-evolution rows read back "
+        "with NULL for the added column and without the dropped one "
+        "(Iceberg schema-evolution semantics, no data rewrite).",
+    tags=("cdc", "ddl"),
+    build=_schema_evo_build,
+    oracle="""
+SELECT CAST(trans_id AS INTEGER) AS trans_id, customer_id, event, sku,
+       CAST(amount AS INTEGER) AS amount, trans_datetime, coupon
+FROM (VALUES
+  (1, 'c1', 'cart', 'SKU1', 10, TIMESTAMP '2023-01-16 06:00:00', NULL),
+  (2, 'c2', 'visit', 'SKU2', 1, TIMESTAMP '2023-01-16 06:01:00', NULL),
+  (3, 'c3', 'purchase', 'SKU3', 55, TIMESTAMP '2023-01-16 06:02:00', 'SAVE10')
+) t(trans_id, customer_id, event, sku, amount, trans_datetime, coupon)
+ORDER BY trans_id
+""",
+))
+
+
 # ---------------------------------------------------------------------------
 # Skew-salted join — must equal the plain join bit-for-bit
 # ---------------------------------------------------------------------------
