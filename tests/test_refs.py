@@ -134,6 +134,34 @@ def test_branch_dml_does_not_touch_main(spark, tmp_path):
     assert {(r.id, r.v) for r in t.read(spark).collect()} == {(2, "patched")}
 
 
+# ---------------------------------------------------------------- metadata tables
+def test_metadata_tables_reflect_dag_and_deletes(spark, tmp_path):
+    """snapshots = all heads; history = current ancestry only; refs carry
+    pinned row counts; files shows position-deletes under merge-on-read."""
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))  # v2
+    t.create_tag("pin", 1)
+    t.rollback_to(1)
+    t.append(spark.createDataFrame([(4, "d")], SCHEMA))  # v3, parent=1
+
+    snaps = {r.version: r.operation for r in t.meta_snapshots(spark).collect()}
+    assert set(snaps) == {0, 1, 2, 3}  # rolled-back v2 still listed
+    hist = [r.version for r in t.meta_history(spark).collect()]
+    assert hist == [0, 1, 3]  # ancestry only, root first
+    refs = {r.name: (r.type, r.version, r.total_rows) for r in t.meta_refs(spark).collect()}
+    assert refs == {"pin": ("tag", 1, 2)}
+
+    t.delete_by_keys_mor(spark, spark.createDataFrame([(1,)], "id int"))
+    files = t.meta_files(spark).collect()
+    contents = {r.content for r in files}
+    assert contents == {"data", "position-deletes"}
+    data_rows = sum(r.rows for r in files if r.content == "data")
+    del_rows = sum(r.rows for r in files if r.content == "position-deletes")
+    assert data_rows - del_rows == t.row_count() == 2
+    # manifest stats surfaced per file
+    assert all(r.stats.get("id") for r in files if r.content == "data")
+
+
 # ---------------------------------------------------------------- expiry
 def test_expiry_protects_tags_branches_and_rolled_back_current(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")  # v1

@@ -238,6 +238,66 @@ class LakeTable:
             )
         return out
 
+    # ------------------------------------------------------------------
+    # metadata tables — Iceberg inspection parity (`db.table.snapshots`
+    # / `.files` / `.history` / `.refs`). All are manifest-scale (KBs of
+    # JSON per commit), so building them driver-side is the same cost
+    # Iceberg's own metadata tables pay; no data file is ever opened.
+    # ------------------------------------------------------------------
+    def meta_snapshots(self, spark: SparkSession) -> DataFrame:
+        """Every snapshot in the table (all heads, ordered by version)."""
+        rows = [
+            (s["version"], s["parent"], s["operation"], s["total_rows"],
+             s["n_files"], s["created"])
+            for s in self.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, operation string, total_rows bigint,"
+            " n_files int, created string",
+        )
+
+    def meta_history(self, spark: SparkSession) -> DataFrame:
+        """Ancestry of the CURRENT snapshot, root first — unlike
+        meta_snapshots this excludes rolled-back / unpublished heads
+        (Iceberg ``history`` with ``is_current_ancestor=true``)."""
+        chain: list[tuple] = []
+        v: int | None = self.current_version()
+        while v is not None:
+            m = self.manifest(v)
+            chain.append((v, m["parent"], m["summary"].get("operation"), m.get("created")))
+            v = m["parent"]
+        chain.reverse()
+        return spark.createDataFrame(
+            chain, "version int, parent int, operation string, created string"
+        )
+
+    def meta_refs(self, spark: SparkSession) -> DataFrame:
+        """Named refs (tags + branches) with their pinned row counts."""
+        rows = [
+            (name, r["type"], r["version"], self.row_count(r["version"]))
+            for name, r in self.refs().items()
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, version int, total_rows bigint"
+        )
+
+    def meta_files(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Data + position-delete files of one snapshot with their
+        manifest stats (min/max per tracked column, stringified)."""
+        m = self.manifest(version)
+        rows = []
+        for f in m["files"]:
+            mins, maxs = f.get("min", {}), f.get("max", {})
+            stats = {c: f"{mins[c]}..{maxs.get(c)}" for c in mins}
+            rows.append(("data", f["path"], f["rows"], stats))
+        for d in m.get("delete_files", []):
+            rows.append(("position-deletes", d["path"], d["rows"], {}))
+        return spark.createDataFrame(
+            rows,
+            "content string, path string, rows bigint, stats map<string,string>",
+        )
+
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.manifest()["schema"]))

@@ -380,6 +380,85 @@ ORDER BY trans_id
 ))
 
 
+def _meta_tables_build(spark, sf):
+    """Iceberg metadata-table inspection parity (``db.table.snapshots``
+    / ``.history`` / ``.refs`` / ``.files``) — all manifest-scale, no
+    data file opened."""
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="meta_"), "retail"),
+        RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
+    )
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (1, 'c1', 'cart', 'SKU1', 10, 'pc', TIMESTAMP '2023-01-16 06:00:00'),
+        (2, 'c2', 'visit', 'SKU2', 1, 'mobile', TIMESTAMP '2023-01-16 06:01:00'),
+        (3, 'c3', 'purchase', 'SKU3', 55, 'tablet', TIMESTAMP '2023-01-16 06:02:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))                                          # v1, 3 rows
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (4, 'c4', 'cart', 'SKU4', 7, 'pc', TIMESTAMP '2023-01-16 06:03:00'),
+        (5, 'c5', 'visit', 'SKU5', 2, 'mobile', TIMESTAMP '2023-01-16 06:04:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))                                          # v2, 5 rows
+    t.create_tag("audited", 2)
+    t.delete_where(spark, "trans_id = 2")          # v3, 4 rows
+    t.create_branch("wip")                         # at current = v3
+    t.rollback_to(2)                               # v3 off the main lineage
+    snaps = t.meta_snapshots(spark).select(
+        F.lit("1_snapshots").alias("section"),
+        F.concat_ws(":", F.concat(F.lit("v"), F.col("version")), "operation").alias("item"),
+        F.col("total_rows").cast("bigint").alias("n"),
+    )
+    # history = current ancestry only: v3 (rolled back) must NOT appear
+    hist = t.meta_history(spark).select(
+        F.lit("2_history").alias("section"),
+        F.concat(F.lit("v"), F.col("version")).alias("item"),
+        F.col("version").cast("bigint").alias("n"),
+    )
+    refs = t.meta_refs(spark).select(
+        F.lit("3_refs").alias("section"),
+        F.concat_ws(":", "name", "type").alias("item"),
+        F.col("total_rows").cast("bigint").alias("n"),
+    )
+    files = (
+        t.meta_files(spark)
+        .groupBy(F.lit("4_files").alias("section"), F.col("content").alias("item"))
+        .agg(F.sum("rows").cast("bigint").alias("n"))
+    )
+    return snaps.unionByName(hist).unionByName(refs).unionByName(files).orderBy(
+        "section", "item"
+    )
+
+
+_add(QuerySpec(
+    name="metadata_tables_inspect",
+    doc="Metadata tables as data: snapshots (all heads incl. the "
+        "rolled-back one), history (current ancestry only), refs with "
+        "pinned row counts, per-content file row totals — Iceberg "
+        "db.table.snapshots/.history/.refs/.files inspection parity, "
+        "built from manifests without opening a data file.",
+    tags=("cdc", "metadata"),
+    build=_meta_tables_build,
+    oracle="""
+SELECT section, item, CAST(n AS BIGINT) AS n
+FROM (VALUES
+  ('1_snapshots', 'v0:create', 0),
+  ('1_snapshots', 'v1:append', 3),
+  ('1_snapshots', 'v2:append', 5),
+  ('1_snapshots', 'v3:delete', 4),
+  ('2_history', 'v0', 0),
+  ('2_history', 'v1', 1),
+  ('2_history', 'v2', 2),
+  ('3_refs', 'audited:tag', 5),
+  ('3_refs', 'wip:branch', 4),
+  ('4_files', 'data', 5)
+) t(section, item, n)
+ORDER BY section, item
+""",
+))
+
+
 # ---------------------------------------------------------------------------
 # Skew-salted join — must equal the plain join bit-for-bit
 # ---------------------------------------------------------------------------
