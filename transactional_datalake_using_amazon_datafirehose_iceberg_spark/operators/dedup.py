@@ -200,10 +200,27 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only (the verify
     stage of the near-dup pipeline). Jaccard is a ratio of integers, so
-    the threshold comparison is bit-identical across engines."""
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
-    s1 = shingled.select(F.col(id_col).alias("doc_a"), "sh")
-    s2 = shingled.select(F.col(id_col).alias("doc_b"), "sh")
+    the threshold comparison is bit-identical across engines.
+
+    Scale shape: the shingle relation is first semi-joined down to docs
+    that appear in some candidate pair (the candidate doc set is tiny —
+    broadcast), so the intersection shuffle and the size aggregate move
+    candidate-volume bytes, never corpus-volume bytes. Without this,
+    verifying 1k pairs against a 100 TB corpus would shuffle every
+    shingle of every document."""
+    # materialize the pair list once: it feeds both the doc-set semi-join
+    # and the intersection join, and it is O(pairs) small by construction
+    # (the LSH star-collapse bounds bucket fan-out)
+    candidates = candidates.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = shingled.join(F.broadcast(cand_docs), id_col, "left_semi")
+    sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n"))
+    s1 = sh_c.select(F.col(id_col).alias("doc_a"), "sh")
+    s2 = sh_c.select(F.col(id_col).alias("doc_b"), "sh")
     inter = (
         candidates.select("doc_a", "doc_b")
         .join(s1, "doc_a")
@@ -223,6 +240,33 @@ def jaccard_verify(
             "doc_b",
             F.round("jaccard", 4).cast("double").alias("jaccard"),
         )
+    )
+
+
+def jaccard_verify_docs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    k: int = 12,
+) -> DataFrame:
+    """Verify entry point that pushes the candidate-doc restriction BELOW
+    shingling: only documents appearing in some candidate pair are
+    exploded into shingles and deduplicated. The shingle explode +
+    distinct of a full corpus is the dominant verify cost at scale
+    (corpus-volume shuffle); with the restriction first, the entire
+    verify stage — scan, explode, distinct, intersection — moves
+    candidate-volume bytes only."""
+    candidates = candidates.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs_c = docs.join(F.broadcast(cand_docs), id_col, "left_semi")
+    return jaccard_verify(
+        char_shingles(docs_c, text_col, id_col, k), candidates, id_col, threshold
     )
 
 

@@ -131,12 +131,13 @@ _add(QuerySpec(
         "Jaccard >= 0.6 (integer-ratio math, bit-identical across engines).",
     tags=("llm", "dedup"),
     build=lambda spark, sf: (
-        D.jaccard_verify(
-            D.char_shingles(spark.table("documents"), "text", "doc_id"),
+        D.jaccard_verify_docs(
+            spark.table("documents"),
             D.lsh_candidate_pairs(
                 D.minhash_signature_mapside(spark.table("documents"), "text", "doc_id"),
                 "doc_id",
             ),
+            "text",
             "doc_id",
             threshold=0.6,
         ).orderBy("doc_a", "doc_b")
@@ -165,12 +166,13 @@ ORDER BY doc_a, doc_b
 def _components_build(spark, sf):
     from pyspark.sql import Window
 
-    pairs = D.jaccard_verify(
-        D.char_shingles(spark.table("documents"), "text", "doc_id"),
+    pairs = D.jaccard_verify_docs(
+        spark.table("documents"),
         D.lsh_candidate_pairs(
             D.minhash_signature_mapside(spark.table("documents"), "text", "doc_id"),
             "doc_id",
         ),
+        "text",
         "doc_id",
         threshold=0.6,
     ).select("doc_a", "doc_b")
@@ -282,11 +284,12 @@ def _curate_build(spark, sf):
     uniq = D.exact_dedup(docs, ["text"], "doc_id")
     # 2. near-dup collapse: LSH -> jaccard verify -> connected components;
     #    only each cluster's representative (min id) survives
-    pairs = D.jaccard_verify(
-        D.char_shingles(uniq, "text", "doc_id"),
+    pairs = D.jaccard_verify_docs(
+        uniq,
         D.lsh_candidate_pairs(
             D.minhash_signature_mapside(uniq, "text", "doc_id"), "doc_id"
         ),
+        "text",
         "doc_id",
         threshold=0.6,
     ).select("doc_a", "doc_b")
