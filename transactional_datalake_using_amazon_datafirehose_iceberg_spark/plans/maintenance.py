@@ -69,6 +69,110 @@ def compact(
     )
 
 
+def zorder_by(
+    spark: SparkSession,
+    table: LakeTable,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Z-order rewrite (Iceberg ``rewrite_data_files`` with
+    ``sort_order => zorder(...)``): recluster the live file set on the
+    bit-interleaved rank of ``cols`` so per-file manifest min/max are
+    tight on EVERY listed column at once — single-column range
+    clustering (``cluster_by``) prunes only its leading column, z-order
+    prunes point/range predicates on any participating column.
+
+    Mechanics: each column is mapped to a ``2**bits``-bucket rank via an
+    equal-width [min, max] scale (one fused min/max aggregate for all
+    columns), the bucket bits are interleaved into one long z-value, and
+    the table is range-repartitioned + sorted on that z-value — each
+    output file then covers a small hyper-rectangle of the key space.
+    All compute is JVM-side column arithmetic; the only driver-side data
+    is the 1-row min/max aggregate. Scale cost = one full-table shuffle,
+    identical to any clustering rewrite; run it like compaction
+    (periodic, or on cold data once).
+    """
+    m = table.manifest()
+    if not m["files"]:
+        return m["version"]
+    if len(cols) * bits > 63:
+        raise ValueError(f"bits={bits} over {len(cols)} columns exceeds a long")
+    df = table.read(spark)
+    dtypes = dict(df.dtypes)
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double") + tuple(
+        t for c, t in dtypes.items() if t.startswith("decimal")
+    )
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"no such column: {c}")
+        if dtypes[c] not in numeric:
+            raise ValueError(
+                f"zorder_by supports numeric columns; {c} is {dtypes[c]}"
+            )
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+
+    nb = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if lo is None or hi is None or float(hi) == float(lo):
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        ) * F.lit(nb)
+        b = F.floor(scaled).cast("long")
+        buckets.append(
+            F.coalesce(F.greatest(F.least(b, F.lit(nb)), F.lit(0)), F.lit(0))
+        )
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for bit in range(bits):
+        for i, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + i)
+            )
+
+    total_bytes = sum(f["bytes"] for f in m["files"])
+    n_out = n_files or max(
+        1,
+        int(total_bytes // target_file_bytes)
+        + (1 if total_bytes % target_file_bytes else 0),
+    )
+    import uuid
+
+    zdf = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_out, F.col("__z"))
+        .sortWithinPartitions("__z")
+    )
+    out = table._conform(zdf)  # projects away __z, keeps the partitioning
+    commit_dir = os.path.join(table.root, _DATA_DIR, uuid.uuid4().hex[:16])
+    # suspend AQE partition coalescing for the clustered write (as in
+    # LakeTable._write_files): merging range partitions would re-widen
+    # the per-file stats the rewrite exists to tighten
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out.write.mode("errorifexists").parquet(commit_dir)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    added = table._collect_stats(commit_dir)
+    return table.commit(
+        added,
+        removed_paths=[f["path"] for f in m["files"]],
+        operation="zorder",
+        extra_summary={"zorder_by": ",".join(cols)},
+    )
+
+
 DEFAULT_DELETE_FILE_THRESHOLD = 10  # reference README.md:307
 
 

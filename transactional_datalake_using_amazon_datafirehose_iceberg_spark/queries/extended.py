@@ -7,6 +7,7 @@ import os
 import tempfile
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.udfs import (
     quality_score_udf,
@@ -455,6 +456,64 @@ FROM (VALUES
   ('4_files', 'data', 5)
 ) t(section, item, n)
 ORDER BY section, item
+""",
+))
+
+
+def _zorder_build(spark, sf):
+    """Z-order rewrite on real data: recluster a lineitem-backed table on
+    (l_orderkey, l_partkey) and read it back — content must be invariant
+    under the rewrite (the pruning effect itself is plan-level, pinned in
+    tests/test_zorder.py)."""
+    from ..plans.maintenance import zorder_by
+
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="zo_"), "li"),
+        T.StructType(
+            [
+                T.StructField("l_orderkey", T.LongType()),
+                T.StructField("l_partkey", T.LongType()),
+                T.StructField("l_linenumber", T.IntegerType()),
+                T.StructField("l_quantity", T.DoubleType()),
+                T.StructField("l_returnflag", T.StringType()),
+            ]
+        ),
+    )
+    t.append(li.repartition(8))
+    zorder_by(spark, t, ["l_orderkey", "l_partkey"], bits=6, n_files=8)
+    return (
+        t.read(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.min("l_orderkey").cast("bigint").alias("min_ok"),
+            F.max("l_partkey").cast("bigint").alias("max_pk"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_add(QuerySpec(
+    name="maintenance_zorder_cluster",
+    doc="Z-order recluster (Iceberg rewrite_data_files with "
+        "sort_order => zorder): bit-interleaved multi-column layout "
+        "whose per-file min/max prune predicates on ANY participating "
+        "column; the spec proves the rewrite is content-invariant on "
+        "lineitem, the pruning is plan-asserted in tests.",
+    tags=("maintenance",),
+    build=_zorder_build,
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_pk
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """,
 ))
 
