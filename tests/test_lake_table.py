@@ -180,6 +180,45 @@ def test_schema_evolution_drop_column(spark, table):
         table.drop_column("nope")
 
 
+def test_partition_spec_evolution_set_cluster_by(spark, tmp_path):
+    """set_cluster_by is metadata-only: old files stay as written (and
+    still prune under the old layout), future writes cluster on the new
+    columns — Iceberg partition-evolution semantics."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        Predicate,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"),
+                         T.StructType([
+                             T.StructField("id", T.IntegerType()),
+                             T.StructField("cat", T.StringType()),
+                             T.StructField("val", T.DoubleType()),
+                         ]),
+                         cluster_by=["cat"])
+    t.append(spark.createDataFrame(
+        [(i, chr(97 + i % 4), float(i)) for i in range(100)], t.schema))
+    old_paths = set(t.file_paths())
+    assert t.cluster_by == ["cat"]
+
+    t.set_cluster_by(["val"])
+    assert t.cluster_by == ["val"]
+    assert set(t.file_paths()) == old_paths  # no rewrite
+    assert t.manifest()["summary"]["operation"] == "set-cluster-by"
+
+    t.append(spark.createDataFrame(
+        [(i, chr(97 + i % 4), float(i)) for i in range(100, 200)], t.schema))
+    # new-layout pruning: a narrow val range must skip some NEW files
+    # while matching-by-stats among old files is unaffected
+    new_paths = set(t.file_paths()) - old_paths
+    assert len(new_paths) > 1
+    hit = set(t.file_paths(predicates=[Predicate("val", ">=", 100.0),
+                                       Predicate("val", "<=", 110.0)]))
+    assert len(hit & new_paths) < len(new_paths)
+    assert t.read(spark).count() == 200
+    with pytest.raises(ValueError):
+        t.set_cluster_by(["nope"])
+
+
 def test_commit_conflict_detected(spark, table):
     """Optimistic concurrency: a lost commit race raises CommitConflict
     instead of corrupting the snapshot chain."""

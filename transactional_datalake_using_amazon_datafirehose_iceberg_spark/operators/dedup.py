@@ -307,30 +307,31 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # (1) each node offers its label to every neighbor
+        # (1) each node offers its label to every neighbor; the node's
+        # own previous label rides along (as __old) so convergence is a
+        # post-checkpoint FILTER, not an extra join job per round
         msgs = sym.join(
             labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "lbl")
+        ).select(
+            F.col("dst").alias("id"),
+            "lbl",
+            F.lit(None).cast(dict(labels.dtypes)["lbl"]).alias("__old"),
+        )
         new = (
-            labels.unionByName(msgs)
+            labels.withColumn("__old", F.col("lbl"))
+            .unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.max("__old").alias("__old"))
         )
         # (2) shortcut: follow the label's own label (pointer jumping)
         hop = new.select(F.col("id").alias("__lid"), F.col("lbl").alias("__lbl2"))
         new = (
             new.join(hop, new["lbl"] == hop["__lid"], "left")
-            .select("id", F.coalesce("__lbl2", "lbl").alias("lbl"))
+            .select("id", F.coalesce("__lbl2", "lbl").alias("lbl"), "__old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("__old")).limit(1).count()
+        labels = new.select("id", "lbl")
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster_id"))

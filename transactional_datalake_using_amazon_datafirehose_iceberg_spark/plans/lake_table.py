@@ -1008,6 +1008,44 @@ class LakeTable:
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         return self._metadata_commit(cur, new_schema, {"operation": "drop-column", "column": name})
 
+    def set_cluster_by(self, cols: list[str]) -> int:
+        """Partition-spec evolution (Iceberg ``ALTER TABLE ... WRITE
+        ORDERED BY`` / partition evolution): change the clustering layout
+        for FUTURE writes in a metadata-only commit. Existing files are
+        not rewritten — their manifest stats still prune under the old
+        layout, exactly like Iceberg tables carrying data in several
+        partition specs; a later compact()/zorder_by() converges old
+        files onto the new layout."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        names = [f.name for f in schema.fields]
+        for c in cols:
+            if c not in names:
+                raise ValueError(f"no such column: {c}")
+        version = self._next_version()
+        carried = {
+            k: cur["summary"][k]
+            for k in self._CARRY_SUMMARY_KEYS
+            if k in cur.get("summary", {})
+        }
+        manifest = {
+            **cur,
+            "version": version,
+            "parent": cur["version"],
+            "cluster_by": list(cols),
+            "summary": {
+                "operation": "set-cluster-by",
+                "cluster_by": ",".join(cols),
+                "total_rows": sum(f["rows"] for f in cur["files"])
+                - sum(d["rows"] for d in cur.get("delete_files", [])),
+                **carried,
+            },
+            "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+        self._write_manifest(manifest)
+        self._swap_pointer(version)
+        return version
+
     def _metadata_commit(self, cur: dict, new_schema: T.StructType, summary: dict) -> int:
         """Schema-evolution commit: same files, new schema. Carries the
         streaming watermark and keeps total_rows delete-aware (a

@@ -679,6 +679,72 @@ ORDER BY user_id, session_start
 ))
 
 
+def _streaming_interval_join_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import interval_join_purchase_click
+
+    ev = load_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="stream_ij_")
+    p_src, c_src = os.path.join(base, "purchases"), os.path.join(base, "clicks")
+    ev.filter(F.col("event_type") == "purchase").write.parquet(p_src)
+    ev.filter(F.col("event_type") == "click").write.parquet(c_src)
+    purchases = spark.readStream.schema(ev.schema).parquet(p_src)
+    clicks = spark.readStream.schema(ev.schema).parquet(c_src)
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        interval_join_purchase_click(purchases, clicks)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            (
+                (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+                / F.lit(1_000_000)
+            ).cast("bigint").alias("lag_sec"),
+            F.round("purchase_value", 2).cast("double").alias("purchase_value"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_interval_join",
+    doc="Stream-stream INNER join with an event-time interval condition "
+        "(attribution: clicks in the 30 min before each purchase, same "
+        "user), both sides watermarked so join state stays bounded; "
+        "replayed to completion via an append-mode memory sink. Oracle = "
+        "the same interval join in batch SQL on µs-truncated timestamps.",
+    tags=("streaming", "join"),
+    build=_streaming_interval_join_build,
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, (epoch_ns(ts) // 1000) AS t
+  FROM events
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       CAST((p.t - c.t) // 1000000 AS BIGINT) AS lag_sec,
+       CAST(ROUND(p.value, 2) AS DOUBLE) AS purchase_value
+FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM e WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.t <= p.t
+ AND c.t >= p.t - 1800000000
+ORDER BY purchase_id, click_id
+""",
+))
+
+
 _add(QuerySpec(
     name="streaming_windowed_counts",
     doc="Structured Streaming tumbling-window agg with watermark, "

@@ -424,6 +424,85 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND 
 """,
 ))
 
+_add(QuerySpec(
+    name="q4_priority_exists",
+    doc="TPC-H Q4 shape: date-windowed count per priority gated by a "
+        "correlated EXISTS — planned as a left-semi join that never "
+        "materializes the lineitem side.",
+    tags=("join", "subquery"),
+    sql="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+))
+
+_add(QuerySpec(
+    name="q13_customer_distribution",
+    doc="TPC-H Q13 shape: outer-join fan-out histogram — LEFT JOIN with "
+        "an extra join-side predicate, COUNT over the nullable side, "
+        "then a second aggregation over the first's result.",
+    tags=("join", "agg"),
+    sql="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+))
+
+_add(QuerySpec(
+    name="q18_large_volume_orders",
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery (big-order "
+        "keys), then a 3-way join re-aggregated per order and top-k by "
+        "price.",
+    tags=("join", "subquery"),
+    sql="""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+))
+
+_add(QuerySpec(
+    name="q22_dormant_customers",
+    doc="TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS "
+        "anti-join (above-average balances with no recent orders), "
+        "grouped per nation.",
+    tags=("join", "subquery"),
+    sql="""
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(c_acctbal), 2) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+""",
+))
+
 # ---------------------------------------------------------------------------
 # Subqueries
 # ---------------------------------------------------------------------------

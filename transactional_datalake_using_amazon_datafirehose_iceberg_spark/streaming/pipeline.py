@@ -187,6 +187,45 @@ def running_user_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_purchase_click(
+    purchases_stream: DataFrame,
+    clicks_stream: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition:
+    each purchase matches the same user's clicks in the ``lookback``
+    window ending at the purchase (attribution join). Both sides carry
+    watermarks and the join condition bounds event-time distance, so the
+    state store retains only ``watermark + lookback`` of either stream —
+    the requirement for a stream-stream join that does not grow without
+    bound (Structured Streaming's interval-join contract).
+
+    Input streams need (user_id, event_id, ts) [+ value on purchases].
+    """
+    from pyspark.sql import functions as F
+
+    p = purchases_stream.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks_stream.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value"
+    )
+
+
 def stateful_dedup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup by event_id within the watermark horizon
     (replay idempotency, D1)."""
