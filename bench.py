@@ -223,6 +223,8 @@ def main() -> None:
         "pipeline_curate_corpus",
         "changelog_incremental_read",
         "text_top_ngrams_per_lang",
+        "streaming_interval_join",
+        "maintenance_zorder_cluster",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:

@@ -76,7 +76,20 @@ def main() -> None:
     table.delete_where(spark, "trans_id = 21")
     print("after UPDATE+DELETE:", table.read(spark).count(), "rows")
 
-    # 6. An analytic + an LLM-ops query from the declared surface
+    # 6. Write-audit-publish: stage a fix on a branch, audit, publish
+    table.create_tag("pre-audit")
+    table.create_branch("audit")
+    b = table.branch("audit")
+    b.update_where(spark, "trans_id = 19", {"amount": "amount * 2"})
+    print("main unchanged while staged:", table.read(spark).count(), "rows;",
+          "branch:", b.read(spark).count(), "rows")
+    table.fast_forward("audit")          # atomic publish
+    print("published branch; refs:", {k: v["version"] for k, v in table.refs().items()})
+
+    # 7. Metadata tables (Iceberg db.table.snapshots / .history parity)
+    table.meta_snapshots(spark).select("version", "operation", "total_rows").show()
+
+    # 8. An analytic + an LLM-ops query from the declared surface
     sf_dir = "/root/testdata/sf0.001"
     QUERY_SPECS["q5_region_revenue"].run_spark(spark, sf_dir).show()
     pairs = QUERY_SPECS["dedup_neardup_jaccard"].run_spark(spark, sf_dir)

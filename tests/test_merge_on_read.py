@@ -156,11 +156,38 @@ def test_compact_folds_deletes(spark, mor_table):
     t = mor_table
     t.append(_mk(spark, [(i, "a", 1.0) for i in range(10)]))
     t.delete_where(spark, "id >= 5")
-    compact(spark, t)
+    compact(spark, t, binpack=False)  # full rewrite folds pending deletes
     m = t.manifest()
     assert m["delete_files"] == []
     assert t.read(spark).count() == 5
     assert t.row_count() == 5
+
+
+def test_compact_binpack_rewrites_only_small_files(spark, mor_table):
+    """Binpack (the default, and the only shape that scales): small
+    write-frontier files merge; files at/above the size floor carry over
+    by reference; pending deletes on victims fold in, deletes on
+    untouched files stay pending."""
+    t = mor_table
+    t.append(_mk(spark, [(j, "a", 1.0) for j in range(100)]))  # the "big" file
+    for i in range(1, 4):  # three smaller single-commit files
+        t.append(_mk(spark, [(100 * i + j, "a", 1.0) for j in range(10)]))
+    paths_before = set(f["path"] for f in t.manifest()["files"])
+    assert len(paths_before) >= 4
+    t.delete_by_keys_mor(spark, spark.createDataFrame([(101,)], "id int"))
+
+    # pretend the big file is already target-sized: floor just below it
+    big = sorted(t.manifest()["files"], key=lambda f: -f["bytes"])[0]
+    compact(spark, t, small_bytes=big["bytes"])
+    m = t.manifest()
+    after = set(f["path"] for f in m["files"])
+    assert big["path"] in after  # carried over by reference
+    assert len(after) < len(paths_before)  # small files merged
+    assert t.read(spark).count() == 129
+    assert t.row_count() == 129
+    # a lone small file (or none) is a no-op, not a rewrite
+    v = t.current_version()
+    assert compact(spark, t, small_bytes=1) == v
 
 
 def test_delete_heavy_cdc_bounded_write_amplification(spark, tmp_path):

@@ -41,30 +41,58 @@ def should_compact(table: LakeTable, small_file_threshold: int = 10,
 
 def compact(
     spark: SparkSession,
-    table: LakeTable,
+    target_table: LakeTable | None = None,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    *,
+    table: LakeTable | None = None,
+    binpack: bool = True,
+    small_bytes: int = 8 * 1024 * 1024,
 ) -> int:
-    """Rewrite the live file set into ~target-sized, cluster-sorted files
-    in one atomic snapshot (like CALL rewrite_data_files)."""
-    m = table.manifest()
+    """Rewrite undersized files into ~target-sized, cluster-sorted files
+    in one atomic snapshot (CALL rewrite_data_files, binpack strategy).
+
+    ``binpack=True`` (default) rewrites ONLY files below ``small_bytes``
+    — the Iceberg binpack contract, and the only shape that survives
+    scale: a 100 TB table accretes small files at its write frontier
+    while the compacted bulk must carry over by reference, not be
+    re-shuffled on every maintenance run. Files already at target size
+    are untouched (their pending merge-on-read deletes also stay
+    pending, exactly like Iceberg). ``binpack=False`` forces the old
+    whole-table rewrite (full recluster).
+    """
+    t = table if table is not None else target_table
+    assert t is not None, "compact requires a table"
+    m = t.manifest()
     if not m["files"]:
         return m["version"]
-    total_bytes = sum(f["bytes"] for f in m["files"])
+    if binpack:
+        victims = [f for f in m["files"] if f["bytes"] < small_bytes]
+        if len(victims) < 2:  # nothing to gain from rewriting <2 files
+            return m["version"]
+    else:
+        victims = list(m["files"])
+    victim_paths = [f["path"] for f in victims]
+    total_bytes = sum(f["bytes"] for f in victims)
     n_out = max(1, int(total_bytes // target_file_bytes) + (1 if total_bytes % target_file_bytes else 0))
-    df = table.read(spark)
-    cb = table.cluster_by
+    victim_abs = [os.path.join(t.root, p) for p in victim_paths]
+    # delete-aware read of exactly the victim files; their pending
+    # position deletes are folded in by the rewrite
+    df = t.read_files(spark, victim_abs)
+    cb = t.cluster_by
     if cb:
         df = df.repartition(n_out, *cb).sortWithinPartitions(*cb)
     else:
         df = df.coalesce(n_out)
     import uuid
 
-    commit_dir = os.path.join(table.root, "data", uuid.uuid4().hex[:16])
-    table._conform(df).write.mode("errorifexists").parquet(commit_dir)
-    added = table._collect_stats(commit_dir)
-    return table.commit(
+    commit_dir = os.path.join(t.root, "data", uuid.uuid4().hex[:16])
+    t._conform(df).write.mode("errorifexists").parquet(commit_dir)
+    added = t._collect_stats(commit_dir)
+    # commit() prunes delete entries made dangling by removed_paths, so
+    # victims' folded-in deletes disappear with them automatically
+    return t.commit(
         added,
-        removed_paths=[f["path"] for f in m["files"]],
+        removed_paths=victim_paths,
         operation="compact",
     )
 
