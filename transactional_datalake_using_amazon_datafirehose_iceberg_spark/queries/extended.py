@@ -745,6 +745,57 @@ ORDER BY purchase_id, click_id
 ))
 
 
+def _stream_static_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import enrich_with_dimension
+
+    ev = load_table(spark, sf, "events")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_dim_"), "events")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    name = f"stream_dim_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_with_dimension(stream, dim, on="user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .select("c_mktsegment", "event_type", "n", F.col("total").cast("double").alias("total"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_static_enrich",
+    doc="Stream-static enrichment join: the event stream joins a "
+        "broadcast customer dimension inside the stream (re-read per "
+        "micro-batch), then aggregates per (segment, event_type) — the "
+        "decorate-then-aggregate pattern; replayed to completion, must "
+        "equal the batch join+group.",
+    tags=("streaming", "join"),
+    build=_stream_static_build,
+    oracle="""
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+""",
+))
+
+
 _add(QuerySpec(
     name="streaming_windowed_counts",
     doc="Structured Streaming tumbling-window agg with watermark, "

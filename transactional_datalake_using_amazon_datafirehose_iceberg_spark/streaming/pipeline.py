@@ -226,6 +226,22 @@ def interval_join_purchase_click(
     )
 
 
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (re-evaluated) static side, broadcast so the stream never shuffles —
+    the canonical pattern for decorating an event stream with a slowly-
+    changing dimension (the static side may be a LakeTable.read(), which
+    re-reads the current snapshot every trigger)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 def stateful_dedup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup by event_id within the watermark horizon
     (replay idempotency, D1)."""
