@@ -162,6 +162,26 @@ def test_metadata_tables_reflect_dag_and_deletes(spark, tmp_path):
     assert all(r.stats.get("id") for r in files if r.content == "data")
 
 
+# ---------------------------------------------------------------- TIMESTAMP AS OF
+def test_timestamp_as_of_reads_newest_at_or_before(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    ts_v1 = t.manifest()["created"]
+    t.append(spark.createDataFrame([(3, "c")], SCHEMA))  # v2
+    ts_v2 = t.manifest()["created"]
+
+    assert t.version_as_of_timestamp(ts_v1) == 1
+    assert t.read(spark, timestamp=ts_v1).count() == 2
+    assert t.read(spark, timestamp=ts_v2).count() == 3
+    assert t.read(spark, timestamp="9999-12-31T00:00:00+00:00").count() == 3
+    with pytest.raises(SnapshotNotFound):
+        t.version_as_of_timestamp("1970-01-01T00:00:00+00:00")
+    with pytest.raises(ValueError):
+        t.read(spark, version=1, timestamp=ts_v1)
+    # rolled-back heads are invisible to timestamp resolution
+    t.rollback_to(1)
+    assert t.version_as_of_timestamp(ts_v2) == 1
+
+
 # ---------------------------------------------------------------- expiry
 def test_expiry_protects_tags_branches_and_rolled_back_current(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")  # v1

@@ -626,18 +626,22 @@ class LakeTable:
         predicates: list[Predicate] | None = None,
         with_file_path: bool = False,
         ref: str | None = None,
+        timestamp: str | None = None,
     ) -> DataFrame:
         """Snapshot read (``version`` = time travel, Iceberg VERSION AS OF;
-        ``ref`` = a named tag/branch, Iceberg branch/tag read).
+        ``ref`` = a named tag/branch; ``timestamp`` = ISO-8601 UTC,
+        Iceberg TIMESTAMP AS OF).
 
         ``predicates`` prune files via manifest stats before Spark ever
         lists them; the caller still applies the real filter. Pending
         position deletes (merge-on-read) are applied transparently.
         """
+        if sum(x is not None for x in (version, ref, timestamp)) > 1:
+            raise ValueError("pass at most one of version, ref, timestamp")
         if ref is not None:
-            if version is not None:
-                raise ValueError("pass either version or ref, not both")
             version = self.resolve_ref(ref)
+        elif timestamp is not None:
+            version = self.version_as_of_timestamp(timestamp)
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         paths = self.file_paths(version, predicates)
@@ -1007,6 +1011,25 @@ class LakeTable:
             raise ValueError(f"cannot drop key/cluster column: {name}")
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         return self._metadata_commit(cur, new_schema, {"operation": "drop-column", "column": name})
+
+    def version_as_of_timestamp(self, ts: str) -> int:
+        """Iceberg ``TIMESTAMP AS OF``: the newest snapshot on the
+        CURRENT lineage committed at or before ``ts`` (ISO-8601 string;
+        manifest ``created`` stamps are UTC ISO-8601, so lexicographic
+        comparison is chronological). Driver-side metadata walk."""
+        best: int | None = None
+        v: int | None = self.current_version()
+        while v is not None:
+            m = self.manifest(v)
+            if m.get("created", "") <= ts:
+                best = v
+                break  # ancestry is chronological: first hit is newest
+            v = m["parent"]
+        if best is None:
+            raise SnapshotNotFound(
+                f"no snapshot at or before {ts} on the current lineage"
+            )
+        return best
 
     def set_cluster_by(self, cols: list[str]) -> int:
         """Partition-spec evolution (Iceberg ``ALTER TABLE ... WRITE

@@ -889,6 +889,52 @@ ORDER BY doc_id
 ))
 
 _add(QuerySpec(
+    name="text_url_parse",
+    doc="Crawl-corpus URL handling: synthesize a deterministic URL per "
+        "doc, then extract host / path / full query / one query param "
+        "JVM-side via parse_url (a map stage; at scale this runs inside "
+        "whole-stage codegen on the source scan). Oracle re-derives the "
+        "parts with portable regexes.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("https://site-"), (F.col("doc_id") % 10).cast("string"),
+                F.lit(".example/docs/"), F.col("doc_id").cast("string"),
+                F.lit("?lang="), F.col("lang"),
+                F.lit("&rev="), (F.col("doc_id") * 7 % 100).cast("string"),
+            ).alias("url"),
+        )
+        .select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("rev")).alias("rev"),
+        )
+        .orderBy("doc_id")
+    ),
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 10 AS VARCHAR) || '.example/docs/'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+           || '&rev=' || CAST(doc_id * 7 % 100 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?]([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]rev=([^&#]*)', 1) AS rev
+FROM u
+ORDER BY doc_id
+""",
+))
+
+_add(QuerySpec(
     name="text_top_ngrams_per_lang",
     doc="Corpus vocabulary profile: top-5 word bigrams per language "
         "(explode -> hash-agg -> windowed top-k; at 100 TB the explode "
