@@ -116,6 +116,65 @@ def test_ivf_topk_neighbors_from_probed_cells(spark):
     assert all(r["cell"] == 1 for r in out)
 
 
+def test_kmeans_fit_matches_numpy_reference(spark, sf_dir):
+    """Lloyd's k-means on Spark must equal a NumPy implementation of the
+    IDENTICAL algorithm (same lowest-id init, 6-dp distance rounding,
+    first-min tie-break, 6-dp centroid rounding per iteration) — pinning
+    that the distributed assign/update introduces no drift."""
+    import numpy as np
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.similarity import (
+        kmeans_fit,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([[float(v) for v in r["embedding"]] for r in rows], dtype=np.float64)
+    k, iters = 4, 3
+
+    cents = np.round(X[:k].copy(), 6)
+    for _ in range(iters):
+        d = np.round(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+        cell = d.argmin(axis=1)  # first-min tie-break, like array_position
+        new = cents.copy()
+        for c in range(k):
+            members = X[cell == c]
+            if len(members):
+                new[c] = np.round(members.mean(axis=0), 6)
+        if (new == cents).all():
+            break
+        cents = new
+
+    got = kmeans_fit(emb, k=k, iters=iters)
+    assert np.allclose(np.array(got), cents, atol=1e-9)
+
+
+def test_ivf_topk_accepts_trained_centroids(spark):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.05]),
+            (3, [0.05, 1.0]),
+            (4, [1.0, -0.05]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(df, k=2, iters=3)
+    assert len(cents) == 2 and len(cents[0]) == 2
+    out = ivf_topk(df, [0], k=2, nprobe=1, centroids=cents).collect()
+    # trained centroids converge to the two clusters -> same neighbors
+    assert [r["vec_id_n"] for r in out] == [2, 4]
+
+
 def test_ivf_topk_survives_real_centroid_counts(spark, sf_dir):
     """256 centroids x 64 dims must plan and run without codegen blowup —
     the centroid set is broadcast DATA, not an inlined literal expression

@@ -78,6 +78,84 @@ def cosine_topk(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means — the IVF coarse-quantizer trainer
+    (feed the result to ``ivf_topk(centroids=...)``).
+
+    Init = the ``k`` lowest-id vectors (same deterministic seed as
+    ``ivf_topk``'s stand-in). Each iteration: (1) ASSIGN — the broadcast
+    1-row centroid relation attaches map-side and every vector takes the
+    argmin of its 6-dp-rounded squared L2 distances (first-min
+    tie-break, matching both numpy argmin and Spark array_position);
+    (2) UPDATE — per-(cell, dim) mean via posexplode + hash aggregate
+    (one shuffle of rows x dims; partial aggregation applies), then a
+    k x dim driver collect (metadata-scale). Components round to 6 dp
+    per iteration so FP summation order cannot drift runs apart. Empty
+    cells keep their previous centroid.
+
+    Scale note: the update shuffle is rows x dims — at corpus scale you
+    train on a SAMPLE (the standard IVF practice; the quantizer needs
+    only a representative subset), then assign the full corpus once,
+    map-side, exactly as ivf_topk does.
+    """
+    spark = emb.sparkSession
+    init_rows = (
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    cents = [[round(float(v), 6) for v in r[vec_col]] for r in init_rows]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
+    dim = len(cents[0])
+    for _ in range(iters):
+        cent_df = spark.createDataFrame([(cents,)], "__cents array<array<double>>")
+
+        def d2(c):
+            return F.round(
+                F.aggregate(
+                    F.zip_with(
+                        c,
+                        F.col(vec_col),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+
+        assigned = (
+            emb.crossJoin(F.broadcast(cent_df))
+            .withColumn("__dists", F.transform(F.col("__cents"), d2))
+            .withColumn(
+                "__cell",
+                F.array_position(F.col("__dists"), F.array_min("__dists")).cast("int"),
+            )
+            .select("__cell", F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
+        )
+        means = (
+            assigned.groupBy("__cell", "__pos")
+            .agg(F.avg(F.col("__val").cast("double")).alias("__m"))
+            .collect()  # k x dim rows: metadata-scale
+        )
+        new = [list(c) for c in cents]  # empty cells keep previous value
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"] - 1, {})[r["__pos"]] = r["__m"]
+        for ci, comp in by_cell.items():
+            new[ci] = [round(float(comp[p]), 6) for p in range(dim)]
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -86,15 +164,17 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer assigns every
     vector to its nearest centroid cell (argmin L2), queries probe the
     ``nprobe`` nearest cells, and exact cosine ranks only the candidates
     in probed cells.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — a
-    deterministic stand-in for k-means training (swap ``cent_data`` for
-    a trained set in production; everything downstream is unchanged).
+    Centroids default to the ``n_centroids`` lowest-id vectors — a
+    deterministic stand-in for k-means training; pass
+    ``centroids=kmeans_fit(emb)`` for a trained quantizer (everything
+    downstream is unchanged).
     The centroid table is metadata-scale; it is shipped to executors as
     a BROADCAST one-row DataFrame holding an array<array<double>>
     column — DATA, not an inlined literal expression (an earlier
@@ -114,13 +194,17 @@ def ivf_topk(
     Determinism: distances and similarities round to 6 dp before any
     argmin/rank, ties break on cell/vec id — so FP summation-order noise
     cannot flip cells or ranks across engines."""
-    cent_rows = (
-        emb.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()  # metadata-scale: centroids only, never the corpus
-    )
-    cent_data = [[float(v) for v in r[vec_col]] for r in cent_rows]
+    if centroids is not None:
+        cent_data = [[float(v) for v in c] for c in centroids]
+        n_centroids = len(cent_data)
+    else:
+        cent_rows = (
+            emb.filter(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()  # metadata-scale: centroids only, never the corpus
+        )
+        cent_data = [[float(v) for v in r[vec_col]] for r in cent_rows]
     cent_df = emb.sparkSession.createDataFrame(
         [(cent_data,)], "__cents array<array<double>>"
     )
