@@ -180,6 +180,30 @@ def test_schema_evolution_drop_column(spark, table):
         table.drop_column("nope")
 
 
+def test_merge_schema_evolution_auto_adds_source_columns(spark, table):
+    """evolve_schema=True: a new upstream column arriving through CDC
+    auto-ADD-COLUMNs (Iceberg mergeSchema) before the apply; transport
+    metadata columns are never promoted."""
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    src = spark.createDataFrame(
+        [(1, "a", 5.0, "hello", "update"), (2, "b", 2.0, "world", "insert")],
+        "id int, cat string, val double, note string, operation string",
+    )
+    merge_into(table, src, on=["id"], op_col="operation", evolve_schema=True)
+    assert [f.name for f in table.schema.fields] == ["id", "cat", "val", "note"]
+    got = {r["id"]: r["note"] for r in table.read(spark).collect()}
+    assert got == {1: "hello", 2: "world"}
+    # operation column was NOT promoted; replay without the new column
+    # still merges (missing source column -> analysis error is expected
+    # Iceberg behavior, so senders must keep sending it)
+    src2 = spark.createDataFrame(
+        [(3, "c", 3.0, None, "insert")],
+        "id int, cat string, val double, note string, operation string",
+    )
+    merge_into(table, src2, on=["id"], op_col="operation", evolve_schema=True)
+    assert table.read(spark).count() == 3
+
+
 def test_partition_spec_evolution_set_cluster_by(spark, tmp_path):
     """set_cluster_by is metadata-only: old files stay as written (and
     still prune under the old layout), future writes cluster on the new

@@ -50,12 +50,21 @@ def merge_into(
     assume_unique: bool = False,
     broadcast_source: bool = True,
     extra_summary: dict | None = None,
+    evolve_schema: bool = False,
+    evolve_ignore: tuple[str, ...] = (),
 ) -> int:
     """MERGE ``source`` into ``table`` by key columns ``on``.
 
     ``op_col``: optional source column holding insert/update/delete; when
     None every source row is an upsert. Extra source columns beyond the
-    table schema (e.g. CDC metadata) are ignored on write.
+    table schema (e.g. CDC metadata) are ignored on write — unless
+    ``evolve_schema=True``, which first ADD-COLUMNs them to the table
+    (metadata-only commit, Iceberg ``mergeSchema`` semantics: existing
+    rows read back NULL) so an upstream ``ALTER TABLE ADD COLUMN``
+    propagated through CDC applies without operator intervention
+    (reference: DMS forwards source DDL on the task stream).
+    ``evolve_ignore`` names transport columns (op/ordering metadata)
+    that must never be promoted to table columns.
     Returns the committed snapshot version.
     """
     # real-Iceberg backend (plans/iceberg_compat.py): native MERGE INTO
@@ -72,6 +81,12 @@ def merge_into(
     keys = on or table.keys
     if not keys:
         raise ValueError("merge_into requires key columns (table.keys or on=)")
+    if evolve_schema:
+        skip = set(evolve_ignore) | ({op_col} if op_col else set())
+        existing = {f.name for f in table.schema.fields}
+        for f in source.schema.fields:
+            if f.name not in existing and f.name not in skip:
+                table.add_column(f.name, f.dataType)
     schema = table.schema
     data_cols = [f.name for f in schema.fields]
 

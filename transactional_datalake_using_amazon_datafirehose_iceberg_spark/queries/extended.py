@@ -432,6 +432,58 @@ def _meta_tables_build(spark, sf):
     )
 
 
+def _merge_evolve_build(spark, sf):
+    """CDC apply across an upstream ALTER TABLE ADD COLUMN: the second
+    micro-batch carries a new column and evolve_schema promotes it
+    (metadata-only) before the MERGE (Iceberg mergeSchema; reference:
+    DMS forwards source DDL on the task stream)."""
+    from ..plans.merge import merge_into
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="evom_"), "retail"),
+        RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
+    )
+    b1 = spark.sql("""
+      SELECT * FROM VALUES
+        (1, 'c1', 'cart', 'SKU1', 10, 'pc', TIMESTAMP '2023-01-16 06:00:00', 'insert'),
+        (2, 'c2', 'visit', 'SKU2', 1, 'mobile', TIMESTAMP '2023-01-16 06:01:00', 'insert')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime, operation)
+    """)
+    merge_into(t, b1, on=RETAIL_TRANS_KEYS, op_col="operation", assume_unique=True)
+    b2 = spark.sql("""
+      SELECT * FROM VALUES
+        (2, 'c2', 'visit', 'SKU2', 4, 'mobile', TIMESTAMP '2023-01-16 06:01:00', 'C5', 'update'),
+        (3, 'c3', 'purchase', 'SKU3', 55, 'tablet', TIMESTAMP '2023-01-16 06:02:00', 'C10', 'insert')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime, coupon, operation)
+    """)
+    merge_into(
+        t, b2, on=RETAIL_TRANS_KEYS, op_col="operation",
+        assume_unique=True, evolve_schema=True,
+    )
+    return t.read(spark).orderBy("trans_id")
+
+
+_add(QuerySpec(
+    name="merge_schema_evolution",
+    doc="Schema-evolving MERGE: a CDC batch carrying a brand-new column "
+        "auto-ADD-COLUMNs it (metadata-only) before applying, so an "
+        "upstream ALTER TABLE propagates through the pipeline without "
+        "operator action; pre-evolution rows read back NULL.",
+    tags=("cdc", "ddl"),
+    build=_merge_evolve_build,
+    oracle="""
+SELECT CAST(trans_id AS INTEGER) AS trans_id, customer_id, event, sku,
+       CAST(amount AS INTEGER) AS amount, device, trans_datetime, coupon
+FROM (VALUES
+  (1, 'c1', 'cart', 'SKU1', 10, 'pc', TIMESTAMP '2023-01-16 06:00:00', NULL),
+  (2, 'c2', 'visit', 'SKU2', 4, 'mobile', TIMESTAMP '2023-01-16 06:01:00', 'C5'),
+  (3, 'c3', 'purchase', 'SKU3', 55, 'tablet', TIMESTAMP '2023-01-16 06:02:00', 'C10')
+) t(trans_id, customer_id, event, sku, amount, device, trans_datetime, coupon)
+ORDER BY trans_id
+""",
+))
+
+
 _add(QuerySpec(
     name="metadata_tables_inspect",
     doc="Metadata tables as data: snapshots (all heads incl. the "
