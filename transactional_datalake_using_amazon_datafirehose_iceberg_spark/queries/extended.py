@@ -484,6 +484,63 @@ ORDER BY trans_id
 ))
 
 
+def _catalog_ddl_build(spark, sf):
+    """Runbook Q1/Q2/Q8/Q9 as data: CREATE DATABASE, CREATE TABLE,
+    SHOW DATABASES/TABLES, DESCRIBE, DROP TABLE — the catalog lifecycle
+    (reference README.md:284-309; Glue-catalog analogue)."""
+    from ..plans.catalog import LakeCatalog
+
+    cat = LakeCatalog(os.path.join(tempfile.mkdtemp(prefix="cat_"), "wh"))
+    cat.create_database("cdc_iceberg_demo_db")               # Q1
+    t = cat.create_table(                                    # Q2
+        "cdc_iceberg_demo_db", "retail_trans_iceberg",
+        RETAIL_TRANS, keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    cat.create_table("cdc_iceberg_demo_db", "scratch", RETAIL_TRANS)
+    cat.create_table("cdc_iceberg_demo_db", "scratch", RETAIL_TRANS)  # idempotent
+    cat.drop_table("cdc_iceberg_demo_db", "scratch")         # Q9
+    rows = [("1_databases", ",".join(cat.databases()))]      # Q8 SHOW
+    rows.append(
+        ("2_tables", ",".join(cat.tables("cdc_iceberg_demo_db")))
+    )
+    rows += [                                                # Q8 DESCRIBE
+        ("3_describe", f"{f.name}:{f.dataType.simpleString()}")
+        for f in t.schema.fields
+    ]
+    rows.append(("4_keys", ",".join(t.keys)))
+    rows.append(("5_cluster_by", ",".join(t.cluster_by)))
+    return spark.createDataFrame(rows, "item string, value string").orderBy(
+        "item", "value"
+    )
+
+
+_add(QuerySpec(
+    name="catalog_ddl_lifecycle",
+    doc="Catalog DDL lifecycle as data: CREATE DATABASE / CREATE TABLE "
+        "(idempotent IF NOT EXISTS) / SHOW / DESCRIBE / DROP — the "
+        "runbook's Q1/Q2/Q8/Q9 against the Glue-catalog analogue.",
+    tags=("cdc", "ddl"),
+    build=_catalog_ddl_build,
+    oracle="""
+SELECT item, value
+FROM (VALUES
+  ('1_databases', 'cdc_iceberg_demo_db'),
+  ('2_tables', 'retail_trans_iceberg'),
+  ('3_describe', 'trans_id:int'),
+  ('3_describe', 'customer_id:string'),
+  ('3_describe', 'event:string'),
+  ('3_describe', 'sku:string'),
+  ('3_describe', 'amount:int'),
+  ('3_describe', 'device:string'),
+  ('3_describe', 'trans_datetime:timestamp'),
+  ('4_keys', 'trans_id'),
+  ('5_cluster_by', 'event')
+) t(item, value)
+ORDER BY item, value
+""",
+))
+
+
 _add(QuerySpec(
     name="metadata_tables_inspect",
     doc="Metadata tables as data: snapshots (all heads incl. the "
