@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.asof import (
@@ -173,6 +174,27 @@ def test_ivf_topk_accepts_trained_centroids(spark):
     out = ivf_topk(df, [0], k=2, nprobe=1, centroids=cents).collect()
     # trained centroids converge to the two clusters -> same neighbors
     assert [r["vec_id_n"] for r in out] == [2, 4]
+
+
+def test_pq_topk_validates_and_ranks(spark):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 0.0, 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_topk(df, [7], k=3, m=2, n_codes=4).collect()
+    assert len(out) == 3
+    assert [r["rn"] for r in out] == [1, 2, 3]
+    assert all(r["qid"] == 7 and r["vec_id_n"] != 7 for r in out)
+    # ADC is non-decreasing in rank
+    assert out[0]["adc"] <= out[1]["adc"] <= out[2]["adc"]
+    with pytest.raises(ValueError):
+        pq_topk(df, [7], m=3)  # dim 4 not divisible
+    with pytest.raises(ValueError):
+        pq_topk(df, [7], n_codes=100)  # not enough codebook vectors
 
 
 def test_ivf_topk_survives_real_centroid_counts(spark, sf_dir):

@@ -340,3 +340,126 @@ def lsh_bucket_topk(
         )
         .orderBy("qid", "rn")
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation) — the
+    billion-scale technique: each vector is compressed to ``m`` one-byte
+    codes (argmin sub-codebook entry per subspace), queries score the
+    compressed corpus through a per-query lookup table instead of
+    touching raw vectors.
+
+    Layout and cost at scale:
+    - the codebook ([m][n_codes][dim/m], here the deterministic
+      lowest-id stand-in — swap in per-subspace ``kmeans_fit`` output
+      for trained codes) is metadata-scale and rides a 1-row BROADCAST
+      relation, so ENCODING IS PURE MAP-SIDE: one pass over the corpus
+      emits m small ints per vector (a 32x compression of a 64-dim
+      float vector), and at 100 TB the codes table is the only thing
+      the query path ever scans;
+    - the per-query LUT (m x n_codes distances) is computed once per
+      query (also map-side against the broadcast codebook), broadcast
+      with the query set, and ADC is a zip_with fold over m array
+      lookups per corpus row — no raw-vector I/O, no shuffle of the
+      corpus, candidates never materialize pairwise distances in
+      Python.
+
+    Determinism: sub-distances round to 6 dp before the argmin
+    (first-min tie-break = array_position = the oracle's
+    ROW_NUMBER ORDER BY d2, j), and ADC rounds to 6 dp over
+    already-6-dp-rounded terms, so summation-order noise (~1e-15)
+    cannot cross a rounding boundary (~5e-7 away at closest).
+    """
+    spark = emb.sparkSession
+    cb_rows = (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()  # metadata-scale: n_codes vectors
+    )
+    if len(cb_rows) < n_codes:
+        raise ValueError(f"need {n_codes} codebook vectors, got {len(cb_rows)}")
+    dim = len(cb_rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    vecs = [[float(v) for v in r[vec_col]] for r in cb_rows]
+    cb = [[vecs[j][s * sub:(s + 1) * sub] for j in range(n_codes)] for s in range(m)]
+    cb_df = spark.createDataFrame([(cb,)], "__cb array<array<array<double>>>")
+
+    def _d2(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    a,
+                    b,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    def _subvec(s):  # s is a 0-based int Column
+        return F.slice(F.col(vec_col), s * F.lit(sub) + F.lit(1), F.lit(sub))
+
+    def _dists_for(s):  # distances of this row's subvector s to all codes
+        return F.transform(
+            F.element_at(F.col("__cb"), (s + F.lit(1)).cast("int")),
+            lambda cbj: _d2(cbj, _subvec(s)),
+        )
+
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    codes = F.transform(
+        subspaces,
+        lambda s: F.array_position(_dists_for(s), F.array_min(_dists_for(s))),
+    )
+    enc = (
+        emb.crossJoin(F.broadcast(cb_df))
+        .withColumn("__codes", codes)
+    )
+    q = (
+        enc.filter(F.col(id_col).isin(query_ids))
+        .withColumn("__lut", F.transform(subspaces, _dists_for))
+        .select(F.col(id_col).alias("qid"), "__lut")
+    )
+    enc = enc.drop("__cb")
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("p.__lut"),
+                F.col("b.__codes"),
+                lambda lut_s, c: F.element_at(lut_s, c.cast("int")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    pairs = (
+        enc.alias("b")
+        .join(F.broadcast(q.alias("p")), F.col(f"b.{id_col}") != F.col("p.qid"))
+        .withColumn("adc", adc.cast("double"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col(f"b.{id_col}").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid",
+            F.col(f"b.{id_col}").alias("vec_id_n"),
+            "adc",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("qid", "rn")
+    )

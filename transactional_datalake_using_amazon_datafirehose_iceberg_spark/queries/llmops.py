@@ -541,6 +541,59 @@ FROM ranked WHERE rn <= 5 ORDER BY qid, rn
 ))
 
 _add(QuerySpec(
+    name="similarity_ann_pq",
+    doc="Product-quantization ANN (asymmetric distance): vectors "
+        "compress to m=8 codes via per-subspace argmin against a "
+        "deterministic 16-entry codebook (map-side, broadcast codebook, "
+        "no corpus shuffle), queries score the compressed corpus through "
+        "a per-query lookup table — the billion-scale path where the "
+        "query never touches raw vectors. Sub-distances and ADC round "
+        "to 6 dp with first-min/id tie-breaks, so the SQL oracle "
+        "(ROW_NUMBER over d,j) matches bitwise.",
+    tags=("llm", "similarity"),
+    build=lambda spark, sf: S.pq_topk(
+        spark.table("embeddings"), query_ids=[100, 101, 102], k=5,
+        m=8, n_codes=16,
+    ),
+    oracle="""
+WITH s AS (SELECT range AS s FROM range(0, 8)),
+d2 AS (
+  SELECT e.vec_id AS vid, s.s, c.vec_id + 1 AS j,
+         ROUND(list_sum(list_transform(range(1, 9),
+           i -> (CAST(e.embedding[s.s * 8 + i] AS DOUBLE)
+                 - CAST(c.embedding[s.s * 8 + i] AS DOUBLE))
+              * (CAST(e.embedding[s.s * 8 + i] AS DOUBLE)
+                 - CAST(c.embedding[s.s * 8 + i] AS DOUBLE)))), 6) AS d
+  FROM embeddings e
+  CROSS JOIN s
+  JOIN embeddings c ON c.vec_id < 16
+),
+codes AS (
+  SELECT vid, s, j AS code FROM (
+    SELECT vid, s, j, ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, j) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+lut AS (SELECT vid AS qid, s, j, d FROM d2 WHERE vid IN (100, 101, 102)),
+adc AS (
+  SELECT l.qid, c.vid AS bid, ROUND(SUM(l.d), 6) AS adc
+  FROM codes c
+  JOIN lut l ON l.s = c.s AND l.j = c.code
+  WHERE c.vid <> l.qid
+  GROUP BY l.qid, c.vid
+),
+ranked AS (
+  SELECT qid, bid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, bid) AS rn
+  FROM adc
+)
+SELECT qid, bid AS vec_id_n, CAST(adc AS DOUBLE) AS adc, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+ORDER BY qid, rn
+""",
+))
+
+_add(QuerySpec(
     name="similarity_ann_ivf",
     doc="IVF-style ANN: deterministic coarse quantizer (8 centroid "
         "cells, map-side argmin-L2 assignment from an inlined centroid "
