@@ -462,6 +462,53 @@ ORDER BY custdist DESC, c_count DESC
 ))
 
 _add(QuerySpec(
+    name="q15_top_supplier_revenue",
+    doc="TPC-H Q15 shape: quarterly revenue per supplier (the view), "
+        "top suppliers joined back for names — rank on rounded revenue "
+        "with suppkey tie-break so FP summation noise cannot reorder.",
+    tags=("join", "agg"),
+    sql="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT supplier_no, total_revenue,
+         ROW_NUMBER() OVER (ORDER BY total_revenue DESC, supplier_no) AS rn
+  FROM revenue
+)
+SELECT s_suppkey, s_name, total_revenue, CAST(rn AS BIGINT) AS rn
+FROM ranked JOIN supplier ON s_suppkey = supplier_no
+WHERE rn <= 3
+ORDER BY rn
+""",
+))
+
+_add(QuerySpec(
+    name="q17_small_quantity_revenue",
+    doc="TPC-H Q17 shape: per-part correlated average threshold "
+        "(brand/size-filtered parts whose line quantity is under 50% of "
+        "that part's average) — plans as an aggregate-then-join, not a "
+        "per-row subquery; avg of integral quantities is exact, so the "
+        "threshold is deterministic.",
+    tags=("join", "subquery", "agg"),
+    sql="""
+SELECT CAST(ROUND(SUM(l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN part p ON p_partkey = l_partkey
+WHERE p_size <= 5
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+))
+
+_add(QuerySpec(
     name="q18_large_volume_orders",
     doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery (big-order "
         "keys), then a 3-way join re-aggregated per order and top-k by "
