@@ -462,6 +462,61 @@ ORDER BY custdist DESC, c_count DESC
 ))
 
 _add(QuerySpec(
+    name="q7_nation_pair_revenue",
+    doc="TPC-H Q7 shape: cross-border revenue — the nation dimension "
+        "joins TWICE (supplier side and customer side) with an "
+        "asymmetric pair filter, grouped by both nations and ship year.",
+    tags=("join", "agg"),
+    sql="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+))
+
+_add(QuerySpec(
+    name="q8_market_share",
+    doc="TPC-H Q8 shape: market share — a conditional-aggregate ratio "
+        "(share = revenue from one nation / total) over a 6-way star "
+        "spanning both nation roles, region, and part filter.",
+    tags=("join", "agg"),
+    sql="""
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                  / SUM(volume), 6) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_size <= 10
+) shares
+GROUP BY o_year
+ORDER BY o_year
+""",
+))
+
+_add(QuerySpec(
     name="q15_top_supplier_revenue",
     doc="TPC-H Q15 shape: quarterly revenue per supplier (the view), "
         "top suppliers joined back for names — rank on rounded revenue "
