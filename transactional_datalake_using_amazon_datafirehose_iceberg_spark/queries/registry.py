@@ -67,6 +67,32 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "join_left_outer_agg", "join_full_outer_months", "join_semi_exists",
         "join_anti_not_exists", "join_broadcast_dims",
     }),
+    # Round 3: 48/50 sampled green. The two misses
+    # (streaming_session_windows, streaming_interval_join) failed on the
+    # TIMESTAMP_NTZ watermark regression (fixed in sources/catalog.py +
+    # streaming/pipeline.py) and stay never-green so they lead round 4's
+    # sampling window.
+    3: frozenset({
+        "agg_regression", "agg_stats_moments", "approx_distinct_percentile",
+        "catalog_ddl_lifecycle", "changelog_incremental_read",
+        "dedup_cluster_components", "join_cross_grid", "join_range_bands",
+        "maintenance_zorder_cluster", "map_transform_funcs",
+        "merge_schema_evolution", "metadata_tables_inspect",
+        "pipeline_curate_corpus", "q10_returned_items", "q12_shipmode_priority",
+        "q13_customer_distribution", "q14_promo_share",
+        "q15_top_supplier_revenue", "q17_small_quantity_revenue",
+        "q18_large_volume_orders", "q19_disjunctive_predicates",
+        "q22_dormant_customers", "q4_priority_exists", "q6_forecast_revenue",
+        "q7_nation_pair_revenue", "q8_market_share", "scalar_fuzzy_levenshtein",
+        "scalar_string_funcs", "scalar_try_funcs", "schema_evolution_add_drop",
+        "setops_union_intersect_except", "similarity_ann_pq",
+        "sort_topk_global", "split_train_holdout", "streaming_static_enrich",
+        "subq_correlated_avg", "subq_in_list", "subq_scalar_threshold",
+        "text_redact_scrub", "text_top_ngrams_per_lang", "text_url_parse",
+        "wap_branch_publish", "window_fill_forward", "window_moving_avg",
+        "window_percent_dense", "window_running_lag_rank",
+        "window_time_range_frame", "window_topk_per_group",
+    }),
 }
 
 

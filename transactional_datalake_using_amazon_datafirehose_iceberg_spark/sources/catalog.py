@@ -39,11 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is not None:
         return df
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns since epoch -> µs timestamp. MUST be integer division (`div`):
-        # `/` promotes int64 ns to double, which loses precision above
-        # 2^53 and shifts some values ±1 µs vs DuckDB's exact epoch_ns//1000
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns since epoch -> µs timestamp. MUST be integer division
+            # (`div`): `/` promotes int64 ns to double, which loses
+            # precision above 2^53 and shifts some values ±1 µs vs
+            # DuckDB's exact epoch_ns//1000
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark 4.1 reads TIMESTAMP(NANOS) parquet natively as
+            # TIMESTAMP_NTZ (the nanosAsLong legacy conf is ignored).
+            # Event-time operators (withWatermark) require LTZ TIMESTAMP;
+            # with the session TZ pinned UTC the cast is value-preserving
+            # and matches DuckDB's naive-UTC convention.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

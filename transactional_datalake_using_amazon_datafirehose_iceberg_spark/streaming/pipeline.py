@@ -120,6 +120,18 @@ class CdcStreamPipeline:
         return writer.start()
 
 
+def _with_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to LTZ TIMESTAMP. Structured
+    Streaming's withWatermark rejects TIMESTAMP_NTZ outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); with the session TZ pinned
+    UTC (session.py) the cast preserves wall-clock values."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
@@ -135,7 +147,7 @@ def windowed_event_counts(
 
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        events_stream.withWatermark("ts", watermark)
+        _with_event_time(events_stream).withWatermark("ts", watermark)
         .groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
@@ -151,7 +163,7 @@ def sessionized_event_counts(
     from pyspark.sql import functions as F
 
     return (
-        events_stream.withWatermark("ts", watermark)
+        _with_event_time(events_stream).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -205,13 +217,13 @@ def interval_join_purchase_click(
     """
     from pyspark.sql import functions as F
 
-    p = purchases_stream.withWatermark("ts", watermark).select(
+    p = _with_event_time(purchases_stream).withWatermark("ts", watermark).select(
         F.col("user_id"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
         F.col("value").alias("purchase_value"),
     )
-    c = clicks_stream.withWatermark("ts", watermark).select(
+    c = _with_event_time(clicks_stream).withWatermark("ts", watermark).select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("c_ts"),
@@ -245,4 +257,4 @@ def enrich_with_dimension(
 def stateful_dedup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup by event_id within the watermark horizon
     (replay idempotency, D1)."""
-    return events_stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return _with_event_time(events_stream).withWatermark("ts", watermark).dropDuplicates(["event_id"])
