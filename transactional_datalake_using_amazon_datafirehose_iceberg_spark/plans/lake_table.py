@@ -752,26 +752,67 @@ class LakeTable:
 
             after = _visible(after_paths, v)
             before = _visible(before_paths, prev["version"])
-            ins = after.exceptAll(before)
-            dels = before.exceptAll(after)
             if self.keys:
-                upd_keys = F.broadcast(
-                    ins.select(*self.keys).intersect(dels.select(*self.keys))
+                # Keyed tables carry at most one row per key per snapshot
+                # (MERGE enforces source-key uniqueness), so ONE full-outer
+                # join on the keys classifies every change in a single
+                # shuffle: key only on the after side -> INSERT, only on
+                # the before side -> DELETE, both sides with a differing
+                # row -> UPDATE_BEFORE/UPDATE_AFTER pair, both sides
+                # identical -> carried-over row of a rewritten file, not a
+                # change. (The previous exceptAll x2 + intersect + 4
+                # semi/anti joins computed the same relation in ~7 shuffle
+                # stages; per-stage fixed cost dominated at micro-batch
+                # row counts.) Struct equality is null-safe per field, so
+                # rows differing only in a nullable column still classify
+                # as updates.
+                a = after.select(
+                    *self.keys, F.struct(*cols).alias("__after")
                 )
-                upd_after = ins.join(upd_keys, self.keys, "left_semi").withColumn(
-                    "_change_type", F.lit("UPDATE_AFTER")
+                b = before.select(
+                    *self.keys, F.struct(*cols).alias("__before")
                 )
-                upd_before = dels.join(upd_keys, self.keys, "left_semi").withColumn(
-                    "_change_type", F.lit("UPDATE_BEFORE")
+                j = a.join(b, on=list(self.keys), how="full_outer")
+                entries = (
+                    F.when(
+                        F.col("__before").isNull(),
+                        F.array(F.struct(
+                            F.lit("INSERT").alias("ct"),
+                            F.col("__after").alias("r"),
+                        )),
+                    )
+                    .when(
+                        F.col("__after").isNull(),
+                        F.array(F.struct(
+                            F.lit("DELETE").alias("ct"),
+                            F.col("__before").alias("r"),
+                        )),
+                    )
+                    .when(
+                        F.col("__after") != F.col("__before"),
+                        F.array(
+                            F.struct(
+                                F.lit("UPDATE_BEFORE").alias("ct"),
+                                F.col("__before").alias("r"),
+                            ),
+                            F.struct(
+                                F.lit("UPDATE_AFTER").alias("ct"),
+                                F.col("__after").alias("r"),
+                            ),
+                        ),
+                    )
                 )
-                ins = ins.join(upd_keys, self.keys, "left_anti").withColumn(
-                    "_change_type", F.lit("INSERT")
+                # no otherwise(): the unchanged-row case leaves the array
+                # NULL, and explode() of NULL emits no rows
+                tagged = (
+                    j.select(F.explode(entries).alias("__e"))
+                    .select(F.col("__e.r.*"), F.col("__e.ct").alias("_change_type"))
                 )
-                dels = dels.join(upd_keys, self.keys, "left_anti").withColumn(
-                    "_change_type", F.lit("DELETE")
-                )
-                tagged = ins.unionByName(dels).unionByName(upd_before).unionByName(upd_after)
             else:
+                # multiset semantics for keyless tables: exceptAll keeps
+                # duplicate cardinality right
+                ins = after.exceptAll(before)
+                dels = before.exceptAll(after)
                 tagged = ins.withColumn("_change_type", F.lit("INSERT")).unionByName(
                     dels.withColumn("_change_type", F.lit("DELETE"))
                 )
