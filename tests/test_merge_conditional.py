@@ -1,0 +1,120 @@
+"""Conditional / partial-column MERGE semantics (Iceberg
+``WHEN MATCHED AND <cond> THEN UPDATE SET col = ...`` parity) and the
+SCD2 delta operator's batch-boundary behavior."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.scd2 import (
+    scd2_delta,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+    LakeTable,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.merge import (
+    merge_into,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("a", T.LongType()),
+    T.StructField("b", T.StringType()),
+])
+
+
+def _mk(spark, tmp_path, rows):
+    t = LakeTable.create(os.path.join(str(tmp_path), "t"), SCHEMA, keys=["k"])
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def _state(spark, t):
+    return {
+        r["k"]: (r["a"], r["b"])
+        for r in t.read(spark).collect()
+    }
+
+
+def test_match_condition_gates_update_not_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, 10, "x"), (2, 20, "y"), (3, 30, "z")])
+    src = spark.createDataFrame(
+        [(1, 100, "upd", "update"), (2, 5, "upd", "update"), (3, 0, "_", "delete")],
+        "k long, a long, b string, op string",
+    )
+    merge_into(
+        t, src, op_col="op", assume_unique=True,
+        match_condition="s.a > t.a",  # true for k=1 (100>10), false for k=2 (5<20)
+    )
+    st = _state(spark, t)
+    assert st[1] == (100, "upd")     # condition true -> updated
+    assert st[2] == (20, "y")        # condition false -> target kept
+    assert 3 not in st               # delete is NOT gated by the condition
+
+
+def test_partial_update_cols_keep_target_but_fill_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, 10, "x")])
+    src = spark.createDataFrame(
+        [(1, 100, "SRC"), (9, 900, "NEW")], "k long, a long, b string"
+    )
+    merge_into(t, src, assume_unique=True, update_cols=["a"])
+    st = _state(spark, t)
+    assert st[1] == (100, "x")       # a updated, b (unlisted) keeps target
+    assert st[9] == (900, "NEW")     # insert takes the full source row
+
+
+def test_condition_with_partial_cols(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, 10, "x"), (2, 20, "y")])
+    src = spark.createDataFrame(
+        [(1, 100, "SRC"), (2, 5, "SRC")], "k long, a long, b string"
+    )
+    merge_into(
+        t, src, assume_unique=True, update_cols=["a"], match_condition="s.a > t.a"
+    )
+    st = _state(spark, t)
+    assert st[1] == (100, "x")
+    assert st[2] == (20, "y")
+
+
+def test_scd2_delta_closes_open_rows_across_batches(spark):
+    batch1 = spark.createDataFrame(
+        [(1, 101, "2024-01-01 00:00:00", "v1"), (1, 102, "2024-01-02 00:00:00", "v2")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d1 = scd2_delta(None, batch1, ["k"], "ts", "seq")
+    rows = {r["seq"]: r for r in d1.collect()}
+    assert rows[101]["is_current"] == 0 and rows[101]["valid_to"] is not None
+    assert rows[102]["is_current"] == 1 and rows[102]["valid_to"] is None
+
+    open_rows = d1.filter(F.col("is_current") == 1)
+    batch2 = spark.createDataFrame(
+        [(1, 103, "2024-01-05 00:00:00", "v3")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d2 = scd2_delta(open_rows, batch2, ["k"], "ts", "seq")
+    rows2 = {r["seq"]: r for r in d2.collect()}
+    # previously-open v2 closed at v3's timestamp
+    assert rows2[102]["is_current"] == 0
+    assert str(rows2[102]["valid_to"]) == "2024-01-05 00:00:00"
+    assert rows2[103]["is_current"] == 1 and rows2[103]["valid_to"] is None
+
+
+def test_scd2_delta_untouched_keys_left_alone(spark):
+    hist = spark.createDataFrame(
+        [(7, 700, "2024-01-01 00:00:00", "keep")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts")) \
+     .withColumn("valid_from", F.col("ts")) \
+     .withColumn("valid_to", F.lit(None).cast("timestamp")) \
+     .withColumn("is_current", F.lit(1))
+    batch = spark.createDataFrame(
+        [(8, 800, "2024-01-02 00:00:00", "other")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    delta = scd2_delta(hist, batch, ["k"], "ts", "seq")
+    # key 7 has no new version -> no delta row touches it
+    assert [r["k"] for r in delta.collect()] == [8]

@@ -1,0 +1,67 @@
+"""Slowly-changing-dimension Type 2 maintenance over a keyed lake table.
+
+The reference pipeline applies CDC after-images destructively (one live
+row per key — cdk_stacks/firehose_to_iceberg.py:114 ``unique_keys``).
+SCD2 is the standard warehouse alternative the same stream feeds: keep
+EVERY version of a key as its own row with a validity interval
+(``valid_from``/``valid_to``) and an ``is_current`` flag, closing the
+previous version when a new one arrives.
+
+Design for scale: the delta for a micro-batch touches only the batch's
+keys — one window over the batch (partitioned by key) chains the new
+versions, and a broadcast join against the batch's per-key minimum
+closes the previously-open rows. History volume never re-shuffles; the
+MERGE that lands the delta rewrites only touched files (plans/merge.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_delta(
+    open_rows: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Compute the SCD2 upsert delta for one change batch.
+
+    ``open_rows``: the currently-open history rows (``is_current = 1``)
+    for at least the batch's keys (extra keys are fine — only matching
+    ones are touched); None/empty for the first batch. Must carry the
+    same columns as the produced history: the batch's columns plus
+    ``valid_from``, ``valid_to``, ``is_current``.
+
+    ``batch``: the new versions — key columns, ``ts_col`` (event time),
+    ``seq_col`` (unique tiebreak within a key, e.g. an event id), plus
+    payload columns. Batches must arrive in event-time order per key
+    (the CDC transport's per-key ordering guarantee, SURVEY.md §2.1 S4).
+
+    Returns rows to MERGE by ``keys + [seq_col]``: the batch rows with
+    their validity chained by a per-key window, plus the previously-open
+    rows closed at the batch's first version per key.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
+    new_rows = (
+        batch.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("int")
+        )
+    )
+    if open_rows is None:
+        return new_rows
+    # first (earliest) new version per key closes the open row
+    firsts = batch.groupBy(*keys).agg(
+        F.min(F.struct(ts_col, seq_col)).alias("__first")
+    ).select(*keys, F.col(f"__first.{ts_col}").alias("__close_ts"))
+    closed = (
+        open_rows.join(F.broadcast(firsts), on=keys, how="inner")
+        .withColumn("valid_to", F.col("__close_ts"))
+        .withColumn("is_current", F.lit(0))
+        .drop("__close_ts")
+    )
+    return new_rows.unionByName(closed.select(*new_rows.columns))

@@ -52,6 +52,8 @@ def merge_into(
     extra_summary: dict | None = None,
     evolve_schema: bool = False,
     evolve_ignore: tuple[str, ...] = (),
+    match_condition: str | None = None,
+    update_cols: list[str] | None = None,
 ) -> int:
     """MERGE ``source`` into ``table`` by key columns ``on``.
 
@@ -65,7 +67,15 @@ def merge_into(
     (reference: DMS forwards source DDL on the task stream).
     ``evolve_ignore`` names transport columns (op/ordering metadata)
     that must never be promoted to table columns.
-    Returns the committed snapshot version.
+
+    ``match_condition``: SQL boolean over aliases ``t`` (target row) and
+    ``s`` (source row) gating the WHEN MATCHED THEN UPDATE branch — a
+    matched row failing it keeps its target values (Iceberg
+    ``WHEN MATCHED AND <cond> THEN UPDATE`` parity). Deletes are NOT
+    gated. ``update_cols``: update only these non-key columns on match
+    (``UPDATE SET col = s.col, ...`` instead of ``SET *``); unlisted
+    columns keep target values. Not-matched inserts always take the full
+    source row. Returns the committed snapshot version.
     """
     # real-Iceberg backend (plans/iceberg_compat.py): native MERGE INTO
     if hasattr(table, "sql_merge"):
@@ -172,17 +182,32 @@ def merge_into(
     joined = old.join(new, on=cond, how="full_outer")
 
     src_present = F.col("s.__src").isNotNull()
+    tgt_present = F.col("t.__tgt").isNotNull()
     src_is_delete = (
         (F.col(f"s.{op_col}") == F.lit(delete_value)) if op_col else F.lit(False)
     )
     keep = ~(src_present & src_is_delete)
 
+    # WHEN MATCHED [AND cond] THEN UPDATE: a matched row failing the
+    # condition keeps its target values; inserts (no target row) always
+    # take the source row in full
+    upd_gate = F.expr(match_condition) if match_condition else F.lit(True)
+    takes_update = src_present & (~tgt_present | upd_gate)
+
     out_cols = []
     for f in schema.fields:
         if f.name in keys:
             c = F.coalesce(F.col(f"t.{f.name}"), F.col(f"s.{f.name}"))
+        elif update_cols is not None and f.name not in update_cols:
+            # partial-column UPDATE SET: unlisted columns keep target
+            # values on match, but still fill from source on insert
+            c = F.when(tgt_present, F.col(f"t.{f.name}")).otherwise(
+                F.col(f"s.{f.name}")
+            )
         else:
-            c = F.when(src_present, F.col(f"s.{f.name}")).otherwise(F.col(f"t.{f.name}"))
+            c = F.when(takes_update, F.col(f"s.{f.name}")).otherwise(
+                F.col(f"t.{f.name}")
+            )
         out_cols.append(c.cast(f.dataType).alias(f.name))
     result = joined.filter(keep).select(*out_cols)
 

@@ -81,6 +81,89 @@ def _replay_build(spark, sf):
     return table.read(spark).orderBy("trans_id")
 
 
+def _incremental_mv_build(spark, sf):
+    """Materialized-view maintenance driven by the changelog: after each
+    CDC commit the per-event aggregate is updated from the commit's
+    row-level change stream (INSERT/UPDATE_AFTER add, DELETE/
+    UPDATE_BEFORE subtract) — the downstream-consumer pattern the
+    CDC-OUT half exists for. At 100 TB the delta aggregation shuffles
+    changed-file rows only (changelog contract) and the view update is a
+    keyed outer join on the view's (small) group domain — table volume
+    is never re-scanned."""
+    workdir = tempfile.mkdtemp(prefix="mv_")
+    p1, p2 = write_golden_corpus(os.path.join(workdir, "in"))
+    table = LakeTable.create(
+        os.path.join(workdir, "retail"),
+        RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS,
+        cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    mv = None
+    for p in (p1, p2):
+        v0 = table.current_version()
+        good, _dead = transform(read_cdc_batch(spark, p), _DB, _TBL)
+        apply_batch(table, typed_rows(good))
+        delta = (
+            table.changelog(spark, v0, table.current_version())
+            .withColumn(
+                "__sign",
+                F.when(
+                    F.col("_change_type").isin("INSERT", "UPDATE_AFTER"), F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+            .groupBy("event")
+            .agg(
+                F.sum("__sign").alias("__dn"),
+                F.sum(F.col("__sign") * F.col("amount")).alias("__damount"),
+            )
+        )
+        if mv is None:
+            mv = delta.select(
+                "event",
+                F.col("__dn").alias("n_rows"),
+                F.col("__damount").alias("sum_amount"),
+            )
+        else:
+            mv = mv.join(delta, "event", "full_outer").select(
+                "event",
+                (F.coalesce("n_rows", F.lit(0)) + F.coalesce("__dn", F.lit(0))).alias(
+                    "n_rows"
+                ),
+                (
+                    F.coalesce("sum_amount", F.lit(0))
+                    + F.coalesce("__damount", F.lit(0))
+                ).alias("sum_amount"),
+            )
+        # groups whose rows all vanished leave the view
+        mv = mv.filter(F.col("n_rows") > 0).localCheckpoint(eager=True)
+    return mv.select(
+        "event",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_amount").cast("bigint").alias("sum_amount"),
+    ).orderBy("event")
+
+
+def _mv_oracle() -> str:
+    """The maintained view must equal the aggregate over the final table
+    state (independent pure-Python reference apply)."""
+    agg: dict[str, list[int]] = {}
+    for r in _reference_apply():
+        a = agg.setdefault(r["event"], [0, 0])
+        a[0] += 1
+        a[1] += r["amount"]
+    rows = ",\n".join(
+        f"({_sql_str(e)}, {n}, {s})" for e, (n, s) in sorted(agg.items())
+    )
+    return f"""
+SELECT event, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_amount AS BIGINT) AS sum_amount
+FROM (VALUES
+{rows}
+) t(event, n_rows, sum_amount)
+ORDER BY event
+"""
+
+
 SPECS = [
     QuerySpec(
         name="cdc_retail_replay",
@@ -91,5 +174,15 @@ SPECS = [
         tags=("cdc", "headline"),
         build=_replay_build,
         oracle=_oracle_values,
+    ),
+    QuerySpec(
+        name="incremental_mv_maintenance",
+        doc="Changelog-driven incremental materialized-view maintenance: "
+            "a per-event aggregate updated from each commit's change "
+            "stream (never re-scanning the table) must equal the "
+            "aggregate over the final replayed state.",
+        tags=("cdc", "changelog", "mv"),
+        build=_incremental_mv_build,
+        oracle=_mv_oracle,
     ),
 ]

@@ -923,4 +923,239 @@ ORDER BY win_start, event_type
 ))
 
 
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintenance: batch-wise incremental apply through
+# the lake table must equal a global window-function recompute
+# ---------------------------------------------------------------------------
+
+
+def _scd2_build(spark, sf):
+    from ..operators.scd2 import scd2_delta
+    from ..plans.merge import merge_into
+    from ..sources.catalog import load_table
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            "ts",
+            "event_type",
+            "value",
+        )
+    )
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("version_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("is_current", T.IntegerType()),
+    ])
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim"),
+        schema,
+        keys=["user_id", "version_id"],
+    )
+    bounds = [
+        ("2024-01-01", "2024-01-11"),
+        ("2024-01-11", "2024-01-21"),
+        ("2024-01-21", "2024-02-01"),
+    ]
+    for lo, hi in bounds:
+        b = ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        open_rows = t.read(spark).filter(F.col("is_current") == 1)
+        delta = scd2_delta(open_rows, b, ["user_id"], "ts", "version_id")
+        merge_into(t, delta, assume_unique=True)
+    return (
+        t.read(spark)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("version_id").cast("bigint").alias("version_id"),
+            "event_type",
+            "value",
+            "valid_from",
+            "valid_to",
+            F.col("is_current").cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "version_id")
+    )
+
+
+_add(QuerySpec(
+    name="scd2_dimension_history",
+    doc="Slowly-changing-dimension Type 2: the events stream applied in "
+        "three time-ordered micro-batches through scd2_delta + MERGE — "
+        "every version kept as a row with valid_from/valid_to chained by "
+        "a per-key window and the previously-open row closed by a "
+        "broadcast join against the batch's first version per key. Final "
+        "history must equal a global LEAD() recompute (the oracle).",
+    tags=("cdc", "scd2", "dml"),
+    build=_scd2_build,
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id AS version_id,
+         make_timestamp(epoch_ns(ts) // 1000) AS t, event_type, value
+  FROM events WHERE user_id < 40
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(version_id AS BIGINT) AS version_id,
+       event_type, value, t AS valid_from,
+       LEAD(t) OVER (PARTITION BY user_id ORDER BY t, version_id) AS valid_to,
+       CAST(CASE WHEN LEAD(t) OVER (PARTITION BY user_id ORDER BY t, version_id)
+                 IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM e
+ORDER BY user_id, valid_from, version_id
+""",
+))
+
+
+# ---------------------------------------------------------------------------
+# Conditional / partial-column MERGE (Iceberg WHEN MATCHED AND cond THEN
+# UPDATE SET col = ... parity)
+# ---------------------------------------------------------------------------
+
+
+def _merge_conditional_build(spark, sf):
+    from ..plans.merge import merge_into
+
+    base = spark.table("orders").filter(F.col("o_orderkey") < 2000)
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="condmerge_"), "orders"),
+        base.schema,
+        keys=["o_orderkey"],
+    )
+    t.append(base)
+    src = (
+        spark.table("lineitem")
+        .filter(F.col("l_orderkey") < 2500)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).cast("double").alias("o_totalprice")
+        )
+        .withColumn("o_custkey", F.lit(-1).cast("bigint"))
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("o_orderdate", F.to_timestamp(F.lit("2024-01-01")))
+        .withColumn("o_orderpriority", F.lit("0-NEW"))
+    )
+    merge_into(
+        t,
+        src,
+        assume_unique=True,
+        update_cols=["o_totalprice"],
+        match_condition="s.o_totalprice > t.o_totalprice / 2",
+    )
+    return (
+        t.read(spark)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            "o_orderstatus",
+            F.round("o_totalprice", 2).cast("double").alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_add(QuerySpec(
+    name="merge_conditional_partial",
+    doc="MERGE with a WHEN MATCHED AND <condition> gate and a partial "
+        "UPDATE SET column list: matched orders take the lineitem-derived "
+        "revenue as o_totalprice only when it exceeds half the stored "
+        "total; all other columns keep target values; unmatched source "
+        "keys insert with sentinel attributes. Oracle re-derives the "
+        "same relation with a full-outer join in SQL.",
+    tags=("dml", "merge"),
+    build=_merge_conditional_build,
+    oracle="""
+WITH base AS (SELECT * FROM orders WHERE o_orderkey < 2000),
+src AS (
+  SELECT l_orderkey AS k,
+         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS rev
+  FROM lineitem WHERE l_orderkey < 2500 GROUP BY 1
+)
+SELECT CAST(COALESCE(b.o_orderkey, s.k) AS BIGINT) AS o_orderkey,
+       CAST(CASE WHEN b.o_orderkey IS NULL THEN -1 ELSE b.o_custkey END AS BIGINT)
+         AS o_custkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'P' ELSE b.o_orderstatus END
+         AS o_orderstatus,
+       CAST(ROUND(CASE WHEN b.o_orderkey IS NULL THEN s.rev
+                       WHEN s.k IS NOT NULL AND s.rev > b.o_totalprice / 2 THEN s.rev
+                       ELSE b.o_totalprice END, 2) AS DOUBLE) AS o_totalprice,
+       CASE WHEN b.o_orderkey IS NULL THEN TIMESTAMP '2024-01-01'
+            ELSE b.o_orderdate END AS o_orderdate,
+       CASE WHEN b.o_orderkey IS NULL THEN '0-NEW' ELSE b.o_orderpriority END
+         AS o_orderpriority
+FROM base b FULL OUTER JOIN src s ON b.o_orderkey = s.k
+ORDER BY o_orderkey
+""",
+))
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful dedup as a driver spec: every event written TWICE,
+# dropDuplicates(event_id) within the watermark must collapse the copies
+# ---------------------------------------------------------------------------
+
+
+def _streaming_dedup_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import stateful_dedup
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_dd_"), "events")
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)  # exact duplicate of every row
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_stateful_dedup",
+    doc="Stateful streaming dedup (dropDuplicates on event_id under a "
+        "watermark): the source directory holds every event twice; the "
+        "deduped stream's per-type aggregate must equal the batch "
+        "aggregate over the original rows (replay idempotency, D1).",
+    tags=("streaming", "dedup"),
+    build=_streaming_dedup_build,
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+FROM events WHERE user_id < 40
+GROUP BY event_type
+ORDER BY event_type
+""",
+))
+
+
 SPECS = list(_SPECS)
