@@ -215,7 +215,7 @@ def main() -> None:
         except Exception as exc:  # one broken query must not lose the run
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    # round-3 additions, reported OUTSIDE the headline total so the
+    # round-3/4 additions, reported OUTSIDE the headline total so the
     # 15-query total stays comparable across rounds
     extras: dict[str, float] = {}
     for name in (
@@ -225,6 +225,10 @@ def main() -> None:
         "text_top_ngrams_per_lang",
         "streaming_interval_join",
         "maintenance_zorder_cluster",
+        "scd2_dimension_history",
+        "incremental_mv_maintenance",
+        "merge_conditional_partial",
+        "sample_balanced_per_group",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:

@@ -924,6 +924,64 @@ ORDER BY win_start, event_type
 
 
 # ---------------------------------------------------------------------------
+# applyInPandasWithState as a driver spec: per-user running counts kept
+# in the state store; the final (maximum) count per user must equal the
+# batch GROUP BY
+# ---------------------------------------------------------------------------
+
+
+def _streaming_running_counts_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import running_user_counts
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "user_id")
+    )
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_rc_"), "events")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    name = f"stream_rc_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode emits one row per user per micro-batch; the running
+    # count is monotone, so max(n) is the final state
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n").cast("bigint").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_running_user_counts",
+    doc="Arbitrary stateful streaming operator (applyInPandasWithState): "
+        "a per-user running event count held in the state store, emitted "
+        "each update; after replay the final count per user must equal "
+        "the batch GROUP BY COUNT(*).",
+    tags=("streaming", "state"),
+    build=_streaming_running_counts_build,
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events
+FROM events WHERE user_id < 40
+GROUP BY user_id
+ORDER BY user_id
+""",
+))
+
+
+# ---------------------------------------------------------------------------
 # SCD Type-2 dimension maintenance: batch-wise incremental apply through
 # the lake table must equal a global window-function recompute
 # ---------------------------------------------------------------------------

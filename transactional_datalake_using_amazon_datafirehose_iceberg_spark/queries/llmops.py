@@ -1118,4 +1118,48 @@ ORDER BY p.event_id
 ))
 
 
+def _balanced_sample_build(spark, sf):
+    from pyspark.sql import Window
+
+    docs = spark.table("documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+        .orderBy("lang", "sample_rank")
+    )
+
+
+_add(QuerySpec(
+    name="sample_balanced_per_group",
+    doc="Deterministic class-balanced subsample: cap 20 documents per "
+        "language, chosen by md5(doc_id) rank within the group — the "
+        "standard over/under-sampling step of a training-data pipeline, "
+        "reproducible across engines and runs (no rand()). One window "
+        "per group; at 100 TB this is a single shuffle on the group key "
+        "with the per-group top-k done in partial form map-side.",
+    tags=("llm", "sampling"),
+    build=_balanced_sample_build,
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 20
+ORDER BY lang, sample_rank
+""",
+))
+
+
 SPECS = list(_SPECS)

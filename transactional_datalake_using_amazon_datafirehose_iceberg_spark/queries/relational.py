@@ -1917,4 +1917,40 @@ LIMIT 200
 ))
 
 
+_add(QuerySpec(
+    name="agg_histogram_width_bucket",
+    doc="Equi-width histogram via width_bucket (Spark-side JVM builtin; "
+        "DuckDB oracle emulates the same floor arithmetic): order "
+        "totalprice bucketed into 10 bins over [0, 500000) plus "
+        "underflow/overflow bins.",
+    tags=("agg", "histogram"),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .withColumn(
+            "bucket",
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10)).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    ),
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 500000 THEN 11
+                 ELSE CAST(FLOOR(o_totalprice / 50000) AS INTEGER) + 1 END AS INTEGER)
+         AS bucket,
+       COUNT(*) AS n,
+       CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+))
+
+
 SPECS = list(_SPECS)
