@@ -89,3 +89,44 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
         "width",
         "height",
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("frame_len", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    multimodal: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over the raw payload: the byte stream
+    is treated as fixed-size frames and every ``every_n``-th frame is
+    actually SLICED out of the buffer inside the Arrow batch (a real
+    decoder would hand the slice to the codec; the emitted metadata
+    records the slice the fake skipped). Runs per Arrow batch via
+    ``mapInPandas`` with a driver-declared schema — the pattern a 100 TB
+    video table needs: frames never leave the executor, and the fan-out
+    (rows per payload) happens after the scan, inside the same stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "offset": [], "frame_len": []
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["offset"].append(i * frame_bytes)
+                    out["frame_len"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return multimodal.mapInPandas(batches, FRAME_SCHEMA)

@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
-from ..operators.multimodal import attach_binary_payload, decode_features
+from ..operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    sample_frames,
+)
 from .base import QuerySpec
 
 _SPECS: list[QuerySpec] = []
@@ -1067,6 +1071,44 @@ FROM documents
 ORDER BY doc_id
 """,
 ))
+
+_add(QuerySpec(
+    name="multimodal_frame_sample",
+    doc="Video-style frame sampling: the binary payload is cut into "
+        "64-byte frames and every 4th frame is sliced out of the buffer "
+        "inside an Arrow batch (mapInPandas fan-out after the scan). "
+        "Oracle re-derives offsets/lengths from octet_length arithmetic.",
+    tags=("llm", "multimodal"),
+    build=lambda spark, sf: (
+        sample_frames(attach_binary_payload(spark.table("documents")))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.col("offset").cast("bigint").alias("offset"),
+            F.col("frame_len").cast("int").alias("frame_len"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+),
+f AS (
+  SELECT doc_id, nb,
+         unnest(generate_series(0, CAST(CEIL(nb / 64.0) AS INTEGER) - 1))
+           AS frame_idx
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 64 AS BIGINT) AS "offset",
+       CAST(LEAST(64, nb - frame_idx * 64) AS INTEGER) AS frame_len
+FROM f
+WHERE frame_idx % 4 = 0
+ORDER BY doc_id, frame_idx
+""",
+))
+
 
 # ---------------------------------------------------------------------------
 # As-of join (events: purchases pick up the latest prior click per user)
