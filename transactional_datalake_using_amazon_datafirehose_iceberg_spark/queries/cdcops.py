@@ -164,6 +164,36 @@ ORDER BY event
 """
 
 
+def _streaming_pipeline_build(spark, sf):
+    """The full Structured Streaming path — readStream(JSONL) →
+    foreachBatch(transform → dead-letter → latest-per-key → MERGE) with
+    checkpointing — replayed to completion with availableNow. Both
+    corpora arrive in ONE delivery buffer, so the intra-batch
+    latest-per-key collapse (D4) must converge the 28-envelope history
+    to the same 12 live rows the sequential batch replay produces
+    (Firehose contract: a buffer holding a key's whole history applies
+    cleanly, firehose_to_iceberg.py:100-116)."""
+    from ..streaming.pipeline import CdcStreamPipeline
+
+    workdir = tempfile.mkdtemp(prefix="scdc_")
+    in_dir = os.path.join(workdir, "in")
+    write_golden_corpus(in_dir)
+    table = LakeTable.create(
+        os.path.join(workdir, "retail"),
+        RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS,
+        cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    q = CdcStreamPipeline(table, _DB, _TBL).start(
+        spark,
+        in_dir,
+        os.path.join(workdir, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    return table.read(spark).orderBy("trans_id")
+
+
 SPECS = [
     QuerySpec(
         name="cdc_retail_replay",
@@ -173,6 +203,17 @@ SPECS = [
             "reference apply (12 live rows, README.md:400-460).",
         tags=("cdc", "headline"),
         build=_replay_build,
+        oracle=_oracle_values,
+    ),
+    QuerySpec(
+        name="streaming_cdc_pipeline",
+        doc="The streaming half of the flagship path driver-checked: "
+            "readStream over the golden JSONL corpora -> foreachBatch "
+            "(transform, dead-letter split, latest-per-key collapse, "
+            "MERGE with atomic batch-id watermark) -> final table state, "
+            "vs the independent pure-Python reference apply.",
+        tags=("cdc", "streaming"),
+        build=_streaming_pipeline_build,
         oracle=_oracle_values,
     ),
     QuerySpec(
