@@ -1160,6 +1160,120 @@ ORDER BY p.event_id
 ))
 
 
+_add(QuerySpec(
+    name="text_chunk_windows",
+    doc="Overlapping sliding-window chunking (200-char windows, stride "
+        "150) — the context-window preparation step of an LLM training "
+        "pipeline. Pure JVM: sequence+posexplode fan-out after the scan; "
+        "chunk content pinned by md5. One map stage, no shuffle until "
+        "the final order.",
+    tags=("llm", "text", "chunking"),
+    build=lambda spark, sf: (
+        spark.table("documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.length("text").alias("__n"),
+            F.posexplode(
+                F.sequence(F.lit(0), F.floor((F.length("text") - 1) / 150))
+            ).alias("chunk_idx", "__i"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("__i") * 150 + 1).cast("bigint").alias("chunk_start"),
+        )
+        .join(spark.table("documents"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.length(
+                F.expr("substring(text, chunk_start, 200)")
+            ).cast("int").alias("chunk_len"),
+            F.md5(F.expr("substring(text, chunk_start, 200)")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    ),
+    oracle="""
+WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents WHERE LENGTH(text) > 0),
+c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST((n - 1) // 150 AS INTEGER))) AS chunk_idx
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * 150 + 1 AS BIGINT) AS chunk_start,
+       CAST(LENGTH(substring(text, chunk_idx * 150 + 1, 200)) AS INTEGER) AS chunk_len,
+       md5(substring(text, chunk_idx * 150 + 1, 200)) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_idx
+""",
+))
+
+
+_add(QuerySpec(
+    name="embedding_quantize_int8",
+    doc="Saturating int8 quantization of the embedding column (max-abs "
+        "per-vector scale, codes = floor(x/scale*127 + 0.5)): the "
+        "compression step before ANN shipping. All arithmetic forced to "
+        "double on both engines so the codes are bit-identical; emitted "
+        "as per-vector code statistics.",
+    tags=("llm", "similarity", "quantize"),
+    build=lambda spark, sf: (
+        spark.table("embeddings")
+        .withColumn(
+            "scale",
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        )
+        .filter(F.col("scale") > 0)
+        .withColumn(
+            "codes",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") / F.col("scale") * 127.0 + 0.5
+                ).cast("int"),
+            ),
+        )
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.round("scale", 6).cast("double").alias("scale"),
+            F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, x: a + x)
+            .alias("sum_code"),
+            F.array_min("codes").cast("int").alias("min_code"),
+            F.array_max("codes").cast("int").alias("max_code"),
+            F.size(F.filter("codes", lambda x: F.abs(x) == 127))
+            .cast("int").alias("n_saturated"),
+        )
+        .orderBy("vec_id")
+    ),
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS scale,
+         list_transform(
+           embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) /
+                list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))))
+                * 127.0 + 0.5) AS INTEGER)
+         ) AS codes
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS sum_code,
+       CAST(list_min(codes) AS INTEGER) AS min_code,
+       CAST(list_max(codes) AS INTEGER) AS max_code,
+       CAST(len(list_filter(codes, x -> ABS(x) = 127)) AS INTEGER) AS n_saturated,
+FROM q
+WHERE scale > 0
+ORDER BY vec_id
+""",
+))
+
+
 def _balanced_sample_build(spark, sf):
     from pyspark.sql import Window
 

@@ -1918,6 +1918,93 @@ LIMIT 200
 
 
 _add(QuerySpec(
+    name="events_session_window_batch",
+    doc="The NATIVE batch session_window operator (30-min gap) — same "
+        "semantics as the lag+cumsum sessionization but via Spark's "
+        "built-in SessionWindow expression; oracle re-derives sessions "
+        "with gap arithmetic.",
+    tags=("events", "session"),
+    build=lambda spark, sf: (
+        spark.table("events")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"), "user_id", "n_events"
+        )
+        .orderBy("user_id", "session_start")
+    ),
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS t FROM events
+), g AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > 1800000000
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT CAST(make_timestamp(MIN(t)) AS TIMESTAMP) AS session_start,
+       user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+))
+
+
+def _udtf_build(spark, sf):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class FirstTokens:
+        def eval(self, text: str):
+            if text:
+                for i, w in enumerate(text.split(" ")[:5], start=1):
+                    yield w, i
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    return spark.sql("""
+        SELECT doc_id, t.word, t.pos
+        FROM documents, LATERAL first_tokens(text) t
+        WHERE doc_id < 100
+        ORDER BY doc_id, pos
+    """).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "word",
+        F.col("pos").cast("int").alias("pos"),
+    )
+
+
+_add(QuerySpec(
+    name="udtf_first_tokens",
+    doc="Python user-defined TABLE function (UDTF, the Lambda-style "
+        "extension point generalized to one-to-many): LATERAL-joined "
+        "per-document token emitter, first 5 whitespace tokens with "
+        "1-based positions. Oracle = list-slice unnest.",
+    tags=("udf", "udtf"),
+    build=_udtf_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       w[CAST(i AS INTEGER)] AS word,
+       CAST(i AS INTEGER) AS pos
+FROM (SELECT doc_id, w, unnest(generate_series(1, LEAST(5, len(w)))) AS i FROM d)
+ORDER BY doc_id, pos
+""",
+))
+
+
+_add(QuerySpec(
     name="agg_histogram_width_bucket",
     doc="Equi-width histogram via width_bucket (Spark-side JVM builtin; "
         "DuckDB oracle emulates the same floor arithmetic): order "
