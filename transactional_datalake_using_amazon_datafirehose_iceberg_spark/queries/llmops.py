@@ -1274,6 +1274,53 @@ ORDER BY vec_id
 ))
 
 
+def _hll_sketch_build(spark, sf):
+    docs = spark.table("documents")
+    per = docs.groupBy("lang").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count_distinct("doc_id").alias("exact"),
+    )
+    per_ok = per.select(
+        "lang",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))
+            / F.col("exact")
+            <= 0.05
+        ).cast("int").alias("within_5pct"),
+    )
+    union_ok = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("exact").alias("exact"),
+    ).select(
+        F.lit("_union_all").alias("lang"),
+        (
+            F.abs(F.col("est") - F.col("exact")) / F.col("exact") <= 0.05
+        ).cast("int").alias("within_5pct"),
+    )
+    return per_ok.unionByName(union_ok).orderBy("lang")
+
+
+_add(QuerySpec(
+    name="sketch_hll_union",
+    doc="Mergeable HyperLogLog sketches (Apache DataSketches builtins): "
+        "per-language distinct-count sketches plus their UNION re-"
+        "aggregated to the global estimate — the mergeable-state pattern "
+        "that makes distributed distinct counting one pass at 100 TB. "
+        "Deterministic (fixed internal seed); declared approximate, so "
+        "the spec emits 5%-tolerance booleans (same convention as "
+        "approx_distinct_percentile).",
+    tags=("llm", "sketch", "approx"),
+    build=_hll_sketch_build,
+    oracle="""
+SELECT lang, CAST(within_5pct AS INTEGER) AS within_5pct
+FROM (VALUES
+  ('_union_all', 1), ('de', 1), ('en', 1), ('es', 1), ('fr', 1), ('zh', 1)
+) t(lang, within_5pct)
+ORDER BY lang
+""",
+))
+
+
 def _balanced_sample_build(spark, sf):
     from pyspark.sql import Window
 
