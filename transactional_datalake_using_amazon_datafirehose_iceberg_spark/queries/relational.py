@@ -1918,6 +1918,75 @@ LIMIT 200
 
 
 _add(QuerySpec(
+    name="recursive_cte_ancestors",
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): every order key walks "
+        "its halving chain k -> k div 2 to the root — an acyclic "
+        "ancestor recursion (depth ~ log2 k) aggregated to path depth "
+        "and ancestor sum. Same query shape on both engines (dialect "
+        "differs only in the integer-division token).",
+    tags=("sql", "recursive"),
+    build=lambda spark, sf: spark.sql("""
+WITH RECURSIVE anc(start_key, k, depth) AS (
+  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey < 500
+  UNION ALL
+  SELECT start_key, k DIV 2, depth + 1 FROM anc WHERE k > 0
+)
+SELECT CAST(start_key AS BIGINT) AS start_key,
+       CAST(MAX(depth) AS INTEGER) AS root_depth,
+       CAST(SUM(k) AS BIGINT) AS ancestor_sum
+FROM anc GROUP BY start_key ORDER BY start_key
+"""),
+    oracle="""
+WITH RECURSIVE anc(start_key, k, depth) AS (
+  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey < 500
+  UNION ALL
+  SELECT start_key, k // 2, depth + 1 FROM anc WHERE k > 0
+)
+SELECT CAST(start_key AS BIGINT) AS start_key,
+       CAST(MAX(depth) AS INTEGER) AS root_depth,
+       CAST(SUM(k) AS BIGINT) AS ancestor_sum
+FROM anc GROUP BY start_key ORDER BY start_key
+""",
+))
+
+
+_add(QuerySpec(
+    name="variant_json_extract",
+    doc="VARIANT ingestion (Spark 4 semi-structured type): events.props "
+        "parsed once to VARIANT, typed variant_get extraction, "
+        "aggregated per event type. Oracle extracts the same path with "
+        "DuckDB JSON operators.",
+    tags=("json", "variant"),
+    build=lambda spark, sf: (
+        spark.table("events")
+        .select(
+            "event_type",
+            F.expr(
+                "variant_get(parse_json(props), '$.k', 'bigint')"
+            ).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    ),
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+))
+
+
+_add(QuerySpec(
     name="events_session_window_batch",
     doc="The NATIVE batch session_window operator (30-min gap) — same "
         "semantics as the lag+cumsum sessionization but via Spark's "
