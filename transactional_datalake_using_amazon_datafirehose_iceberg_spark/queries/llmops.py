@@ -1173,25 +1173,22 @@ _add(QuerySpec(
         .filter(F.length("text") > 0)
         .select(
             "doc_id",
-            F.length("text").alias("__n"),
+            "text",
             F.posexplode(
                 F.sequence(F.lit(0), F.floor((F.length("text") - 1) / 150))
             ).alias("chunk_idx", "__i"),
         )
+        # text rides through the fan-out: one map stage, no re-join scan
+        .withColumn(
+            "__chunk",
+            F.expr("substring(text, cast(chunk_idx * 150 + 1 as int), 200)"),
+        )
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            (F.col("__i") * 150 + 1).cast("bigint").alias("chunk_start"),
-        )
-        .join(spark.table("documents"), "doc_id")
-        .select(
-            "doc_id",
-            "chunk_idx",
-            "chunk_start",
-            F.length(
-                F.expr("substring(text, chunk_start, 200)")
-            ).cast("int").alias("chunk_len"),
-            F.md5(F.expr("substring(text, chunk_start, 200)")).alias("chunk_md5"),
+            (F.col("chunk_idx") * 150 + 1).cast("bigint").alias("chunk_start"),
+            F.length("__chunk").cast("int").alias("chunk_len"),
+            F.md5("__chunk").alias("chunk_md5"),
         )
         .orderBy("doc_id", "chunk_idx")
     ),
