@@ -1,0 +1,84 @@
+"""Equality-delete files (Iceberg v2 parity — the delete representation
+Firehose's Iceberg destination writes for CDC deletes): key-value delete
+files applied merge-on-read with sequence-number semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+    LakeTable,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+    rewrite_delete_files,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _mk(spark, tmp_path, rows):
+    t = LakeTable.create(os.path.join(str(tmp_path), "t"), SCHEMA, keys=["k"])
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def _live(spark, t, version=None):
+    return {r["k"]: r["v"] for r in t.read(spark, version=version).collect()}
+
+
+def test_delete_eq_is_metadata_only_and_applies_on_read(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    files_before = {f["path"] for f in t.manifest()["files"]}
+    t.delete_eq([{"k": 2}])
+    files_after = {f["path"] for f in t.manifest()["files"]}
+    assert files_before == files_after  # zero data-file I/O
+    assert _live(spark, t) == {1: "a", 3: "c"}
+    m = t.manifest()
+    assert m["summary"]["equality_delete_files"] == 1
+
+
+def test_reinserted_key_survives_older_equality_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    t.delete_eq([{"k": 2}])
+    t.append(spark.createDataFrame([(2, "b2")], SCHEMA))  # newer seq
+    assert _live(spark, t) == {1: "a", 2: "b2"}
+
+
+def test_time_travel_before_equality_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    v1 = t.current_version()
+    t.delete_eq([{"k": 1}])
+    assert _live(spark, t, version=v1) == {1: "a", 2: "b"}
+    assert _live(spark, t) == {2: "b"}
+
+
+def test_rewrite_folds_equality_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    t.delete_eq([{"k": 1}, {"k": 3}])
+    rewrite_delete_files(spark, t)
+    m = t.manifest()
+    assert not m.get("delete_files")
+    assert _live(spark, t) == {2: "b"}
+    # post-rewrite the manifest count is exact again
+    assert t.row_count() == 1
+
+
+def test_changelog_emits_equality_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    v1 = t.current_version()
+    t.delete_eq([{"k": 2}])
+    log = t.changelog(spark, v1, t.current_version())
+    rows = {(r["k"], r["_change_type"]) for r in log.collect()}
+    assert rows == {(2, "DELETE")}
+
+
+def test_mixed_position_and_equality_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    t.delete_where(spark, "k = 1", mode="merge-on-read")  # position delete
+    t.delete_eq([{"k": 3}])
+    assert _live(spark, t) == {2: "b", 4: "d"}

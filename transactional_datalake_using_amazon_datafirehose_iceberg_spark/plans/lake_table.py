@@ -292,7 +292,12 @@ class LakeTable:
             stats = {c: f"{mins[c]}..{maxs.get(c)}" for c in mins}
             rows.append(("data", f["path"], f["rows"], stats))
         for d in m.get("delete_files", []):
-            rows.append(("position-deletes", d["path"], d["rows"], {}))
+            label = (
+                "equality-deletes"
+                if d.get("kind") == "equality"
+                else "position-deletes"
+            )
+            rows.append((label, d["path"], d["rows"], {}))
         return spark.createDataFrame(
             rows,
             "content string, path string, rows bigint, stats map<string,string>",
@@ -459,6 +464,14 @@ class LakeTable:
         kept = [f for f in cur["files"] if f["path"] not in removed]
         files = kept + added
         version = self._next_version()
+        # sequence stamping (Iceberg data-sequence-number parity): every
+        # added data file and delete file records the commit it entered
+        # in. Equality deletes apply only to rows of files with a LOWER
+        # seq, so a key re-inserted after the delete survives.
+        for f in added:
+            f.setdefault("seq", version)
+        for d in added_deletes or []:
+            d.setdefault("seq", version)
 
         removed_del = set(removed_delete_paths)
         kept_deletes = [
@@ -486,12 +499,29 @@ class LakeTable:
                 "operation": operation,
                 "added_files": len(added),
                 "removed_files": len(removed),
+                # total_rows is exact under position deletes; pending
+                # EQUALITY deletes make it an upper bound (their match
+                # count is unknown without a scan — same caveat as
+                # Iceberg's record_count with eq-deletes)
                 "total_rows": sum(f["rows"] for f in files)
-                - sum(d["rows"] for d in delete_files),
+                - sum(
+                    d["rows"]
+                    for d in delete_files
+                    if d.get("kind", "position") != "equality"
+                ),
                 **(
                     {
-                        "position_delete_files": len(delete_files),
-                        "position_delete_rows": sum(d["rows"] for d in delete_files),
+                        "position_delete_files": len(
+                            [d for d in delete_files if d.get("kind", "position") != "equality"]
+                        ),
+                        "position_delete_rows": sum(
+                            d["rows"]
+                            for d in delete_files
+                            if d.get("kind", "position") != "equality"
+                        ),
+                        "equality_delete_files": len(
+                            [d for d in delete_files if d.get("kind") == "equality"]
+                        ),
                     }
                     if delete_files
                     else {}
@@ -603,20 +633,100 @@ class LakeTable:
         dels = m.get("delete_files", [])
         if not dels:
             return df
-        del_paths = [os.path.join(self.root, d["path"]) for d in dels]
-        del_df = spark.read.schema("file string, pos long").parquet(*del_paths).select(
-            F.col("file").alias("__del_file"), F.col("pos").alias("__del_pos")
+        pos = [d for d in dels if d.get("kind", "position") != "equality"]
+        eq = [d for d in dels if d.get("kind") == "equality"]
+        if pos:
+            del_paths = [os.path.join(self.root, d["path"]) for d in pos]
+            del_df = spark.read.schema("file string, pos long").parquet(*del_paths).select(
+                F.col("file").alias("__del_file"), F.col("pos").alias("__del_pos")
+            )
+            df = (
+                df.withColumn("__file", self._rel_file_col())
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(del_df),
+                    (F.col("__file") == F.col("__del_file"))
+                    & (F.col("__pos") == F.col("__del_pos")),
+                    "left_anti",
+                )
+                .drop("__file", "__pos")
+            )
+        if eq:
+            df = self._apply_equality_deletes(spark, df, m, eq)
+        return df
+
+    def _apply_equality_deletes(
+        self, spark: SparkSession, df: DataFrame, m: dict, eq: list[dict]
+    ) -> DataFrame:
+        """Merge-on-read equality deletes (Iceberg v2 equality delete
+        files — what Firehose's Iceberg destination writes for CDC
+        deletes): each delete file holds KEY VALUES, applied to rows of
+        data files with a lower sequence number than the delete (so a
+        key re-inserted later survives). One broadcast anti-join: the
+        delete set is key tuples — metadata scale, never row scale."""
+        key_cols = list(eq[0].get("eq_cols", self.keys or []))
+        if not key_cols:
+            return df
+        parts = []
+        for d in eq:
+            e = (
+                spark.read.parquet(os.path.join(self.root, d["path"]))
+                .select(
+                    *[F.col(k).alias(f"__eq_{k}") for k in key_cols],
+                )
+                .withColumn("__del_seq", F.lit(int(d.get("seq", 0))))
+            )
+            parts.append(e)
+        eq_df = parts[0]
+        for p in parts[1:]:
+            eq_df = eq_df.unionByName(p)
+        seq_df = spark.createDataFrame(
+            [(f["path"], int(f.get("seq", 0))) for f in m["files"]],
+            "__seq_path string, __seq long",
         )
+        cond = F.lit(True)
+        for k in key_cols:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__eq_{k}"))
+        cond = cond & (F.col("__del_seq") > F.col("__seq"))
         return (
             df.withColumn("__file", self._rel_file_col())
-            .withColumn("__pos", F.col("_metadata.row_index"))
             .join(
-                F.broadcast(del_df),
-                (F.col("__file") == F.col("__del_file"))
-                & (F.col("__pos") == F.col("__del_pos")),
-                "left_anti",
+                F.broadcast(seq_df),
+                F.col("__file") == F.col("__seq_path"),
+                "left",
             )
-            .drop("__file", "__pos")
+            .withColumn("__seq", F.coalesce("__seq", F.lit(0)))
+            .join(F.broadcast(eq_df), cond, "left_anti")
+            .drop("__file", "__seq_path", "__seq")
+        )
+
+    def delete_eq(self, rows: list[dict]) -> int:
+        """DELETE by key values as a pure metadata+keys commit: write one
+        equality-delete file holding the key tuples and commit — ZERO
+        data-file I/O, the property that makes merge-on-read CDC deletes
+        O(batch) instead of O(touched files). ``rows``: list of
+        {key_col: value} dicts (metadata scale)."""
+        if not self.keys:
+            raise ValueError("delete_eq requires a keyed table")
+        if not rows:
+            return self.current_version()
+        import pyarrow as _pa
+
+        tbl = _pa.table({k: [r[k] for r in rows] for k in self.keys})
+        rel = os.path.join(_DATA_DIR, f"eqdel-{uuid.uuid4().hex[:16]}.parquet")
+        _pq.write_table(tbl, os.path.join(self.root, rel))
+        meta = {
+            "path": rel,
+            "rows": len(rows),
+            "bytes": os.path.getsize(os.path.join(self.root, rel)),
+            "kind": "equality",
+            "eq_cols": list(self.keys),
+            "refs": [],
+        }
+        return self.commit(
+            [],
+            operation="delete-eq",
+            added_deletes=[meta],
         )
 
     def read(
@@ -675,11 +785,16 @@ class LakeTable:
 
     def row_count(self, version: int | None = None) -> int:
         """Exact row count from manifest stats — no scan (Iceberg parity).
-        With merge-on-read deletes: data rows − delete rows (exact
-        because the delete set is kept dangling-free and deduplicated)."""
+        With merge-on-read position deletes: data rows − delete rows
+        (exact because the delete set is kept dangling-free and
+        deduplicated). Pending EQUALITY deletes are not subtracted (their
+        match count needs a scan) — the result is then an upper bound,
+        as with Iceberg's record_count."""
         m = self.manifest(version)
         return sum(f["rows"] for f in m["files"]) - sum(
-            d["rows"] for d in m.get("delete_files", [])
+            d["rows"]
+            for d in m.get("delete_files", [])
+            if d.get("kind", "position") != "equality"
         )
 
     def changelog(
@@ -736,7 +851,17 @@ class LakeTable:
             del_refs: set[str] = set()
             for d in cur.get("delete_files", []):
                 if d["path"] not in prev_dels:
-                    del_refs.update(d.get("refs", []))
+                    if d.get("kind") == "equality":
+                        # an equality delete can affect any file with a
+                        # lower sequence number — conservative candidate
+                        # set; the before/after diff prunes the rest
+                        del_refs.update(
+                            f["path"]
+                            for f in prev["files"]
+                            if int(f.get("seq", 0)) < int(d.get("seq", v))
+                        )
+                    else:
+                        del_refs.update(d.get("refs", []))
             changed = (cur_files ^ prev_files) | del_refs
             before_paths = sorted(changed & prev_files)
             after_paths = sorted(changed & cur_files)

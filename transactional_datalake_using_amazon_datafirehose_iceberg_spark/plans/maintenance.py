@@ -229,7 +229,26 @@ def rewrite_delete_files(spark: SparkSession, table: LakeTable) -> int:
     dels = m.get("delete_files", [])
     if not dels:
         return m["version"]
-    affected = sorted({r for d in dels for r in d.get("refs", [])})
+    affected_set = {r for d in dels for r in d.get("refs", [])}
+    # equality deletes affect every data file with a lower sequence
+    # number; fold them all so the read path drops both anti-joins
+    eq_seqs = [
+        int(d.get("seq", 0)) for d in dels if d.get("kind") == "equality"
+    ]
+    if eq_seqs:
+        max_eq = max(eq_seqs)
+        affected_set |= {
+            f["path"] for f in m["files"] if int(f.get("seq", 0)) < max_eq
+        }
+    affected = sorted(affected_set)
+    if not affected:
+        # deletes reference no live file (e.g. equality deletes older
+        # than every data file): drop the inert entries, metadata-only
+        return table.commit(
+            [],
+            operation="rewrite-deletes",
+            removed_delete_paths=[d["path"] for d in dels],
+        )
     affected_abs = [os.path.join(table.root, p) for p in affected]
     # read_files applies the pending deletes; the rewrite materializes
     # the net rows of exactly those files

@@ -924,6 +924,81 @@ ORDER BY win_start, event_type
 
 
 # ---------------------------------------------------------------------------
+# Equality-delete lifecycle (Iceberg v2 parity: the delete representation
+# Firehose's Iceberg destination writes for CDC deletes)
+# ---------------------------------------------------------------------------
+
+
+def _equality_delete_build(spark, sf):
+    from ..plans.maintenance import rewrite_delete_files
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="eqdel_"), "retail"),
+        RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
+    )
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (1, 'c1', 'cart', 'SKU1', 10, 'pc', TIMESTAMP '2023-01-16 06:00:00'),
+        (2, 'c2', 'visit', 'SKU2', 1, 'mobile', TIMESTAMP '2023-01-16 06:01:00'),
+        (3, 'c3', 'purchase', 'SKU3', 55, 'tablet', TIMESTAMP '2023-01-16 06:02:00'),
+        (4, 'c4', 'like', 'SKU4', 1, 'pc', TIMESTAMP '2023-01-16 06:03:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))
+    # CDC deletes as a pure keys commit: no data file read or written
+    t.delete_eq([{"trans_id": 2}, {"trans_id": 4}])
+    # re-insert one deleted key: newer sequence number must survive
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (4, 'c4', 'cart', 'SKU9', 7, 'mobile', TIMESTAMP '2023-01-16 07:00:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))
+    mid = t.read(spark).selectExpr(
+        "'post_delete' AS stage", "trans_id", "sku", "amount"
+    )
+    # maintenance folds the equality deletes back into plain data files
+    rewrite_delete_files(spark, t)
+    after = t.read(spark).selectExpr(
+        "'post_rewrite' AS stage", "trans_id", "sku", "amount"
+    )
+    return (
+        mid.unionByName(after)
+        .select(
+            "stage",
+            F.col("trans_id").cast("int").alias("trans_id"),
+            "sku",
+            F.col("amount").cast("int").alias("amount"),
+        )
+        .orderBy("stage", "trans_id")
+    )
+
+
+_add(QuerySpec(
+    name="equality_delete_lifecycle",
+    doc="Iceberg v2 equality-delete files: DELETE by key as a pure "
+        "metadata+keys commit (zero data-file I/O), sequence-number "
+        "semantics (a later re-insert of a deleted key survives), and "
+        "the maintenance rewrite folding the delete back into plain "
+        "scans. Table state checked after the delete and after the "
+        "rewrite.",
+    tags=("cdc", "dml", "mor"),
+    build=_equality_delete_build,
+    oracle="""
+SELECT stage, CAST(trans_id AS INTEGER) AS trans_id, sku,
+       CAST(amount AS INTEGER) AS amount
+FROM (VALUES
+  ('post_delete', 1, 'SKU1', 10),
+  ('post_delete', 3, 'SKU3', 55),
+  ('post_delete', 4, 'SKU9', 7),
+  ('post_rewrite', 1, 'SKU1', 10),
+  ('post_rewrite', 3, 'SKU3', 55),
+  ('post_rewrite', 4, 'SKU9', 7)
+) t(stage, trans_id, sku, amount)
+ORDER BY stage, trans_id
+""",
+))
+
+
+# ---------------------------------------------------------------------------
 # applyInPandasWithState as a driver spec: per-user running counts kept
 # in the state store; the final (maximum) count per user must equal the
 # batch GROUP BY
