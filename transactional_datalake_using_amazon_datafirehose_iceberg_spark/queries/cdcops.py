@@ -194,6 +194,29 @@ def _streaming_pipeline_build(spark, sf):
     return table.read(spark).orderBy("trans_id")
 
 
+def _pydatasource_build(spark, sf):
+    """The golden corpus consumed through the REGISTERED custom Python
+    data source (one partition per corpus), then the full transform →
+    latest-per-key → MERGE path in one batch — the transport is
+    swappable without touching the pipeline."""
+    from ..sources.py_datasource import CdcEnvelopeDataSource
+
+    try:
+        spark.dataSource.register(CdcEnvelopeDataSource)
+    except Exception:
+        pass  # already registered in this session
+    raw = spark.read.format("cdc_envelopes").load()
+    table = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="pyds_"), "retail"),
+        RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS,
+        cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    good, _dead = transform(raw, _DB, _TBL)
+    apply_batch(table, typed_rows(good))
+    return table.read(spark).orderBy("trans_id")
+
+
 SPECS = [
     QuerySpec(
         name="cdc_retail_replay",
@@ -203,6 +226,17 @@ SPECS = [
             "reference apply (12 live rows, README.md:400-460).",
         tags=("cdc", "headline"),
         build=_replay_build,
+        oracle=_oracle_values,
+    ),
+    QuerySpec(
+        name="pydatasource_cdc_ingest",
+        doc="Custom Python Data Source (Spark 4 pyspark.sql.datasource): "
+            "the CDC envelope transport as a registered pluggable source "
+            "(format('cdc_envelopes'), one partition per corpus) feeding "
+            "the unchanged transform -> collapse -> MERGE pipeline; the "
+            "single batch must converge to the reference's 12 live rows.",
+        tags=("cdc", "source"),
+        build=_pydatasource_build,
         oracle=_oracle_values,
     ),
     QuerySpec(
