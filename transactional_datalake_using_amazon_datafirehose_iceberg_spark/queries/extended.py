@@ -924,6 +924,102 @@ ORDER BY win_start, event_type
 
 
 # ---------------------------------------------------------------------------
+# Watermark LATE-DROP semantics: a second micro-batch of old events must
+# be discarded once the first batch advanced the watermark
+# ---------------------------------------------------------------------------
+
+
+def _late_drop_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import windowed_event_counts
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
+    recent_a = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-22").cast("timestamp"))
+    )
+    recent_b = ev.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+    old = ev.filter(F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_late_"), "events")
+    # file order = arrival order: two recent batches advance the
+    # watermark, then the old half arrives late beyond the 2 h bound.
+    # (The watermark computed from a batch becomes the FILTER for the
+    # batch after the next one — the advance commits at batch end — so
+    # a buffer batch sits between the watermark-raising data and the
+    # late data.) The file source orders by modification time
+    # (latestFirst=false); the mtimes are stamped explicitly because
+    # same-second writes would make the batch order a coin flip.
+    recent_a.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    recent_b.coalesce(1).write.parquet(os.path.join(src, "b2"))
+    old.coalesce(1).write.parquet(os.path.join(src, "b3"))
+    import time as _time
+
+    t0 = _time.time()
+    for sub, mt in (("b1", t0 - 240), ("b2", t0 - 120), ("b3", t0)):
+        d = os.path.join(src, sub)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "win_start",
+            "event_type",
+            "n",
+            F.col("total").cast("double").alias("total"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_watermark_late_drop",
+    doc="Watermark late-data DROP, observed for real: two recent "
+        "micro-batches advance the watermark to max(ts) - 2 h (the "
+        "advance becomes the input filter one batch after it commits), "
+        "then a third batch replays pre-Jan-10 events — all older than "
+        "the watermark — and they must vanish "
+        "(numRowsDroppedByWatermark). Append mode additionally emits "
+        "only windows closed by the final watermark. Oracle = hourly "
+        "aggregate of the recent half restricted to windows ending at "
+        "or before max(ts) - 2 h.",
+    tags=("streaming", "watermark"),
+    build=_late_drop_build,
+    oracle="""
+WITH recent AS (
+  SELECT * FROM events
+  WHERE user_id < 40 AND ts >= TIMESTAMP '2024-01-15'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM recent)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+       event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+FROM recent, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+))
+
+
+# ---------------------------------------------------------------------------
 # Equality-delete lifecycle (Iceberg v2 parity: the delete representation
 # Firehose's Iceberg destination writes for CDC deletes)
 # ---------------------------------------------------------------------------
