@@ -854,6 +854,82 @@ ORDER BY purchase_id, click_id
 ))
 
 
+def _streaming_outer_join_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import interval_join_purchase_click
+
+    ev = load_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="stream_loj_")
+    p_src, c_src = os.path.join(base, "purchases"), os.path.join(base, "clicks")
+    ev.filter(F.col("event_type") == "purchase").write.parquet(p_src)
+    ev.filter(F.col("event_type") == "click").write.parquet(c_src)
+    purchases = spark.readStream.schema(ev.schema).parquet(p_src)
+    clicks = spark.readStream.schema(ev.schema).parquet(c_src)
+    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    q = (
+        interval_join_purchase_click(purchases, clicks, how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            (
+                (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+                / F.lit(1_000_000)
+            ).cast("bigint").alias("lag_sec"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_interval_join_outer",
+    doc="Stream-stream LEFT OUTER interval join: matched attribution "
+        "pairs stream out immediately; a purchase with no click in its "
+        "30-min lookback emits with NULL click once the global watermark "
+        "(min over both streams of max event time - 2 h) passes its "
+        "timestamp — purchases newer than the final watermark stay "
+        "withheld, exactly as the oracle's watermark cutoff encodes.",
+    tags=("streaming", "join"),
+    build=_streaming_outer_join_build,
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000) AS t
+  FROM events
+),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+c AS (SELECT * FROM e WHERE event_type = 'click'),
+wm AS (
+  SELECT LEAST((SELECT MAX(t) FROM p), (SELECT MAX(t) FROM c))
+         - 7200000000 AS w
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       CAST((p.t - c.t) // 1000000 AS BIGINT) AS lag_sec
+FROM p JOIN c
+  ON p.user_id = c.user_id AND c.t <= p.t AND c.t >= p.t - 1800000000
+UNION ALL
+SELECT p.user_id, p.event_id, NULL, NULL
+FROM p, wm
+WHERE p.t <= wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id AND c.t <= p.t AND c.t >= p.t - 1800000000
+  )
+ORDER BY purchase_id, click_id
+""",
+))
+
+
 def _stream_static_build(spark, sf):
     import uuid
 

@@ -204,6 +204,7 @@ def interval_join_purchase_click(
     clicks_stream: DataFrame,
     lookback: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER join with an event-time interval condition:
     each purchase matches the same user's clicks in the ``lookback``
@@ -233,7 +234,12 @@ def interval_join_purchase_click(
         & (c["c_ts"] <= p["p_ts"])
         & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {lookback}"))
     )
-    return p.join(c, cond, "inner").select(
+    # how="left_outer": unmatched purchases emit with NULL click once the
+    # watermark finalizes them (p_ts <= global watermark = min over both
+    # streams of max event time - delay); matched pairs stream out
+    # immediately. Both sides watermarked + the interval bound keep the
+    # join state finite either way.
+    return p.join(c, cond, how).select(
         "user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value"
     )
 
