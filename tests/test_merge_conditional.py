@@ -118,3 +118,67 @@ def test_scd2_delta_untouched_keys_left_alone(spark):
     delta = scd2_delta(hist, batch, ["k"], "ts", "seq")
     # key 7 has no new version -> no delta row touches it
     assert [r["k"] for r in delta.collect()] == [8]
+
+
+def test_stale_guard_rejects_out_of_order_batch(spark, tmp_path):
+    """A table persisting _order_ts/_order_txn gates every matched apply
+    on newer-than-current: replaying an OLDER batch after a newer one
+    must be a no-op (SURVEY §7.3 hard part 1)."""
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_order_ts", T.TimestampType()),
+        T.StructField("_order_txn", T.LongType()),
+    ])
+    t = LakeTable.create(os.path.join(str(tmp_path), "g"), schema, keys=["k"])
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, v string, operation string, _order_ts string, _order_txn long"
+        ).withColumn("_order_ts", F.to_timestamp("_order_ts"))
+
+    newer = batch([
+        (1, "new", "update", "2024-01-02 00:00:00", 200),
+        (2, "live", "insert", "2024-01-02 00:00:00", 201),
+    ])
+    apply_batch(t, newer)
+    stale = batch([
+        (1, "old", "update", "2024-01-01 00:00:00", 100),   # stale update
+        (2, None, "delete", "2024-01-01 00:00:00", 101),    # stale delete
+        (3, "fresh", "insert", "2024-01-03 00:00:00", 300),  # genuinely new
+    ])
+    apply_batch(t, stale)
+    state = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert state == {1: "new", 2: "live", 3: "fresh"}
+
+
+def test_stale_guard_accepts_newer_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_order_ts", T.TimestampType()),
+        T.StructField("_order_txn", T.LongType()),
+    ])
+    t = LakeTable.create(os.path.join(str(tmp_path), "g2"), schema, keys=["k"])
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, v string, operation string, _order_ts string, _order_txn long"
+        ).withColumn("_order_ts", F.to_timestamp("_order_ts"))
+
+    apply_batch(t, batch([(1, "v1", "insert", "2024-01-01 00:00:00", 100)]))
+    apply_batch(t, batch([(1, "v2", "update", "2024-01-02 00:00:00", 200)]))
+    apply_batch(t, batch([(1, None, "delete", "2024-01-03 00:00:00", 300)]))
+    assert t.read(spark).count() == 0

@@ -145,13 +145,30 @@ def apply_batch(
             )
         latest = latest.filter(F.col("operation") != "delete")
 
+    # Cross-batch out-of-order guard (SURVEY §7.3 hard part 1): when the
+    # table persists the CDC ordering metadata (_order_ts/_order_txn
+    # columns in its schema), every matched apply — update AND delete —
+    # is gated on newer-than-current, so a late-arriving older batch
+    # (a replayed shard, a slow partition) cannot clobber or resurrect
+    # newer row images. Tables without the columns keep the plain apply
+    # (per-key transport ordering is the reference's own guarantee).
+    table_cols = {f.name for f in table.schema.fields}
+    stale_guard = {"_order_ts", "_order_txn"} <= table_cols
     return merge_into(
         table,
-        latest.drop("_order_ts", "_order_txn"),
+        latest if stale_guard else latest.drop("_order_ts", "_order_txn"),
         on=keys,
         op_col="operation",
         assume_unique=True,  # D4 just guaranteed it
         extra_summary=extra_summary,
+        match_condition=(
+            "t._order_ts IS NULL OR s._order_ts > t._order_ts OR "
+            "(s._order_ts = t._order_ts AND "
+            "coalesce(s._order_txn, 0) > coalesce(t._order_txn, 0))"
+            if stale_guard
+            else None
+        ),
+        condition_gates_delete=stale_guard,
     )
 
 

@@ -54,6 +54,7 @@ def merge_into(
     evolve_ignore: tuple[str, ...] = (),
     match_condition: str | None = None,
     update_cols: list[str] | None = None,
+    condition_gates_delete: bool = False,
 ) -> int:
     """MERGE ``source`` into ``table`` by key columns ``on``.
 
@@ -72,7 +73,10 @@ def merge_into(
     ``s`` (source row) gating the WHEN MATCHED THEN UPDATE branch — a
     matched row failing it keeps its target values (Iceberg
     ``WHEN MATCHED AND <cond> THEN UPDATE`` parity). Deletes are NOT
-    gated. ``update_cols``: update only these non-key columns on match
+    gated unless ``condition_gates_delete=True`` (the newer-than-current
+    guard for out-of-order CDC batches applies to deletes too: a stale
+    delete must not remove a newer row image).
+    ``update_cols``: update only these non-key columns on match
     (``UPDATE SET col = s.col, ...`` instead of ``SET *``); unlisted
     columns keep target values. Not-matched inserts always take the full
     source row. Returns the committed snapshot version.
@@ -186,12 +190,19 @@ def merge_into(
     src_is_delete = (
         (F.col(f"s.{op_col}") == F.lit(delete_value)) if op_col else F.lit(False)
     )
-    keep = ~(src_present & src_is_delete)
-
     # WHEN MATCHED [AND cond] THEN UPDATE: a matched row failing the
     # condition keeps its target values; inserts (no target row) always
     # take the source row in full
     upd_gate = F.expr(match_condition) if match_condition else F.lit(True)
+    if condition_gates_delete and match_condition:
+        # a stale delete (condition false vs the current row) is a no-op
+        keep = ~(
+            src_present
+            & src_is_delete
+            & (~tgt_present | F.coalesce(upd_gate, F.lit(False)))
+        )
+    else:
+        keep = ~(src_present & src_is_delete)
     takes_update = src_present & (~tgt_present | upd_gate)
 
     out_cols = []
