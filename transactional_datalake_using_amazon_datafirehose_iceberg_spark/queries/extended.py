@@ -53,6 +53,115 @@ ORDER BY doc_id
 """,
 ))
 
+def _sql_udf_build(spark, sf):
+    from ..functions.udfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    return spark.sql("""
+        SELECT doc_id, quality_score(text) AS score
+        FROM documents ORDER BY doc_id
+    """)
+
+
+_add(QuerySpec(
+    name="udf_sql_registered",
+    doc="The same vectorized pandas UDF exposed to the SQL surface via "
+        "spark.udf.register and invoked from SQL text — the declared "
+        "SQL-registered-UDF row of SURVEY §2.5, previously test-only.",
+    tags=("udf", "sql"),
+    build=_sql_udf_build,
+    oracle="""
+SELECT doc_id,
+       FLOOR((len(list_distinct(string_split(text, ' '))) * 1.0
+              / greatest(len(string_split(text, ' ')), 1))
+             * LEAST(1.0, LENGTH(text) / 200.0) * 1000000) / 1000000 AS score
+FROM documents
+ORDER BY doc_id
+""",
+))
+
+
+def _compact_binpack_build(spark, sf):
+    from ..plans.maintenance import compact
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="binpack_"), "t"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amt", T.LongType()),
+        ]),
+        keys=["k"],
+    )
+    # six tiny write-frontier commits -> six small files
+    for i in range(6):
+        t.append(spark.sql(
+            f"SELECT CAST(id + {i * 10} AS LONG) AS k,"
+            f" CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,"
+            f" CAST(id * {i + 1} AS LONG) AS amt"
+            " FROM range(10)"
+        ))
+    files_before = len(t.manifest()["files"])
+    compact(spark, t)
+    files_after = len(t.manifest()["files"])
+    return (
+        t.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("amt").cast("bigint").alias("total"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .withColumn("files_reduced", F.lit(files_after < files_before).cast("int"))
+        .orderBy("grp")
+    )
+
+
+_add(QuerySpec(
+    name="maintenance_compact_binpack",
+    doc="Binpack compaction as a content-invariance check: six tiny "
+        "append commits produce six small files; compact() must shrink "
+        "the file count while the table content (per-group aggregate) "
+        "is unchanged. Oracle = the same aggregate over the six VALUES "
+        "batches.",
+    tags=("maintenance", "compaction"),
+    build=_compact_binpack_build,
+    oracle="""
+WITH rows_all AS (
+  SELECT CAST(id + b * 10 AS BIGINT) AS k,
+         CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+         CAST(id * (b + 1) AS BIGINT) AS amt
+  FROM range(10) t(id), UNNEST([0, 1, 2, 3, 4, 5]) u(b)
+)
+SELECT grp, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS total,
+       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(1 AS INTEGER) AS files_reduced
+FROM rows_all
+GROUP BY grp
+ORDER BY grp
+""",
+))
+
+
+_add(QuerySpec(
+    name="agg_group_by_all",
+    doc="GROUP BY ALL / ORDER BY ALL (identical SQL text runs on both "
+        "engines): per-(status, priority-class) order stats.",
+    tags=("agg", "sql"),
+    sql="""
+SELECT o_orderstatus,
+       CASE WHEN o_orderpriority < '3' THEN 'urgent' ELSE 'routine' END
+         AS prio_class,
+       COUNT(*) AS n,
+       CAST(ROUND(AVG(o_totalprice), 2) AS DOUBLE) AS avg_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+""",
+))
+
+
 _add(QuerySpec(
     name="udf_applyinpandas_zscore",
     doc="Grouped applyInPandas (UDTF-like grouped map): per-language "
