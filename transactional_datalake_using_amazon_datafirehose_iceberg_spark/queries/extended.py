@@ -897,6 +897,28 @@ ORDER BY user_id, session_start
 ))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark, n: int = 8):
+    """Bound the state-store partition count for a streaming query.
+
+    ``spark.sql.shuffle.partitions`` fixes the number of state stores at
+    the FIRST micro-batch and every batch pays O(stores) open/commit
+    overhead, so streaming state partitioning must be sized to state
+    volume, not inherited from the batch shuffle width (32 stores for a
+    demo-scale join costs ~2.5x the wall-clock of 8; a 1000-executor
+    deployment would raise it instead). Scoped: the batch conf is
+    restored on exit."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _streaming_interval_join_build(spark, sf):
     import uuid
 
@@ -911,15 +933,16 @@ def _streaming_interval_join_build(spark, sf):
     purchases = spark.readStream.schema(ev.schema).parquet(p_src)
     clicks = spark.readStream.schema(ev.schema).parquet(c_src)
     name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    q = (
-        interval_join_purchase_click(purchases, clicks)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _state_partitions(spark):
+        q = (
+            interval_join_purchase_click(purchases, clicks)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .select(
@@ -977,15 +1000,16 @@ def _streaming_outer_join_build(spark, sf):
     purchases = spark.readStream.schema(ev.schema).parquet(p_src)
     clicks = spark.readStream.schema(ev.schema).parquet(c_src)
     name = f"stream_loj_{uuid.uuid4().hex[:8]}"
-    q = (
-        interval_join_purchase_click(purchases, clicks, how="left_outer")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _state_partitions(spark):
+        q = (
+            interval_join_purchase_click(purchases, clicks, how="left_outer")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .select(
