@@ -1578,6 +1578,56 @@ def _streaming_dedup_build(spark, sf):
     )
 
 
+def _streaming_dedup_within_build(spark, sf):
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.pipeline import stateful_dedup_within_watermark
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_ddw_"), "events")
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)  # exact duplicate of every row
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    name = f"stream_ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_dedup_within_watermark(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_dedup_within_watermark",
+    doc="dropDuplicatesWithinWatermark: dedup state expires by event "
+        "time + delay instead of growing with the key space — the "
+        "operator for transport-retry duplicates over unbounded keys. "
+        "Doubled input must collapse to the batch aggregate.",
+    tags=("streaming", "dedup"),
+    build=_streaming_dedup_within_build,
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+FROM events WHERE user_id < 40
+GROUP BY event_type
+ORDER BY event_type
+""",
+))
+
+
 _add(QuerySpec(
     name="streaming_stateful_dedup",
     doc="Stateful streaming dedup (dropDuplicates on event_id under a "

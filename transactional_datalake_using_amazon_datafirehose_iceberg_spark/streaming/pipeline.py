@@ -264,3 +264,19 @@ def stateful_dedup(events_stream: DataFrame, watermark: str = "2 hours") -> Data
     """Stateful streaming dedup by event_id within the watermark horizon
     (replay idempotency, D1)."""
     return _with_event_time(events_stream).withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stateful_dedup_within_watermark(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark variant: dedup keys expire from the
+    state store once the watermark passes their event time + delay, so
+    state stays bounded WITHOUT including the event-time column in the
+    dedup key — the right operator when duplicates arrive close together
+    (transport retries) but the key space is unbounded over the stream's
+    lifetime."""
+    return (
+        _with_event_time(events_stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
