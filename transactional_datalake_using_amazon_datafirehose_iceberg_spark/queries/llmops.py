@@ -1271,6 +1271,89 @@ ORDER BY vec_id
 ))
 
 
+def _tfidf_build(spark, sf):
+    from pyspark.sql import Window
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    tokens = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tokens.select("doc_id", "token").distinct()
+        .groupBy("token").agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.count()  # driver-side scalar: one tiny job
+    scored = (
+        tf.join(dfreq, "token")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("tfidf", 6).desc(), "token"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("tfidf", 4).cast("double").alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+_add(QuerySpec(
+    name="text_tfidf_top_terms",
+    doc="TF-IDF top-3 terms per document (tf * ln(N/df) over the "
+        "restricted corpus) — the classic salient-term extraction of a "
+        "training-data pipeline. Ranking on the 6-dp-rounded score with "
+        "a token tiebreak so FP noise cannot reorder across engines; "
+        "two shuffles (tf and df aggregations) + a broadcast-size join.",
+    tags=("llm", "text", "tfidf"),
+    build=_tfidf_build,
+    oracle="""
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+tokens AS (
+  SELECT doc_id, t.token
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM docs) t
+  WHERE t.token <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * LN(1.0 * n.n_docs / dfreq.df) AS tfidf
+  FROM tf, dfreq, n WHERE tf.token = dfreq.token
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(tfidf, 6) DESC, token) AS rk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(ROUND(tfidf, 4) AS DOUBLE) AS tfidf,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+""",
+))
+
+
 def _hll_sketch_build(spark, sf):
     docs = spark.table("documents")
     per = docs.groupBy("lang").agg(

@@ -1918,6 +1918,67 @@ LIMIT 200
 
 
 _add(QuerySpec(
+    name="q2_shape_min_cost_supplier",
+    doc="TPC-H Q2's structure — correlated scalar-MIN subquery selecting "
+        "the cheapest supplier per part within a region — with the "
+        "partsupp cost derived from lineitem (the fixtures omit "
+        "partsupp; min unit price over observed lineitems stands in). "
+        "Identical SQL text on both engines.",
+    tags=("tpch", "subquery"),
+    sql="""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p_partkey, s_name, n_name,
+       CAST(ROUND(ps.unit_cost, 2) AS DOUBLE) AS unit_cost
+FROM part, supplier, nation, region, ps
+WHERE p_partkey = ps.partkey AND s_suppkey = ps.suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE' AND p_partkey < 500
+  AND ps.unit_cost = (
+    SELECT MIN(ps2.unit_cost)
+    FROM ps ps2, supplier s2, nation n2, region r2
+    WHERE ps2.partkey = p_partkey AND s2.s_suppkey = ps2.suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE'
+  )
+ORDER BY p_partkey, s_name
+""",
+))
+
+
+_add(QuerySpec(
+    name="q21_shape_sole_failing_supplier",
+    doc="TPC-H Q21's structure — the double-correlated EXISTS / "
+        "NOT EXISTS pattern finding suppliers who were the ONLY "
+        "returned-flag supplier on a finished multi-supplier order "
+        "(l_returnflag='R' stands in for the receipt-after-commit "
+        "failure predicate; the fixtures omit those dates). Identical "
+        "SQL text on both engines.",
+    tags=("tpch", "subquery"),
+    sql="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+))
+
+
+_add(QuerySpec(
     name="recursive_cte_ancestors",
     doc="Recursive CTE (Spark 4 WITH RECURSIVE): every order key walks "
         "its halving chain k -> k div 2 to the root — an acyclic "
