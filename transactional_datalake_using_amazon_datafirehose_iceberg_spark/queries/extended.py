@@ -1063,6 +1063,126 @@ ORDER BY purchase_id, click_id
 ))
 
 
+def _bucketed_join_build(spark, sf):
+    import uuid
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    wh = tempfile.mkdtemp(prefix="bktwh_")
+    spark.sql(f"CREATE DATABASE {db}")
+    (
+        spark.table("lineitem").write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", os.path.join(wh, "li"))
+        .saveAsTable(f"{db}.lineitem_b")
+    )
+    (
+        spark.table("orders").write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", os.path.join(wh, "od"))
+        .saveAsTable(f"{db}.orders_b")
+    )
+    # broadcast disabled so the join proves the co-located (shuffle-free)
+    # path; tests/test_bucketed_join.py asserts the zero-Exchange plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return spark.sql(f"""
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+                   AS revenue
+          FROM {db}.lineitem_b JOIN {db}.orders_b ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority
+        """)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+_add(QuerySpec(
+    name="join_bucketed_colocated",
+    doc="Bucketed co-located join (both sides bucketBy(8) on the join "
+        "key, broadcast disabled): the recurring-join pattern that "
+        "removes the shuffle from every subsequent join at scale. "
+        "Results must equal the plain join; the zero-Exchange plan is "
+        "asserted separately in tests/test_bucketed_join.py.",
+    tags=("join", "bucketing"),
+    build=_bucketed_join_build,
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+))
+
+
+def _delivery_log_build(spark, sf):
+    import json as _json
+    import time as _time
+    import uuid
+
+    from ..sources.catalog import load_table
+    from ..streaming.monitor import DeliveryLogListener
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_log_"), "events")
+    ev.write.parquet(src)
+    log_path = os.path.join(tempfile.mkdtemp(prefix="dlog_"), "delivery.jsonl")
+    listener = DeliveryLogListener(log_path)
+    spark.streams.addListener(listener)
+    name = f"stream_log_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream.groupBy("event_type").count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are delivered asynchronously: wait (bounded)
+        # for the terminated record to land in the log
+        deadline = _time.time() + 15
+        records = []
+        while _time.time() < deadline:
+            if os.path.exists(log_path):
+                with open(log_path) as f:
+                    records = [_json.loads(line) for line in f]
+                if any(r["event"] == "terminated" for r in records):
+                    break
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    total_rows = sum(
+        r.get("numInputRows", 0) for r in records if r["event"] == "progress"
+    )
+    saw_start = int(any(r["event"] == "started" for r in records))
+    saw_end = int(any(r["event"] == "terminated" for r in records))
+    return spark.createDataFrame(
+        [(total_rows, saw_start, saw_end)],
+        "total_input_rows bigint, saw_start int, saw_end int",
+    )
+
+
+_add(QuerySpec(
+    name="streaming_delivery_log",
+    doc="Delivery logging (S10, the CloudWatch delivery-log analogue): "
+        "a StreamingQueryListener appends one JSONL record per "
+        "lifecycle/progress event; the logged input-row total must "
+        "equal the source row count, with start and termination "
+        "records present.",
+    tags=("streaming", "observability"),
+    build=_delivery_log_build,
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_input_rows,
+       CAST(1 AS INTEGER) AS saw_start,
+       CAST(1 AS INTEGER) AS saw_end
+FROM events WHERE user_id < 40
+""",
+))
+
+
 def _stream_static_build(spark, sf):
     import uuid
 
