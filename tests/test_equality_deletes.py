@@ -82,3 +82,40 @@ def test_mixed_position_and_equality_deletes(spark, tmp_path):
     t.delete_where(spark, "k = 1", mode="merge-on-read")  # position delete
     t.delete_eq([{"k": 3}])
     assert _live(spark, t) == {2: "b", 4: "d"}
+
+
+def test_random_interleavings_match_model(spark, tmp_path):
+    """Random append / delete_eq / MOR-position-delete interleavings must
+    match a list-of-(key, val, seq) reference model: an equality delete
+    removes exactly the rows of STRICTLY older commits with a matching
+    key; a position delete removes currently-visible rows matching the
+    predicate regardless of seq."""
+    import random
+
+    rng = random.Random(47)
+    t = LakeTable.create(os.path.join(str(tmp_path), "prop"), SCHEMA, keys=["k"])
+    model: list[tuple[int, str, int]] = []  # (k, v, seq)
+    seq = t.current_version()
+    for step in range(14):
+        op = rng.choice(["append", "append", "eq", "pos"])
+        if op == "append":
+            rows = [
+                (rng.randrange(8), f"s{step}_{i}") for i in range(rng.randrange(1, 4))
+            ]
+            t.append(spark.createDataFrame(rows, SCHEMA))
+            seq = t.current_version()
+            model.extend((k, v, seq) for k, v in rows)
+        elif op == "eq":
+            ks = sorted({rng.randrange(8) for _ in range(rng.randrange(1, 3))})
+            v_before = t.current_version()
+            t.delete_eq([{"k": k} for k in ks])
+            dseq = t.current_version()
+            if dseq != v_before:  # no-op when empty
+                model = [r for r in model if not (r[0] in ks and r[2] < dseq)]
+        else:
+            bound = rng.randrange(8)
+            t.delete_where(spark, f"k < {bound}", mode="merge-on-read")
+            model = [r for r in model if not (r[0] < bound)]
+        got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+        want = sorted((k, v) for k, v, _ in model)
+        assert got == want, f"divergence at step {step} ({op})"
