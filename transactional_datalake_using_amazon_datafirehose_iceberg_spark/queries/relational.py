@@ -1917,6 +1917,82 @@ LIMIT 200
 ))
 
 
+def _freq_items_build(spark, sf):
+    ev = spark.table("events")
+    # exact mode (most frequent event_type), deterministically tie-broken
+    exact_top = (
+        ev.groupBy("event_type").count()
+        .orderBy(F.col("count").desc(), "event_type")
+        .limit(1)
+        .collect()[0]["event_type"]
+    )
+    fi = ev.stat.freqItems(["event_type"], support=0.2).collect()[0][0]
+    return spark.createDataFrame(
+        [(int(exact_top in set(fi)), int(len(fi) <= 5))],
+        "contains_exact_top int, size_bounded int",
+    )
+
+
+_add(QuerySpec(
+    name="approx_freq_items",
+    doc="Heavy hitters via freqItems (single-pass Karp-style counting): "
+        "the returned set must contain the exact mode and respect the "
+        "1/support size bound. Declared approximate -> tolerance-boolean "
+        "outputs (approx_distinct_percentile convention).",
+    tags=("agg", "approx"),
+    build=_freq_items_build,
+    oracle="""
+SELECT CAST(1 AS INTEGER) AS contains_exact_top,
+       CAST(1 AS INTEGER) AS size_bounded
+""",
+))
+
+
+def _observe_metrics_build(spark, sf):
+    from pyspark.sql import Observation
+
+    obs = Observation("order_metrics")
+    df = (
+        spark.table("orders")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    per_status = {r["o_orderstatus"]: r["n"] for r in df.collect()}
+    m = obs.get  # blocks until the action above completes
+    rows = [
+        (s, per_status[s], int(m["n_rows"]), round(float(m["sum_price"]), 2))
+        for s in sorted(per_status)
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n bigint, observed_rows int, observed_sum double"
+    )
+
+
+_add(QuerySpec(
+    name="observe_metrics_inline",
+    doc="Dataset.observe + Observation: accumulator-style metrics "
+        "collected DURING the query action (no second scan) — the "
+        "observability hook for row-count/sum audits inside a pipeline. "
+        "Observed totals must equal the oracle's aggregate.",
+    tags=("observability",),
+    build=_observe_metrics_build,
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST((SELECT COUNT(*) FROM orders) AS INTEGER) AS observed_rows,
+       CAST(ROUND((SELECT SUM(o_totalprice) FROM orders), 2) AS DOUBLE)
+         AS observed_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+))
+
+
 _add(QuerySpec(
     name="q2_shape_min_cost_supplier",
     doc="TPC-H Q2's structure — correlated scalar-MIN subquery selecting "
