@@ -297,3 +297,64 @@ def test_stateful_dedup_stream(spark, sf_dir, tmp_path):
     )
     q.processAllAvailable(); q.stop()
     assert spark.sql("SELECT COUNT(*) c FROM dedup_out").collect()[0]["c"] == ev.count()
+
+
+def test_transform_with_state_running_counts(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4's arbitrary-state successor to
+    applyInPandasWithState). Its Python worker requires google.protobuf,
+    which this container does not ship — the test runs fully where
+    protobuf is installed and skips loudly here (same convention as the
+    real-Iceberg classpath gate)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas worker needs protobuf (absent offline)",
+    )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(20)], "event_id long, user_id long"
+    ).write.parquet(src)
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self._count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+        def close(self):
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema("event_id long, user_id long").parquet(src)
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            CountProcessor(),
+            outputStructType="user_id long, n long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory").queryName("tws_test").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {r["user_id"]: r["n"] for r in spark.table("tws_test").collect()}
+        assert got == {0: 7, 1: 7, 2: 6}
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
