@@ -111,7 +111,8 @@ def apply_batch(
     # (reference tables run merge-on-read, README.md:307). Upserts still
     # MERGE copy-on-write. Keys are disjoint (D4 collapsed per key), so
     # the two commits cannot conflict; the watermark stamps the final one.
-    props = table.manifest().get("properties", {})
+    manifest = table.manifest()
+    props = manifest.get("properties", {})
     # (hasattr guard: a real-Iceberg backend handles merge-on-read
     # natively inside MERGE INTO, no position-delete routing needed)
     if props.get("write.delete.mode") == "merge-on-read" and hasattr(
@@ -152,7 +153,14 @@ def apply_batch(
     # (a replayed shard, a slow partition) cannot clobber or resurrect
     # newer row images. Tables without the columns keep the plain apply
     # (per-key transport ordering is the reference's own guarantee).
-    table_cols = {f.name for f in table.schema.fields}
+    import json as _json
+
+    from pyspark.sql import types as _T
+
+    table_cols = {
+        f.name
+        for f in _T.StructType.fromJson(_json.loads(manifest["schema"])).fields
+    }
     stale_guard = {"_order_ts", "_order_txn"} <= table_cols
     return merge_into(
         table,
