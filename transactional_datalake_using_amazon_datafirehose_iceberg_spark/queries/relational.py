@@ -2055,6 +2055,113 @@ ORDER BY numwait DESC, s_name
 
 
 _add(QuerySpec(
+    name="q9_shape_product_profit",
+    doc="TPC-H Q9's structure — 5-way star with a LIKE part filter, "
+        "profit netting a per-(part,supplier) supply cost, grouped by "
+        "nation and order year — with supplycost derived from lineitem "
+        "min unit price (the fixtures omit partsupp). Identical SQL on "
+        "both engines.",
+    tags=("tpch",),
+    sql="""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)
+                      - ps.supplycost * l_quantity), 2) AS DOUBLE) AS sum_profit
+FROM part, supplier, lineitem, orders, nation, ps
+WHERE s_suppkey = l_suppkey AND ps.suppkey = l_suppkey
+  AND ps.partkey = l_partkey AND p_partkey = l_partkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+))
+
+
+_add(QuerySpec(
+    name="q11_shape_important_stock",
+    doc="TPC-H Q11's structure — per-part value within one nation "
+        "gated by a HAVING-style threshold against a scalar subquery "
+        "over the same derived relation. Values kept in exact integer "
+        "cents so the threshold comparison cannot wobble with FP "
+        "summation order. Identical SQL on both engines.",
+    tags=("tpch", "subquery"),
+    sql="""
+WITH ps AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT CAST(partkey AS BIGINT) AS partkey,
+       CAST(value_cents AS BIGINT) AS value_cents
+FROM ps
+WHERE value_cents > (SELECT SUM(value_cents) * 0.002 FROM ps)
+ORDER BY value_cents DESC, partkey
+""",
+))
+
+
+_add(QuerySpec(
+    name="q16_shape_supplier_counts",
+    doc="TPC-H Q16's structure — distinct supplier counts per part "
+        "attribute combination with a NOT-IN supplier exclusion "
+        "(negative account balance stands in for the complaint-comment "
+        "filter; part-supplier pairs derive from lineitem). Identical "
+        "SQL on both engines.",
+    tags=("tpch", "subquery"),
+    sql="""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT suppkey) AS supplier_cnt
+FROM pairs, part
+WHERE p_partkey = partkey
+  AND p_brand <> 'Brand#1' AND p_size IN (5, 11, 28, 37)
+  AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+))
+
+
+_add(QuerySpec(
+    name="q20_shape_excess_availability",
+    doc="TPC-H Q20's structure — the nested IN chain: suppliers whose "
+        "availability for some red part exceeds half that part's total "
+        "moved quantity (availability derives from lineitem; the inner "
+        "threshold is a correlated scalar subquery). Identical SQL on "
+        "both engines.",
+    tags=("tpch", "subquery"),
+    sql="""
+WITH avail AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(l_quantity) AS qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey IN (
+    SELECT suppkey FROM avail
+    WHERE partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND qty > (
+        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+        WHERE l_partkey = avail.partkey
+      )
+  )
+ORDER BY s_name
+""",
+))
+
+
+_add(QuerySpec(
     name="recursive_cte_ancestors",
     doc="Recursive CTE (Spark 4 WITH RECURSIVE): every order key walks "
         "its halving chain k -> k div 2 to the root — an acyclic "
