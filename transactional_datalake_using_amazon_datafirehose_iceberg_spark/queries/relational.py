@@ -1926,9 +1926,13 @@ def _freq_items_build(spark, sf):
         .limit(1)
         .collect()[0]["event_type"]
     )
-    fi = ev.stat.freqItems(["event_type"], support=0.2).collect()[0][0]
+    # support=0.1 -> 1/support = 10 counters, strictly more than the
+    # distinct event types, so the Karp sketch provably retains every
+    # value (a tighter support would make the mode's inclusion
+    # data-dependent for a near-uniform distribution)
+    fi = ev.stat.freqItems(["event_type"], support=0.1).collect()[0][0]
     return spark.createDataFrame(
-        [(int(exact_top in set(fi)), int(len(fi) <= 5))],
+        [(int(exact_top in set(fi)), int(len(fi) <= 10))],
         "contains_exact_top int, size_bounded int",
     )
 
