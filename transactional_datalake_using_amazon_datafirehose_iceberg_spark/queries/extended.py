@@ -1590,13 +1590,26 @@ def _merge_conditional_build(spark, sf):
         keys=["o_orderkey"],
     )
     t.append(base)
+    # Revenue is summed in exact integer units of 1e-4 dollars: the per-row
+    # product of a 2-dp price and a 2-dp discount factor is a true 4-dp
+    # decimal, so value*10000 is within ~1e-6 of an integer and ROUND is
+    # unambiguous on both engines; the BIGINT sum is then order-insensitive
+    # (double summation order differs between Spark and DuckDB and flips
+    # .xx5 rounding boundaries — the round-4 hash mismatch).
     src = (
         spark.table("lineitem")
         .filter(F.col("l_orderkey") < 2500)
         .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("bigint")
+                )
+                / F.lit(10000.0)
             ).cast("double").alias("o_totalprice")
         )
         .withColumn("o_custkey", F.lit(-1).cast("bigint"))
@@ -1617,7 +1630,11 @@ def _merge_conditional_build(spark, sf):
             F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
             F.col("o_custkey").cast("bigint").alias("o_custkey"),
             "o_orderstatus",
-            F.round("o_totalprice", 2).cast("double").alias("o_totalprice"),
+            # no re-round: kept rows carry the parquet double verbatim and
+            # updated/inserted rows carry bigint/10000.0, both bit-identical
+            # to the oracle's reconstruction (a final ROUND(x, 2) would
+            # re-introduce .xx5 boundary sensitivity).
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
             "o_orderdate",
             "o_orderpriority",
         )
@@ -1639,7 +1656,8 @@ _add(QuerySpec(
 WITH base AS (SELECT * FROM orders WHERE o_orderkey < 2000),
 src AS (
   SELECT l_orderkey AS k,
-         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS rev
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              / 10000.0 AS DOUBLE) AS rev
   FROM lineitem WHERE l_orderkey < 2500 GROUP BY 1
 )
 SELECT CAST(COALESCE(b.o_orderkey, s.k) AS BIGINT) AS o_orderkey,
@@ -1647,9 +1665,9 @@ SELECT CAST(COALESCE(b.o_orderkey, s.k) AS BIGINT) AS o_orderkey,
          AS o_custkey,
        CASE WHEN b.o_orderkey IS NULL THEN 'P' ELSE b.o_orderstatus END
          AS o_orderstatus,
-       CAST(ROUND(CASE WHEN b.o_orderkey IS NULL THEN s.rev
-                       WHEN s.k IS NOT NULL AND s.rev > b.o_totalprice / 2 THEN s.rev
-                       ELSE b.o_totalprice END, 2) AS DOUBLE) AS o_totalprice,
+       CAST(CASE WHEN b.o_orderkey IS NULL THEN s.rev
+                 WHEN s.k IS NOT NULL AND s.rev > b.o_totalprice / 2 THEN s.rev
+                 ELSE b.o_totalprice END AS DOUBLE) AS o_totalprice,
        CASE WHEN b.o_orderkey IS NULL THEN TIMESTAMP '2024-01-01'
             ELSE b.o_orderdate END AS o_orderdate,
        CASE WHEN b.o_orderkey IS NULL THEN '0-NEW' ELSE b.o_orderpriority END
