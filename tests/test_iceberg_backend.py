@@ -72,3 +72,98 @@ def test_cdc_replay_real_iceberg(spark, tmp_path):
         cluster_by=RETAIL_TRANS_PARTITION,
     )
     assert rows == _replay(spark, lt, tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# Jar-free MERGE SQL assembly: the statement sql_merge executes must carry
+# every semantic option merge_into forwards. Round-4 verdict found
+# match_condition/update_cols/condition_gates_delete silently dropped on
+# this backend — an unconditional full-column upsert where a gated partial
+# MERGE was requested, disarming the out-of-order CDC stale guard. These
+# pin the generated SQL so the drop path cannot come back.
+# ---------------------------------------------------------------------------
+
+COLS = ["trans_id", "customer_id", "event", "sku", "amount"]
+
+
+def _tbl():
+    # spark=None: merge_sql is pure string assembly when data_cols is given
+    return IcebergTable(None, "lakehouse.db.retail_trans", keys=["trans_id"])
+
+
+def test_merge_sql_plain_upsert():
+    sql = _tbl().merge_sql(data_cols=COLS)
+    assert "WHEN MATCHED THEN UPDATE SET " in sql
+    assert "t.amount = s.amount" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    assert "ON t.trans_id <=> s.trans_id" in sql
+
+
+def test_merge_sql_op_col_routes_delete():
+    sql = _tbl().merge_sql(op_col="_op", delete_value="delete", data_cols=COLS)
+    assert "WHEN MATCHED AND s._op = 'delete' THEN DELETE" in sql
+    assert "WHEN NOT MATCHED AND s._op <> 'delete' THEN INSERT" in sql
+
+
+def test_merge_sql_match_condition_gates_update_not_delete():
+    cond = "s._order_ts > t._order_ts"
+    sql = _tbl().merge_sql(op_col="_op", match_condition=cond, data_cols=COLS)
+    assert f"WHEN MATCHED AND ({cond}) THEN UPDATE SET" in sql
+    # delete branch stays ungated unless condition_gates_delete
+    assert "WHEN MATCHED AND s._op = 'delete' THEN DELETE" in sql
+
+
+def test_merge_sql_condition_gates_delete():
+    cond = "s._order_ts > t._order_ts"
+    sql = _tbl().merge_sql(
+        op_col="_op", match_condition=cond, condition_gates_delete=True,
+        data_cols=COLS,
+    )
+    assert f"WHEN MATCHED AND s._op = 'delete' AND ({cond}) THEN DELETE" in sql
+    assert f"WHEN MATCHED AND ({cond}) THEN UPDATE SET" in sql
+
+
+def test_merge_sql_partial_update_cols():
+    sql = _tbl().merge_sql(update_cols=["amount"], data_cols=COLS)
+    assert "UPDATE SET t.amount = s.amount " in sql
+    assert "t.event = s.event" not in sql  # unlisted cols keep target values
+    # inserts still take the full row
+    assert "INSERT (trans_id, customer_id, event, sku, amount)" in sql
+
+
+def test_merge_sql_rejects_unknown_update_cols():
+    with pytest.raises(ValueError, match="update_cols"):
+        _tbl().merge_sql(update_cols=["nope"], data_cols=COLS)
+
+
+def test_merge_into_dispatch_forwards_options():
+    """merge_into must forward every MERGE option to sql_merge (captured
+    via a stub backend), and refuse evolve_schema on the SQL path."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.merge import (
+        merge_into,
+    )
+
+    captured = {}
+
+    class Stub:
+        keys = ["k"]
+
+        def sql_merge(self, source, **kw):
+            captured.update(kw)
+            return 1
+
+    assert merge_into(
+        Stub(),
+        source=None,
+        op_col="_op",
+        match_condition="s.v > t.v",
+        update_cols=["v"],
+        condition_gates_delete=True,
+    ) == 1
+    assert captured["match_condition"] == "s.v > t.v"
+    assert captured["update_cols"] == ["v"]
+    assert captured["condition_gates_delete"] is True
+    assert captured["op_col"] == "_op"
+
+    with pytest.raises(NotImplementedError, match="evolve_schema"):
+        merge_into(Stub(), source=None, evolve_schema=True)

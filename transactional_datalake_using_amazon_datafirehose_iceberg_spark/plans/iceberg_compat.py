@@ -148,6 +148,55 @@ class IcebergTable:
         spark.sql(f"UPDATE {self.identifier} SET {sets} WHERE {condition}")
         return self.current_version()
 
+    @property
+    def _SRC_VIEW(self) -> str:
+        return f"__merge_src_{abs(hash(self.identifier)) % 10**8}"
+
+    def merge_sql(
+        self,
+        on: list[str] | None = None,
+        op_col: str | None = None,
+        delete_value: str = "delete",
+        match_condition: str | None = None,
+        update_cols: list[str] | None = None,
+        condition_gates_delete: bool = False,
+        data_cols: list[str] | None = None,
+    ) -> str:
+        """Assemble the MERGE INTO statement ``sql_merge`` executes.
+
+        Pure string assembly — ``data_cols`` may be passed explicitly so
+        the statement shape is assertable without the Iceberg jar on the
+        classpath (tests/test_iceberg_backend.py pins the generated SQL
+        for every option combination jar-free)."""
+        keys = on or self._keys
+        if not keys:
+            raise ValueError("sql_merge requires key columns (table.keys or on=)")
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        cols = list(data_cols) if data_cols is not None else [
+            f.name for f in self.schema.fields
+        ]
+        upd_cols = list(update_cols) if update_cols else cols
+        unknown = [c for c in upd_cols if c not in cols]
+        if unknown:
+            raise ValueError(f"update_cols not in table schema: {unknown}")
+        set_clause = ", ".join(f"t.{c} = s.{c}" for c in upd_cols)
+        ins_cols = ", ".join(cols)
+        ins_vals = ", ".join(f"s.{c}" for c in cols)
+        gate = f" AND ({match_condition})" if match_condition else ""
+        delete_gate = gate if condition_gates_delete else ""
+        delete_clause = (
+            f"WHEN MATCHED AND s.{op_col} = '{delete_value}'{delete_gate} THEN DELETE "
+            if op_col
+            else ""
+        )
+        insert_guard = f" AND s.{op_col} <> '{delete_value}'" if op_col else ""
+        return (
+            f"MERGE INTO {self.identifier} t USING {self._SRC_VIEW} s ON {cond} "
+            + delete_clause
+            + f"WHEN MATCHED{gate} THEN UPDATE SET {set_clause} "
+            + f"WHEN NOT MATCHED{insert_guard} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+
     def sql_merge(
         self,
         source: DataFrame,
@@ -155,6 +204,9 @@ class IcebergTable:
         op_col: str | None = None,
         delete_value: str = "delete",
         extra_summary: dict | None = None,
+        match_condition: str | None = None,
+        update_cols: list[str] | None = None,
+        condition_gates_delete: bool = False,
     ) -> int:
         """Native MERGE INTO — what the Firehose Iceberg destination does
         per delivery (routed upsert/delete by unique key). ``merge_into``
@@ -172,26 +224,27 @@ class IcebergTable:
         monotone. A production tightening would attach the watermark to
         the commit itself via Iceberg's CommitMetadata snapshot
         properties (JVM API); the table-property stamp keeps the surface
-        pure-SQL."""
-        src_view = f"__merge_src_{abs(hash(self.identifier)) % 10**8}"
-        source.createOrReplaceTempView(src_view)
-        keys = on or self._keys
-        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
-        data_cols = [f.name for f in self.schema.fields]
-        set_clause = ", ".join(f"t.{c} = s.{c}" for c in data_cols)
-        ins_cols = ", ".join(data_cols)
-        ins_vals = ", ".join(f"s.{c}" for c in data_cols)
-        delete_clause = (
-            f"WHEN MATCHED AND s.{op_col} = '{delete_value}' THEN DELETE " if op_col else ""
+        pure-SQL.
+
+        ``match_condition`` / ``update_cols`` / ``condition_gates_delete``
+        carry the same semantics as ``merge_into`` (LakeTable backend):
+        the condition gates the UPDATE branch (and, when
+        ``condition_gates_delete``, the op-col DELETE branch — the
+        out-of-order CDC stale guard), and ``update_cols`` narrows
+        UPDATE SET to the listed columns. Previously these were silently
+        dropped here, turning a gated partial MERGE into an
+        unconditional full-column upsert on the native backend."""
+        sql = self.merge_sql(
+            on=on,
+            op_col=op_col,
+            delete_value=delete_value,
+            match_condition=match_condition,
+            update_cols=update_cols,
+            condition_gates_delete=condition_gates_delete,
         )
-        insert_guard = f" AND s.{op_col} <> '{delete_value}'" if op_col else ""
-        self.spark.sql(
-            f"MERGE INTO {self.identifier} t USING {src_view} s ON {cond} "
-            + delete_clause
-            + f"WHEN MATCHED THEN UPDATE SET {set_clause} "
-            + f"WHEN NOT MATCHED{insert_guard} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
-        )
-        self.spark.catalog.dropTempView(src_view)
+        source.createOrReplaceTempView(self._SRC_VIEW)
+        self.spark.sql(sql)
+        self.spark.catalog.dropTempView(self._SRC_VIEW)
         if extra_summary:
             kv = ", ".join(
                 f"'{k}'='{v}'" for k, v in extra_summary.items()

@@ -81,14 +81,25 @@ def merge_into(
     columns keep target values. Not-matched inserts always take the full
     source row. Returns the committed snapshot version.
     """
-    # real-Iceberg backend (plans/iceberg_compat.py): native MERGE INTO
+    # real-Iceberg backend (plans/iceberg_compat.py): native MERGE INTO.
+    # Every semantic option is forwarded (a silently-dropped
+    # match_condition would disarm the out-of-order CDC stale guard on
+    # this backend); what the SQL path can't express raises instead.
     if hasattr(table, "sql_merge"):
+        if evolve_schema:
+            raise NotImplementedError(
+                "evolve_schema is not supported on the native-Iceberg SQL "
+                "MERGE path; ALTER TABLE ... ADD COLUMN first"
+            )
         return table.sql_merge(
             source,
             on=on,
             op_col=op_col,
             delete_value=delete_value,
             extra_summary=extra_summary,
+            match_condition=match_condition,
+            update_cols=update_cols,
+            condition_gates_delete=condition_gates_delete,
         )
 
     spark = source.sparkSession
