@@ -217,7 +217,12 @@ def jaccard_verify(
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_c = shingled.join(F.broadcast(cand_docs), id_col, "left_semi")
+    # candidate-volume shingles feed THREE consumers (sizes, both sides
+    # of the intersection join); materialize once or each consumer
+    # re-runs the explode+distinct AND its upstream corpus scan
+    sh_c = shingled.join(F.broadcast(cand_docs), id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
     sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n"))
     s1 = sh_c.select(F.col(id_col).alias("doc_a"), "sh")
     s2 = sh_c.select(F.col(id_col).alias("doc_b"), "sh")
@@ -294,6 +299,11 @@ def connected_components(
     never over rows. Convergence is detected with a 1-row changed-count
     probe per round.
     """
+    # materialize the input pair list before symmetrization: both union
+    # branches reference it, so an unmaterialized upstream (the whole
+    # LSH+Jaccard verify pipeline in the curation flow) would execute
+    # twice just to build the edge relation
+    pairs = pairs.select(col_a, col_b).localCheckpoint(eager=True)
     sym = (
         pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
         .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
@@ -306,7 +316,7 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # (1) each node offers its label to every neighbor; the node's
         # own previous label rides along (as __old) so convergence is a
         # post-checkpoint FILTER, not an extra join job per round
@@ -330,9 +340,15 @@ def connected_components(
             .select("id", F.coalesce("__lbl2", "lbl").alias("lbl"), "__old")
             .localCheckpoint(eager=True)
         )
-        changed = new.filter(F.col("lbl") != F.col("__old")).limit(1).count()
         labels = new.select("id", "lbl")
-        if changed == 0:
+        # round 0 always changes labels on any non-degenerate edge set
+        # (the larger endpoint of some pair adopts the smaller label), so
+        # the convergence probe job is skipped there — one fewer job per
+        # call; a degenerate graph merely pays one no-op round on
+        # already-converged (tiny, checkpointed) labels
+        if rnd == 0:
+            continue
+        if new.filter(F.col("lbl") != F.col("__old")).limit(1).count() == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 

@@ -284,8 +284,13 @@ FROM s GROUP BY lang, split ORDER BY lang, split
 
 def _curate_build(spark, sf):
     docs = spark.table("documents")
-    # 1. exact dedup (keep min doc_id per identical text)
-    uniq = D.exact_dedup(docs, ["text"], "doc_id")
+    # 1. exact dedup (keep min doc_id per identical text), materialized
+    #    once: it feeds the LSH signature build, the Jaccard verify's
+    #    candidate restriction, AND the final keep anti-join — without a
+    #    stage boundary the dedup window over the corpus runs per
+    #    consumer. (In a real 100 TB pipeline this stage is a table
+    #    write; localCheckpoint is the in-session equivalent.)
+    uniq = D.exact_dedup(docs, ["text"], "doc_id").localCheckpoint(eager=True)
     # 2. near-dup collapse: LSH -> jaccard verify -> connected components;
     #    only each cluster's representative (min id) survives
     pairs = D.jaccard_verify_docs(
