@@ -119,3 +119,19 @@ def test_random_interleavings_match_model(spark, tmp_path):
         got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
         want = sorted((k, v) for k, v, _ in model)
         assert got == want, f"divergence at step {step} ({op})"
+
+
+def test_mixed_eq_cols_each_file_applies_under_own_columns(spark, tmp_path):
+    """Round-4 advice: Iceberg assigns equality field ids PER delete
+    file. Delete files keyed on different column sets must each apply
+    under their own columns — reading one file's keys under another's
+    column set would silently delete wrong rows."""
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "a"), (4, "c")])
+    t.delete_eq([{"k": 2}])                      # by key column
+    t.delete_eq([{"v": "a"}], eq_cols=["v"])     # by value column
+    assert _live(spark, t) == {4: "c"}
+
+    # a row re-inserted AFTER the value-delete survives it (sequence
+    # semantics hold per group)
+    t.append(spark.createDataFrame([(5, "a")], SCHEMA))
+    assert _live(spark, t) == {4: "c", 5: "a"}

@@ -354,3 +354,25 @@ def test_changelog_replays_to_current_state(spark, table):
             state.pop(r["id"], None)
     want = {r["id"]: r["val"] for r in table.read(spark).collect()}
     assert state == want
+
+
+def test_changelog_duplicate_key_history_multiset_fallback(spark, table):
+    """Round-4 advice: append() can build a keyed table with several
+    visible rows per key; the single-full-outer-join changelog path would
+    fan out many-to-many and invent UPDATE_* rows. The probe must detect
+    duplicates and fall back to the multiset diff."""
+    # two rows for id=1 visible at once (append does not enforce keys)
+    v1 = table.append(_mk(spark, [(1, "a", 1.0), (1, "a", 1.5), (2, "b", 2.0)]))
+    # a COW delete of id=2 rewrites the touched file; id=1 rows carry over
+    v2 = table.delete_where(spark, "id = 2")
+    got = _changes(table.changelog(spark, v1, v2))
+    assert got == [(v2, "DELETE", 2, 2.0)]
+
+    # an appended extra copy for an existing key is an INSERT, and the
+    # full log from 0 replays every row with correct cardinality
+    v3 = table.append(_mk(spark, [(1, "a", 9.0)]))
+    got3 = _changes(table.changelog(spark, v2, v3))
+    assert got3 == [(v3, "INSERT", 1, 9.0)]
+    full = table.changelog(spark, 0, v3)
+    ins = [r for r in full.collect() if r["_change_type"] == "INSERT"]
+    assert len(ins) == 4  # 3 initial + 1 extra copy; no spurious UPDATE_*

@@ -182,3 +182,85 @@ def test_stale_guard_accepts_newer_batch(spark, tmp_path):
     apply_batch(t, batch([(1, "v2", "update", "2024-01-02 00:00:00", 200)]))
     apply_batch(t, batch([(1, None, "delete", "2024-01-03 00:00:00", 300)]))
     assert t.read(spark).count() == 0
+
+
+def test_stale_guard_holds_on_merge_on_read_table(spark, tmp_path):
+    """Round-4 advice: on a merge-on-read table the MOR position-delete
+    routing has no newer-than-current check, so under the stale guard
+    deletes must go through the gated MERGE instead — a replayed older
+    batch's delete must NOT remove a newer row image."""
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_order_ts", T.TimestampType()),
+        T.StructField("_order_txn", T.LongType()),
+    ])
+    t = LakeTable.create(
+        os.path.join(str(tmp_path), "mor_guard"),
+        schema,
+        keys=["k"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, v string, operation string, _order_ts string, _order_txn long"
+        ).withColumn("_order_ts", F.to_timestamp("_order_ts"))
+
+    apply_batch(t, batch([
+        (1, "new", "update", "2024-01-02 00:00:00", 200),
+        (2, "live", "insert", "2024-01-02 00:00:00", 201),
+    ]))
+    apply_batch(t, batch([
+        (1, None, "delete", "2024-01-01 00:00:00", 100),   # stale delete
+        (2, "old", "update", "2024-01-01 00:00:00", 101),  # stale update
+    ]))
+    state = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert state == {1: "new", 2: "live"}
+
+    # a genuinely newer delete still removes the row (through the gated
+    # MERGE path, not the ungated position-delete commit)
+    apply_batch(t, batch([(1, None, "delete", "2024-01-03 00:00:00", 300)]))
+    assert {r["k"] for r in t.read(spark).collect()} == {2}
+
+
+def test_mor_delete_routing_still_used_without_guard_columns(spark, tmp_path):
+    """Tables NOT persisting ordering metadata keep the position-delete
+    fast path on merge-on-read (write amplification win intact)."""
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(
+        os.path.join(str(tmp_path), "mor_plain"),
+        schema,
+        keys=["k"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, v string, operation string, _order_ts string, _order_txn long"
+        ).withColumn("_order_ts", F.to_timestamp("_order_ts"))
+
+    apply_batch(t, batch([
+        (1, "a", "insert", "2024-01-01 00:00:00", 1),
+        (2, "b", "insert", "2024-01-01 00:00:00", 2),
+    ]))
+    apply_batch(t, batch([(1, None, "delete", "2024-01-02 00:00:00", 3)]))
+    assert {r["k"] for r in t.read(spark).collect()} == {2}
+    # the delete landed as a delete-file commit, not a COW rewrite
+    ops = [s["operation"] for s in t.snapshots()]
+    assert "delete" in ops

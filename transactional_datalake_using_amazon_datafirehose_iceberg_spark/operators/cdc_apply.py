@@ -105,18 +105,34 @@ def apply_batch(
         key_ok = key_ok & F.col(k).isNotNull()
     latest = collapse_latest_per_key(typed.filter(key_ok), keys)
 
+    # Cross-batch out-of-order guard (SURVEY §7.3 hard part 1): when the
+    # table persists the CDC ordering metadata (_order_ts/_order_txn
+    # columns in its schema), every matched apply — update AND delete —
+    # is gated on newer-than-current, so a late-arriving older batch
+    # (a replayed shard, a slow partition) cannot clobber or resurrect
+    # newer row images. Tables without the columns keep the plain apply
+    # (per-key transport ordering is the reference's own guarantee).
+    table_cols = {f.name for f in table.schema.fields}
+    stale_guard = {"_order_ts", "_order_txn"} <= table_cols
+
     # merge-on-read CDC: route the batch's deletes to a position-delete
     # file (O(deleted rows) written) instead of a copy-on-write file
     # rewrite — bounded write amplification for delete-heavy streams
     # (reference tables run merge-on-read, README.md:307). Upserts still
     # MERGE copy-on-write. Keys are disjoint (D4 collapsed per key), so
     # the two commits cannot conflict; the watermark stamps the final one.
+    # NOT taken under the stale guard: a position-delete commit has no
+    # newer-than-current check, so a replayed older batch's delete would
+    # silently remove a newer row image — those deletes go through the
+    # gated MERGE below instead (correctness over write amplification).
     manifest = table.manifest()
     props = manifest.get("properties", {})
     # (hasattr guard: a real-Iceberg backend handles merge-on-read
     # natively inside MERGE INTO, no position-delete routing needed)
-    if props.get("write.delete.mode") == "merge-on-read" and hasattr(
-        table, "delete_by_keys_mor"
+    if (
+        props.get("write.delete.mode") == "merge-on-read"
+        and not stale_guard
+        and hasattr(table, "delete_by_keys_mor")
     ):
         from ..plans.lake_table import Predicate
         from ..plans.merge import _rangeable_key
@@ -146,22 +162,6 @@ def apply_batch(
             )
         latest = latest.filter(F.col("operation") != "delete")
 
-    # Cross-batch out-of-order guard (SURVEY §7.3 hard part 1): when the
-    # table persists the CDC ordering metadata (_order_ts/_order_txn
-    # columns in its schema), every matched apply — update AND delete —
-    # is gated on newer-than-current, so a late-arriving older batch
-    # (a replayed shard, a slow partition) cannot clobber or resurrect
-    # newer row images. Tables without the columns keep the plain apply
-    # (per-key transport ordering is the reference's own guarantee).
-    import json as _json
-
-    from pyspark.sql import types as _T
-
-    table_cols = {
-        f.name
-        for f in _T.StructType.fromJson(_json.loads(manifest["schema"])).fields
-    }
-    stale_guard = {"_order_ts", "_order_txn"} <= table_cols
     return merge_into(
         table,
         latest if stale_guard else latest.drop("_order_ts", "_order_txn"),

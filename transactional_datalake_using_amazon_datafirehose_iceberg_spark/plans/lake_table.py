@@ -663,32 +663,25 @@ class LakeTable:
         deletes): each delete file holds KEY VALUES, applied to rows of
         data files with a lower sequence number than the delete (so a
         key re-inserted later survives). One broadcast anti-join: the
-        delete set is key tuples — metadata scale, never row scale."""
-        key_cols = list(eq[0].get("eq_cols", self.keys or []))
-        if not key_cols:
-            return df
-        parts = []
+        delete set is key tuples — metadata scale, never row scale.
+
+        Iceberg assigns equality field ids PER delete file, so files with
+        different ``eq_cols`` may coexist; the delete files are grouped
+        by their column set and each group gets its own anti-join
+        (reading one file's keys under another file's column set would
+        silently delete the wrong rows)."""
+        groups: dict[tuple[str, ...], list[dict]] = {}
         for d in eq:
-            e = (
-                spark.read.parquet(os.path.join(self.root, d["path"]))
-                .select(
-                    *[F.col(k).alias(f"__eq_{k}") for k in key_cols],
-                )
-                .withColumn("__del_seq", F.lit(int(d.get("seq", 0))))
-            )
-            parts.append(e)
-        eq_df = parts[0]
-        for p in parts[1:]:
-            eq_df = eq_df.unionByName(p)
+            cols = tuple(d.get("eq_cols", self.keys or []))
+            if cols:
+                groups.setdefault(cols, []).append(d)
+        if not groups:
+            return df
         seq_df = spark.createDataFrame(
             [(f["path"], int(f.get("seq", 0))) for f in m["files"]],
             "__seq_path string, __seq long",
         )
-        cond = F.lit(True)
-        for k in key_cols:
-            cond = cond & F.col(k).eqNullSafe(F.col(f"__eq_{k}"))
-        cond = cond & (F.col("__del_seq") > F.col("__seq"))
-        return (
+        df = (
             df.withColumn("__file", self._rel_file_col())
             .join(
                 F.broadcast(seq_df),
@@ -696,23 +689,45 @@ class LakeTable:
                 "left",
             )
             .withColumn("__seq", F.coalesce("__seq", F.lit(0)))
-            .join(F.broadcast(eq_df), cond, "left_anti")
-            .drop("__file", "__seq_path", "__seq")
         )
+        for key_cols, files in groups.items():
+            parts = []
+            for d in files:
+                e = (
+                    spark.read.parquet(os.path.join(self.root, d["path"]))
+                    .select(
+                        *[F.col(k).alias(f"__eq_{k}") for k in key_cols],
+                    )
+                    .withColumn("__del_seq", F.lit(int(d.get("seq", 0))))
+                )
+                parts.append(e)
+            eq_df = parts[0]
+            for p in parts[1:]:
+                eq_df = eq_df.unionByName(p)
+            cond = F.lit(True)
+            for k in key_cols:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__eq_{k}"))
+            cond = cond & (F.col("__del_seq") > F.col("__seq"))
+            df = df.join(F.broadcast(eq_df), cond, "left_anti")
+        return df.drop("__file", "__seq_path", "__seq")
 
-    def delete_eq(self, rows: list[dict]) -> int:
+    def delete_eq(self, rows: list[dict], eq_cols: list[str] | None = None) -> int:
         """DELETE by key values as a pure metadata+keys commit: write one
         equality-delete file holding the key tuples and commit — ZERO
         data-file I/O, the property that makes merge-on-read CDC deletes
         O(batch) instead of O(touched files). ``rows``: list of
-        {key_col: value} dicts (metadata scale)."""
-        if not self.keys:
-            raise ValueError("delete_eq requires a keyed table")
+        {key_col: value} dicts (metadata scale). ``eq_cols`` defaults to
+        the table keys; Iceberg assigns equality field ids per delete
+        file, so different commits may delete by different column sets
+        (the read path applies each file under its OWN columns)."""
+        eq_cols = list(eq_cols or self.keys or [])
+        if not eq_cols:
+            raise ValueError("delete_eq requires eq_cols (or a keyed table)")
         if not rows:
             return self.current_version()
         import pyarrow as _pa
 
-        tbl = _pa.table({k: [r[k] for r in rows] for k in self.keys})
+        tbl = _pa.table({k: [r[k] for r in rows] for k in eq_cols})
         rel = os.path.join(_DATA_DIR, f"eqdel-{uuid.uuid4().hex[:16]}.parquet")
         _pq.write_table(tbl, os.path.join(self.root, rel))
         meta = {
@@ -720,7 +735,7 @@ class LakeTable:
             "rows": len(rows),
             "bytes": os.path.getsize(os.path.join(self.root, rel)),
             "kind": "equality",
-            "eq_cols": list(self.keys),
+            "eq_cols": eq_cols,
             "refs": [],
         }
         return self.commit(
@@ -877,20 +892,39 @@ class LakeTable:
 
             after = _visible(after_paths, v)
             before = _visible(before_paths, prev["version"])
+            unique_per_key = False
             if self.keys:
+                # The single-join classification below assumes at most one
+                # visible row per key per side. MERGE enforces that, but
+                # append() on a keyed table does not (and the repo's own
+                # property tests build such histories), and a many-to-many
+                # full-outer join would fan out spurious UPDATE_* rows.
+                # Probe uniqueness with one aggregate over the CHANGED
+                # rows only (never table-volume) and fall back to the
+                # multiset diff when duplicates exist.
+                probe = (
+                    after.select(F.lit("a").alias("__side"), *self.keys)
+                    .unionByName(before.select(F.lit("b").alias("__side"), *self.keys))
+                    .groupBy("__side", *self.keys)
+                    .count()
+                    .agg(F.max("count").alias("__mx"))
+                    .collect()
+                )
+                unique_per_key = (probe[0]["__mx"] or 0) <= 1
+            if self.keys and unique_per_key:
                 # Keyed tables carry at most one row per key per snapshot
-                # (MERGE enforces source-key uniqueness), so ONE full-outer
-                # join on the keys classifies every change in a single
-                # shuffle: key only on the after side -> INSERT, only on
-                # the before side -> DELETE, both sides with a differing
-                # row -> UPDATE_BEFORE/UPDATE_AFTER pair, both sides
-                # identical -> carried-over row of a rewritten file, not a
-                # change. (The previous exceptAll x2 + intersect + 4
-                # semi/anti joins computed the same relation in ~7 shuffle
-                # stages; per-stage fixed cost dominated at micro-batch
-                # row counts.) Struct equality is null-safe per field, so
-                # rows differing only in a nullable column still classify
-                # as updates.
+                # (probed above), so ONE full-outer join on the keys
+                # classifies every change in a single shuffle: key only on
+                # the after side -> INSERT, only on the before side ->
+                # DELETE, both sides with a differing row ->
+                # UPDATE_BEFORE/UPDATE_AFTER pair, both sides identical ->
+                # carried-over row of a rewritten file, not a change. (The
+                # previous exceptAll x2 + intersect + 4 semi/anti joins
+                # computed the same relation in ~7 shuffle stages;
+                # per-stage fixed cost dominated at micro-batch row
+                # counts.) Struct equality is null-safe per field, so rows
+                # differing only in a nullable column still classify as
+                # updates.
                 a = after.select(
                     *self.keys, F.struct(*cols).alias("__after")
                 )
@@ -932,6 +966,34 @@ class LakeTable:
                 tagged = (
                     j.select(F.explode(entries).alias("__e"))
                     .select(F.col("__e.r.*"), F.col("__e.ct").alias("_change_type"))
+                )
+            elif self.keys:
+                # duplicate-key history (append-built): multiset diff
+                # keeps cardinality right; a key shedding rows on one side
+                # and gaining on the other still classifies as an update
+                ins = after.exceptAll(before)
+                dels = before.exceptAll(after)
+                upd_keys = ins.select(*self.keys).intersect(
+                    dels.select(*self.keys)
+                )
+                tagged = (
+                    ins.join(F.broadcast(upd_keys), list(self.keys), "left_anti")
+                    .withColumn("_change_type", F.lit("INSERT"))
+                    .unionByName(
+                        dels.join(
+                            F.broadcast(upd_keys), list(self.keys), "left_anti"
+                        ).withColumn("_change_type", F.lit("DELETE"))
+                    )
+                    .unionByName(
+                        dels.join(
+                            F.broadcast(upd_keys), list(self.keys), "left_semi"
+                        ).withColumn("_change_type", F.lit("UPDATE_BEFORE"))
+                    )
+                    .unionByName(
+                        ins.join(
+                            F.broadcast(upd_keys), list(self.keys), "left_semi"
+                        ).withColumn("_change_type", F.lit("UPDATE_AFTER"))
+                    )
                 )
             else:
                 # multiset semantics for keyless tables: exceptAll keeps

@@ -201,10 +201,11 @@ def _pydatasource_build(spark, sf):
     swappable without touching the pipeline."""
     from ..sources.py_datasource import CdcEnvelopeDataSource
 
-    try:
-        spark.dataSource.register(CdcEnvelopeDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # re-registering is a documented no-op overwrite in PySpark 4 (no
+    # already-exists error), so a failure here is a genuine import/API
+    # problem and must propagate — a swallowed one would resurface as a
+    # confusing format('cdc_envelopes') load error (round-4 advice)
+    spark.dataSource.register(CdcEnvelopeDataSource)
     raw = spark.read.format("cdc_envelopes").load()
     table = LakeTable.create(
         os.path.join(tempfile.mkdtemp(prefix="pyds_"), "retail"),
