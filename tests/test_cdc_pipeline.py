@@ -209,3 +209,58 @@ def test_delete_never_seen_key_noop(spark, tmp_path):
     good, _ = transform(df, DB, TBL)
     apply_batch(table, typed_rows(good))
     assert table.read(spark).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Kafka transport shim: broker-free contract test — recorded Kafka-shaped
+# frames through the frame->envelope parse path must be envelope-identical
+# to the JSONL file transport on the same golden corpus (round-4 advice).
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_frame_parse_matches_jsonl_transport(spark, corpus_paths):
+    import json as _json
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.cdc_jsonl import (
+        KAFKA_FRAME_DDL,
+        kafka_frames_to_envelopes,
+        read_cdc_batch,
+    )
+
+    p1, p2 = corpus_paths
+    lines = []
+    for p in (p1, p2):
+        with open(p) as f:
+            lines.extend(ln.rstrip("\n") for ln in f if ln.strip())
+
+    # fabricate the stock Kafka source row shape: envelope JSON as the
+    # record value, primary key as the message key (DMS/Kinesis parity)
+    def _key(ln):
+        try:
+            return str(_json.loads(ln)["data"].get("trans_id", "")).encode()
+        except Exception:
+            return b""
+
+    frames = spark.createDataFrame(
+        [
+            (_key(ln), ln.encode("utf-8"), "cdc", i % 3, i, None, 0)
+            for i, ln in enumerate(lines)
+        ],
+        KAFKA_FRAME_DDL,
+    )
+    via_kafka = kafka_frames_to_envelopes(frames)
+    assert via_kafka.columns == ["value"]  # the shared transport contract
+
+    via_file = read_cdc_batch(spark, p1).unionByName(read_cdc_batch(spark, p2))
+    assert sorted(r["value"] for r in via_kafka.collect()) == sorted(
+        r["value"] for r in via_file.collect()
+    )
+
+    # and the parsed envelopes drive the SAME downstream outcome
+    good_k, dead_k = transform(via_kafka, DB, TBL)
+    good_f, dead_f = transform(via_file, DB, TBL)
+    assert good_k.count() == good_f.count()
+    assert dead_k.count() == dead_f.count()
+    k_rows = sorted(map(tuple, typed_rows(good_k).collect()))
+    f_rows = sorted(map(tuple, typed_rows(good_f).collect()))
+    assert k_rows == f_rows

@@ -181,9 +181,10 @@ def read_cdc_kafka_stream(
     source call, nothing downstream changes.
 
     Requires the spark-sql-kafka package on the classpath (absent in the
-    offline sandbox — ``tests/test_sources.py`` asserts the contract via
-    the file transport; the option-wiring here follows the stock
-    Structured Streaming Kafka source API)."""
+    offline sandbox — ``tests/test_cdc_pipeline.py`` contract-tests the
+    frame→envelope parse path on recorded Kafka-shaped rows broker-free;
+    the option-wiring here follows the stock Structured Streaming Kafka
+    source API)."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -195,5 +196,23 @@ def read_cdc_kafka_stream(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    # Kafka rows: key/value binary + metadata -> the envelope contract
-    return reader.load().selectExpr("CAST(value AS STRING) AS value")
+    return kafka_frames_to_envelopes(reader.load())
+
+
+# the stock Kafka source row shape (Structured Streaming Kafka
+# integration guide) — what read_cdc_kafka_stream's load() emits and
+# what the broker-free contract test fabricates
+KAFKA_FRAME_DDL = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_frames_to_envelopes(frames: DataFrame) -> DataFrame:
+    """Project Kafka source rows (key/value binary + metadata) onto the
+    one-string-column ``value`` envelope contract shared with the JSONL
+    file transport. DMS publishes the envelope JSON as the record value
+    with the primary key as the message key (the reference's Kinesis
+    equivalent: PartitionKey=trans_id, gen_fake_cdc_data.py:76), so only
+    the value is parsed; per-key ordering rides on the partition."""
+    return frames.selectExpr("CAST(value AS STRING) AS value")
