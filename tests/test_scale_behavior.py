@@ -82,3 +82,61 @@ def test_sustained_cdc_apply_throughput(spark, tmp_path):
     # batches kept getting applied at roughly constant cost (no blow-up):
     # final batch within 5x of the first (generous local-jitter bound)
     assert timings[-1] < timings[0] * 5 + 2.0, timings
+
+
+# ---------------------------------------------------------------------------
+# Plan-assertion sweep (round-4 verdict task 8): every headline query's
+# physical plan must be free of the three local-mode-only crutches that
+# melt at 100 TB — BroadcastNestedLoopJoin (unless the spec deliberately
+# broadcasts a metadata-scale side), CartesianProduct, and row-at-a-time
+# Python evaluation (BatchEvalPython; Arrow-vectorized Python is allowed
+# only where the spec IS the UDF surface).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries import (
+    QUERY_SPECS,
+)
+
+_HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q19_disjunctive_predicates",
+    "window_topk_per_group",
+    "events_sessionize_gap",
+    "agg_rollup",
+    "join_broadcast_dims",
+    "asof_join_purchase_click",
+    "higher_order_array_funcs",
+    "dedup_minhash_lsh_pairs",
+    "similarity_topk_cosine",
+    "text_stats_quality",
+    "cdc_retail_replay",
+]
+
+# spec -> physical-plan nodes it deliberately uses (with the reason the
+# node is scale-safe there)
+_DECLARED = {
+    # broadcasts the <=5-row query-vector set against the corpus on a
+    # non-equi (qid <> vec_id) condition: metadata-scale build side
+    "similarity_topk_cosine": {"BroadcastNestedLoopJoin"},
+}
+
+_FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def test_headline_plans_free_of_scale_killers(spark):
+    sf = _os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+    missing = [n for n in _HEADLINE if n not in QUERY_SPECS]
+    assert not missing, f"headline specs missing from registry: {missing}"
+    bad: list[str] = []
+    for name in _HEADLINE:
+        df = QUERY_SPECS[name].run_spark(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for node in _FORBIDDEN:
+            if node in plan and node not in _DECLARED.get(name, set()):
+                bad.append(f"{name}: {node}")
+    assert not bad, "scale-killer plan nodes found:\n" + "\n".join(bad)
