@@ -153,3 +153,106 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.md5(lowered).alias("fp_exact"),
         F.md5(F.concat_ws(" ", F.sort_array(F.split(lowered, " ")))).alias("fp_bag"),
     )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1):
+    per-document distinct-token count, most-frequent-token count, and
+    most-frequent-adjacent-bigram count, plus an integer-arithmetic keep
+    flag (repetitious documents — boilerplate, keyword stuffing, decode
+    loops — are the classic LLM-corpus pollutant these thresholds gate).
+
+    Entirely map-side higher-order array expressions: the token array
+    never leaves its row, so the operator is a single codegen'd map
+    stage at any corpus size — no shuffle at all. Per-row cost is
+    O(tokens x distinct) which is the right trade for web-scale docs
+    (bounded length); corpora with pathological million-token rows
+    should chunk first (text_chunk_windows).
+
+    All outputs are integers (counts, not ratios): exact on both
+    engines, no float-rounding drift. keep = distinct/total >= 0.3 AND
+    top-bigram/total-bigrams <= 0.2, evaluated in integer cross-products.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    # count of the modal element of an array, map-side: for each distinct
+    # value, count its occurrences; take the max (NULL-safe for len-0)
+    def _mode_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda t: F.size(F.filter(arr, lambda x: x == t)),
+            )
+        )
+
+    bigrams = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - 1, 0)),"
+        f" i -> concat(element_at(split(lower({text_col}), ' '), i), ' ',"
+        f"            element_at(split(lower({text_col}), ' '), i + 1)))"
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
+        F.coalesce(_mode_count(toks), F.lit(0)).cast("bigint").alias("top_token_n"),
+        F.size(bigrams).cast("bigint").alias("n_bigrams"),
+        F.coalesce(_mode_count(bigrams), F.lit(0)).cast("bigint").alias("top_bigram_n"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("distinct_tokens") * 10 >= F.col("n_tokens") * 3)
+            & (F.col("top_bigram_n") * 5 <= F.col("n_bigrams"))
+        ).cast("int"),
+    )
+
+
+def ngram_overlap_vs_benchmark(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM §C): for every
+    corpus document, the number of its distinct word-n-grams that also
+    occur anywhere in the benchmark set, plus its distinct n-gram total.
+    Downstream filters drop documents whose overlap exceeds a threshold
+    before training, so eval numbers stay honest.
+
+    Scale shape: the benchmark n-gram set is eval-suite sized (metadata
+    scale next to a 100 TB corpus) — distinct-aggregated, then BROADCAST
+    into a map-side semi-join against the corpus's exploded n-grams; the
+    only shuffle is the per-doc count aggregation, keyed by doc id with
+    map-side partial aggregation. Corpus bytes are never joined against
+    corpus bytes."""
+
+    def grams(df):
+        arr = F.expr(
+            f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 0)),"
+            f" i -> array_join(slice(split(lower({text_col}), ' '), i, {n}), ' '))"
+        )
+        return df.select(F.col(id_col), F.explode(arr).alias("gram")).distinct()
+
+    bench_grams = (
+        grams(benchmark).select("gram").distinct().withColumn("__hit", F.lit(1))
+    )
+    # one broadcast LEFT join tags each corpus gram, one aggregation
+    # produces both counts — total and overlap never meet in a second
+    # doc_id-keyed shuffle join
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+        # contaminated = >= 5% of the doc's distinct n-grams hit the
+        # benchmark (integer cross-product: exact on both engines)
+        .withColumn(
+            "contaminated",
+            (F.col("n_overlap") * 20 >= F.col("n_ngrams")).cast("int"),
+        )
+    )

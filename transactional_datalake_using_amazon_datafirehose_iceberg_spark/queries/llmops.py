@@ -1450,4 +1450,105 @@ ORDER BY lang, sample_rank
 ))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filters + benchmark decontamination (Gopher §A1.1 /
+# GPT-3 appendix C — the two corpus gates every LLM training pipeline
+# runs between dedup and split). All outputs are integer counts and
+# integer-arithmetic flags: exact on both engines by construction.
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+  FROM documents
+)
+"""
+
+_add(QuerySpec(
+    name="text_repetition_filters",
+    doc="Gopher-style repetition metrics per document — distinct-token "
+        "count, modal token count, modal adjacent-bigram count — and an "
+        "integer-arithmetic keep flag (distinct/total >= 0.3 AND "
+        "top-bigram fraction <= 0.2). Map-only higher-order array "
+        "expressions: the token array never leaves its row.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: TX.repetition_metrics(
+        spark.table("documents")
+    ).orderBy("doc_id"),
+    oracle=lambda: f"""
+WITH {_TOKS_CTE.strip()},
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS distinct_tokens
+  FROM toks GROUP BY doc_id
+),
+topt AS (
+  SELECT doc_id, MAX(c) AS top_token_n
+  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2) GROUP BY doc_id
+),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+),
+bgt AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM bg GROUP BY doc_id),
+topb AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.distinct_tokens AS BIGINT) AS distinct_tokens,
+       CAST(topt.top_token_n AS BIGINT) AS top_token_n,
+       CAST(COALESCE(bgt.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(topb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(t.distinct_tokens * 10 >= t.n_tokens * 3
+            AND COALESCE(topb.top_bigram_n, 0) * 5 <= COALESCE(bgt.n_bigrams, 0)
+            AS INTEGER) AS keep
+FROM tot t
+JOIN topt ON topt.doc_id = t.doc_id
+LEFT JOIN bgt ON bgt.doc_id = t.doc_id
+LEFT JOIN topb ON topb.doc_id = t.doc_id
+ORDER BY doc_id
+""",
+))
+
+
+_add(QuerySpec(
+    name="decontaminate_ngram_overlap",
+    doc="Benchmark decontamination: distinct word-3-gram overlap of every "
+        "corpus document (doc_id >= 20) against the benchmark set "
+        "(doc_id < 20), with an integer-arithmetic contaminated flag at "
+        ">= 5%. The benchmark gram set is metadata scale and broadcast; "
+        "the only shuffle is the per-doc count aggregation.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: TX.ngram_overlap_vs_benchmark(
+        spark.table("documents").filter(F.col("doc_id") >= 20),
+        spark.table("documents").filter(F.col("doc_id") < 20),
+    ).orderBy("doc_id"),
+    oracle=lambda: f"""
+WITH {_TOKS_CTE.strip()},
+g AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+corp AS (SELECT * FROM g WHERE doc_id >= 20),
+tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM corp GROUP BY doc_id),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap FROM corp
+  WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) * 20 >= t.n_ngrams AS INTEGER) AS contaminated
+FROM tot t LEFT JOIN ov ON ov.doc_id = t.doc_id
+ORDER BY doc_id
+""",
+))
+
 SPECS = list(_SPECS)
