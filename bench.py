@@ -229,6 +229,9 @@ def main() -> None:
         "incremental_mv_maintenance",
         "merge_conditional_partial",
         "sample_balanced_per_group",
+        # round-5 additions
+        "text_repetition_filters",
+        "decontaminate_ngram_overlap",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:
