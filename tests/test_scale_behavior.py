@@ -115,6 +115,9 @@ _HEADLINE = [
     "similarity_topk_cosine",
     "text_stats_quality",
     "cdc_retail_replay",
+    # round-5 additions (not in the bench headline set, swept anyway)
+    "text_repetition_filters",
+    "decontaminate_ngram_overlap",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the
