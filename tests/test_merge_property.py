@@ -95,3 +95,19 @@ def test_merge_matches_reference_model(prop_spark, tmp_path_factory, batches, re
     got = sorted((r["k"], r["v"], r["cat"]) for r in table.read(spark).collect())
     expected = sorted(model.values())
     assert got == expected
+
+    # the CDC-OUT half must agree with the CDC-IN half: replaying the
+    # full changelog (INSERT/UPDATE_AFTER set, DELETE remove) into an
+    # empty dict reconstructs the same final state for ANY op
+    # interleaving — model-checks the keyed single-join classification
+    # and its duplicate-key fallback alike
+    log_state: dict[int, tuple] = {}
+    for r in sorted(
+        table.changelog(spark, 0, table.current_version()).collect(),
+        key=lambda r: r["_change_version"],
+    ):
+        if r["_change_type"] in ("INSERT", "UPDATE_AFTER"):
+            log_state[r["k"]] = (r["k"], r["v"], r["cat"])
+        elif r["_change_type"] == "DELETE":
+            log_state.pop(r["k"], None)
+    assert sorted(log_state.values()) == expected
