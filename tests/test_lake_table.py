@@ -376,3 +376,54 @@ def test_changelog_duplicate_key_history_multiset_fallback(spark, table):
     full = table.changelog(spark, 0, v3)
     ins = [r for r in full.collect() if r["_change_type"] == "INSERT"]
     assert len(ins) == 4  # 3 initial + 1 extra copy; no spurious UPDATE_*
+
+
+def test_append_commit_retries_after_losing_race(spark, tmp_path):
+    """Optimistic-concurrency retry (Iceberg fast-append parity): an
+    append that loses the exclusive-create race re-reads the new head
+    and lands on the next version; both writers' rows survive."""
+    t1 = LakeTable.create(str(tmp_path / "race"), SCHEMA, keys=["id"])
+    t1.append(_mk(spark, [(1, "a", 1.0)]))
+    t2 = LakeTable(t1.root)  # second writer handle on the same table
+
+    real_write = t1._write_manifest
+    raced = {"done": False}
+
+    def racing_write(manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            # concurrent writer commits first, stealing this version
+            t2.append(_mk(spark, [(2, "b", 2.0)]))
+        real_write(manifest)
+
+    t1._write_manifest = racing_write
+    v = t1.append(_mk(spark, [(3, "c", 3.0)]))
+    assert raced["done"]
+    assert {r["id"] for r in t1.read(spark).collect()} == {1, 2, 3}
+    assert v == t1.current_version()
+
+
+def test_rewrite_commit_conflict_still_raises(spark, tmp_path):
+    """A commit that REMOVES files (COW rewrite) was planned against a
+    base that a concurrent commit invalidated: it must raise, never
+    silently retry."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+    )
+
+    t1 = LakeTable.create(str(tmp_path / "race2"), SCHEMA, keys=["id"])
+    t1.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t2 = LakeTable(t1.root)
+
+    real_write = t1._write_manifest
+    raced = {"done": False}
+
+    def racing_write(manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            t2.append(_mk(spark, [(9, "z", 9.0)]))
+        real_write(manifest)
+
+    t1._write_manifest = racing_write
+    with pytest.raises(CommitConflict):
+        t1.delete_where(spark, "id = 1")  # COW rewrite removes a file

@@ -458,22 +458,65 @@ class LakeTable:
         pending deletes, so entries referencing it are pruned — via
         pyarrow rewrite when a delete file also references surviving
         files). Keeping the delete set dangling-free makes
-        ``total_rows = data rows − delete rows`` exact with no scan."""
-        cur = self.manifest()
+        ``total_rows = data rows − delete rows`` exact with no scan.
+
+        Optimistic-concurrency retry (Iceberg fast-append parity): a
+        commit that REMOVES nothing commutes with any concurrent commit,
+        so on losing the exclusive-create race it re-reads the new head
+        and re-attempts with the same already-written files (bounded
+        attempts). Commits that remove files (COW rewrite, compaction)
+        must NOT auto-retry — their file list was derived from a base
+        that no longer exists — and keep raising ``CommitConflict`` for
+        the caller to re-plan."""
         removed = set(removed_paths)
+        removed_del = set(removed_delete_paths)
+        commutative = not removed and not removed_del
+        # entries the caller did not pre-stamp get the (attempt-fresh)
+        # committing version as their data-sequence number
+        unstamped_files = [f for f in added if "seq" not in f]
+        unstamped_dels = [d for d in (added_deletes or []) if "seq" not in d]
+        attempts = 5 if commutative else 1
+        for attempt in range(attempts):
+            try:
+                return self._commit_once(
+                    added,
+                    removed,
+                    operation,
+                    extra_summary,
+                    added_deletes,
+                    removed_del,
+                    unstamped_files,
+                    unstamped_dels,
+                )
+            except CommitConflict:
+                if attempt == attempts - 1:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _commit_once(
+        self,
+        added: list[dict],
+        removed: set[str],
+        operation: str,
+        extra_summary: dict | None,
+        added_deletes: list[dict] | None,
+        removed_del: set[str],
+        unstamped_files: list[dict],
+        unstamped_dels: list[dict],
+    ) -> int:
+        cur = self.manifest()
         kept = [f for f in cur["files"] if f["path"] not in removed]
         files = kept + added
         version = self._next_version()
         # sequence stamping (Iceberg data-sequence-number parity): every
         # added data file and delete file records the commit it entered
         # in. Equality deletes apply only to rows of files with a LOWER
-        # seq, so a key re-inserted after the delete survives.
-        for f in added:
-            f.setdefault("seq", version)
-        for d in added_deletes or []:
-            d.setdefault("seq", version)
-
-        removed_del = set(removed_delete_paths)
+        # seq, so a key re-inserted after the delete survives. Re-stamped
+        # on every retry attempt — the version changes.
+        for f in unstamped_files:
+            f["seq"] = version
+        for d in unstamped_dels:
+            d["seq"] = version
         kept_deletes = [
             d for d in cur.get("delete_files", []) if d["path"] not in removed_del
         ]
