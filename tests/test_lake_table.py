@@ -427,3 +427,29 @@ def test_rewrite_commit_conflict_still_raises(spark, tmp_path):
     t1._write_manifest = racing_write
     with pytest.raises(CommitConflict):
         t1.delete_where(spark, "id = 1")  # COW rewrite removes a file
+
+
+def test_merge_replans_after_losing_race(spark, tmp_path):
+    """A COW MERGE racing a concurrent append re-plans against the new
+    head: both the merged update and the concurrent rows survive."""
+    t1 = LakeTable.create(str(tmp_path / "race3"), SCHEMA, keys=["id"])
+    t1.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t2 = LakeTable(t1.root)
+
+    real_write = t1._write_manifest
+    raced = {"n": 0}
+
+    def racing_write(manifest):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            t2.append(_mk(spark, [(9, "z", 9.0)]))
+        real_write(manifest)
+
+    t1._write_manifest = racing_write
+    src = spark.createDataFrame(
+        [(1, "a", 11.0, "update")],
+        schema="id int, cat string, val double, operation string",
+    )
+    merge_into(t1, src, on=["id"], op_col="operation")
+    got = {r["id"]: r["val"] for r in t1.read(spark).collect()}
+    assert got == {1: 11.0, 2: 2.0, 9: 9.0}

@@ -102,6 +102,45 @@ def merge_into(
             condition_gates_delete=condition_gates_delete,
         )
 
+    # Lost-race re-plan (the COW commit removes files, so commit-level
+    # retry is forbidden — see LakeTable.commit): the merge is a pure
+    # function of (source batch, current table state), so on a
+    # CommitConflict the WHOLE merge re-plans once against the new head
+    # — re-probe touched files, re-rewrite — which is exactly what a
+    # streaming micro-batch or a writer racing a compaction needs. The
+    # first attempt's orphaned data files are unreferenced and reaped by
+    # snapshot expiry.
+    from .lake_table import CommitConflict
+
+    try:
+        return _merge_into_cow(
+            table, source, on, op_col, delete_value, assume_unique,
+            broadcast_source, extra_summary, evolve_schema, evolve_ignore,
+            match_condition, update_cols, condition_gates_delete,
+        )
+    except CommitConflict:
+        return _merge_into_cow(
+            table, source, on, op_col, delete_value, assume_unique,
+            broadcast_source, extra_summary, False, evolve_ignore,
+            match_condition, update_cols, condition_gates_delete,
+        )
+
+
+def _merge_into_cow(
+    table: LakeTable,
+    source: DataFrame,
+    on: list[str] | None,
+    op_col: str | None,
+    delete_value: str,
+    assume_unique: bool,
+    broadcast_source: bool,
+    extra_summary: dict | None,
+    evolve_schema: bool,
+    evolve_ignore: tuple[str, ...],
+    match_condition: str | None,
+    update_cols: list[str] | None,
+    condition_gates_delete: bool,
+) -> int:
     spark = source.sparkSession
     keys = on or table.keys
     if not keys:
