@@ -13,6 +13,7 @@ from ..operators import text as TX
 from ..operators.multimodal import (
     attach_binary_payload,
     decode_features,
+    resize_images,
     sample_frames,
 )
 from .base import QuerySpec
@@ -1547,6 +1548,38 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
        CAST(COALESCE(ov.n_overlap, 0) * 20 >= t.n_ngrams AS INTEGER) AS contaminated
 FROM tot t LEFT JOIN ov ON ov.doc_id = t.doc_id
+ORDER BY doc_id
+""",
+))
+
+
+
+_add(QuerySpec(
+    name="multimodal_resize_batch",
+    doc="Image-resize plumbing over binary payloads: every payload's "
+        "byte buffer is strided by 2 inside the Arrow batch (the "
+        "deterministic stand-in for PIL resize), dims halved, resized "
+        "content md5-fingerprinted. The oracle reconstructs the same "
+        "byte slice with list arithmetic and hashes it — the "
+        "transformation is content-verified cross-engine, not just "
+        "schema-checked.",
+    tags=("llm", "multimodal"),
+    build=lambda spark, sf: (
+        resize_images(attach_binary_payload(spark.table("documents")))
+        .orderBy("doc_id")
+    ),
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) % 64 + 1 AS INTEGER) AS width,
+       CAST((length(text) * 7) % 64 + 1 AS INTEGER) AS height,
+       CAST(greatest((length(text) % 64 + 1) // 2, 1) AS INTEGER) AS new_width,
+       CAST(greatest(((length(text) * 7) % 64 + 1) // 2, 1) AS INTEGER) AS new_height,
+       CAST((length(text) + 1) // 2 AS BIGINT) AS n_bytes,
+       md5(array_to_string(
+         list_transform(range(1, length(text) + 1, 2),
+                        i -> substring(text, CAST(i AS INTEGER), 1)), ''))
+         AS content_md5
+FROM documents
 ORDER BY doc_id
 """,
 ))
