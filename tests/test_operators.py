@@ -278,3 +278,73 @@ def test_connected_components_empty_and_converged(spark):
         (r["id"], r["cluster_id"]) for r in connected_components(one).collect()
     )
     assert rows == {5: 5, 6: 5}
+
+
+def test_repetition_metrics_edges(spark):
+    """Single-token doc (no bigrams), fully-repeated doc, healthy doc —
+    counts and the integer keep flag behave at the boundaries."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "word"),                       # 1 token, 0 bigrams
+            (2, "spam spam spam spam spam"),   # pure repetition
+            (3, "the quick brown fox jumps"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert rows[1]["n_tokens"] == 1 and rows[1]["n_bigrams"] == 0
+    assert rows[1]["top_bigram_n"] == 0 and rows[1]["keep"] == 1
+    assert rows[2]["distinct_tokens"] == 1 and rows[2]["top_token_n"] == 5
+    assert rows[2]["top_bigram_n"] == 4 and rows[2]["keep"] == 0
+    assert rows[3]["distinct_tokens"] == 5 and rows[3]["keep"] == 1
+
+
+def test_ngram_overlap_counts_and_flag(spark):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text import (
+        ngram_overlap_vs_benchmark,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # full overlap -> contaminated
+            (2, "x y z w v"),        # zero overlap
+            (3, "q r a b c s t"),    # exactly one shared 3-gram "a b c"
+            (4, "xy"),               # < 3 tokens -> no grams, excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_overlap_vs_benchmark(corpus, bench).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_overlap"] == 3 and rows[1]["contaminated"] == 1
+    assert rows[2]["n_overlap"] == 0 and rows[2]["contaminated"] == 0
+    assert rows[3]["n_ngrams"] == 5 and rows[3]["n_overlap"] == 1
+    assert rows[3]["contaminated"] == 1  # 1/5 = 20% >= 5%
+
+
+def test_resize_images_content_and_clamp(spark):
+    """Resized bytes are the strided slice of the payload (md5-pinned
+    against hashlib) and 1-pixel dims clamp instead of hitting zero."""
+    import hashlib
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    # len 63 -> width 63%64+1=64 -> new 32; len 1 ('x') -> width 2 -> new 1
+    docs = spark.createDataFrame(
+        [(1, "a" * 63), (2, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in resize_images(attach_binary_payload(docs)).collect()}
+    assert rows[1]["width"] == 64 and rows[1]["new_width"] == 32
+    assert rows[1]["n_bytes"] == 32
+    assert rows[1]["content_md5"] == hashlib.md5((b"a" * 63)[::2]).hexdigest()
+    assert rows[2]["new_width"] >= 1 and rows[2]["new_height"] >= 1
+    assert rows[2]["content_md5"] == hashlib.md5(b"x").hexdigest()

@@ -173,7 +173,10 @@ def repetition_metrics(
 
     All outputs are integers (counts, not ratios): exact on both
     engines, no float-rounding drift. keep = distinct/total >= 0.3 AND
-    top-bigram/total-bigrams <= 0.2, evaluated in integer cross-products.
+    top-bigram/total-bigrams <= 0.2, evaluated in integer
+    cross-products; the bigram criterion only applies with >= 10
+    bigrams of signal (on a 4-bigram doc even all-distinct text has a
+    25% modal fraction — too little evidence to call repetition).
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     # count of the modal element of an array, map-side: for each distinct
@@ -186,10 +189,14 @@ def repetition_metrics(
             )
         )
 
+    # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a
+    # single-token doc must short-circuit to an empty array instead of
+    # indexing out of bounds (ANSI mode errors, not NULLs)
     bigrams = F.expr(
-        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - 1, 0)),"
+        f"CASE WHEN size(split(lower({text_col}), ' ')) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size(split(lower({text_col}), ' ')) - 1),"
         f" i -> concat(element_at(split(lower({text_col}), ' '), i), ' ',"
-        f"            element_at(split(lower({text_col}), ' '), i + 1)))"
+        f"            element_at(split(lower({text_col}), ' '), i + 1))) END"
     )
     out = df.select(
         F.col(id_col),
@@ -203,7 +210,10 @@ def repetition_metrics(
         "keep",
         (
             (F.col("distinct_tokens") * 10 >= F.col("n_tokens") * 3)
-            & (F.col("top_bigram_n") * 5 <= F.col("n_bigrams"))
+            & (
+                (F.col("n_bigrams") < 10)
+                | (F.col("top_bigram_n") * 5 <= F.col("n_bigrams"))
+            )
         ).cast("int"),
     )
 
@@ -229,9 +239,12 @@ def ngram_overlap_vs_benchmark(
     corpus bytes."""
 
     def grams(df):
+        # same sequence(1, 0)-descends guard as repetition_metrics: a doc
+        # with fewer than n tokens has NO n-grams, not a slice-at-0 error
         arr = F.expr(
-            f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 0)),"
-            f" i -> array_join(slice(split(lower({text_col}), ' '), i, {n}), ' '))"
+            f"CASE WHEN size(split(lower({text_col}), ' ')) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size(split(lower({text_col}), ' ')) - {n - 1}),"
+            f" i -> array_join(slice(split(lower({text_col}), ' '), i, {n}), ' ')) END"
         )
         return df.select(F.col(id_col), F.explode(arr).alias("gram")).distinct()
 

@@ -1505,7 +1505,8 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(bgt.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(topb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
        CAST(t.distinct_tokens * 10 >= t.n_tokens * 3
-            AND COALESCE(topb.top_bigram_n, 0) * 5 <= COALESCE(bgt.n_bigrams, 0)
+            AND (COALESCE(bgt.n_bigrams, 0) < 10
+                 OR COALESCE(topb.top_bigram_n, 0) * 5 <= COALESCE(bgt.n_bigrams, 0))
             AS INTEGER) AS keep
 FROM tot t
 JOIN topt ON topt.doc_id = t.doc_id
