@@ -185,6 +185,31 @@ def bench_cow_vs_mor_deletes(
     return out
 
 
+def contention_sentinel(spark) -> dict:
+    """Self-identifying load probe (round-5 verdict: BENCH_r05 recorded
+    2-3.6x phantom regressions because the driver bench ran under
+    machine load). Times a FIXED calibration job — a pure-CPU shuffle-free
+    range aggregation whose cost is independent of the repo's code — twice,
+    and records the host load average. On an idle local[32] box the min
+    lands in a narrow band (~0.1-0.3 s); a polluted run shows an inflated
+    sentinel and/or high load1, so downstream comparisons can discount the
+    whole record instead of mis-blaming the queries."""
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id % 7)").collect()
+        times.append(round(time.perf_counter() - t0, 3))
+    load1, load5, _ = os.getloadavg()
+    return {
+        "calibration_job": "range(2e8).sum(id % 7)",
+        "runs_sec": times,
+        "min_sec": min(times),
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "cpu_count": os.cpu_count(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -196,6 +221,9 @@ def main() -> None:
     )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sentinel_pre = contention_sentinel(spark)
+    print(f"# contention sentinel (pre): {sentinel_pre}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -261,6 +289,11 @@ def main() -> None:
         streaming = {"error": f"{type(exc).__name__}: {exc}"}
         print(f"# streaming_ingest: FAILED {streaming['error']}", file=sys.stderr)
 
+    # second sentinel after the workload: a run that STARTED idle but got
+    # contended mid-way is visible as pre/post divergence
+    sentinel_post = contention_sentinel(spark)
+    print(f"# contention sentinel (post): {sentinel_post}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -268,6 +301,10 @@ def main() -> None:
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
+                "contention_sentinel": {
+                    "pre": sentinel_pre,
+                    "post": sentinel_post,
+                },
                 "queries": timings,
                 "llm_pipeline_extras": extras,
                 "streaming_ingest": streaming,

@@ -240,13 +240,23 @@ def ngram_overlap_vs_benchmark(
 
     def grams(df):
         # same sequence(1, 0)-descends guard as repetition_metrics: a doc
-        # with fewer than n tokens has NO n-grams, not a slice-at-0 error
-        arr = F.expr(
-            f"CASE WHEN size(split(lower({text_col}), ' ')) < {n} THEN array() "
-            f"ELSE transform(sequence(1, size(split(lower({text_col}), ' ')) - {n - 1}),"
-            f" i -> array_join(slice(split(lower({text_col}), ' '), i, {n}), ' ')) END"
+        # with fewer than n tokens has NO n-grams, not a slice-at-0 error.
+        # Per-doc distinctness is computed MAP-SIDE with array_distinct on
+        # the gram array before explode — equivalent to distinct() on the
+        # exploded (doc_id, gram) rows since the distinct key includes the
+        # doc id, but without shuffling corpus-gram volume (round-5 verdict:
+        # the explode-then-distinct exchange was the op's dominant cost).
+        # the token array is hoisted into its own projection so split()
+        # runs once per row, not once per transform-lambda element
+        toked = df.select(
+            F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__toks")
         )
-        return df.select(F.col(id_col), F.explode(arr).alias("gram")).distinct()
+        arr = F.expr(
+            f"CASE WHEN size(__toks) < {n} THEN array() "
+            f"ELSE array_distinct(transform(sequence(1, size(__toks) - {n - 1}),"
+            f" i -> array_join(slice(__toks, i, {n}), ' '))) END"
+        )
+        return toked.select(F.col(id_col), F.explode(arr).alias("gram"))
 
     bench_grams = (
         grams(benchmark).select("gram").distinct().withColumn("__hit", F.lit(1))

@@ -121,6 +121,31 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "text_chunk_windows", "text_tfidf_top_terms", "udf_sql_registered",
         "udtf_first_tokens", "variant_json_extract",
     }),
+    # Round 5: 50/50 sampled green (CORRECTNESS_r05.json), including
+    # merge_conditional_partial — the last never-green spec.
+    5: frozenset({
+        "agg_collect_sorted", "agg_cube", "agg_distinct_rows", "agg_filtered",
+        "agg_global_stats", "agg_grouping_sets", "agg_rollup",
+        "array_posexplode_map_values", "asof_join_purchase_click",
+        "cdc_dead_letter_split", "cdc_retail_replay",
+        "decontaminate_ngram_overlap", "dedup_embedding_cosine",
+        "dedup_exact_by_text", "dedup_minhash_lsh_pairs",
+        "dedup_neardup_jaccard", "dedup_simhash_buckets",
+        "events_sliding_windows", "join_anti_not_exists",
+        "join_broadcast_dims", "join_full_outer_months", "join_left_outer_agg",
+        "join_right_outer", "join_semi_exists", "join_skew_salted",
+        "json_tuple_schema_of", "merge_conditional_partial",
+        "multimodal_decode_features", "multimodal_resize_batch",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "runbook_dml_lifecycle", "scalar_date_arith", "similarity_ann_ivf",
+        "similarity_ann_lsh_bucket", "similarity_topk_cosine",
+        "streaming_windowed_counts", "text_fingerprints",
+        "text_lang_id_markers", "text_repetition_filters",
+        "text_rolling_hash", "text_stats_quality", "text_token_counts",
+        "time_travel_versions", "udf_applyinpandas_zscore",
+        "udf_grouped_agg_pandas", "udf_pandas_quality_score", "unpivot_stack",
+        "window_lead_range_frame",
+    }),
 }
 
 
