@@ -453,3 +453,125 @@ def test_merge_replans_after_losing_race(spark, tmp_path):
     merge_into(t1, src, on=["id"], op_col="operation")
     got = {r["id"]: r["val"] for r in t1.read(spark).collect()}
     assert got == {1: 11.0, 2: 2.0, 9: 9.0}
+
+
+def test_keys_unique_flag_lifecycle(spark, table):
+    """The keys_unique manifest flag (round-5 verdict task 4) lets the
+    changelog reader skip its per-diff uniqueness probe. It must be
+    present on create, survive every operation that cannot mint a
+    duplicate key, and drop to unknown on the ones that can."""
+
+    def flag(t):
+        return t.manifest()["summary"].get("keys_unique")
+
+    assert flag(table) is True  # create: vacuously unique
+    merge_into(
+        table,
+        spark.createDataFrame(
+            [(1, "a", 1.0, "insert"), (2, "b", 2.0, "insert")],
+            schema="id int, cat string, val double, operation string",
+        ),
+        on=["id"],
+        op_col="operation",
+    )
+    assert flag(table) is True  # MERGE preserves
+    table.update_where(spark, "id = 1", {"val": "9.0"})
+    assert flag(table) is True  # non-key SET preserves
+    table.delete_where(spark, "id = 2")
+    assert flag(table) is True  # deletes preserve
+    table.add_column("extra", T.StringType())
+    assert flag(table) is True  # metadata-only commits carry it
+
+    # a key-column assignment may collide with rows in untouched files
+    table.update_where(spark, "id = 1", {"id": "id + 1"})
+    assert flag(table) is None
+    # once unknown, later preserving ops cannot resurrect it
+    table.delete_where(spark, "id = 99")
+    assert flag(table) is None
+
+
+def test_keys_unique_flag_dropped_by_append(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    assert table.manifest()["summary"].get("keys_unique") is None
+
+
+def test_mor_delete_retry_survives_concurrent_append(spark, tmp_path):
+    """A position-delete commit removes nothing, so it may auto-retry
+    after losing the race to a concurrent APPEND: its referenced data
+    files are still live in the new head."""
+    t1 = LakeTable.create(str(tmp_path / "race3"), SCHEMA, keys=["id"])
+    t1.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t2 = LakeTable(t1.root)
+
+    real_write = t1._write_manifest
+    raced = {"done": False}
+
+    def racing_write(manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            t2.append(_mk(spark, [(9, "z", 9.0)]))
+        real_write(manifest)
+
+    t1._write_manifest = racing_write
+    t1.delete_by_keys_mor(spark, _mk(spark, [(1, "a", 1.0)]).select("id"))
+    assert raced["done"]
+    assert {r["id"] for r in t1.read(spark).collect()} == {2, 9}
+
+
+def test_mor_delete_retry_aborts_when_refs_compacted_away(spark, tmp_path):
+    """Round-5 advice (medium): a position-delete commit retried after a
+    concurrent compaction rewrote its referenced data files would commit
+    dangling deletes — the deleted rows silently resurrect while
+    total_rows still subtracts them. The retry must abort with a
+    CommitConflict instead (Iceberg validateDataFilesExist parity)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict, DanglingDeleteRefs,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        compact,
+    )
+
+    t1 = LakeTable.create(str(tmp_path / "race4"), SCHEMA, keys=["id"])
+    # two files so compaction has something to rewrite
+    t1.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t1.append(_mk(spark, [(3, "c", 3.0), (4, "d", 4.0)]))
+    t2 = LakeTable(t1.root)
+
+    real_write = t1._write_manifest
+    raced = {"done": False}
+
+    def racing_write(manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            compact(spark, t2)  # small files -> rewritten into one
+        real_write(manifest)
+
+    t1._write_manifest = racing_write
+    with pytest.raises(DanglingDeleteRefs):
+        t1.delete_by_keys_mor(spark, _mk(spark, [(1, "a", 1.0)]).select("id"))
+    # the failed commit left no trace: rows intact, no delete files
+    assert {r["id"] for r in t1.read(spark).collect()} == {1, 2, 3, 4}
+    assert not t1.manifest().get("delete_files")
+    assert issubclass(DanglingDeleteRefs, CommitConflict)
+
+
+def test_changelog_cardinality_change_is_delete_insert(spark, table):
+    """Round-5 advice (low): a duplicate-key table where a key's visible
+    row count CHANGES across a commit must emit DELETE+INSERT rows, not
+    an unbalanced mix of UPDATE_BEFORE/UPDATE_AFTER — consumers expect
+    update images paired 1:1."""
+    # id=1 visible twice (append bypasses key enforcement)
+    v1 = table.append(_mk(spark, [(1, "a", 1.0), (1, "a", 2.0), (5, "e", 5.0)]))
+    # COW rewrite collapses id=1 to one NEW row value: 2 before-rows, 1 after-row
+    v2 = table.overwrite(_mk(spark, [(1, "a", 9.0), (5, "e", 5.0)]))
+    log = [
+        (r["_change_type"], r["id"], r["val"])
+        for r in table.changelog(spark, v1, v2).collect()
+    ]
+    ups = [r for r in log if r[0].startswith("UPDATE")]
+    assert not ups, f"cardinality change must not emit UPDATE images: {ups}"
+    assert sorted(r for r in log if r[1] == 1) == [
+        ("DELETE", 1, 1.0),
+        ("DELETE", 1, 2.0),
+        ("INSERT", 1, 9.0),
+    ]

@@ -242,9 +242,14 @@ class IcebergTable:
             update_cols=update_cols,
             condition_gates_delete=condition_gates_delete,
         )
+        # finally: a raising MERGE must not leak the source view into the
+        # session — a later merge would silently reuse the stale
+        # registration until the next createOrReplaceTempView
         source.createOrReplaceTempView(self._SRC_VIEW)
-        self.spark.sql(sql)
-        self.spark.catalog.dropTempView(self._SRC_VIEW)
+        try:
+            self.spark.sql(sql)
+        finally:
+            self.spark.catalog.dropTempView(self._SRC_VIEW)
         if extra_summary:
             kv = ", ".join(
                 f"'{k}'='{v}'" for k, v in extra_summary.items()

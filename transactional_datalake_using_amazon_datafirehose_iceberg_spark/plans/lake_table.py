@@ -139,12 +139,32 @@ class CommitConflict(Exception):
     pass
 
 
+class DanglingDeleteRefs(CommitConflict):
+    """A position-delete commit references data files no longer in the
+    head snapshot (a concurrent compaction/COW rewrite removed them).
+    Retrying would commit delete entries that dangle — their rows
+    silently resurrect while total_rows still subtracts them — so the
+    commit loop re-raises immediately instead of re-attempting (Iceberg
+    RowDelta.validateDataFilesExist parity). Subclasses CommitConflict
+    so callers' re-plan paths engage unchanged."""
+
+
 class LakeTable:
     """A snapshot-versioned Parquet table rooted at a directory."""
 
     # summary keys carried forward across commits unless overridden
     # (streaming exactly-once watermark must survive compaction/DML)
     _CARRY_SUMMARY_KEYS = ("stream_batch_id",)
+
+    # operations that cannot introduce a duplicate key into a table that
+    # had none: row removal (delete/delete-eq), row-preserving rewrites
+    # (compact/zorder/rewrite-deletes), and MERGE (collapses its source
+    # per key and rewrites matched rows 1:1). append/overwrite bring
+    # arbitrary new rows and update may assign a key column — those drop
+    # the keys_unique flag unless the caller vouches for it.
+    _KU_PRESERVING_OPS = frozenset(
+        {"delete", "delete-eq", "compact", "zorder", "rewrite-deletes", "merge"}
+    )
 
     def __init__(self, root: str, pointer: str = _CURRENT):
         self.root = os.path.abspath(root)
@@ -185,7 +205,12 @@ class LakeTable:
             "properties": properties or {},
             "files": [],
             "delete_files": [],
-            "summary": {"operation": "create", "total_rows": 0},
+            # an empty keyed table is vacuously one-row-per-key; commits
+            # preserve or drop the flag (see _commit_once), and the
+            # changelog reader skips its uniqueness probe when both ends
+            # of a diff still carry it
+            "summary": {"operation": "create", "total_rows": 0}
+            | ({"keys_unique": True} if keys else {}),
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
         t._write_manifest(manifest)
@@ -442,8 +467,14 @@ class LakeTable:
         extra_summary: dict | None = None,
         added_deletes: list[dict] | None = None,
         removed_delete_paths: Iterable[str] = (),
+        preserves_key_uniqueness: bool | None = None,
     ) -> int:
         """Write snapshot N+1 = (current files - removed) + added.
+
+        ``preserves_key_uniqueness``: caller override for the
+        ``keys_unique`` manifest flag (None = derive from ``operation``
+        via ``_KU_PRESERVING_OPS``). ``update_where`` passes False when
+        an assignment targets a key column.
 
         Watermark keys (``stream_batch_id``) are carried forward from the
         parent summary unless the caller overrides them: a maintenance
@@ -470,7 +501,18 @@ class LakeTable:
         the caller to re-plan."""
         removed = set(removed_paths)
         removed_del = set(removed_delete_paths)
-        commutative = not removed and not removed_del
+        # Auto-retry is safe only when the commit commutes with ANY
+        # concurrent commit. Removing files/deletes never commutes. An
+        # added EQUALITY delete doesn't either: re-stamped to the new
+        # version it would also apply to rows inserted by the very commit
+        # it raced (write skew — Iceberg validateNoConflictingAppends).
+        # Added POSITION deletes may retry, but _commit_once validates
+        # their refs still exist in the re-read head (DanglingDeleteRefs
+        # aborts the loop immediately — the refs cannot come back).
+        has_eq_deletes = any(
+            d.get("kind") == "equality" for d in (added_deletes or [])
+        )
+        commutative = not removed and not removed_del and not has_eq_deletes
         # entries the caller did not pre-stamp get the (attempt-fresh)
         # committing version as their data-sequence number
         unstamped_files = [f for f in added if "seq" not in f]
@@ -487,7 +529,10 @@ class LakeTable:
                     removed_del,
                     unstamped_files,
                     unstamped_dels,
+                    preserves_key_uniqueness,
                 )
+            except DanglingDeleteRefs:
+                raise  # permanent: the referenced files are gone
             except CommitConflict:
                 if attempt == attempts - 1:
                     raise
@@ -503,10 +548,28 @@ class LakeTable:
         removed_del: set[str],
         unstamped_files: list[dict],
         unstamped_dels: list[dict],
+        preserves_key_uniqueness: bool | None = None,
     ) -> int:
         cur = self.manifest()
         kept = [f for f in cur["files"] if f["path"] not in removed]
         files = kept + added
+        # validateDataFilesExist: every data file a new position-delete
+        # references must still be in the snapshot being committed. On
+        # the first attempt this holds by construction (the caller
+        # derived refs from the head it read); on an optimistic retry a
+        # concurrent compaction/COW rewrite may have removed them, and
+        # committing anyway would leave dangling deletes whose rows
+        # resurrect at read time.
+        if added_deletes:
+            live = {f["path"] for f in files}
+            for d in added_deletes:
+                dangling = set(d.get("refs", ())) - live
+                if dangling:
+                    raise DanglingDeleteRefs(
+                        f"position-delete file {d['path']} references data "
+                        f"files no longer in the head snapshot: "
+                        f"{sorted(dangling)[:3]}"
+                    )
         version = self._next_version()
         # sequence stamping (Iceberg data-sequence-number parity): every
         # added data file and delete file records the commit it entered
@@ -529,6 +592,18 @@ class LakeTable:
             for k in self._CARRY_SUMMARY_KEYS
             if k in cur.get("summary", {})
         }
+        # keys_unique is carried only through commits that cannot break
+        # it; anything else drops it to unknown (absent). The changelog
+        # reader falls back to its per-diff uniqueness probe when either
+        # end of a diff lacks the flag, so losing it costs a probe job,
+        # never correctness.
+        preserves = (
+            operation in self._KU_PRESERVING_OPS
+            if preserves_key_uniqueness is None
+            else preserves_key_uniqueness
+        )
+        if cur["keys"] and preserves and cur["summary"].get("keys_unique") is True:
+            carried["keys_unique"] = True
         manifest = {
             "version": version,
             "parent": cur["version"],
@@ -942,18 +1017,30 @@ class LakeTable:
                 # append() on a keyed table does not (and the repo's own
                 # property tests build such histories), and a many-to-many
                 # full-outer join would fan out spurious UPDATE_* rows.
-                # Probe uniqueness with one aggregate over the CHANGED
-                # rows only (never table-volume) and fall back to the
-                # multiset diff when duplicates exist.
-                probe = (
-                    after.select(F.lit("a").alias("__side"), *self.keys)
-                    .unionByName(before.select(F.lit("b").alias("__side"), *self.keys))
-                    .groupBy("__side", *self.keys)
-                    .count()
-                    .agg(F.max("count").alias("__mx"))
-                    .collect()
-                )
-                unique_per_key = (probe[0]["__mx"] or 0) <= 1
+                # Commits whose manifests carry keys_unique (create ->
+                # preserved through _KU_PRESERVING_OPS) settle this from
+                # metadata with zero jobs; only histories that lost the
+                # flag (append/overwrite/key-assigning update) pay the
+                # per-diff probe — one aggregate over the CHANGED rows
+                # only (never table-volume), falling back to the multiset
+                # diff when duplicates exist.
+                if (
+                    cur["summary"].get("keys_unique") is True
+                    and prev["summary"].get("keys_unique") is True
+                ):
+                    unique_per_key = True
+                else:
+                    probe = (
+                        after.select(F.lit("a").alias("__side"), *self.keys)
+                        .unionByName(
+                            before.select(F.lit("b").alias("__side"), *self.keys)
+                        )
+                        .groupBy("__side", *self.keys)
+                        .count()
+                        .agg(F.max("count").alias("__mx"))
+                        .collect()
+                    )
+                    unique_per_key = (probe[0]["__mx"] or 0) <= 1
             if self.keys and unique_per_key:
                 # Keyed tables carry at most one row per key per snapshot
                 # (probed above), so ONE full-outer join on the keys
@@ -1012,12 +1099,25 @@ class LakeTable:
                 )
             elif self.keys:
                 # duplicate-key history (append-built): multiset diff
-                # keeps cardinality right; a key shedding rows on one side
-                # and gaining on the other still classifies as an update
+                # keeps cardinality right. Only keys whose changed-row
+                # count is EQUAL on both sides classify as UPDATE_* —
+                # that keeps before/after images paired 1:1. A key whose
+                # multiplicity changed (2 rows -> 1) emits DELETE+INSERT
+                # rows instead, matching Iceberg changelog semantics
+                # where cardinality changes never masquerade as updates
+                # (round-5 advice: unpaired UPDATE images mis-apply in
+                # consumers that expect pairs).
                 ins = after.exceptAll(before)
                 dels = before.exceptAll(after)
-                upd_keys = ins.select(*self.keys).intersect(
-                    dels.select(*self.keys)
+                upd_keys = (
+                    ins.groupBy(*self.keys)
+                    .agg(F.count("*").alias("__ic"))
+                    .join(
+                        dels.groupBy(*self.keys).agg(F.count("*").alias("__dc")),
+                        list(self.keys),
+                    )
+                    .filter(F.col("__ic") == F.col("__dc"))
+                    .select(*self.keys)
                 )
                 tagged = (
                     ins.join(F.broadcast(upd_keys), list(self.keys), "left_anti")
@@ -1243,7 +1343,15 @@ class LakeTable:
             else:
                 cols.append(F.col(f.name))
         added = self._write_files(old.select(*cols))
-        return self.commit(added, removed_paths=hit_rel, operation="update")
+        return self.commit(
+            added,
+            removed_paths=hit_rel,
+            operation="update",
+            # SET on a non-key column keeps one-row-per-key intact; an
+            # assignment targeting a key column may collide with rows in
+            # untouched files, so only then is the flag dropped
+            preserves_key_uniqueness=not (set(assignments) & set(self.keys or [])),
+        )
 
     def _relpath(self, spark_file_path: str) -> str:
         p = spark_file_path
@@ -1319,7 +1427,7 @@ class LakeTable:
         version = self._next_version()
         carried = {
             k: cur["summary"][k]
-            for k in self._CARRY_SUMMARY_KEYS
+            for k in (*self._CARRY_SUMMARY_KEYS, "keys_unique")
             if k in cur.get("summary", {})
         }
         manifest = {
@@ -1346,9 +1454,11 @@ class LakeTable:
         metadata-only DDL between stream batches must not erase the
         exactly-once guard or distort the row count)."""
         version = self._next_version()
+        # schema evolution is row-preserving and key columns cannot be
+        # dropped, so keys_unique survives alongside the stream watermark
         carried = {
             k: cur["summary"][k]
-            for k in self._CARRY_SUMMARY_KEYS
+            for k in (*self._CARRY_SUMMARY_KEYS, "keys_unique")
             if k in cur.get("summary", {})
         }
         manifest = {

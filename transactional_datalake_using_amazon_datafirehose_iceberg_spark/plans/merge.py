@@ -119,9 +119,13 @@ def merge_into(
             match_condition, update_cols, condition_gates_delete,
         )
     except CommitConflict:
+        # evolve_schema is passed through unchanged: column evolution is
+        # idempotent (the evolve loop skips columns that already exist),
+        # and hardcoding False here would silently drop new source
+        # columns when the conflict raced the add-column commits
         return _merge_into_cow(
             table, source, on, op_col, delete_value, assume_unique,
-            broadcast_source, extra_summary, False, evolve_ignore,
+            broadcast_source, extra_summary, evolve_schema, evolve_ignore,
             match_condition, update_cols, condition_gates_delete,
         )
 
