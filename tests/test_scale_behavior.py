@@ -143,3 +143,59 @@ def test_headline_plans_free_of_scale_killers(spark):
             if node in plan and node not in _DECLARED.get(name, set()):
                 bad.append(f"{name}: {node}")
     assert not bad, "scale-killer plan nodes found:\n" + "\n".join(bad)
+
+
+# ---------------------------------------------------------------------------
+# Extras sweep (round-5 verdict task 7): the bench extras run real MERGEs,
+# changelog diffs, SCD2 closes and curation stages as SIDE EFFECTS before
+# returning their final DataFrame — inspecting only the returned plan would
+# miss them. The SQL status store (populated by SQLAppStatusListener even
+# with the UI disabled) retains the physical plan of every execution, so
+# each spec is run to completion and every plan it triggered is swept.
+# ---------------------------------------------------------------------------
+
+_EXTRAS = [
+    "dedup_cluster_components",
+    "pipeline_curate_corpus",
+    "changelog_incremental_read",
+    "text_top_ngrams_per_lang",
+    "streaming_interval_join",
+    "maintenance_zorder_cluster",
+    "scd2_dimension_history",
+    "incremental_mv_maintenance",
+    "merge_conditional_partial",
+    "sample_balanced_per_group",
+]
+
+
+def _flush_listener_bus(spark):
+    """The status store is fed asynchronously off the listener bus; drain
+    it so executions triggered by the spec are visible (falls back to a
+    fixed wait if the private API moves)."""
+    import time as _time
+
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        _time.sleep(1.0)
+
+
+def test_extras_all_executed_plans_free_of_scale_killers(spark):
+    sf = _os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+    missing = [n for n in _EXTRAS if n not in QUERY_SPECS]
+    assert not missing, f"extras specs missing from registry: {missing}"
+    store = spark._jsparkSession.sharedState().statusStore()
+    bad: list[str] = []
+    for name in _EXTRAS:
+        _flush_listener_bus(spark)
+        start = store.executionsList().size()
+        QUERY_SPECS[name].run_spark(spark, sf).count()
+        _flush_listener_bus(spark)
+        lst = store.executionsList()
+        assert lst.size() > start, f"{name}: no executions recorded"
+        for i in range(start, lst.size()):
+            plan = str(lst.apply(i).physicalPlanDescription())
+            for node in _FORBIDDEN:
+                if node in plan and node not in _DECLARED.get(name, set()):
+                    bad.append(f"{name} (execution {i - start}): {node}")
+    assert not bad, "scale-killer plan nodes found in extras:\n" + "\n".join(bad)

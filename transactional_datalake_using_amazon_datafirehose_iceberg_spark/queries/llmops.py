@@ -1115,6 +1115,67 @@ ORDER BY doc_id, frame_idx
 """,
 ))
 
+# byte sizes straddling the 64-byte frame boundary: below/at/above one
+# frame, at/around multiples, and sizes whose LAST (short) frame is
+# itself a sampled index (257 -> frames 0..4, sampled {0,4}, frame 4 is
+# 1 byte) — the short-last-chunk class that bit the round-5 text ops
+_FRAME_BOUNDARY_SIZES = [1, 63, 64, 65, 128, 255, 256, 257, 300]
+
+_add(QuerySpec(
+    name="multimodal_frame_boundary_sizes",
+    doc="sample_frames offset/length integrity at non-multiple payload "
+        "sizes (round-5 verdict task 8): pinned payloads straddling the "
+        "64-byte frame boundary must emit exact offsets and a short "
+        "final frame_len (= n_bytes - offset, never 0, never frame_bytes "
+        "padded). Same mapInPandas plumbing as multimodal_frame_sample.",
+    tags=("llm", "multimodal"),
+    build=lambda spark, sf: (
+        sample_frames(
+            spark.createDataFrame(
+                [(9000 + i, n) for i, n in enumerate(_FRAME_BOUNDARY_SIZES)],
+                "doc_id bigint, n int",
+            ).select(
+                "doc_id",
+                F.encode(F.repeat(F.lit("x"), F.col("n")), "utf-8").alias(
+                    "payload"
+                ),
+                F.struct(
+                    F.lit("video").alias("modality"),
+                    F.col("n").cast("long").alias("n_bytes"),
+                ).alias("meta"),
+            )
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.col("offset").cast("bigint").alias("offset"),
+            F.col("frame_len").cast("int").alias("frame_len"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    ),
+    oracle=lambda: """
+WITH d(doc_id, nb) AS (VALUES {pairs}),
+f AS (
+  SELECT doc_id, nb,
+         unnest(generate_series(0, CAST(CEIL(nb / 64.0) AS INTEGER) - 1))
+           AS frame_idx
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 64 AS BIGINT) AS "offset",
+       CAST(LEAST(64, nb - frame_idx * 64) AS INTEGER) AS frame_len
+FROM f
+WHERE frame_idx % 4 = 0
+ORDER BY doc_id, frame_idx
+""".replace(
+        "{pairs}",
+        ", ".join(
+            f"({9000 + i}, {n})" for i, n in enumerate(_FRAME_BOUNDARY_SIZES)
+        ),
+    ),
+))
+
 
 # ---------------------------------------------------------------------------
 # As-of join (events: purchases pick up the latest prior click per user)
