@@ -348,3 +348,83 @@ def test_resize_images_content_and_clamp(spark):
     assert rows[1]["content_md5"] == hashlib.md5((b"a" * 63)[::2]).hexdigest()
     assert rows[2]["new_width"] >= 1 and rows[2]["new_height"] >= 1
     assert rows[2]["content_md5"] == hashlib.md5(b"x").hexdigest()
+
+
+def test_pack_concat_chunks_boundaries(spark):
+    """Concat-and-chunk packing: exact pack indices at the budget
+    boundary, including a doc that exactly fills a pack and a doc
+    spanning three packs."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.corpus import (
+        pack_concat_chunks,
+    )
+
+    mk = lambda n: " ".join(["w"] * n)  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", mk(10)),   # packs 0..0
+            (2, "s1", mk(54)),   # fills pack 0 exactly (10+54=64)
+            (3, "s1", mk(129)),  # tokens 64..192 -> packs 1..3 (3 spanned)
+            (4, "s2", mk(64)),   # independent shard: packs 0..0
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_concat_chunks(docs, budget=64).collect()}
+    assert (rows[1]["pack_first"], rows[1]["pack_last"]) == (0, 0)
+    assert (rows[2]["pack_first"], rows[2]["pack_last"]) == (0, 0)
+    assert rows[2]["cum_before"] == 10
+    assert (rows[3]["pack_first"], rows[3]["pack_last"]) == (1, 3)
+    assert rows[3]["n_packs_spanned"] == 3
+    assert (rows[4]["pack_first"], rows[4]["pack_last"]) == (0, 0)
+
+
+def test_duplicated_ngram_spans_merge_and_intra_doc(spark):
+    """Span semantics: overlapping duplicate grams merge into one span;
+    an intra-document repeat counts as duplicated (Lee et al. suffix
+    semantics); a clean doc reports zero."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.corpus import (
+        duplicated_ngram_spans,
+    )
+
+    shared = "a b c d"  # the duplicated 4-token phrase
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} x y z w"),      # tokens 0-3 duplicated vs doc 2
+            (2, f"p q r s {shared}"),      # tokens 4-7 duplicated vs doc 1
+            (3, "k l m n o k l m n o"),    # intra-doc repeat of k l m n
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8"),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicated_ngram_spans(docs, n=4).collect()}
+    assert rows[1]["n_dup_spans"] == 1 and rows[1]["dup_tokens"] == 4
+    assert rows[2]["n_dup_spans"] == 1 and rows[2]["dup_tokens"] == 4
+    # "k l m n" occurs at pos 0 and 5; also "l m n o" at 1 and 6, etc.
+    # all merge into one span covering the whole 10-token doc
+    assert rows[3]["n_dup_spans"] == 1 and rows[3]["dup_tokens"] == 10
+    assert rows[3]["dup_frac_pct"] == 100
+    assert rows[4]["n_dup_spans"] == 0 and rows[4]["dup_tokens"] == 0
+
+
+def test_temperature_mixture_flattens_domains(spark):
+    """T=2 sampling: the small domain keeps a LARGER fraction than the
+    big one (sqrt flattening), quotas cap at the domain size, and the
+    selection is deterministic."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.corpus import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: r
+        for r in temperature_mixture_sample(docs, target_frac_pct=40).collect()
+    }
+    assert got["big"]["n_total"] == 90 and got["small"]["n_total"] == 10
+    assert got["small"]["kept_pct"] > got["big"]["kept_pct"]
+    assert got["big"]["n_kept"] <= 90 and got["small"]["n_kept"] <= 10
+    # deterministic under re-run
+    again = {
+        r["source"]: r["n_kept"]
+        for r in temperature_mixture_sample(docs, target_frac_pct=40).collect()
+    }
+    assert again == {k: v["n_kept"] for k, v in got.items()}

@@ -118,6 +118,11 @@ _HEADLINE = [
     # round-5 additions (not in the bench headline set, swept anyway)
     "text_repetition_filters",
     "decontaminate_ngram_overlap",
+    # round-6 corpus-assembly additions
+    "pack_sequences_concat_chunk",
+    "dedup_exact_substring_spans",
+    "sample_temperature_mixture",
+    "multimodal_frame_boundary_sizes",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the
@@ -180,6 +185,21 @@ def _flush_listener_bus(spark):
         _time.sleep(1.0)
 
 
+def _executions_after(store, exec_id: int) -> list[tuple[int, str]]:
+    """(executionId, physicalPlanDescription) for executions newer than
+    ``exec_id``. Keyed by executionId, NOT list size: the store evicts
+    old entries past spark.sql.ui.retainedExecutions (1000), so when the
+    whole suite runs in one session the list size plateaus while ids
+    keep growing — size-based bookkeeping would see 'no new executions'."""
+    lst = store.executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > exec_id:
+            out.append((e.executionId(), str(e.physicalPlanDescription())))
+    return out
+
+
 def test_extras_all_executed_plans_free_of_scale_killers(spark):
     sf = _os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
     missing = [n for n in _EXTRAS if n not in QUERY_SPECS]
@@ -188,14 +208,13 @@ def test_extras_all_executed_plans_free_of_scale_killers(spark):
     bad: list[str] = []
     for name in _EXTRAS:
         _flush_listener_bus(spark)
-        start = store.executionsList().size()
+        last = max((eid for eid, _ in _executions_after(store, -1)), default=-1)
         QUERY_SPECS[name].run_spark(spark, sf).count()
         _flush_listener_bus(spark)
-        lst = store.executionsList()
-        assert lst.size() > start, f"{name}: no executions recorded"
-        for i in range(start, lst.size()):
-            plan = str(lst.apply(i).physicalPlanDescription())
+        new = _executions_after(store, last)
+        assert new, f"{name}: no executions recorded"
+        for eid, plan in new:
             for node in _FORBIDDEN:
                 if node in plan and node not in _DECLARED.get(name, set()):
-                    bad.append(f"{name} (execution {i - start}): {node}")
+                    bad.append(f"{name} (execution {eid}): {node}")
     assert not bad, "scale-killer plan nodes found in extras:\n" + "\n".join(bad)

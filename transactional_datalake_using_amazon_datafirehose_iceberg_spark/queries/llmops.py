@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators import corpus as CORPUS
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
@@ -1643,6 +1644,149 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          AS content_md5
 FROM documents
 ORDER BY doc_id
+""",
+))
+
+# ---------------------------------------------------------------------------
+# Corpus-assembly tier (round 6): sequence packing, exact-substring
+# duplicate spans (Lee et al. 2022), temperature mixture sampling — the
+# last mile between a curated document set and a training run.
+# ---------------------------------------------------------------------------
+
+_add(QuerySpec(
+    name="pack_sequences_concat_chunk",
+    doc="Concat-and-chunk sequence packing: per source shard, documents "
+        "are laid end-to-end in doc_id order and cut into 64-token "
+        "training examples; each doc reports first/last pack and span "
+        "count. One shuffle (shard-partitioned window), no global order.",
+    tags=("llm", "packing"),
+    build=lambda spark, sf: (
+        CORPUS.pack_concat_chunks(spark.table("documents"), budget=64)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cum_before").cast("bigint").alias("cum_before"),
+            F.col("pack_first").cast("bigint").alias("pack_first"),
+            F.col("pack_last").cast("bigint").alias("pack_last"),
+            F.col("n_packs_spanned").cast("int").alias("n_packs_spanned"),
+        )
+        .orderBy("doc_id")
+    ),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(FLOOR(cum_before / 64.0) AS BIGINT) AS pack_first,
+       CAST(FLOOR((cum_before + n_tokens - 1) / 64.0) AS BIGINT) AS pack_last,
+       CAST(FLOOR((cum_before + n_tokens - 1) / 64.0)
+            - FLOOR(cum_before / 64.0) + 1 AS INTEGER) AS n_packs_spanned
+FROM c
+ORDER BY doc_id
+""",
+))
+
+_add(QuerySpec(
+    name="dedup_exact_substring_spans",
+    doc="Exact-substring duplicate spans (Lee et al. 2022): merged token "
+        "spans covered by any word-8-gram occurring more than once in "
+        "the corpus, per document — the cut-these-spans-out signal. "
+        "Distributed n-gram-hash formulation: two linear shuffles plus a "
+        "per-document gaps-and-islands window.",
+    tags=("llm", "dedup"),
+    build=lambda spark, sf: (
+        CORPUS.duplicated_ngram_spans(spark.table("documents"), n=8)
+        .orderBy("doc_id")
+    ),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        FROM toks WHERE len(tk) >= 8) t
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+hits AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e FROM g JOIN dup USING (gram)
+),
+i1 AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM hits
+),
+i3 AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM i1
+),
+isl AS (
+  SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e FROM i3 GROUP BY doc_id, isl
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s + 1) AS dup_tokens
+  FROM isl GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(pd.n_dup_spans, 0) AS INTEGER) AS n_dup_spans,
+       CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(FLOOR(COALESCE(pd.dup_tokens, 0) * 100 / len(tk)) AS INTEGER)
+         AS dup_frac_pct
+FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+ORDER BY doc_id
+""",
+))
+
+_add(QuerySpec(
+    name="sample_temperature_mixture",
+    doc="Temperature (T=2) domain mixture sampling: per-domain quota "
+        "proportional to sqrt(n_d), filled by each domain's smallest "
+        "docs under the md5(doc_id) pseudo-random order — deterministic "
+        "on any engine (sqrt is correctly rounded in IEEE 754; pow is "
+        "not, which is why T is pinned to 2). Reports per-domain "
+        "kept/total. Two domain-keyed shuffles, broadcast quota table.",
+    tags=("llm", "sampling"),
+    build=lambda spark, sf: (
+        CORPUS.temperature_mixture_sample(
+            spark.table("documents"), target_frac_pct=40
+        ).orderBy("source")
+    ),
+    oracle="""
+WITH c AS (SELECT source, COUNT(*) AS nd FROM documents GROUP BY source),
+s AS (SELECT SUM(sqrt(nd)) AS ss, SUM(nd) AS total FROM c),
+q AS (
+  SELECT source, CEIL(40 * total * sqrt(nd) / (ss * 100)) AS keep
+  FROM c, s
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN rk <= keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(FLOOR(SUM(CASE WHEN rk <= keep THEN 1 ELSE 0 END) * 100
+                  / COUNT(*)) AS INTEGER) AS kept_pct
+FROM r JOIN q USING (source)
+GROUP BY r.source
+ORDER BY source
 """,
 ))
 
