@@ -167,3 +167,10 @@ def test_merge_into_dispatch_forwards_options():
 
     with pytest.raises(NotImplementedError, match="evolve_schema"):
         merge_into(Stub(), source=None, evolve_schema=True)
+
+
+def test_merge_sql_not_matched_by_source_delete():
+    sql = _tbl().merge_sql(data_cols=COLS, not_matched_by_source_delete=True)
+    assert sql.endswith("WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    # absent unless requested
+    assert "BY SOURCE" not in _tbl().merge_sql(data_cols=COLS)

@@ -575,3 +575,86 @@ def test_changelog_cardinality_change_is_delete_insert(spark, table):
         ("DELETE", 1, 2.0),
         ("INSERT", 1, 9.0),
     ]
+
+
+def test_bloom_point_lookup_prunes_overlapping_ranges(spark, table):
+    """Per-file key blooms: two files with fully OVERLAPPING id ranges
+    (min/max cannot prune a point lookup) — the bloom must skip the file
+    that provably never wrote the key, and must never skip one that did
+    (no false negatives)."""
+    # ranges both span 1..100, but disjoint key sets
+    table.append(_mk(spark, [(1, "a", 1.0), (50, "a", 2.0), (100, "a", 3.0)]))
+    table.append(_mk(spark, [(2, "b", 4.0), (51, "b", 5.0), (99, "b", 6.0)]))
+    files = table.manifest()["files"]
+    assert all("bloom" in f and "id" in f["bloom"] for f in files)
+
+    all_paths = table.file_paths()
+    assert len(all_paths) == 2
+    # point lookup on a key present in exactly one file
+    for key, expect in [(50, 1), (51, 1), (1, 1), (99, 1)]:
+        pruned = table.file_paths(predicates=[Predicate("id", "=", key)])
+        assert len(pruned) == expect, (key, pruned)
+        got = table.read(spark, predicates=[Predicate("id", "=", key)]).filter(
+            F.col("id") == key
+        )
+        assert got.count() == 1  # pruning is conservative: row still found
+    # IN-list across both files keeps both
+    both = table.file_paths(predicates=[Predicate("id", "in", (50, 51))])
+    assert len(both) == 2
+    # a key in neither file prunes everything (bloom, not range, decides)
+    none = table.file_paths(predicates=[Predicate("id", "=", 42)])
+    assert none == []
+
+
+def test_bloom_respects_property_and_row_cap(spark, tmp_path):
+    """write.bloom-filter.enabled=false skips bloom writing; files over
+    the row cap skip it too (manifest stays metadata-scale)."""
+    t = LakeTable.create(
+        str(tmp_path / "nb"), SCHEMA, keys=["id"],
+        properties={"write.bloom-filter.enabled": "false"},
+    )
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    assert all("bloom" not in f for f in t.manifest()["files"])
+    # pruning still falls back to min/max
+    assert t.file_paths(predicates=[Predicate("id", "=", 999)]) == []
+
+
+def test_bloom_mor_delete_prunes_candidate_files(spark, table):
+    """delete_by_keys_mor collects its (micro-batch-scale) key set and
+    lets the bloom prune the candidate scan; deletes still land."""
+    table.append(_mk(spark, [(1, "a", 1.0), (100, "a", 2.0)]))
+    table.append(_mk(spark, [(2, "b", 3.0), (99, "b", 4.0)]))
+    table.delete_by_keys_mor(spark, spark.createDataFrame([(2,)], "id int"))
+    assert sorted(r["id"] for r in table.read(spark).collect()) == [1, 99, 100]
+    # the delete file references only the file that held id=2
+    dels = table.manifest()["delete_files"]
+    assert len(dels) == 1 and len(dels[0]["refs"]) == 1
+
+
+def test_merge_not_matched_by_source_delete_syncs_snapshot(spark, table):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (Spark 4 / Delta parity):
+    the table converges to exactly the source snapshot — updates applied,
+    new keys inserted, absent keys deleted, across every file."""
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    table.append(_mk(spark, [(3, "c", 3.0), (4, "d", 4.0)]))
+    n_files_before = len(table.manifest()["files"])
+    snapshot = spark.createDataFrame(
+        [(2, "b", 20.0), (4, "d", 4.0), (5, "e", 5.0)],
+        schema="id int, cat string, val double",
+    )
+    merge_into(table, snapshot, on=["id"], not_matched_by_source_delete=True)
+    got = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    assert got == {2: 20.0, 4: 4.0, 5: 5.0}
+    # the flag rewrites every file (any file may hold a doomed row)
+    assert table.manifest()["summary"]["matched_files"] == n_files_before
+    # without the flag, unmatched target rows survive (regression guard)
+    table2 = LakeTable.create(str(table.root) + "2", SCHEMA, keys=["id"])
+    table2.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    merge_into(table2, snapshot, on=["id"])
+    assert sorted(r["id"] for r in table2.read(spark).collect()) == [1, 2, 4, 5]
+
+
+def test_merge_not_matched_by_source_on_empty_table(spark, table):
+    snapshot = spark.createDataFrame([(7, "z", 7.0)], "id int, cat string, val double")
+    merge_into(table, snapshot, on=["id"], not_matched_by_source_delete=True)
+    assert [r["id"] for r in table.read(spark).collect()] == [7]

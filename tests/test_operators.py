@@ -428,3 +428,24 @@ def test_temperature_mixture_flattens_domains(spark):
         for r in temperature_mixture_sample(docs, target_frac_pct=40).collect()
     }
     assert again == {k: v["n_kept"] for k, v in got.items()}
+
+
+def test_rare_token_fraction_corpus_relative(spark):
+    """Rarity is CORPUS-wide, not per-doc: a token common across docs is
+    never rare even if it appears once in a given doc."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text import (
+        rare_token_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common weird1"),   # 'common' x5 corpus-wide
+            (2, "common common common"),
+            (3, "weird2 weird3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in rare_token_fraction(docs, rare_max_count=2).collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[1]["n_rare"] == 1
+    assert rows[2]["n_rare"] == 0
+    assert rows[3]["n_rare"] == 2 and rows[3]["rare_pct"] == 100

@@ -123,6 +123,8 @@ _HEADLINE = [
     "dedup_exact_substring_spans",
     "sample_temperature_mixture",
     "multimodal_frame_boundary_sizes",
+    "text_rare_token_fraction",
+    "merge_not_matched_by_source",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

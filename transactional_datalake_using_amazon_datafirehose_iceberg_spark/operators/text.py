@@ -279,3 +279,43 @@ def ngram_overlap_vs_benchmark(
             (F.col("n_overlap") * 20 >= F.col("n_ngrams")).cast("int"),
         )
     )
+
+
+def rare_token_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-relative rarity signal (CCNet-style quality heuristic,
+    integer-exact stand-in for LM perplexity): per document, the share of
+    token occurrences whose CORPUS-WIDE count is <= ``rare_max_count``.
+    Garbled or off-distribution text scores high; templated boilerplate
+    scores near zero. Output is all integer arithmetic — exact on any
+    engine.
+
+    Scale shape: token occurrences shuffle twice, both linear and
+    partial-aggregation friendly — (1) the corpus vocabulary count,
+    (2) the per-document aggregate; the token->count join is
+    co-partitioned with shuffle (1). The vocabulary stays distributed
+    (never collected or broadcast — at 100 TB it is itself large).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum((F.col("__c") <= rare_max_count).cast("int"))
+            .cast("bigint")
+            .alias("n_rare"),
+        )
+        .withColumn(
+            "rare_pct",
+            F.floor(F.col("n_rare") * 100 / F.col("n_tokens")).cast("int"),
+        )
+    )

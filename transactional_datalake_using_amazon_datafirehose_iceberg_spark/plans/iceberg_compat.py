@@ -161,6 +161,7 @@ class IcebergTable:
         update_cols: list[str] | None = None,
         condition_gates_delete: bool = False,
         data_cols: list[str] | None = None,
+        not_matched_by_source_delete: bool = False,
     ) -> str:
         """Assemble the MERGE INTO statement ``sql_merge`` executes.
 
@@ -190,11 +191,19 @@ class IcebergTable:
             else ""
         )
         insert_guard = f" AND s.{op_col} <> '{delete_value}'" if op_col else ""
+        # Spark 4 native clause: full-snapshot sync deletes target rows
+        # absent from the source
+        nmbs = (
+            " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+            if not_matched_by_source_delete
+            else ""
+        )
         return (
             f"MERGE INTO {self.identifier} t USING {self._SRC_VIEW} s ON {cond} "
             + delete_clause
             + f"WHEN MATCHED{gate} THEN UPDATE SET {set_clause} "
             + f"WHEN NOT MATCHED{insert_guard} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+            + nmbs
         )
 
     def sql_merge(
@@ -207,6 +216,7 @@ class IcebergTable:
         match_condition: str | None = None,
         update_cols: list[str] | None = None,
         condition_gates_delete: bool = False,
+        not_matched_by_source_delete: bool = False,
     ) -> int:
         """Native MERGE INTO — what the Firehose Iceberg destination does
         per delivery (routed upsert/delete by unique key). ``merge_into``
@@ -241,6 +251,7 @@ class IcebergTable:
             match_condition=match_condition,
             update_cols=update_cols,
             condition_gates_delete=condition_gates_delete,
+            not_matched_by_source_delete=not_matched_by_source_delete,
         )
         # finally: a raising MERGE must not leak the source view into the
         # session — a later merge would silently reuse the stale

@@ -36,7 +36,10 @@ concurrency, Iceberg-style).
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
+import functools as _functools
+import hashlib
 import json
 import os
 import shutil
@@ -93,6 +96,57 @@ def _encode_pred_value(v: Any) -> Any:
     return v
 
 
+# --- per-file key bloom filters (manifest-level point-lookup skipping) ----
+# Iceberg-parity idea: min/max stats prune RANGE predicates, but CDC point
+# lookups (MERGE key probes, MOR deletes) on a table whose key ranges
+# overlap across files prune nothing. A small per-file bloom over the key
+# column lets `key = v` / `key IN (...)` skip files that provably lack the
+# key (Iceberg ships the same capability via parquet bloom filters +
+# metadata skipping). ~10 bits/key, 7 probes -> ~1% false positives; false
+# negatives impossible. Files beyond the row cap skip the bloom (their
+# min/max still applies), keeping manifests metadata-scale.
+
+_BLOOM_K = 7
+_BLOOM_MAX_ROWS = 65536
+_BLOOM_BITS_PER_KEY = 10
+
+
+def _bloom_hashes(v: Any) -> tuple[int, int]:
+    """Stable double-hash basis (md5 — process- and engine-independent,
+    unlike Python's seeded str hash). Memoized: an IN-list probe hashes
+    each value once, not once per candidate file."""
+    return _bloom_hashes_cached(str(v))
+
+
+@_functools.lru_cache(maxsize=65536)
+def _bloom_hashes_cached(s: str) -> tuple[int, int]:
+    h = hashlib.md5(s.encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "little"), int.from_bytes(h[8:], "little") | 1
+
+
+def _bloom_build(values: set) -> dict:
+    m_bits = max(1024, _BLOOM_BITS_PER_KEY * len(values))
+    m_bits = (m_bits + 7) // 8 * 8
+    bits = bytearray(m_bits // 8)
+    for v in values:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(_BLOOM_K):
+            b = (h1 + i * h2) % m_bits
+            bits[b >> 3] |= 1 << (b & 7)
+    return {"m": m_bits, "k": _BLOOM_K, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(bloom: dict, v: Any) -> bool:
+    m_bits = bloom["m"]
+    bits = base64.b64decode(bloom["bits"])
+    h1, h2 = _bloom_hashes(v)
+    for i in range(int(bloom.get("k", _BLOOM_K))):
+        b = (h1 + i * h2) % m_bits
+        if not (bits[b >> 3] >> (b & 7)) & 1:
+            return False
+    return True
+
+
 @dataclass(frozen=True)
 class Predicate:
     """A simple file-pruning predicate ``col op value``.
@@ -108,6 +162,18 @@ class Predicate:
     value: Any
 
     def may_match(self, fmeta: dict) -> bool:
+        # point predicates consult the per-file key bloom first: it
+        # prunes files whose key RANGE covers the value but which
+        # provably never wrote it (overlapping-range CDC files)
+        if self.op in ("=", "in"):
+            bloom = fmeta.get("bloom", {}).get(self.col)
+            if bloom:
+                vals = self.value if self.op == "in" else (self.value,)
+                if not any(
+                    _bloom_may_contain(bloom, _encode_stat(_encode_pred_value(x)))
+                    for x in vals
+                ):
+                    return False
         mins, maxs = fmeta.get("min", {}), fmeta.get("max", {})
         lo, hi = mins.get(self.col), maxs.get(self.col)
         if lo is None or hi is None:
@@ -413,6 +479,22 @@ class LakeTable:
     def _collect_stats(self, commit_dir: str) -> list[dict]:
         schema = self.schema
         stat_cols = {f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)}
+        # bloom key columns: exact-match-friendly types only (never
+        # float); opt out via table property write.bloom-filter.enabled
+        bloom_cols = []
+        if self.manifest().get("properties", {}).get(
+            "write.bloom-filter.enabled", "true"
+        ) != "false":
+            bloom_cols = [
+                f.name
+                for f in schema.fields
+                if f.name in (self.keys or [])
+                and isinstance(
+                    f.dataType,
+                    (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                     T.StringType, T.DateType),
+                )
+            ]
         metas: list[dict] = []
         for dirpath, _dirs, files in os.walk(commit_dir):
             for name in sorted(files):
@@ -448,15 +530,34 @@ class LakeTable:
                                 maxs[cname] = max(maxs[cname], hi)
                             else:
                                 maxs[cname] = None
-                metas.append(
-                    {
-                        "path": os.path.relpath(path, self.root),
-                        "rows": md.num_rows,
-                        "bytes": os.path.getsize(path),
-                        "min": {k: v for k, v in mins.items() if v is not None},
-                        "max": {k: v for k, v in maxs.items() if v is not None},
-                    }
-                )
+                meta = {
+                    "path": os.path.relpath(path, self.root),
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(path),
+                    "min": {k: v for k, v in mins.items() if v is not None},
+                    "max": {k: v for k, v in maxs.items() if v is not None},
+                }
+                # per-file key blooms (see module-level notes): one
+                # column read per key column, same driver-side pass that
+                # already reads the footer; large files skip (min/max
+                # still applies) to keep manifests metadata-scale. On a
+                # real cluster this moves executor-side into the write
+                # task, exactly like parquet's own bloom writer.
+                if bloom_cols and md.num_rows <= _BLOOM_MAX_ROWS:
+                    blooms = {}
+                    for kcol in bloom_cols:
+                        vals = {
+                            _encode_stat(x)
+                            for x in pf.read(columns=[kcol])
+                            .column(0)
+                            .to_pylist()
+                            if x is not None
+                        }
+                        if vals:
+                            blooms[kcol] = _bloom_build(vals)
+                    if blooms:
+                        meta["bloom"] = blooms
+                metas.append(meta)
         return metas
 
     def commit(
@@ -1246,7 +1347,19 @@ class LakeTable:
         is broadcast (a micro-batch's delete keys are tiny next to the
         table)."""
         keys = keys or self.keys
-        cand = self.file_paths(predicates=predicates)
+        # single-column key sets are micro-batch scale (they broadcast
+        # below anyway): collect them once and let the per-file key
+        # bloom + min/max prune the candidate scan down to files that
+        # may actually hold a doomed row — the point-lookup pruning this
+        # delete path exists for
+        extra_preds: list[Predicate] = []
+        if len(keys) == 1:
+            kvals = [
+                r[0] for r in keys_df.select(keys[0]).distinct().limit(10001).collect()
+            ]
+            if 0 < len(kvals) <= 10000:
+                extra_preds = [Predicate(keys[0], "in", tuple(kvals))]
+        cand = self.file_paths(predicates=[*(predicates or []), *extra_preds])
         if not cand:
             return self.current_version()
         m = self.manifest()

@@ -55,6 +55,7 @@ def merge_into(
     match_condition: str | None = None,
     update_cols: list[str] | None = None,
     condition_gates_delete: bool = False,
+    not_matched_by_source_delete: bool = False,
 ) -> int:
     """MERGE ``source`` into ``table`` by key columns ``on``.
 
@@ -80,6 +81,14 @@ def merge_into(
     (``UPDATE SET col = s.col, ...`` instead of ``SET *``); unlisted
     columns keep target values. Not-matched inserts always take the full
     source row. Returns the committed snapshot version.
+
+    ``not_matched_by_source_delete``: Spark 4 / Delta ``WHEN NOT MATCHED
+    BY SOURCE THEN DELETE`` — target rows whose key has no source row
+    are deleted, converging the table to exactly the source snapshot
+    (full-snapshot sync). Any file may hold such a row, so EVERY
+    candidate file is rewritten (the touched-file probe is skipped —
+    this mode is inherently table-volume COW, which is the honest cost
+    of snapshot sync on any engine).
     """
     # real-Iceberg backend (plans/iceberg_compat.py): native MERGE INTO.
     # Every semantic option is forwarded (a silently-dropped
@@ -100,6 +109,7 @@ def merge_into(
             match_condition=match_condition,
             update_cols=update_cols,
             condition_gates_delete=condition_gates_delete,
+            not_matched_by_source_delete=not_matched_by_source_delete,
         )
 
     # Lost-race re-plan (the COW commit removes files, so commit-level
@@ -117,6 +127,7 @@ def merge_into(
             table, source, on, op_col, delete_value, assume_unique,
             broadcast_source, extra_summary, evolve_schema, evolve_ignore,
             match_condition, update_cols, condition_gates_delete,
+            not_matched_by_source_delete,
         )
     except CommitConflict:
         # evolve_schema is passed through unchanged: column evolution is
@@ -127,6 +138,7 @@ def merge_into(
             table, source, on, op_col, delete_value, assume_unique,
             broadcast_source, extra_summary, evolve_schema, evolve_ignore,
             match_condition, update_cols, condition_gates_delete,
+            not_matched_by_source_delete,
         )
 
 
@@ -144,6 +156,7 @@ def _merge_into_cow(
     match_condition: str | None,
     update_cols: list[str] | None,
     condition_gates_delete: bool,
+    not_matched_by_source_delete: bool = False,
 ) -> int:
     spark = source.sparkSession
     keys = on or table.keys
@@ -199,7 +212,14 @@ def _merge_into_cow(
     # ---- 2. find touched files (manifest-stats prune + semi join) --------
     # zero candidate files after pruning (empty table, or the source key
     # range misses every file) -> skip the probe job entirely
-    if not table.file_paths(predicates=key_preds):
+    if not_matched_by_source_delete:
+        # a to-be-deleted (not-in-source) row can live in ANY file, even
+        # one outside the source key range: every file is touched and
+        # the probe job is pointless
+        touched_rel = sorted(
+            f["path"] for f in table.manifest()["files"]
+        )
+    elif not table.file_paths(predicates=key_preds):
         touched_rel: list[str] = []
     else:
         src_keys = src.select(*keys).distinct()
@@ -257,6 +277,10 @@ def _merge_into_cow(
         )
     else:
         keep = ~(src_present & src_is_delete)
+    if not_matched_by_source_delete:
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE: a target row with no
+        # source counterpart does not survive the rewrite
+        keep = keep & ~(tgt_present & ~src_present)
     takes_update = src_present & (~tgt_present | upd_gate)
 
     out_cols = []

@@ -1784,4 +1784,64 @@ ORDER BY event_type
 ))
 
 
+def _merge_nmbs_build(spark, sf):
+    """Full-snapshot sync via WHEN NOT MATCHED BY SOURCE THEN DELETE: the
+    table (orders < 500) converges to exactly the incoming snapshot
+    (orders 200..699 with doubled totals) in ONE MERGE — overlapping keys
+    update, new keys insert, departed keys delete. Every file is
+    rewritten by design (a doomed row can hide anywhere), the honest
+    table-volume cost of snapshot sync on any engine."""
+    from ..plans.merge import merge_into
+
+    base = (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="nmbs_"), "orders"),
+        base.schema,
+        keys=["o_orderkey"],
+    )
+    t.append(base)
+    src = (
+        spark.table("orders")
+        .filter((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 700))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+    )
+    merge_into(t, src, assume_unique=True, not_matched_by_source_delete=True)
+    return (
+        t.read(spark)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_add(QuerySpec(
+    name="merge_not_matched_by_source",
+    doc="MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE (Spark 4 / "
+        "Delta full-snapshot sync): target converges to exactly the "
+        "source snapshot in one statement; oracle recomputes the "
+        "converged state directly.",
+    tags=("dml", "merge"),
+    build=_merge_nmbs_build,
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderkey >= 200 AND o_orderkey < 700
+ORDER BY o_orderkey
+""",
+))
+
+
 SPECS = list(_SPECS)

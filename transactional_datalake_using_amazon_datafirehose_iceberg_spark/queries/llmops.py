@@ -1647,6 +1647,31 @@ ORDER BY doc_id
 """,
 ))
 
+_add(QuerySpec(
+    name="text_rare_token_fraction",
+    doc="Corpus-relative rarity (CCNet-style quality heuristic, "
+        "integer-exact perplexity stand-in): per-doc share of token "
+        "occurrences whose corpus-wide count is <= 2. Vocabulary stays "
+        "distributed; two linear shuffles.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: TX.rare_token_fraction(
+        spark.table("documents")
+    ).orderBy("doc_id"),
+    oracle=lambda: f"""
+WITH {_TOKS_CTE.strip()},
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(FLOOR(SUM(CASE WHEN v.c <= 2 THEN 1 ELSE 0 END) * 100
+                  / COUNT(*)) AS INTEGER) AS rare_pct
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+ORDER BY doc_id
+""",
+))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-assembly tier (round 6): sequence packing, exact-substring
 # duplicate spans (Lee et al. 2022), temperature mixture sampling — the
