@@ -658,3 +658,82 @@ def test_merge_not_matched_by_source_on_empty_table(spark, table):
     snapshot = spark.createDataFrame([(7, "z", 7.0)], "id int, cat string, val double")
     merge_into(table, snapshot, on=["id"], not_matched_by_source_delete=True)
     assert [r["id"] for r in table.read(spark).collect()] == [7]
+
+
+def test_rename_column_metadata_only(spark, table):
+    """RENAME COLUMN is metadata-only: files written before the rename
+    keep the former physical name yet read back under the new one
+    (typed shadow + coalesce), new writes carry the new name, both
+    coexist, and time travel still shows the old schema."""
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", None)]))
+    v_before = table.current_version()
+    table.rename_column("val", "amount")
+    df = table.read(spark)
+    assert df.columns == ["id", "cat", "amount"]
+    got = {r["id"]: r["amount"] for r in df.collect()}
+    assert got == {1: 1.0, 2: None}  # real NULL survives the coalesce
+    # new write with the new name; mixed-physical-name table reads whole
+    table.append(
+        spark.createDataFrame([(3, "c", 3.0)], "id int, cat string, amount double")
+    )
+    got = {r["id"]: r["amount"] for r in table.read(spark).collect()}
+    assert got == {1: 1.0, 2: None, 3: 3.0}
+    # time travel: the old snapshot still reads the old column name
+    old = table.read(spark, version=v_before)
+    assert "val" in old.columns and "amount" not in old.columns
+    # filters and DML on the new name hit old-file rows
+    table.update_where(spark, "amount = 1.0", {"amount": "amount * 10"})
+    got = {r["id"]: r["amount"] for r in table.read(spark).collect()}
+    assert got[1] == 10.0
+
+
+def test_rename_column_key_and_merge(spark, table):
+    """Renaming a KEY column renames the key list; MERGE keeps working
+    against files written under the former physical name."""
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    table.rename_column("id", "pk")
+    assert table.keys == ["pk"]
+    src = spark.createDataFrame(
+        [(2, "b", 20.0, "update"), (9, "z", 9.0, "insert")],
+        "pk int, cat string, val double, operation string",
+    )
+    merge_into(table, src, op_col="operation")
+    got = {r["pk"]: r["val"] for r in table.read(spark).collect()}
+    assert got == {1: 1.0, 2: 20.0, 9: 9.0}
+    # stats/bloom pruning re-keys per file: point predicate still prunes
+    assert len(table.file_paths(predicates=[Predicate("pk", "=", 1)])) >= 1
+    assert table.file_paths(predicates=[Predicate("pk", "=", 777)]) == []
+
+
+def test_rename_column_chain_and_changelog(spark, table):
+    """A rename CHAIN (a->b->c) resolves through all former names, and
+    the changelog emits head names across the rename boundary."""
+    v0 = table.append(_mk(spark, [(1, "a", 1.0)]))
+    table.rename_column("val", "v2")
+    table.rename_column("v2", "v3")
+    assert {r["id"]: r["v3"] for r in table.read(spark).collect()} == {1: 1.0}
+    v3 = table.delete_where(spark, "v3 = 1.0")
+    log = table.changelog(spark, 0, v3)
+    rows = [(r["_change_type"], r["v3"]) for r in log.collect()]
+    assert ("INSERT", 1.0) in rows and ("DELETE", 1.0) in rows
+    # a range ENTIRELY before the rename still emits today's names
+    old_range = table.changelog(spark, 0, v0)
+    assert "v3" in old_range.columns
+    assert [r["v3"] for r in old_range.collect()] == [1.0]
+
+
+def test_rename_column_guards(spark, table):
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    with pytest.raises(ValueError, match="no such column"):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("val", "cat")
+    # names from ancestor schemas are permanently burned (dropped-column
+    # bytes would bleed into the coalesce)
+    table.rename_column("val", "v2")
+    with pytest.raises(ValueError, match="earlier schema"):
+        table.rename_column("v2", "val")
+    # pending equality deletes pin their column names
+    table.delete_eq([{"id": 99}])
+    with pytest.raises(ValueError, match="equality-delete"):
+        table.rename_column("id", "pk")

@@ -125,6 +125,7 @@ _HEADLINE = [
     "multimodal_frame_boundary_sizes",
     "text_rare_token_fraction",
     "merge_not_matched_by_source",
+    "rename_column_lifecycle",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

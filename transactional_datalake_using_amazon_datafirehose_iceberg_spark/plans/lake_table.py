@@ -712,6 +712,9 @@ class LakeTable:
             "keys": cur["keys"],
             "cluster_by": cur["cluster_by"],
             "properties": cur.get("properties", {}),
+            # rename history must survive every data commit — losing it
+            # makes pre-rename files read their renamed columns as null
+            **({"renames": cur["renames"]} if cur.get("renames") else {}),
             "files": files,
             "delete_files": delete_files,
             "summary": {
@@ -822,12 +825,76 @@ class LakeTable:
         self, version: int | None = None, predicates: list[Predicate] | None = None
     ) -> list[str]:
         m = self.manifest(version)
+        renames = m.get("renames", {})
         out = []
         for fmeta in m["files"]:
-            if predicates and not all(p.may_match(fmeta) for p in predicates):
-                continue
+            if predicates:
+                fm = self._stats_under_current_names(fmeta, renames)
+                if not all(p.may_match(fm) for p in predicates):
+                    continue
             out.append(os.path.join(self.root, fmeta["path"]))
         return out
+
+    @staticmethod
+    def _stats_under_current_names(fmeta: dict, renames: dict) -> dict:
+        """File stats re-keyed to CURRENT column names: a file written
+        before a RENAME COLUMN carries min/max/bloom under the former
+        physical name, and a predicate on the new name must still prune
+        it. Metadata-scale, and a no-op (same dict) without renames."""
+        if not renames:
+            return fmeta
+        fm = dict(fmeta)
+        for kind in ("min", "max", "bloom"):
+            stats = fmeta.get(kind)
+            if not stats:
+                continue
+            out = dict(stats)
+            for cur_name, formers in renames.items():
+                if cur_name in out:
+                    continue
+                for former in reversed(formers):
+                    if former in out:
+                        out[cur_name] = out[former]
+                        break
+            fm[kind] = out
+        return fm
+
+    def _scan(self, spark: SparkSession, paths: list[str], m: dict) -> DataFrame:
+        """Schema-aware parquet scan of data files under manifest ``m``.
+
+        With RENAME COLUMN history, files written before a rename carry
+        the FORMER physical column name; parquet resolves columns by
+        name, so reading them under the new name alone would yield
+        nulls. The scan schema therefore includes a typed shadow field
+        per former name and projects ``coalesce(current, newest-former,
+        ...)`` — each file physically contains exactly one of the chain,
+        so the coalesce is unambiguous (rename_column enforces that no
+        physical name is ever reused). The hidden ``_metadata`` column is
+        NOT materialized — Spark propagates the virtual column through
+        projections, and materializing it flips the scan onto a read
+        path where the shadow columns come back null. Without renames
+        this is the plain pushdown scan, byte-for-byte the old plan."""
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        renames = m.get("renames", {})
+        if not renames:
+            return spark.read.schema(schema).parquet(*paths)
+        read_fields: list[T.StructField] = []
+        for f in schema.fields:
+            read_fields.append(f)
+            for former in renames.get(f.name, []):
+                read_fields.append(T.StructField(former, f.dataType, True))
+        rdf = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+        cols = []
+        for f in schema.fields:
+            formers = renames.get(f.name, [])
+            if formers:
+                c = F.coalesce(
+                    F.col(f.name), *[F.col(x) for x in reversed(formers)]
+                ).alias(f.name)
+            else:
+                c = F.col(f.name)
+            cols.append(c)
+        return rdf.select(*cols)
 
     # normalizes _metadata.file_path ("file:/x" or "file:///x") to "/x"
     _NORM_FILE_EXPR = "regexp_replace(_metadata.file_path, '^file:/+', '/')"
@@ -992,7 +1059,7 @@ class LakeTable:
         if not paths:
             df = spark.createDataFrame([], schema)
             return df.withColumn("_file", F.lit(None).cast("string")) if with_file_path else df
-        df = spark.read.schema(schema).parquet(*paths)
+        df = self._scan(spark, paths, m)
         df = self._apply_position_deletes(spark, df, m)
         if with_file_path:
             df = df.withColumn("_file", F.col("_metadata.file_path"))
@@ -1010,8 +1077,7 @@ class LakeTable:
         must use, or it would resurrect rows deleted by pending
         merge-on-read delete files."""
         m = self.manifest(version)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        df = spark.read.schema(schema).parquet(*paths)
+        df = self._scan(spark, paths, m)
         df = self._apply_position_deletes(spark, df, m)
         if with_file_path:
             df = df.withColumn("_file", F.col("_metadata.file_path"))
@@ -1102,12 +1168,34 @@ class LakeTable:
             if not before_paths and not after_paths:
                 continue
 
+            # from the CURRENT manifest, matching `schema`/`cols` above: a
+            # changelog over a pre-rename range still emits today's names
+            head_renames = self.manifest().get("renames", {})
+
             def _visible(paths: list[str], version: int) -> DataFrame:
                 if not paths:
                     return spark.createDataFrame([], schema).select(*cols)
-                return self.read_files(
+                df = self.read_files(
                     spark, [os.path.join(self.root, p) for p in paths], version=version
-                ).select(*cols)
+                )
+                # the changelog emits HEAD column names across the whole
+                # range: a version before a RENAME COLUMN exposes the
+                # former name (translate via the head rename chain), and
+                # one before an ADD COLUMN lacks the column entirely
+                # (typed NULL, matching what the column reads as today)
+                avail = set(df.columns)
+                sel = []
+                for f in schema.fields:
+                    if f.name in avail:
+                        sel.append(F.col(f.name))
+                        continue
+                    for former in reversed(head_renames.get(f.name, [])):
+                        if former in avail:
+                            sel.append(F.col(former).alias(f.name))
+                            break
+                    else:
+                        sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                return df.select(*sel)
 
             after = _visible(after_paths, v)
             before = _visible(before_paths, prev["version"])
@@ -1312,8 +1400,7 @@ class LakeTable:
         if not cand:
             return self.current_version()
         m = self.manifest()
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        df = spark.read.schema(schema).parquet(*cand)
+        df = self._scan(spark, cand, m)
         df = self._apply_position_deletes(spark, df, m)
         hits = (
             df.filter(condition)
@@ -1363,12 +1450,11 @@ class LakeTable:
         if not cand:
             return self.current_version()
         m = self.manifest()
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
         # materialize (file, pos) into plain columns straight off the
         # scan — the hidden _metadata column does not survive joins —
         # under reserved __-names so a key/schema column named file/pos
         # cannot collide
-        df = spark.read.schema(schema).parquet(*cand).select(
+        df = self._scan(spark, cand, m).select(
             *[F.col(k) for k in keys],
             self._rel_file_col().alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
@@ -1504,6 +1590,74 @@ class LakeTable:
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         return self._metadata_commit(cur, new_schema, {"operation": "drop-column", "column": name})
 
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only commit (Iceberg
+        semantics: no rewrite). Data files written before the rename keep
+        the former physical name; the manifest records the rename chain
+        (``renames``: current name -> former physical names) and every
+        scan resolves it with typed shadow columns + coalesce (see
+        ``_scan``), while stats/bloom pruning re-keys per file (see
+        ``_stats_under_current_names``). Key and cluster columns rename
+        along with their lists.
+
+        Guards (this format has no Iceberg field ids, so physical names
+        must stay unambiguous forever):
+        - ``new`` must not collide with any live column;
+        - ``new`` must never have been used by ANY ancestor schema or a
+          prior rename (a dropped column's bytes still sit in old files
+          and would bleed into the coalesce);
+        - the column must not be referenced by pending equality-delete
+          files (their stored key tuples are bound to the old name).
+        """
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        renames = {k: list(v) for k, v in cur.get("renames", {}).items()}
+        used_physical = set()
+        v: int | None = cur["version"]
+        while v is not None:
+            anc = self.manifest(v)
+            anc_schema = T.StructType.fromJson(json.loads(anc["schema"]))
+            used_physical.update(f.name for f in anc_schema.fields)
+            for formers in anc.get("renames", {}).values():
+                used_physical.update(formers)
+            v = anc["parent"]
+        if new in used_physical:
+            raise ValueError(
+                f"cannot rename to {new!r}: the name was used by an earlier "
+                "schema and old data files may still carry its bytes"
+            )
+        for d in cur.get("delete_files", []):
+            if d.get("kind") == "equality" and old in d.get(
+                "eq_cols", cur.get("keys", [])
+            ):
+                raise ValueError(
+                    f"cannot rename {old!r}: pending equality-delete files "
+                    "reference it; run rewrite_delete_files first"
+                )
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+        renames[new] = renames.pop(old, []) + [old]
+        updates = {
+            "renames": renames,
+            "keys": [new if k == old else k for k in cur.get("keys", [])],
+            "cluster_by": [new if c == old else c for c in cur.get("cluster_by", [])],
+        }
+        return self._metadata_commit(
+            cur,
+            new_schema,
+            {"operation": "rename-column", "from": old, "to": new},
+            manifest_updates=updates,
+        )
+
     def version_as_of_timestamp(self, ts: str) -> int:
         """Iceberg ``TIMESTAMP AS OF``: the newest snapshot on the
         CURRENT lineage committed at or before ``ts`` (ISO-8601 string;
@@ -1561,11 +1715,19 @@ class LakeTable:
         self._swap_pointer(version)
         return version
 
-    def _metadata_commit(self, cur: dict, new_schema: T.StructType, summary: dict) -> int:
+    def _metadata_commit(
+        self,
+        cur: dict,
+        new_schema: T.StructType,
+        summary: dict,
+        manifest_updates: dict | None = None,
+    ) -> int:
         """Schema-evolution commit: same files, new schema. Carries the
         streaming watermark and keeps total_rows delete-aware (a
         metadata-only DDL between stream batches must not erase the
-        exactly-once guard or distort the row count)."""
+        exactly-once guard or distort the row count).
+        ``manifest_updates`` lets rename_column update keys/cluster_by/
+        renames in the same atomic commit."""
         version = self._next_version()
         # schema evolution is row-preserving and key columns cannot be
         # dropped, so keys_unique survives alongside the stream watermark
@@ -1576,6 +1738,7 @@ class LakeTable:
         }
         manifest = {
             **cur,
+            **(manifest_updates or {}),
             "version": version,
             "parent": cur["version"],
             "schema": new_schema.json(),

@@ -1844,4 +1844,59 @@ ORDER BY o_orderkey
 ))
 
 
+def _rename_column_build(spark, sf):
+    """RENAME COLUMN lifecycle: data written under the old name, a
+    metadata-only rename, more data under the new name, then DML
+    addressing the new name — the mixed-physical-name table must read
+    back as one coherent relation (typed-shadow coalesce in _scan)."""
+    base = (
+        spark.table("customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="rename_"), "cust"),
+        base.schema,
+        keys=["c_custkey"],
+    )
+    t.append(base)                      # physical name: c_acctbal
+    t.rename_column("c_acctbal", "balance")
+    t.append(
+        spark.table("customer")
+        .filter((F.col("c_custkey") > 100) & (F.col("c_custkey") <= 150))
+        .select(
+            "c_custkey", "c_name", F.col("c_acctbal").alias("balance")
+        )
+    )                                   # physical name: balance
+    t.update_where(spark, "c_custkey <= 50", {"balance": "balance + 1000"})
+    return (
+        t.read(spark)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.col("balance").cast("double").alias("balance"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_add(QuerySpec(
+    name="rename_column_lifecycle",
+    doc="ALTER TABLE RENAME COLUMN (Iceberg metadata-only semantics, no "
+        "rewrite): files written before and after the rename coexist "
+        "under different physical names; reads, stats pruning and DML "
+        "all address the new name. Oracle recomputes the final state.",
+    tags=("ddl", "schema-evolution"),
+    build=_rename_column_build,
+    oracle="""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_acctbal + CASE WHEN c_custkey <= 50 THEN 1000 ELSE 0 END
+            AS DOUBLE) AS balance
+FROM customer
+WHERE c_custkey <= 150
+ORDER BY c_custkey
+""",
+))
+
+
 SPECS = list(_SPECS)
