@@ -737,3 +737,52 @@ def test_rename_column_guards(spark, table):
     table.delete_eq([{"id": 99}])
     with pytest.raises(ValueError, match="equality-delete"):
         table.rename_column("id", "pk")
+
+
+def test_widen_column_metadata_only(spark, table):
+    """Type widening (Iceberg ALTER COLUMN promotion): int files read
+    back as bigint/double with no rewrite; mixed-width files coexist;
+    stats and key blooms keep pruning across the widening."""
+    table.append(_mk(spark, [(1, "a", 1.0), (1000, "b", 2.0)]))
+    table.widen_column("id", T.LongType())
+    df = table.read(spark)
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert sorted(r["id"] for r in df.collect()) == [1, 1000]
+    # new wide write coexists with old narrow files
+    table.append(
+        spark.createDataFrame(
+            [(2**40, "c", 3.0)], "id bigint, cat string, val double"
+        )
+    )
+    assert sorted(r["id"] for r in table.read(spark).collect()) == [1, 1000, 2**40]
+    # bloom canonicalization: the pre-widening file still answers point
+    # lookups (float-typed probe of an integral value included)
+    assert len(table.file_paths(predicates=[Predicate("id", "=", 1000)])) >= 1
+    assert table.file_paths(predicates=[Predicate("id", "=", 777)]) == []
+    # merge on the widened key still lands
+    src = spark.createDataFrame(
+        [(1, "a", 10.0, "update")], "id bigint, cat string, val double, operation string"
+    )
+    merge_into(table, src, on=["id"], op_col="operation")
+    got = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    assert got[1] == 10.0
+
+
+def test_widen_column_rejects_non_widening(spark, table):
+    with pytest.raises(ValueError, match="not a widening"):
+        table.widen_column("id", T.IntegerType())  # same type
+    with pytest.raises(ValueError, match="not a widening"):
+        table.widen_column("val", T.FloatType())  # narrowing
+    with pytest.raises(ValueError, match="no such column"):
+        table.widen_column("nope", T.LongType())
+
+
+def test_widen_column_changelog_across_boundary(spark, table):
+    """A changelog range straddling the widening emits head types."""
+    v1 = table.append(_mk(spark, [(1, "a", 1.0)]))
+    table.widen_column("id", T.LongType())
+    v2 = table.delete_where(spark, "id = 1")
+    log = table.changelog(spark, 0, v2)
+    assert dict(log.dtypes)["id"] == "bigint"
+    kinds = sorted((r["_change_type"], r["id"]) for r in log.collect())
+    assert kinds == [("DELETE", 1), ("INSERT", 1)]

@@ -126,6 +126,7 @@ _HEADLINE = [
     "text_rare_token_fraction",
     "merge_not_matched_by_source",
     "rename_column_lifecycle",
+    "widen_column_lifecycle",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

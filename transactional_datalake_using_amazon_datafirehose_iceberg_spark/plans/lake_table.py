@@ -114,7 +114,13 @@ _BLOOM_BITS_PER_KEY = 10
 def _bloom_hashes(v: Any) -> tuple[int, int]:
     """Stable double-hash basis (md5 — process- and engine-independent,
     unlike Python's seeded str hash). Memoized: an IN-list probe hashes
-    each value once, not once per candidate file."""
+    each value once, not once per candidate file. Integral floats
+    canonicalize to int so a bloom built before a type widening
+    (int->double) still matches probes with the widened value — str(5)
+    and str(5.0) must hash identically or widened lookups silently
+    false-negative into wrong pruning."""
+    if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
+        v = int(v)
     return _bloom_hashes_cached(str(v))
 
 
@@ -1186,12 +1192,18 @@ class LakeTable:
                 avail = set(df.columns)
                 sel = []
                 for f in schema.fields:
+                    # cast to the HEAD type: a diff straddling a
+                    # widen-column commit reads int on one side and
+                    # bigint on the other, and exceptAll/union require
+                    # identical schemas
                     if f.name in avail:
-                        sel.append(F.col(f.name))
+                        sel.append(F.col(f.name).cast(f.dataType).alias(f.name))
                         continue
                     for former in reversed(head_renames.get(f.name, [])):
                         if former in avail:
-                            sel.append(F.col(former).alias(f.name))
+                            sel.append(
+                                F.col(former).cast(f.dataType).alias(f.name)
+                            )
                             break
                     else:
                         sel.append(F.lit(None).cast(f.dataType).alias(f.name))
@@ -1589,6 +1601,65 @@ class LakeTable:
             raise ValueError(f"cannot drop key/cluster column: {name}")
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
         return self._metadata_commit(cur, new_schema, {"operation": "drop-column", "column": name})
+
+    # Iceberg-compatible widening promotions (ALTER COLUMN ... TYPE):
+    # value-preserving, metadata-only. Spark 4's parquet readers promote
+    # narrower physical types natively (SPARK-40876), so old files need
+    # no shadow mechanics — just the widened read schema.
+    _WIDENINGS = frozenset(
+        {
+            ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+            ("smallint", "int"), ("smallint", "bigint"),
+            ("int", "bigint"),
+            ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+            ("float", "double"),
+            ("decimal", "decimal"),  # precision increase checked below
+        }
+    )
+
+    def widen_column(self, name: str, new_type: T.DataType) -> int:
+        """ALTER TABLE ALTER COLUMN type widening — metadata-only commit
+        (Iceberg type-promotion semantics: int->long, float->double,
+        decimal precision increase). Old files keep the narrow physical
+        type; the parquet reader promotes it at scan time. Manifest
+        min/max stats stay valid (JSON numbers compare numerically) and
+        key blooms stay valid through integral-value canonicalization in
+        ``_bloom_hashes``."""
+        cur = self.manifest()
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: {name}")
+        old_s, new_s = field.dataType.simpleString(), new_type.simpleString()
+        base = (old_s.split("(")[0], new_s.split("(")[0])
+        if base not in self._WIDENINGS:
+            raise ValueError(
+                f"not a widening promotion: {old_s} -> {new_s} "
+                "(allowed: int->bigint, float->double, decimal precision up, ...)"
+            )
+        if base == ("decimal", "decimal"):
+            op, os_ = field.dataType, new_type
+            if not (
+                isinstance(op, T.DecimalType)
+                and isinstance(os_, T.DecimalType)
+                and os_.scale == op.scale
+                and os_.precision >= op.precision
+            ):
+                raise ValueError(
+                    f"decimal widening requires same scale, >= precision: "
+                    f"{old_s} -> {new_s}"
+                )
+        new_schema = T.StructType(
+            [
+                T.StructField(name, new_type, f.nullable) if f.name == name else f
+                for f in schema.fields
+            ]
+        )
+        return self._metadata_commit(
+            cur,
+            new_schema,
+            {"operation": "widen-column", "column": name, "from": old_s, "to": new_s},
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only commit (Iceberg

@@ -1899,4 +1899,69 @@ ORDER BY c_custkey
 ))
 
 
+def _widen_column_build(spark, sf):
+    """Type-widening lifecycle (Iceberg ALTER COLUMN promotion): int
+    files written before the widening coexist with bigint files after
+    it — the parquet reader promotes narrow physical types at scan time
+    (no rewrite), and DML addresses the widened type."""
+    base = (
+        spark.table("customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            F.col("c_custkey").cast("int").alias("c_custkey"),
+            "c_name",
+            F.col("c_acctbal").cast("float").alias("c_acctbal"),
+        )
+    )
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="widen_"), "cust"),
+        base.schema,
+        keys=["c_custkey"],
+    )
+    t.append(base)                       # physical: int32 / float
+    t.widen_column("c_custkey", T.LongType())
+    t.widen_column("c_acctbal", T.DoubleType())
+    t.append(
+        spark.table("customer")
+        .filter((F.col("c_custkey") > 100) & (F.col("c_custkey") <= 150))
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            # float-roundtrip the balance so BOTH eras carry float32
+            # precision and the oracle can reproduce values exactly
+            F.col("c_acctbal").cast("float").cast("double").alias("c_acctbal"),
+        )
+    )                                    # physical: int64 / double
+    t.update_where(spark, "c_custkey <= 50", {"c_acctbal": "c_acctbal + 1000"})
+    return (
+        t.read(spark)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_add(QuerySpec(
+    name="widen_column_lifecycle",
+    doc="ALTER COLUMN type widening (int->bigint, float->double) as a "
+        "metadata-only commit: narrow-physical files promote at scan "
+        "time and coexist with wide files; stats/bloom pruning and DML "
+        "keep working across the widening. Oracle reproduces the "
+        "float32 round-trip with explicit casts.",
+    tags=("ddl", "schema-evolution"),
+    build=_widen_column_build,
+    oracle="""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE)
+         + CASE WHEN c_custkey <= 50 THEN 1000 ELSE 0 END AS c_acctbal
+FROM customer
+WHERE c_custkey <= 150
+ORDER BY c_custkey
+""",
+))
+
+
 SPECS = list(_SPECS)
