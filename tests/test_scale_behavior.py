@@ -127,6 +127,7 @@ _HEADLINE = [
     "merge_not_matched_by_source",
     "rename_column_lifecycle",
     "widen_column_lifecycle",
+    "streaming_lake_table_source",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

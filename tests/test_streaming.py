@@ -358,3 +358,102 @@ def test_transform_with_state_running_counts(spark, tmp_path):
     finally:
         if prev:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_lake_table_stream_source_incremental_exactly_once(spark, tmp_path):
+    """LakeTable as a streaming SOURCE (Iceberg streaming-read parity):
+    availableNow runs consume appended files incrementally through the
+    checkpoint — a second run after a new append emits ONLY the delta;
+    compaction commits are skipped without duplicating rows."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        compact,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        LakeStreamDataSource,
+    )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("val", T.DoubleType(), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "t"), schema, keys=["id"])
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], schema))
+    t.append(spark.createDataFrame([(3, 3.0)], schema))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("lake_table")
+            .option("path", t.root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+    # compaction rewrites rows it already streamed: must NOT re-emit
+    compact(spark, t)
+    t.append(spark.createDataFrame([(4, 4.0)], schema))
+    run()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4]
+
+
+def test_lake_table_stream_source_rejects_or_skips_change_commits(spark, tmp_path):
+    """A COW delete rewrites data files: the append stream must refuse
+    (pointing at changelog()), and skipChangeCommits must skip the
+    commit whole instead of replaying its rewritten rows."""
+    from pyspark.sql import types as T
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        LakeStreamDataSource,
+    )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("val", T.DoubleType(), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "t2"), schema, keys=["id"])
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], schema))
+    t.delete_where(spark, "id = 1")  # COW rewrite commit
+
+    def run(name, skip):
+        q = (
+            spark.readStream.format("lake_table")
+            .option("path", t.root)
+            .option("skipChangeCommits", "true" if skip else "false")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / name / "out"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / name / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException, match="non-append commit"):
+        run("strict", skip=False)
+    run("skipping", skip=True)
+    got = sorted(
+        r["id"] for r in spark.read.parquet(str(tmp_path / "skipping" / "out")).collect()
+    )
+    assert got == [1, 2]  # the original append only; the rewrite skipped

@@ -1964,4 +1964,64 @@ ORDER BY c_custkey
 ))
 
 
+def _lake_stream_build(spark, sf):
+    """The LakeTable streaming SOURCE driver-checked: two append commits
+    streamed with availableNow through a checkpoint into a parquet sink,
+    then summarized — the Iceberg streaming-read pattern (file-level
+    incremental consumption, exactly-once via offsets)."""
+    from ..sources.lake_stream import LakeStreamDataSource
+
+    spark.dataSource.register(LakeStreamDataSource)
+    workdir = tempfile.mkdtemp(prefix="lstream_")
+    base = spark.table("customer").select("c_custkey", "c_name", "c_acctbal")
+    t = LakeTable.create(
+        os.path.join(workdir, "cust"), base.schema, keys=["c_custkey"]
+    )
+    t.append(base.filter(F.col("c_custkey") % 2 == 0))
+    t.append(base.filter(F.col("c_custkey") % 2 == 1))
+    out = os.path.join(workdir, "out")
+    q = (
+        spark.readStream.format("lake_table")
+        .option("path", t.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy((F.col("c_custkey") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_lake_table_source",
+    doc="LakeTable as a Structured Streaming source (Spark 4 Python Data "
+        "Source streaming API; Iceberg streaming-read parity): appended "
+        "files consumed incrementally by snapshot-version offsets, Arrow "
+        "record batches executor-side, exactly-once via the checkpoint. "
+        "Oracle aggregates the same rows from the fixture directly.",
+    tags=("streaming", "source"),
+    build=_lake_stream_build,
+    oracle="""
+SELECT CAST(c_custkey % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer
+GROUP BY c_custkey % 10
+ORDER BY bucket
+""",
+))
+
+
 SPECS = list(_SPECS)
