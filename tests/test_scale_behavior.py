@@ -128,6 +128,7 @@ _HEADLINE = [
     "rename_column_lifecycle",
     "widen_column_lifecycle",
     "streaming_lake_table_source",
+    "join_lateral_topn",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

@@ -103,7 +103,14 @@ def apply_batch(
     key_ok = F.lit(True)
     for k in keys:
         key_ok = key_ok & F.col(k).isNotNull()
-    latest = collapse_latest_per_key(typed.filter(key_ok), keys)
+    # persist the collapsed batch: the MERGE evaluates its source in up
+    # to three separate jobs (fused stats, touched-file probe, rewrite),
+    # and without a cache each one re-parses the transport payload and
+    # re-runs the collapse window. A micro-batch is bounded by the
+    # delivery buffer (reference: 128 MB / 60 s), so caching it is the
+    # standard foreachBatch pattern, not a table-volume cache.
+    latest = collapse_latest_per_key(typed.filter(key_ok), keys).persist()
+    cached = latest
 
     # Cross-batch out-of-order guard (SURVEY §7.3 hard part 1): when the
     # table persists the CDC ordering metadata (_order_ts/_order_txn
@@ -162,22 +169,25 @@ def apply_batch(
             )
         latest = latest.filter(F.col("operation") != "delete")
 
-    return merge_into(
-        table,
-        latest if stale_guard else latest.drop("_order_ts", "_order_txn"),
-        on=keys,
-        op_col="operation",
-        assume_unique=True,  # D4 just guaranteed it
-        extra_summary=extra_summary,
-        match_condition=(
-            "t._order_ts IS NULL OR s._order_ts > t._order_ts OR "
-            "(s._order_ts = t._order_ts AND "
-            "coalesce(s._order_txn, 0) > coalesce(t._order_txn, 0))"
-            if stale_guard
-            else None
-        ),
-        condition_gates_delete=stale_guard,
-    )
+    try:
+        return merge_into(
+            table,
+            latest if stale_guard else latest.drop("_order_ts", "_order_txn"),
+            on=keys,
+            op_col="operation",
+            assume_unique=True,  # D4 just guaranteed it
+            extra_summary=extra_summary,
+            match_condition=(
+                "t._order_ts IS NULL OR s._order_ts > t._order_ts OR "
+                "(s._order_ts = t._order_ts AND "
+                "coalesce(s._order_txn, 0) > coalesce(t._order_txn, 0))"
+                if stale_guard
+                else None
+            ),
+            condition_gates_delete=stale_guard,
+        )
+    finally:
+        cached.unpersist()
 
 
 def apply_routed(

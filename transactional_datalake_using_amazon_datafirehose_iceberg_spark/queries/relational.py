@@ -2361,4 +2361,28 @@ ORDER BY bucket
 ))
 
 
+_add(QuerySpec(
+    name="join_lateral_topn",
+    doc="LATERAL correlated subquery join (ANSI LATERAL; Spark DomainJoin "
+        "rewrite): each customer joined to its top-2 orders by price via "
+        "a correlated ORDER BY ... LIMIT subquery — the join class the "
+        "windowed top-k per group expresses relationally. Identical SQL "
+        "on both engines; deterministic via the o_orderkey tiebreak.",
+    tags=("join", "lateral"),
+    sql="""
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) o
+WHERE c.c_custkey <= 200
+ORDER BY c_custkey, o_orderkey
+""",
+))
+
+
 SPECS = list(_SPECS)
