@@ -129,6 +129,11 @@ _HEADLINE = [
     "widen_column_lifecycle",
     "streaming_lake_table_source",
     "join_lateral_topn",
+    # round-6 analytics/lifecycle additions
+    "events_funnel_stages",
+    "events_retention_cohorts",
+    "join_null_safe_eq",
+    "maintenance_expire_snapshots",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

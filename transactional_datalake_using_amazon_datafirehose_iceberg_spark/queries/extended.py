@@ -2024,4 +2024,84 @@ ORDER BY bucket
 ))
 
 
+def _expire_snapshots_build(spark, sf):
+    """Snapshot-retention lifecycle (Iceberg expire_snapshots +
+    remove_orphan_files; reference retention story BASELINE.md): four
+    commits, a tag pinning an old version, expiry to keep_last=1, then
+    prove (a) the current read and the tag-pinned read are intact,
+    (b) the un-pinned old versions are gone, (c) exactly the un-pinned
+    snapshots were removed."""
+    from ..plans.maintenance import expire_snapshots
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="expire_"), "retail"),
+        RETAIL_TRANS, keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (1, 'c1', 'cart', 'SKU1', 10, 'pc', TIMESTAMP '2023-01-16 06:00:00'),
+        (2, 'c2', 'visit', 'SKU2', 1, 'mobile', TIMESTAMP '2023-01-16 06:01:00'),
+        (3, 'c3', 'purchase', 'SKU3', 55, 'tablet', TIMESTAMP '2023-01-16 06:02:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))                                                   # v1
+    t.update_where(spark, "trans_id = 1", {"amount": "7"})  # v2
+    t.create_tag("audited", 2)                              # pins v2 forever
+    t.delete_where(spark, "trans_id = 2")                   # v3
+    t.append(spark.sql("""
+      SELECT * FROM VALUES
+        (4, 'c4', 'cart', 'SKU4', 9, 'pc', TIMESTAMP '2023-01-16 06:03:00')
+      AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
+    """))                                                   # v4 (current)
+    summary = expire_snapshots(t, keep_last=1)
+    # v0 (empty CREATE), v1 and v3 expired (v2 tag-pinned, v4 newest +
+    # current); their data files must be physically gone, not just
+    # unlisted
+    assert summary["removed_snapshots"] == 3, summary
+    assert summary["removed_files"] >= 1, summary
+    expired_unreadable = 0
+    for v in (1, 3):
+        try:
+            t.read(spark, version=v)
+        except Exception:
+            expired_unreadable += 1
+    cur = t.read(spark)
+    tagged = t.read(spark, version=t.resolve_ref("audited"))
+    facts = [
+        ("current_rows", cur.count()),
+        ("current_amount_sum", cur.agg(F.sum("amount")).collect()[0][0]),
+        ("tagged_rows", tagged.count()),
+        ("tagged_amount_sum", tagged.agg(F.sum("amount")).collect()[0][0]),
+        ("expired_unreadable", expired_unreadable),
+        ("removed_snapshots", summary["removed_snapshots"]),
+    ]
+    return (
+        spark.createDataFrame(facts, "fact string, n bigint")
+        .orderBy("fact")
+    )
+
+
+_add(QuerySpec(
+    name="maintenance_expire_snapshots",
+    doc="expire_snapshots + orphan sweep as a lifecycle check: append/"
+        "update/tag/delete/append, expire to keep_last=1; the current "
+        "and tag-pinned reads survive with exact content, the two "
+        "un-pinned versions become unreadable, exactly 3 snapshots "
+        "(CREATE + two un-pinned) removed. Oracle = the expected facts "
+        "as VALUES.",
+    tags=("maintenance", "retention"),
+    build=_expire_snapshots_build,
+    oracle="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (VALUES
+  ('current_rows', 3),
+  ('current_amount_sum', 71),
+  ('tagged_rows', 3),
+  ('tagged_amount_sum', 63),
+  ('expired_unreadable', 2),
+  ('removed_snapshots', 3)
+) t(fact, n)
+ORDER BY fact
+""",
+))
+
+
 SPECS = list(_SPECS)

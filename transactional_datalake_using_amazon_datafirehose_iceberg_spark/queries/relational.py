@@ -2385,4 +2385,185 @@ ORDER BY c_custkey, o_orderkey
 ))
 
 
+def _funnel_build(spark, sf):
+    """Ordered conversion funnel view -> click -> purchase, computed in
+    ONE shuffle: three window mins over the same user partitioning
+    (Catalyst reuses the exchange), each stage gated on strictly-after
+    the previous stage's first hit. Integer µs arithmetic end to end."""
+    w = W.partitionBy("user_id")
+    e = spark.table("events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    staged = (
+        e.withColumn(
+            "vt", F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+        )
+        .withColumn(
+            "ct",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("t") > F.col("vt")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "pt",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("t") > F.col("ct")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+        .select("user_id", "vt", "ct", "pt")
+        .distinct()
+    )
+    return (
+        staged.agg(
+            F.count("vt").cast("bigint").alias("n_view"),
+            F.count("ct").cast("bigint").alias("n_click_after_view"),
+            F.count("pt").cast("bigint").alias("n_purchase_after_click"),
+            F.sum(((F.col("ct") - F.col("vt")) / F.lit(1_000_000)).cast("bigint"))
+            .cast("bigint").alias("view_to_click_sec"),
+            F.sum(((F.col("pt") - F.col("ct")) / F.lit(1_000_000)).cast("bigint"))
+            .cast("bigint").alias("click_to_purchase_sec"),
+        )
+    )
+
+
+_add(QuerySpec(
+    name="events_funnel_stages",
+    doc="Ordered conversion-funnel analysis (view -> first click after "
+        "it -> first purchase after that): per-stage reached-user "
+        "counts and total stage-transition seconds. One shuffle; three "
+        "window mins share the user partitioning.",
+    tags=("events", "analytics"),
+    build=_funnel_build,
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+), v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN t END) AS vt
+  FROM e GROUP BY user_id
+), c AS (
+  SELECT e.user_id, v.vt,
+         MIN(CASE WHEN e.event_type = 'click' AND e.t > v.vt THEN e.t END) AS ct
+  FROM e JOIN v ON e.user_id = v.user_id
+  GROUP BY e.user_id, v.vt
+), s2 AS (
+  SELECT e.user_id, c.vt, c.ct,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.t > c.ct THEN e.t END) AS pt
+  FROM e JOIN c ON e.user_id = c.user_id
+  GROUP BY e.user_id, c.vt, c.ct
+)
+SELECT CAST(COUNT(vt) AS BIGINT) AS n_view,
+       CAST(COUNT(ct) AS BIGINT) AS n_click_after_view,
+       CAST(COUNT(pt) AS BIGINT) AS n_purchase_after_click,
+       CAST(SUM((ct - vt) // 1000000) AS BIGINT) AS view_to_click_sec,
+       CAST(SUM((pt - ct) // 1000000) AS BIGINT) AS click_to_purchase_sec
+FROM s2
+""",
+))
+
+
+_add(QuerySpec(
+    name="events_retention_cohorts",
+    doc="Weekly retention-cohort matrix: users cohorted by the Monday "
+        "week of their first event; each (cohort, week-offset) cell "
+        "counts distinct users active that week. Two shuffles (first-"
+        "event per user, then the cohort-cell distinct count); the "
+        "user->cohort attach is a co-partitioned join on user_id.",
+    tags=("events", "analytics"),
+    build=lambda spark, sf: (
+        spark.table("events")
+        .select("user_id", F.date_trunc("week", "ts").cast("date").alias("wk"))
+        .join(
+            spark.table("events")
+            .groupBy("user_id")
+            .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")),
+            "user_id",
+        )
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    ),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week) // 7
+              AS INTEGER) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS active_users
+FROM cells
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+))
+
+
+def _null_safe_join_build(spark, sf):
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    key bucket joins to itself instead of dropping out. Spark plans
+    this as a regular SortMergeJoin/BroadcastHashJoin on a null-safe
+    key (NOT a cartesian), so it scales like any equi-join."""
+    e = spark.table("events").select(
+        F.nullif("event_type", F.lit("error")).alias("et"),
+        F.dayofmonth("ts").alias("dom"),
+        "value",
+    )
+    a = (
+        e.filter(F.col("dom") <= 15)
+        .groupBy("et")
+        .agg(F.count("*").cast("bigint").alias("n_first"))
+    )
+    b = (
+        e.filter(F.col("dom") > 15)
+        .groupBy("et")
+        .agg(F.count("*").cast("bigint").alias("n_second"))
+    )
+    return (
+        a.join(b, a["et"].eqNullSafe(b["et"]))
+        .select(a["et"].alias("et"), "n_first", "n_second")
+        .orderBy(F.col("et").asc_nulls_first())
+    )
+
+
+_add(QuerySpec(
+    name="join_null_safe_eq",
+    doc="Null-safe equi-join: first-half vs second-half-of-month event "
+        "counts per (nullable) event class, the NULL class ('error' "
+        "nulled via NULLIF) preserved by <=> semantics. Oracle uses IS "
+        "NOT DISTINCT FROM.",
+    tags=("join",),
+    build=_null_safe_join_build,
+    oracle="""
+WITH e AS (
+  SELECT NULLIF(event_type, 'error') AS et,
+         CAST(EXTRACT(day FROM ts) AS INTEGER) AS dom
+  FROM events
+), a AS (
+  SELECT et, CAST(COUNT(*) AS BIGINT) AS n_first FROM e
+  WHERE dom <= 15 GROUP BY et
+), b AS (
+  SELECT et, CAST(COUNT(*) AS BIGINT) AS n_second FROM e
+  WHERE dom > 15 GROUP BY et
+)
+SELECT a.et, a.n_first, b.n_second
+FROM a JOIN b ON a.et IS NOT DISTINCT FROM b.et
+ORDER BY a.et NULLS FIRST
+""",
+))
+
+
 SPECS = list(_SPECS)
