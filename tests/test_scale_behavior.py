@@ -134,6 +134,7 @@ _HEADLINE = [
     "events_retention_cohorts",
     "join_null_safe_eq",
     "maintenance_expire_snapshots",
+    "multimodal_audio_window_energy",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

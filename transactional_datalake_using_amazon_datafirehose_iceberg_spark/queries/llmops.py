@@ -13,6 +13,7 @@ from ..operators import similarity as S
 from ..operators import text as TX
 from ..operators.multimodal import (
     attach_binary_payload,
+    audio_window_energy,
     decode_features,
     resize_images,
     sample_frames,
@@ -1812,6 +1813,36 @@ SELECT r.source AS source,
 FROM r JOIN q USING (source)
 GROUP BY r.source
 ORDER BY source
+""",
+))
+
+_add(QuerySpec(
+    name="multimodal_audio_window_energy",
+    doc="Audio-modality windowed feature extraction: payload bytes as "
+        "unsigned 8-bit PCM, 64-sample frames, per-frame mean-square "
+        "energy (integer floor — sqrt-free RMS stand-in) and peak, "
+        "computed vectorized (numpy) inside the Arrow batch via "
+        "mapInPandas. Oracle re-derives per-byte values with ascii() "
+        "over the all-ASCII fixture text.",
+    tags=("llm", "multimodal"),
+    build=lambda spark, sf: (
+        audio_window_energy(attach_binary_payload(spark.table("documents")))
+        .orderBy("doc_id", "win_idx")
+    ),
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+         ascii(substring(text, CAST(u.i AS INTEGER), 1)) AS s
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((i - 1) // 64 AS INTEGER) AS win_idx,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM(s * s) // COUNT(*) AS BIGINT) AS energy,
+       CAST(MAX(s) AS INTEGER) AS peak
+FROM pos
+GROUP BY doc_id, (i - 1) // 64
+ORDER BY doc_id, win_idx
 """,
 ))
 
