@@ -260,6 +260,13 @@ def main() -> None:
         # round-5 additions
         "text_repetition_filters",
         "decontaminate_ngram_overlap",
+        # round-6 additions
+        "pack_sequences_concat_chunk",
+        "dedup_exact_substring_spans",
+        "sample_temperature_mixture",
+        "events_funnel_stages",
+        "events_retention_cohorts",
+        "multimodal_audio_window_energy",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:
