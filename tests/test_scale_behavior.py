@@ -135,6 +135,9 @@ _HEADLINE = [
     "join_null_safe_eq",
     "maintenance_expire_snapshots",
     "multimodal_audio_window_energy",
+    "sql_pipe_syntax",
+    "streaming_chained_aggregations",
+    "scan_prune_stats_proof",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

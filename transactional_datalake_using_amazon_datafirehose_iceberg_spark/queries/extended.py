@@ -2104,4 +2104,161 @@ ORDER BY fact
 ))
 
 
+def _chained_stream_agg_build(spark, sf):
+    """Two CHAINED stateful aggregations in one streaming query (Spark
+    3.4+/4 multiple-stateful-operator support): 15-min tumbling counts
+    re-aggregated into hourly totals via window_time(), both stateful,
+    append mode. A '__hwm' sentinel event one week ahead pushes the
+    final watermark past every real window so append mode emits them
+    all; the sentinel's own rows are filtered after the sink."""
+    import time as _time
+    import uuid
+
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf, "events")
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_chain_"), "events")
+    ev.coalesce(4).write.parquet(os.path.join(src, "b1"))
+    spark.sql(
+        "SELECT CAST(9999999 AS BIGINT) AS event_id,"
+        " TIMESTAMP '2024-02-10 00:00:00' AS ts,"
+        " CAST(0 AS BIGINT) AS user_id, '__hwm' AS event_type,"
+        " CAST(0.0 AS DOUBLE) AS value, '' AS props"
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    t0 = _time.time()
+    for sub, mt in (("b1", t0 - 120), ("b2", t0)):
+        d = os.path.join(src, sub)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mt, mt))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "8")
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    fifteen = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n15"))
+    )
+    hourly = (
+        fifteen.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n15").cast("bigint").alias("n_total"),
+            F.max("n15").cast("bigint").alias("max_15m"),
+        )
+        .select(F.col("w2.start").alias("win_start"), "event_type", "n_total", "max_15m")
+    )
+    name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            hourly.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "__hwm")
+        .orderBy("win_start", "event_type")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_chained_aggregations",
+    doc="Multiple stateful operators in ONE streaming query: 15-min "
+        "tumbling counts chained into hourly sum/max re-aggregation via "
+        "window_time(), append mode, shared watermark. Oracle = the "
+        "same double aggregation in batch SQL.",
+    tags=("streaming",),
+    build=_chained_stream_agg_build,
+    oracle="""
+WITH w15 AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS wb, event_type,
+         COUNT(*) AS n15
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(time_bucket(INTERVAL '1 hour', wb) AS TIMESTAMP) AS win_start,
+       event_type,
+       CAST(SUM(n15) AS BIGINT) AS n_total,
+       CAST(MAX(n15) AS BIGINT) AS max_15m
+FROM w15
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+))
+
+
+def _scan_prune_proof_build(spark, sf):
+    """Driver-visible file-skipping proof (Iceberg manifest-filtering
+    parity): six single-day commits; a day-equality predicate must scan
+    exactly one file via min/max stats, and a point key lookup must
+    scan exactly one file via the per-file key BLOOM even though every
+    file's key RANGE covers the value (the overlapping-range CDC file
+    layout where range stats alone prune nothing)."""
+    from ..plans.lake_table import Predicate
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="prune_"), "t"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("day", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]),
+        keys=["k"], cluster_by=["day"],
+    )
+    # k = j*10 + i: every file's k range is [i, 990+i] (all overlap),
+    # but each k value lives in exactly one file
+    for i in range(6):
+        t.append(spark.sql(
+            f"SELECT CAST(id * 10 + {i} AS LONG) AS k, 'd{i}' AS day,"
+            f" CAST(id AS LONG) AS val FROM range(100)"
+        ).repartition(1))
+    files_total = len(t.file_paths())
+    day_pred = [Predicate("day", "=", "d3")]
+    key_pred = [Predicate("k", "=", 13)]
+    files_day = len(t.file_paths(predicates=day_pred))
+    files_key = len(t.file_paths(predicates=key_pred))
+    rows_day = t.read(spark, predicates=day_pred).filter("day = 'd3'").count()
+    rows_key = t.read(spark, predicates=key_pred).filter("k = 13").count()
+    assert files_total == 6, files_total
+    facts = [
+        ("files_total", files_total),
+        ("files_scanned_day_eq", files_day),
+        ("files_scanned_key_bloom", files_key),
+        ("rows_day", rows_day),
+        ("rows_key", rows_key),
+    ]
+    return (
+        spark.createDataFrame(facts, "fact string, n bigint")
+        .orderBy("fact")
+    )
+
+
+_add(QuerySpec(
+    name="scan_prune_stats_proof",
+    doc="File-skipping as data: 6 single-day commits; day-equality "
+        "prunes to 1 file by min/max stats, a point key lookup prunes "
+        "to 1 file by the per-file key bloom despite fully-overlapping "
+        "key ranges; both predicate reads return exact rows. Oracle = "
+        "expected facts as VALUES.",
+    tags=("maintenance", "scan"),
+    build=_scan_prune_proof_build,
+    oracle="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (VALUES
+  ('files_total', 6),
+  ('files_scanned_day_eq', 1),
+  ('files_scanned_key_bloom', 1),
+  ('rows_day', 100),
+  ('rows_key', 1)
+) t(fact, n)
+ORDER BY fact
+""",
+))
+
+
 SPECS = list(_SPECS)

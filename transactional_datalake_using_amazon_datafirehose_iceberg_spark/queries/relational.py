@@ -2566,4 +2566,35 @@ ORDER BY a.et NULLS FIRST
 ))
 
 
+_add(QuerySpec(
+    name="sql_pipe_syntax",
+    doc="SQL pipe syntax (Spark 4.0 |> operators): FROM |> WHERE |> "
+        "JOIN |> AGGREGATE ... GROUP BY |> WHERE (post-agg HAVING) |> "
+        "ORDER BY, compiled to the same logical plan as the nested-SQL "
+        "oracle — syntax sugar, zero plan cost.",
+    tags=("sql",),
+    build=lambda spark, sf: spark.sql("""
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1994-01-01'
+|> JOIN orders ON l_orderkey = o_orderkey
+|> AGGREGATE COUNT(*) AS n_items,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                  AS DOUBLE) AS revenue
+   GROUP BY o_orderpriority
+|> WHERE n_items > 100
+|> ORDER BY o_orderpriority
+"""),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1994-01-01'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 100
+ORDER BY o_orderpriority
+""",
+))
+
+
 SPECS = list(_SPECS)
