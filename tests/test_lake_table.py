@@ -786,3 +786,93 @@ def test_widen_column_changelog_across_boundary(spark, table):
     assert dict(log.dtypes)["id"] == "bigint"
     kinds = sorted((r["_change_type"], r["id"]) for r in log.collect())
     assert kinds == [("DELETE", 1), ("INSERT", 1)]
+
+
+# ---------------------------------------------------------------------------
+# Initial-default columns (Iceberg v3 initial-default parity)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dtable(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "dt"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]),
+        keys=["k"],
+    )
+    t.append(spark.sql("SELECT CAST(id AS LONG) k, CONCAT('a', id) v FROM range(5)"))
+    return t
+
+
+def test_add_column_default_pre_vs_post_files(spark, dtable):
+    dtable.add_column("tier", T.StringType(), default="standard")
+    dtable.append(spark.sql(
+        "SELECT CAST(id + 10 AS LONG) k, CONCAT('b', id) v,"
+        " CASE WHEN id = 0 THEN NULL ELSE 'gold' END tier FROM range(3)"
+    ))
+    rows = {r["k"]: r["tier"] for r in dtable.read(spark).collect()}
+    # pre-ALTER files read the default; a post-ALTER explicit NULL stays NULL
+    assert rows[0] == "standard" and rows[4] == "standard"
+    assert rows[10] is None and rows[11] == "gold"
+    # user-facing schema carries no internal meta columns
+    assert dtable.read(spark).columns == ["k", "v", "tier"]
+    # time travel before the ALTER: the column does not exist at all
+    assert dtable.read(spark, version=1).columns == ["k", "v"]
+
+
+def test_default_survives_mor_delete_and_compaction(spark, dtable):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        compact,
+    )
+
+    dtable.add_column("tier", T.StringType(), default="standard")
+    dtable.append(spark.sql(
+        "SELECT CAST(id + 10 AS LONG) k, CONCAT('b', id) v,"
+        " CASE WHEN id = 0 THEN NULL ELSE 'gold' END tier FROM range(3)"
+    ))
+    dtable.delete_by_keys_mor(
+        spark, spark.sql("SELECT CAST(id AS LONG) k FROM VALUES (2), (11) t(id)")
+    )
+    got = {r["k"]: r["tier"] for r in dtable.read(spark).collect()}
+    assert 2 not in got and 11 not in got and got[0] == "standard"
+    # compaction materializes the default into rewritten files (stamped
+    # with the CURRENT schema generation) — content must be invariant
+    compact(spark, dtable)
+    assert {r["k"]: r["tier"] for r in dtable.read(spark).collect()} == got
+
+
+def test_default_follows_rename_and_mixes_with_shadows(spark, dtable):
+    # rename an OLD column first (shadow machinery), then add a default:
+    # the union branches must still coalesce former physical names
+    dtable.rename_column("v", "name")
+    dtable.add_column("score", T.LongType(), default=7)
+    dtable.append(spark.sql("SELECT CAST(99 AS LONG) k, 'x' name, CAST(1 AS LONG) score"))
+    out = sorted((r["k"], r["name"], r["score"]) for r in dtable.read(spark).collect())
+    assert out == [(0, "a0", 7), (1, "a1", 7), (2, "a2", 7), (3, "a3", 7), (4, "a4", 7), (99, "x", 1)]
+    # renaming the defaulted column itself re-keys the default
+    dtable.rename_column("score", "points")
+    got = {r["k"]: r["points"] for r in dtable.read(spark).collect()}
+    assert got[0] == 7 and got[99] == 1
+
+
+def test_default_cow_update_delete(spark, dtable):
+    dtable.add_column("score", T.LongType(), default=7)
+    dtable.update_where(spark, "k = 1", {"score": "42"})
+    dtable.delete_where(spark, "k = 2")
+    out = sorted((r["k"], r["score"]) for r in dtable.read(spark).collect())
+    assert out == [(0, 7), (1, 42), (3, 7), (4, 7)]
+
+
+def test_default_dropped_with_column(spark, dtable):
+    dtable.add_column("score", T.LongType(), default=7)
+    dtable.drop_column("score")
+    assert "score" not in dtable.manifest().get("defaults", {})
+    assert dtable.read(spark).columns == ["k", "v"]
+
+
+def test_default_rejects_non_scalar(dtable):
+    with pytest.raises(ValueError, match="JSON-safe scalar"):
+        dtable.add_column("j", T.StringType(), default={"a": 1})

@@ -138,6 +138,7 @@ _HEADLINE = [
     "sql_pipe_syntax",
     "streaming_chained_aggregations",
     "scan_prune_stats_proof",
+    "add_column_default_lifecycle",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

@@ -442,9 +442,10 @@ class LakeTable:
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------
-    def _conform(self, df: DataFrame) -> DataFrame:
+    def _conform(self, df: DataFrame, schema: T.StructType | None = None) -> DataFrame:
         """Project+cast to the table schema (declared-schema discipline)."""
-        schema = self.schema
+        if schema is None:
+            schema = self.schema
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         return df.select(*cols)
 
@@ -455,7 +456,13 @@ class LakeTable:
         per-file min/max tight on those columns — that's what turns the
         manifest stats into a partition-pruning structure at scale.
         """
-        df = self._conform(df)
+        # one manifest read for both the conform schema and the
+        # schema_v stamp: a stamp older than the conformed schema would
+        # mis-apply initial defaults to files that physically contain
+        # the column (single-writer discipline covers the reverse race)
+        head = self.manifest()
+        head_schema_v = head.get("schema_v", 0)
+        df = self._conform(df, T.StructType.fromJson(json.loads(head["schema"])))
         cb = self.cluster_by
         commit_dir = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex[:16])
         if cluster and cb:
@@ -477,12 +484,19 @@ class LakeTable:
                 spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
         else:
             df.write.mode("errorifexists").parquet(commit_dir)
-        metas = self._collect_stats(commit_dir)
+        metas = self._collect_stats(commit_dir, schema_v=head_schema_v)
         if not metas:  # all parts empty: leave no orphan dir behind
             shutil.rmtree(commit_dir, ignore_errors=True)
         return metas
 
-    def _collect_stats(self, commit_dir: str) -> list[dict]:
+    def _collect_stats(self, commit_dir: str, schema_v: int | None = None) -> list[dict]:
+        # every data file records the schema generation it was written
+        # under — how initial-default columns tell pre-ALTER files (read
+        # the default) from post-ALTER files (read stored values); a
+        # compaction/zorder rewrite stamps the CURRENT generation since
+        # it materializes the default into the new files
+        if schema_v is None:
+            schema_v = self.manifest().get("schema_v", 0)
         schema = self.schema
         stat_cols = {f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)}
         # bloom key columns: exact-match-friendly types only (never
@@ -542,6 +556,7 @@ class LakeTable:
                     "bytes": os.path.getsize(path),
                     "min": {k: v for k, v in mins.items() if v is not None},
                     "max": {k: v for k, v in maxs.items() if v is not None},
+                    **({"schema_v": schema_v} if schema_v else {}),
                 }
                 # per-file key blooms (see module-level notes): one
                 # column read per key column, same driver-side pass that
@@ -721,6 +736,8 @@ class LakeTable:
             # rename history must survive every data commit — losing it
             # makes pre-rename files read their renamed columns as null
             **({"renames": cur["renames"]} if cur.get("renames") else {}),
+            **({"defaults": cur["defaults"]} if cur.get("defaults") else {}),
+            **({"schema_v": cur["schema_v"]} if cur.get("schema_v") else {}),
             "files": files,
             "delete_files": delete_files,
             "summary": {
@@ -866,6 +883,59 @@ class LakeTable:
         return fm
 
     def _scan(self, spark: SparkSession, paths: list[str], m: dict) -> DataFrame:
+        """Schema-aware parquet scan honouring initial-default columns.
+
+        Files stamped with a ``schema_v`` older than a defaulted
+        column's add-commit predate the column physically: they read
+        the INITIAL DEFAULT, while newer files read their stored values
+        (explicit NULLs stay NULL) — Iceberg v3 initial-default
+        semantics without a rewrite. Paths group by their applicable-
+        default set (in practice 2 groups: before/after the ALTER);
+        each group scans with full pushdown and the groups union by
+        name, so the plan stays a plain parquet union."""
+        defaults = m.get("defaults", {})
+        if defaults:
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            field_by_name = {f.name: f for f in schema.fields}
+            sv_by_path = {
+                os.path.join(self.root, fm["path"]): fm.get("schema_v", 0)
+                for fm in m["files"]
+            }
+            groups: dict[frozenset, list[str]] = {}
+            for p in paths:
+                need = frozenset(
+                    c
+                    for c, d in defaults.items()
+                    if sv_by_path.get(p, 0) < d["v"] and c in field_by_name
+                )
+                groups.setdefault(need, []).append(p)
+            if any(groups):  # at least one file predates a default
+                parts: list[DataFrame] = []
+                for need, gpaths in sorted(
+                    groups.items(), key=lambda kv: sorted(kv[0])
+                ):
+                    df = self._scan_plain(spark, gpaths, m)
+                    # the virtual _metadata column dies at the Union:
+                    # materialize the two fields the delete/changelog
+                    # machinery needs while they are still resolvable
+                    df = df.withColumn(
+                        "__meta_file_path", F.col("_metadata.file_path")
+                    ).withColumn("__meta_row_index", F.col("_metadata.row_index"))
+                    for c in sorted(need):
+                        df = df.withColumn(
+                            c,
+                            F.lit(defaults[c]["value"]).cast(
+                                field_by_name[c].dataType
+                            ),
+                        )
+                    parts.append(df)
+                out = parts[0]
+                for extra in parts[1:]:
+                    out = out.unionByName(extra)
+                return out
+        return self._scan_plain(spark, paths, m)
+
+    def _scan_plain(self, spark: SparkSession, paths: list[str], m: dict) -> DataFrame:
         """Schema-aware parquet scan of data files under manifest ``m``.
 
         With RENAME COLUMN history, files written before a rename carry
@@ -905,12 +975,28 @@ class LakeTable:
     # normalizes _metadata.file_path ("file:/x" or "file:///x") to "/x"
     _NORM_FILE_EXPR = "regexp_replace(_metadata.file_path, '^file:/+', '/')"
 
-    def _rel_file_col(self):
+    # A defaulted-column scan is a UNION of per-file-group scans, and
+    # Spark's virtual _metadata column does not survive Union — those
+    # scans materialize the two needed fields per branch instead
+    # (__meta_file_path/__meta_row_index); consumers prefer them.
+    @staticmethod
+    def _raw_file_col(df: DataFrame):
+        if "__meta_file_path" in df.columns:
+            return F.col("__meta_file_path")
+        return F.col("_metadata.file_path")
+
+    @staticmethod
+    def _row_index_col(df: DataFrame):
+        if "__meta_row_index" in df.columns:
+            return F.col("__meta_row_index")
+        return F.col("_metadata.row_index")
+
+    def _rel_file_col(self, df: DataFrame):
         """The scanned row's data file as a ROOT-RELATIVE path — the same
         coordinate system the manifest and position-delete files use.
         Delete files storing relpaths keep the table relocation-safe: a
         moved/copied table root still matches its pending deletes."""
-        norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        norm = F.regexp_replace(self._raw_file_col(df), "^file:/+", "/")
         return F.replace(norm, F.lit(self.root + os.sep), F.lit(""))
 
     def _apply_position_deletes(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
@@ -933,8 +1019,8 @@ class LakeTable:
                 F.col("file").alias("__del_file"), F.col("pos").alias("__del_pos")
             )
             df = (
-                df.withColumn("__file", self._rel_file_col())
-                .withColumn("__pos", F.col("_metadata.row_index"))
+                df.withColumn("__file", self._rel_file_col(df))
+                .withColumn("__pos", self._row_index_col(df))
                 .join(
                     F.broadcast(del_df),
                     (F.col("__file") == F.col("__del_file"))
@@ -974,7 +1060,7 @@ class LakeTable:
             "__seq_path string, __seq long",
         )
         df = (
-            df.withColumn("__file", self._rel_file_col())
+            df.withColumn("__file", self._rel_file_col(df))
             .join(
                 F.broadcast(seq_df),
                 F.col("__file") == F.col("__seq_path"),
@@ -1068,8 +1154,8 @@ class LakeTable:
         df = self._scan(spark, paths, m)
         df = self._apply_position_deletes(spark, df, m)
         if with_file_path:
-            df = df.withColumn("_file", F.col("_metadata.file_path"))
-        return df
+            df = df.withColumn("_file", self._raw_file_col(df))
+        return df.drop("__meta_file_path", "__meta_row_index")
 
     def read_files(
         self,
@@ -1086,8 +1172,8 @@ class LakeTable:
         df = self._scan(spark, paths, m)
         df = self._apply_position_deletes(spark, df, m)
         if with_file_path:
-            df = df.withColumn("_file", F.col("_metadata.file_path"))
-        return df
+            df = df.withColumn("_file", self._raw_file_col(df))
+        return df.drop("__meta_file_path", "__meta_row_index")
 
     def row_count(self, version: int | None = None) -> int:
         """Exact row count from manifest stats — no scan (Iceberg parity).
@@ -1417,8 +1503,8 @@ class LakeTable:
         hits = (
             df.filter(condition)
             .select(
-                self._rel_file_col().alias("file"),
-                F.col("_metadata.row_index").alias("pos"),
+                self._rel_file_col(df).alias("file"),
+                self._row_index_col(df).alias("pos"),
             )
             .orderBy("file", "pos")
         )
@@ -1466,10 +1552,11 @@ class LakeTable:
         # scan — the hidden _metadata column does not survive joins —
         # under reserved __-names so a key/schema column named file/pos
         # cannot collide
-        df = self._scan(spark, cand, m).select(
+        scan = self._scan(spark, cand, m)
+        df = scan.select(
             *[F.col(k) for k in keys],
-            self._rel_file_col().alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
+            self._rel_file_col(scan).alias("__file"),
+            self._row_index_col(scan).alias("__pos"),
         )
         dels = m.get("delete_files", [])
         if dels:
@@ -1575,16 +1662,44 @@ class LakeTable:
     # ------------------------------------------------------------------
     # schema evolution (Iceberg-parity: add-column is a metadata-only op)
     # ------------------------------------------------------------------
-    def add_column(self, name: str, dtype: T.DataType) -> int:
+    def add_column(self, name: str, dtype: T.DataType, default=None) -> int:
         """ALTER TABLE ADD COLUMN — metadata-only commit. Existing data
         files lack the column; the explicit-schema parquet read fills it
-        with NULLs (exactly Iceberg's add-column semantics: no rewrite)."""
+        with NULLs (exactly Iceberg's add-column semantics: no rewrite).
+
+        ``default`` (Iceberg v3 initial-default parity): files written
+        BEFORE this commit read ``default`` for the column instead of
+        NULL — still metadata-only, no rewrite. Files written after the
+        commit store the column physically (including explicit NULLs,
+        which stay NULL). Pre/post is decided by each file's stamped
+        ``schema_v`` vs this commit's, so a later compaction that
+        materializes the default keeps the semantics stable. Scalar
+        JSON-safe values only (int/float/str/bool; date/timestamp as
+        ISO strings — the scan casts to the column type)."""
         cur = self.manifest()
         schema = T.StructType.fromJson(json.loads(cur["schema"]))
         if name in [f.name for f in schema.fields]:
             raise ValueError(f"column {name} already exists")
         new_schema = T.StructType(list(schema.fields) + [T.StructField(name, dtype, True)])
-        return self._metadata_commit(cur, new_schema, {"operation": "add-column", "column": name})
+        updates: dict | None = None
+        if default is not None:
+            if not isinstance(default, (int, float, str, bool)):
+                raise ValueError(
+                    "initial default must be a JSON-safe scalar "
+                    "(int/float/str/bool; date/timestamp as ISO string), "
+                    f"got {type(default).__name__}"
+                )
+            updates = {
+                "defaults": {
+                    **cur.get("defaults", {}),
+                    # v = the schema_v _metadata_commit will stamp (same
+                    # formula): files with schema_v < v predate the column
+                    name: {"v": cur.get("schema_v", 0) + 1, "value": default},
+                }
+            }
+        return self._metadata_commit(
+            cur, new_schema, {"operation": "add-column", "column": name}, updates
+        )
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only commit (Iceberg
@@ -1600,7 +1715,16 @@ class LakeTable:
         if name in cur.get("keys", []) or name in cur.get("cluster_by", []):
             raise ValueError(f"cannot drop key/cluster column: {name}")
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
-        return self._metadata_commit(cur, new_schema, {"operation": "drop-column", "column": name})
+        updates = None
+        if name in cur.get("defaults", {}):
+            updates = {
+                "defaults": {
+                    k: v for k, v in cur["defaults"].items() if k != name
+                }
+            }
+        return self._metadata_commit(
+            cur, new_schema, {"operation": "drop-column", "column": name}, updates
+        )
 
     # Iceberg-compatible widening promotions (ALTER COLUMN ... TYPE):
     # value-preserving, metadata-only. Spark 4's parquet readers promote
@@ -1722,6 +1846,10 @@ class LakeTable:
             "keys": [new if k == old else k for k in cur.get("keys", [])],
             "cluster_by": [new if c == old else c for c in cur.get("cluster_by", [])],
         }
+        if old in cur.get("defaults", {}):
+            updates["defaults"] = {
+                (new if k == old else k): v for k, v in cur["defaults"].items()
+            }
         return self._metadata_commit(
             cur,
             new_schema,
@@ -1813,6 +1941,12 @@ class LakeTable:
             "version": version,
             "parent": cur["version"],
             "schema": new_schema.json(),
+            # monotone schema-evolution counter: data files are stamped
+            # with the schema_v they were written under, which is how
+            # initial-default columns know which files predate them
+            # (Iceberg v3 initial-default via field presence; here via
+            # the write-time schema generation)
+            "schema_v": cur.get("schema_v", 0) + 1,
             "summary": {
                 **summary,
                 "total_rows": sum(f["rows"] for f in cur["files"])

@@ -2261,4 +2261,59 @@ ORDER BY fact
 ))
 
 
+def _default_column_build(spark, sf):
+    """Initial-default column lifecycle (Iceberg v3 initial-default):
+    ADD COLUMN ... DEFAULT is metadata-only — pre-ALTER files read the
+    default, post-ALTER files read stored values (explicit NULL stays
+    NULL), compaction materializes without changing results."""
+    from ..plans.maintenance import compact
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="coldef_"), "t"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]),
+        keys=["k"],
+    )
+    t.append(spark.sql(
+        "SELECT CAST(id AS LONG) k, CONCAT('a', id) v FROM range(4)"
+    ))
+    t.add_column("tier", T.StringType(), default="standard")
+    t.append(spark.sql(
+        "SELECT CAST(id + 10 AS LONG) k, CONCAT('b', id) v,"
+        " CASE WHEN id = 0 THEN NULL ELSE 'gold' END tier FROM range(3)"
+    ))
+    compact(spark, t)  # materializes the default; must not change reads
+    return (
+        t.read(spark)
+        .select("k", "v", "tier")
+        .orderBy("k")
+    )
+
+
+_add(QuerySpec(
+    name="add_column_default_lifecycle",
+    doc="ALTER TABLE ADD COLUMN ... DEFAULT as a metadata-only commit "
+        "(Iceberg v3 initial-default): pre-ALTER files read the "
+        "default, post-ALTER files read stored values (explicit NULL "
+        "preserved), compaction materializes invariantly. Oracle = the "
+        "expected final rows as VALUES.",
+    tags=("lake", "schema-evolution"),
+    build=_default_column_build,
+    oracle="""
+SELECT CAST(k AS BIGINT) AS k, v, tier FROM (VALUES
+  (0, 'a0', 'standard'),
+  (1, 'a1', 'standard'),
+  (2, 'a2', 'standard'),
+  (3, 'a3', 'standard'),
+  (10, 'b0', NULL),
+  (11, 'b1', 'gold'),
+  (12, 'b2', 'gold')
+) t(k, v, tier)
+ORDER BY k
+""",
+))
+
+
 SPECS = list(_SPECS)
