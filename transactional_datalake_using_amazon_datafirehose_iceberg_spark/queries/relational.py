@@ -2567,6 +2567,66 @@ ORDER BY a.et NULLS FIRST
 
 
 _add(QuerySpec(
+    name="window_ntile_buckets",
+    doc="NTILE(4) quartile bucketing of customers by account balance "
+        "within market segment (identical SQL both engines; "
+        "deterministic tiebreak on custkey).",
+    tags=("window",),
+    sql="""
+SELECT c_mktsegment, bucket,
+       COUNT(*) AS n,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS bucket
+  FROM customer
+) t
+GROUP BY c_mktsegment, bucket
+ORDER BY c_mktsegment, bucket
+""",
+))
+
+
+_add(QuerySpec(
+    name="scalar_bit_funcs",
+    doc="Bit-manipulation scalars: bit_count, shifts, AND/OR/XOR, "
+        "two's-complement NOT — JVM-side expressions; the oracle "
+        "spells DuckDB's operator equivalents.",
+    tags=("scalar",),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") <= 512)
+        .select(
+            "o_orderkey",
+            F.bit_count("o_orderkey").cast("int").alias("pop_count"),
+            F.shiftleft("o_orderkey", 3).cast("bigint").alias("shl3"),
+            F.shiftright("o_orderkey", 2).cast("bigint").alias("shr2"),
+            (F.col("o_orderkey").bitwiseAND(F.lit(255))).cast("bigint").alias("and_ff"),
+            (F.col("o_orderkey").bitwiseOR(F.lit(4096))).cast("bigint").alias("or_4096"),
+            (F.col("o_orderkey").bitwiseXOR(F.col("o_custkey"))).cast("bigint").alias("xor_cust"),
+            F.bitwise_not(F.col("o_orderkey")).cast("bigint").alias("not_key"),
+        )
+        .orderBy("o_orderkey")
+    ),
+    oracle="""
+SELECT o_orderkey,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS pop_count,
+       CAST(o_orderkey << 3 AS BIGINT) AS shl3,
+       CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+       CAST(o_orderkey & 255 AS BIGINT) AS and_ff,
+       CAST(o_orderkey | 4096 AS BIGINT) AS or_4096,
+       CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS xor_cust,
+       CAST(-o_orderkey - 1 AS BIGINT) AS not_key
+FROM orders
+WHERE o_orderkey <= 512
+ORDER BY o_orderkey
+""",
+))
+
+
+_add(QuerySpec(
     name="sql_pipe_syntax",
     doc="SQL pipe syntax (Spark 4.0 |> operators): FROM |> WHERE |> "
         "JOIN |> AGGREGATE ... GROUP BY |> WHERE (post-agg HAVING) |> "
