@@ -876,3 +876,74 @@ def test_default_dropped_with_column(spark, dtable):
 def test_default_rejects_non_scalar(dtable):
     with pytest.raises(ValueError, match="JSON-safe scalar"):
         dtable.add_column("j", T.StringType(), default={"a": 1})
+
+
+# ---------------------------------------------------------------------------
+# Row lineage (Iceberg v3 _row_id)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ltable(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "lt"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]),
+        keys=["k"], properties={"row-lineage": "true"},
+    )
+    t.append(spark.sql(
+        "SELECT CAST(id AS LONG) k, CONCAT('a', id) v FROM range(5)"
+    ).repartition(1))
+    return t
+
+
+def _ids(spark, t):
+    return {r["k"]: r["_row_id"] for r in t.read(spark, with_row_ids=True).collect()}
+
+
+def test_row_ids_assigned_per_append_block(spark, ltable):
+    assert sorted(_ids(spark, ltable).values()) == [0, 1, 2, 3, 4]
+    ltable.append(spark.sql(
+        "SELECT CAST(id + 10 AS LONG) k, CONCAT('b', id) v FROM range(3)"
+    ).repartition(1))
+    assert sorted(_ids(spark, ltable).values()) == [0, 1, 2, 3, 4, 5, 6, 7]
+    # plain reads never leak the lineage column
+    assert ltable.read(spark).columns == ["k", "v"]
+
+
+def test_row_ids_survive_update_delete_merge_compact(spark, ltable):
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        compact,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.merge import (
+        merge_into,
+    )
+
+    base = _ids(spark, ltable)
+    ltable.update_where(spark, "k = 1", {"v": "'u'"})
+    assert _ids(spark, ltable) == base  # COW update keeps ids
+    ltable.delete_where(spark, "k = 2")
+    base.pop(2)
+    assert _ids(spark, ltable) == base  # survivors keep ids
+    src = spark.sql(
+        "SELECT CAST(0 AS LONG) k, 'm' v UNION ALL SELECT CAST(50 AS LONG) k, 'n' v"
+    )
+    merge_into(ltable, src)
+    got = _ids(spark, ltable)
+    assert got[0] == base[0]  # matched row keeps its id
+    assert got[50] not in base.values() and got[50] >= 5  # fresh block id
+    compact(spark, ltable)
+    assert _ids(spark, ltable) == got  # compaction materializes ids
+
+
+def test_row_ids_distinct_and_stable_without_lineage_flag(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "nl"),
+        T.StructType([T.StructField("k", T.LongType())]), keys=["k"],
+    )
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    # lineage not enabled: with_row_ids surfaces NULLs, never fabricates
+    vals = [r["_row_id"] for r in t.read(spark, with_row_ids=True).collect()]
+    assert vals == [None, None, None]

@@ -139,6 +139,9 @@ _HEADLINE = [
     "streaming_chained_aggregations",
     "scan_prune_stats_proof",
     "add_column_default_lifecycle",
+    "window_ntile_buckets",
+    "scalar_bit_funcs",
+    "row_lineage_lifecycle",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

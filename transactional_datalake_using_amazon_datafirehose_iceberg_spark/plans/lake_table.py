@@ -443,10 +443,14 @@ class LakeTable:
     # write path
     # ------------------------------------------------------------------
     def _conform(self, df: DataFrame, schema: T.StructType | None = None) -> DataFrame:
-        """Project+cast to the table schema (declared-schema discipline)."""
+        """Project+cast to the table schema (declared-schema discipline).
+        A ``_row_id`` column rides along when present: rewrites carrying
+        row lineage materialize it physically in their output files."""
         if schema is None:
             schema = self.schema
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        if "_row_id" in df.columns:
+            cols.append(F.col("_row_id").cast("long").alias("_row_id"))
         return df.select(*cols)
 
     def _write_files(self, df: DataFrame, cluster: bool = True) -> list[dict]:
@@ -702,6 +706,19 @@ class LakeTable:
             f["seq"] = version
         for d in unstamped_dels:
             d["seq"] = version
+        # row lineage (Iceberg v3): every added data file gets a fresh
+        # first_row_id block off the table-level counter; physical
+        # _row_id columns (materialized by rewrites) take precedence at
+        # read time, so a rewritten file's unused block ids are simply
+        # burned. Re-assigned on each optimistic-retry attempt against
+        # the re-read head (like seq), so blocks never collide.
+        next_row_id = cur.get("next_row_id")
+        if cur.get("properties", {}).get("row-lineage") == "true":
+            cursor = int(next_row_id or 0)
+            for f in added:
+                f["first_row_id"] = cursor
+                cursor += f["rows"]
+            next_row_id = cursor
         kept_deletes = [
             d for d in cur.get("delete_files", []) if d["path"] not in removed_del
         ]
@@ -738,6 +755,7 @@ class LakeTable:
             **({"renames": cur["renames"]} if cur.get("renames") else {}),
             **({"defaults": cur["defaults"]} if cur.get("defaults") else {}),
             **({"schema_v": cur["schema_v"]} if cur.get("schema_v") else {}),
+            **({"next_row_id": next_row_id} if next_row_id is not None else {}),
             "files": files,
             "delete_files": delete_files,
             "summary": {
@@ -882,8 +900,17 @@ class LakeTable:
             fm[kind] = out
         return fm
 
-    def _scan(self, spark: SparkSession, paths: list[str], m: dict) -> DataFrame:
+    def _scan(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        m: dict,
+        extra_fields: list[T.StructField] | None = None,
+    ) -> DataFrame:
         """Schema-aware parquet scan honouring initial-default columns.
+        ``extra_fields``: physical columns outside the table schema to
+        surface when present in a file (NULL otherwise) — e.g. the
+        materialized ``_row_id`` of row lineage.
 
         Files stamped with a ``schema_v`` older than a defaulted
         column's add-commit predate the column physically: they read
@@ -914,7 +941,7 @@ class LakeTable:
                 for need, gpaths in sorted(
                     groups.items(), key=lambda kv: sorted(kv[0])
                 ):
-                    df = self._scan_plain(spark, gpaths, m)
+                    df = self._scan_plain(spark, gpaths, m, extra_fields)
                     # the virtual _metadata column dies at the Union:
                     # materialize the two fields the delete/changelog
                     # machinery needs while they are still resolvable
@@ -933,9 +960,15 @@ class LakeTable:
                 for extra in parts[1:]:
                     out = out.unionByName(extra)
                 return out
-        return self._scan_plain(spark, paths, m)
+        return self._scan_plain(spark, paths, m, extra_fields)
 
-    def _scan_plain(self, spark: SparkSession, paths: list[str], m: dict) -> DataFrame:
+    def _scan_plain(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        m: dict,
+        extra_fields: list[T.StructField] | None = None,
+    ) -> DataFrame:
         """Schema-aware parquet scan of data files under manifest ``m``.
 
         With RENAME COLUMN history, files written before a rename carry
@@ -951,14 +984,18 @@ class LakeTable:
         path where the shadow columns come back null. Without renames
         this is the plain pushdown scan, byte-for-byte the old plan."""
         schema = T.StructType.fromJson(json.loads(m["schema"]))
+        extras = list(extra_fields or [])
         renames = m.get("renames", {})
         if not renames:
-            return spark.read.schema(schema).parquet(*paths)
+            return spark.read.schema(
+                T.StructType(list(schema.fields) + extras)
+            ).parquet(*paths)
         read_fields: list[T.StructField] = []
         for f in schema.fields:
             read_fields.append(f)
             for former in renames.get(f.name, []):
                 read_fields.append(T.StructField(former, f.dataType, True))
+        read_fields.extend(extras)
         rdf = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
         cols = []
         for f in schema.fields:
@@ -970,6 +1007,7 @@ class LakeTable:
             else:
                 c = F.col(f.name)
             cols.append(c)
+        cols.extend(F.col(e.name) for e in extras)
         return rdf.select(*cols)
 
     # normalizes _metadata.file_path ("file:/x" or "file:///x") to "/x"
@@ -998,6 +1036,42 @@ class LakeTable:
         moved/copied table root still matches its pending deletes."""
         norm = F.regexp_replace(self._raw_file_col(df), "^file:/+", "/")
         return F.replace(norm, F.lit(self.root + os.sep), F.lit(""))
+
+    @property
+    def row_lineage(self) -> bool:
+        """True when the table tracks Iceberg-v3-style row lineage."""
+        return (
+            self.manifest().get("properties", {}).get("row-lineage") == "true"
+        )
+
+    _ROW_ID_FIELD = T.StructField("_row_id", T.LongType(), True)
+
+    def _attach_row_ids(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
+        """Materialize ``_row_id`` (Iceberg v3 row lineage): a row's id
+        is its file's physically-stored value when present (rewrites
+        materialize ids to survive compaction/COW), else the file's
+        manifest ``first_row_id`` plus the row's position — the lazy
+        derivation that makes lineage free for plain appends. The
+        file→first_row_id relation is manifest-scale and broadcast."""
+        pairs = [
+            (f["path"], int(f.get("first_row_id", -1))) for f in m["files"]
+        ]
+        frd = spark.createDataFrame(pairs, "__frd_path string, __frd long")
+        df = (
+            df.withColumn("__rl_file", self._rel_file_col(df))
+            .withColumn("__rl_idx", self._row_index_col(df))
+            .join(
+                F.broadcast(frd),
+                F.col("__rl_file") == F.col("__frd_path"),
+                "left",
+            )
+        )
+        derived = F.when(
+            F.col("__frd") >= 0, F.col("__frd") + F.col("__rl_idx")
+        )
+        return df.withColumn(
+            "_row_id", F.coalesce(F.col("_row_id"), derived).cast("long")
+        ).drop("__rl_file", "__rl_idx", "__frd_path", "__frd")
 
     def _apply_position_deletes(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
         """Merge-on-read: anti-join the position-delete set (broadcast —
@@ -1130,6 +1204,7 @@ class LakeTable:
         with_file_path: bool = False,
         ref: str | None = None,
         timestamp: str | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read (``version`` = time travel, Iceberg VERSION AS OF;
         ``ref`` = a named tag/branch; ``timestamp`` = ISO-8601 UTC,
@@ -1138,6 +1213,8 @@ class LakeTable:
         ``predicates`` prune files via manifest stats before Spark ever
         lists them; the caller still applies the real filter. Pending
         position deletes (merge-on-read) are applied transparently.
+        ``with_row_ids`` surfaces the stable ``_row_id`` lineage column
+        (tables created with ``properties={"row-lineage": "true"}``).
         """
         if sum(x is not None for x in (version, ref, timestamp)) > 1:
             raise ValueError("pass at most one of version, ref, timestamp")
@@ -1150,8 +1227,15 @@ class LakeTable:
         paths = self.file_paths(version, predicates)
         if not paths:
             df = spark.createDataFrame([], schema)
+            if with_row_ids:
+                df = df.withColumn("_row_id", F.lit(None).cast("long"))
             return df.withColumn("_file", F.lit(None).cast("string")) if with_file_path else df
-        df = self._scan(spark, paths, m)
+        df = self._scan(
+            spark, paths, m,
+            extra_fields=[self._ROW_ID_FIELD] if with_row_ids else None,
+        )
+        if with_row_ids:
+            df = self._attach_row_ids(spark, df, m)
         df = self._apply_position_deletes(spark, df, m)
         if with_file_path:
             df = df.withColumn("_file", self._raw_file_col(df))
@@ -1163,13 +1247,19 @@ class LakeTable:
         paths: list[str],
         version: int | None = None,
         with_file_path: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Delete-aware read of SPECIFIC data files of a snapshot — the
         read every copy-on-write rewrite (merge/update/delete/compact)
         must use, or it would resurrect rows deleted by pending
         merge-on-read delete files."""
         m = self.manifest(version)
-        df = self._scan(spark, paths, m)
+        df = self._scan(
+            spark, paths, m,
+            extra_fields=[self._ROW_ID_FIELD] if with_row_ids else None,
+        )
+        if with_row_ids:
+            df = self._attach_row_ids(spark, df, m)
         df = self._apply_position_deletes(spark, df, m)
         if with_file_path:
             df = df.withColumn("_file", self._raw_file_col(df))
@@ -1480,7 +1570,9 @@ class LakeTable:
         if not hit_rel:
             return self.current_version()
         hit_abs = [os.path.join(self.root, p) for p in sorted(hit_rel)]
-        survivors = self.read_files(spark, hit_abs).filter(f"NOT ({condition})")
+        survivors = self.read_files(
+            spark, hit_abs, with_row_ids=self.row_lineage
+        ).filter(f"NOT ({condition})")
         added = self._write_files(survivors)
         return self.commit(added, removed_paths=hit_rel, operation="delete")
 
@@ -1628,7 +1720,7 @@ class LakeTable:
         if not hit_rel:
             return self.current_version()
         hit_abs = [os.path.join(self.root, p) for p in sorted(hit_rel)]
-        old = self.read_files(spark, hit_abs)
+        old = self.read_files(spark, hit_abs, with_row_ids=self.row_lineage)
         cond = F.expr(condition)
         cols = []
         for f in schema.fields:
@@ -1640,6 +1732,8 @@ class LakeTable:
                 )
             else:
                 cols.append(F.col(f.name))
+        if "_row_id" in old.columns:
+            cols.append(F.col("_row_id"))  # updated rows keep their lineage id
         added = self._write_files(old.select(*cols))
         return self.commit(
             added,

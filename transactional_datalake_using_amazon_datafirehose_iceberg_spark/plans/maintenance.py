@@ -76,8 +76,9 @@ def compact(
     n_out = max(1, int(total_bytes // target_file_bytes) + (1 if total_bytes % target_file_bytes else 0))
     victim_abs = [os.path.join(t.root, p) for p in victim_paths]
     # delete-aware read of exactly the victim files; their pending
-    # position deletes are folded in by the rewrite
-    df = t.read_files(spark, victim_abs)
+    # position deletes are folded in by the rewrite (row-lineage ids
+    # materialize into the rewritten files so they survive compaction)
+    df = t.read_files(spark, victim_abs, with_row_ids=t.row_lineage)
     cb = t.cluster_by
     if cb:
         df = df.repartition(n_out, *cb).sortWithinPartitions(*cb)
@@ -127,7 +128,7 @@ def zorder_by(
         return m["version"]
     if len(cols) * bits > 63:
         raise ValueError(f"bits={bits} over {len(cols)} columns exceeds a long")
-    df = table.read(spark)
+    df = table.read(spark, with_row_ids=table.row_lineage)
     dtypes = dict(df.dtypes)
     numeric = ("tinyint", "smallint", "int", "bigint", "float", "double") + tuple(
         t for c, t in dtypes.items() if t.startswith("decimal")
@@ -252,7 +253,7 @@ def rewrite_delete_files(spark: SparkSession, table: LakeTable) -> int:
     affected_abs = [os.path.join(table.root, p) for p in affected]
     # read_files applies the pending deletes; the rewrite materializes
     # the net rows of exactly those files
-    net = table.read_files(spark, affected_abs)
+    net = table.read_files(spark, affected_abs, with_row_ids=table.row_lineage)
     added = table._write_files(net)
     return table.commit(
         added,

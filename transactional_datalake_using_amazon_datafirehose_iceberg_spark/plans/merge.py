@@ -250,8 +250,9 @@ def _merge_into_cow(
     touched_abs = [os.path.join(table.root, p) for p in touched_rel]
     # delete-aware read: rewriting a file with pending merge-on-read
     # position deletes must not resurrect the deleted rows
+    lineage = table.row_lineage
     old = (
-        table.read_files(spark, touched_abs)
+        table.read_files(spark, touched_abs, with_row_ids=lineage)
         .withColumn("__tgt", F.lit(1))
         .alias("t")
     )
@@ -298,6 +299,11 @@ def _merge_into_cow(
                 F.col(f"t.{f.name}")
             )
         out_cols.append(c.cast(f.dataType).alias(f.name))
+    if lineage:
+        # carried/updated rows keep their lineage id; source-inserted
+        # rows write NULL and lazily derive a fresh id from the new
+        # file's first_row_id block (Iceberg v3 row-lineage semantics)
+        out_cols.append(F.col("t._row_id").cast("long").alias("_row_id"))
     result = joined.filter(keep).select(*out_cols)
 
     added = table._write_files(result)

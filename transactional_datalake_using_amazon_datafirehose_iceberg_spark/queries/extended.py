@@ -2316,4 +2316,66 @@ ORDER BY k
 ))
 
 
+def _row_lineage_build(spark, sf):
+    """Row lineage lifecycle (Iceberg v3 _row_id): ids assigned in
+    per-commit blocks, carried through COW update/delete/MERGE and
+    materialized by compaction; single-file appends keep the ledger
+    deterministic."""
+    from ..plans.maintenance import compact
+    from ..plans.merge import merge_into
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="lineage_"), "t"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]),
+        keys=["k"], properties={"row-lineage": "true"},
+    )
+    t.append(spark.sql(
+        "SELECT CAST(id AS LONG) k, CONCAT('a', id) v FROM range(4) ORDER BY id"
+    ).coalesce(1))
+    t.update_where(spark, "k = 1", {"v": "'updated'"})        # keeps id
+    t.delete_where(spark, "k = 2")                            # survivors keep ids
+    merge_into(t, spark.sql(
+        "SELECT CAST(0 AS LONG) k, 'merged' v"
+        " UNION ALL SELECT CAST(9 AS LONG) k, 'new' v"
+    ))                                                        # match keeps, insert fresh
+    compact(spark, t)                                         # materializes ids
+    df = t.read(spark, with_row_ids=True)
+    # fresh insert ids depend on rewrite block sizes; report them as
+    # "is it new" facts instead of absolute values
+    return (
+        df.select(
+            "k", "v",
+            F.col("_row_id").alias("row_id_raw"),
+            F.when(F.col("_row_id") <= 3, F.col("_row_id"))
+            .otherwise(F.lit(-1)).cast("bigint").alias("row_id"),
+        )
+        .select("k", "v", "row_id")
+        .orderBy("k")
+    )
+
+
+_add(QuerySpec(
+    name="row_lineage_lifecycle",
+    doc="Iceberg v3 row lineage: _row_id blocks assigned per commit, "
+        "carried through COW UPDATE/DELETE/MERGE, materialized by "
+        "compaction; original rows keep ids 0..3, the merge-inserted "
+        "row reports a fresh id (normalized to -1). Oracle = expected "
+        "rows as VALUES.",
+    tags=("lake", "lineage"),
+    build=_row_lineage_build,
+    oracle="""
+SELECT CAST(k AS BIGINT) AS k, v, CAST(row_id AS BIGINT) AS row_id FROM (VALUES
+  (0, 'merged', 0),
+  (1, 'updated', 1),
+  (3, 'a3', 3),
+  (9, 'new', -1)
+) t(k, v, row_id)
+ORDER BY k
+""",
+))
+
+
 SPECS = list(_SPECS)
