@@ -2627,6 +2627,181 @@ ORDER BY o_orderkey
 
 
 _add(QuerySpec(
+    name="scalar_csv_funcs",
+    doc="CSV scalar round-trip: from_csv parses a typed struct out of "
+        "an embedded CSV line, to_csv re-serializes it; the oracle "
+        "re-derives the fields with string_split.",
+    tags=("scalar",),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                ",", "o_orderkey", "o_orderstatus", "o_orderpriority"
+            ).alias("line"),
+        )
+        .select(
+            "o_orderkey",
+            F.from_csv(
+                "line", F.lit("k BIGINT, status STRING, prio STRING")
+            ).alias("p"),
+            "line",
+        )
+        .select(
+            "o_orderkey",
+            F.col("p.k").alias("k"),
+            F.col("p.status").alias("status"),
+            F.col("p.prio").alias("prio"),
+            (F.to_csv(F.col("p")) == F.col("line")).cast("int").alias("roundtrip"),
+        )
+        .orderBy("o_orderkey")
+    ),
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey,
+         o_orderkey || ',' || o_orderstatus || ',' || o_orderpriority AS line
+  FROM orders WHERE o_orderkey <= 200
+)
+SELECT o_orderkey,
+       CAST(string_split(line, ',')[1] AS BIGINT) AS k,
+       string_split(line, ',')[2] AS status,
+       string_split(line, ',')[3] AS prio,
+       CAST(1 AS INTEGER) AS roundtrip
+FROM l
+ORDER BY o_orderkey
+""",
+))
+
+
+_add(QuerySpec(
+    name="scalar_mask_format_funcs",
+    doc="Data-masking and formatting scalars: mask() (upper->X, "
+        "lower->x, digit->n), regexp_count, format_string('%s#%07d'); "
+        "oracle spells them as regexp_replace chains / "
+        "len(regexp_extract_all) / printf.",
+    tags=("scalar",),
+    build=lambda spark, sf: (
+        spark.table("customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.mask("c_name").alias("masked_name"),
+            F.regexp_count("c_name", F.lit("[0-9]")).cast("int").alias("n_digits"),
+            F.format_string("%s#%07d", "c_mktsegment", "c_custkey").alias("tag"),
+        )
+        .orderBy("c_custkey")
+    ),
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_name,
+       CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INTEGER) AS n_digits,
+       printf('%s#%07d', c_mktsegment, c_custkey) AS tag
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+))
+
+
+_add(QuerySpec(
+    name="array_posexplode_outer",
+    doc="posexplode_outer: rows whose filtered token array is EMPTY "
+        "survive with (NULL, NULL) — the outer-join form of the "
+        "fan-out. Oracle uses LEFT JOIN LATERAL generate_series.",
+    tags=("array",),
+    build=lambda spark, sf: (
+        spark.table("part")
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.filter(
+                F.split("p_name", " "), lambda w: F.length(w) > 6
+            ).alias("arr"),
+        )
+        .select(
+            "p_partkey",
+            F.posexplode_outer("arr").alias("pos", "tok"),
+        )
+        .select("p_partkey", F.col("pos").cast("int").alias("pos"), "tok")
+        .orderBy("p_partkey", "pos")
+    ),
+    oracle="""
+WITH p2 AS (
+  SELECT p_partkey,
+         list_filter(string_split(p_name, ' '), w -> length(w) > 6) AS arr
+  FROM part WHERE p_partkey <= 100
+), p3 AS (
+  SELECT p_partkey,
+         CASE WHEN len(arr) = 0
+              THEN [{'pos': CAST(NULL AS INTEGER), 'tok': CAST(NULL AS VARCHAR)}]
+              ELSE list_transform(arr, (x, i) -> {'pos': CAST(i - 1 AS INTEGER), 'tok': x})
+         END AS pairs
+  FROM p2
+), ex AS (
+  SELECT p_partkey, unnest(pairs) AS r FROM p3
+)
+SELECT p_partkey, r['pos'] AS pos, r['tok'] AS tok
+FROM ex
+ORDER BY p_partkey, pos
+""",
+))
+
+
+_add(QuerySpec(
+    name="map_zip_with_rollup",
+    doc="map_from_entries + map_zip_with + explode round-trip: "
+        "per-segment nation->count and nation->balance maps zipped "
+        "into one combined value, exploded back sorted. Oracle "
+        "computes the same cells directly from the group-by (maps are "
+        "representation, not semantics).",
+    tags=("map",),
+    build=lambda spark, sf: (
+        spark.table("customer")
+        .join(
+            spark.table("nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.sum("c_acctbal")).cast("long").alias("s"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("n_name", "n")))
+            ).alias("m1"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("n_name", "s")))
+            ).alias("m2"),
+        )
+        .select(
+            "c_mktsegment",
+            F.explode(
+                F.map_zip_with(
+                    "m1", "m2", lambda k, a, b: a * 1_000_000 + b
+                )
+            ).alias("nation", "combined"),
+        )
+        .select(
+            "c_mktsegment", "nation", F.col("combined").cast("bigint").alias("combined")
+        )
+        .orderBy("c_mktsegment", "nation")
+    ),
+    oracle="""
+SELECT c_mktsegment, n_name AS nation,
+       CAST(COUNT(*) * 1000000 + FLOOR(SUM(c_acctbal)) AS BIGINT) AS combined
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_mktsegment, n_name
+ORDER BY c_mktsegment, nation
+""",
+))
+
+
+_add(QuerySpec(
     name="sql_pipe_syntax",
     doc="SQL pipe syntax (Spark 4.0 |> operators): FROM |> WHERE |> "
         "JOIN |> AGGREGATE ... GROUP BY |> WHERE (post-agg HAVING) |> "
