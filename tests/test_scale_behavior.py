@@ -142,6 +142,10 @@ _HEADLINE = [
     "window_ntile_buckets",
     "scalar_bit_funcs",
     "row_lineage_lifecycle",
+    "scalar_csv_funcs",
+    "scalar_mask_format_funcs",
+    "array_posexplode_outer",
+    "map_zip_with_rollup",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the
