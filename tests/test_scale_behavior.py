@@ -146,6 +146,7 @@ _HEADLINE = [
     "scalar_mask_format_funcs",
     "array_posexplode_outer",
     "map_zip_with_rollup",
+    "streaming_lake_table_sink",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

@@ -457,3 +457,97 @@ def test_lake_table_stream_source_rejects_or_skips_change_commits(spark, tmp_pat
         r["id"] for r in spark.read.parquet(str(tmp_path / "skipping" / "out")).collect()
     )
     assert got == [1, 2]  # the original append only; the rewrite skipped
+
+
+def test_lake_table_batch_sink_append_overwrite(spark, tmp_path):
+    """df.write.format('lake_table'): executor tasks write their own
+    parquet files, the driver promotes exactly the reported files into
+    one atomic commit with full footer stats/blooms."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        LakeStreamDataSource,
+    )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root,
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+        keys=["k"],
+    )
+    (
+        spark.sql("SELECT CAST(id AS LONG) k, CONCAT('a', id) v FROM range(100)")
+        .repartition(4)
+        .write.format("lake_table").option("path", root).mode("append").save()
+    )
+    assert t.read(spark).count() == 100
+    m = t.manifest()
+    assert len(m["files"]) == 4  # one file per task, no driver funnel
+    assert all("min" in f and "bloom" in f for f in m["files"])  # stats intact
+    (
+        spark.sql("SELECT CAST(id AS LONG) k, 'z' v FROM range(10)")
+        .write.format("lake_table").option("path", root).mode("overwrite").save()
+    )
+    assert t.read(spark).count() == 10
+    assert t.manifest()["summary"]["operation"] == "overwrite"
+    # time travel across the sink commits still works
+    assert t.read(spark, version=1).count() == 100
+
+
+def test_lake_table_stream_sink_exactly_once_across_restart(spark, tmp_path):
+    """writeStream.format('lake_table'): one atomic commit per
+    micro-batch; a checkpoint restart must not replay committed batches
+    (stream_sink_batch_id ledger)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        LakeStreamDataSource,
+    )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    root = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = LakeTable.create(
+        root,
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+        keys=["k"],
+    )
+    schema = "k LONG, v STRING"
+    spark.sql(
+        "SELECT CAST(id AS LONG) k, CONCAT('a', id) v FROM range(50)"
+    ).coalesce(1).write.parquet(src + "/b1")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(src + "/*")
+            .writeStream.format("lake_table")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert t.read(spark).count() == 50
+    assert t.manifest()["summary"]["stream_sink_batch_id"] == 0
+    # second source batch + restart from the same checkpoint: only the
+    # new data lands, batch 0 is not replayed
+    spark.sql(
+        "SELECT CAST(id + 100 AS LONG) k, CONCAT('b', id) v FROM range(30)"
+    ).coalesce(1).write.parquet(src + "/b2")
+    run()
+    assert t.read(spark).count() == 80
+    assert t.manifest()["summary"]["stream_sink_batch_id"] == 1
+    # idempotent end state: rerunning with nothing new changes nothing
+    v = t.current_version()
+    run()
+    assert t.read(spark).count() == 80 and t.current_version() == v

@@ -226,7 +226,11 @@ class LakeTable:
 
     # summary keys carried forward across commits unless overridden
     # (streaming exactly-once watermark must survive compaction/DML)
-    _CARRY_SUMMARY_KEYS = ("stream_batch_id",)
+    # stream_batch_id: foreachBatch CDC pipeline high-watermark;
+    # stream_sink_batch_id: the Python Data Source append sink's
+    # exactly-once ledger (independent keys so the two streaming write
+    # mechanisms never replay-guard each other)
+    _CARRY_SUMMARY_KEYS = ("stream_batch_id", "stream_sink_batch_id")
 
     # operations that cannot introduce a duplicate key into a table that
     # had none: row removal (delete/delete-eq), row-preserving rewrites

@@ -2378,4 +2378,70 @@ ORDER BY k
 ))
 
 
+def _lake_sink_build(spark, sf):
+    """LakeTable as a Structured Streaming SINK: executor tasks write
+    Arrow batches straight to their own parquet files, the driver turns
+    exactly the reported files into one atomic commit per micro-batch,
+    exactly-once via the stream_sink_batch_id ledger."""
+    from ..plans.lake_table import LakeTable
+    from ..sources.catalog import load_table
+    from ..sources.lake_stream import LakeStreamDataSource
+
+    spark.dataSource.register(LakeStreamDataSource)
+    d = tempfile.mkdtemp(prefix="lake_sink_")
+    root = os.path.join(d, "t")
+    src = os.path.join(d, "src")
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    ev.select("event_id", "user_id", "value").write.parquet(src)
+    t = LakeTable.create(
+        root,
+        T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]),
+        keys=["event_id"],
+    )
+    q = (
+        spark.readStream.schema("event_id LONG, user_id LONG, value DOUBLE")
+        .parquet(src)
+        .writeStream.format("lake_table")
+        .option("path", root)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        t.read(spark)
+        .groupBy((F.col("user_id") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_add(QuerySpec(
+    name="streaming_lake_table_sink",
+    doc="LakeTable as a Structured Streaming SINK (Spark 4 Python Data "
+        "Source Arrow stream writer): per-task parquet files promoted "
+        "into one atomic commit per micro-batch, exactly-once via the "
+        "stream_sink_batch_id ledger. Oracle aggregates the same rows "
+        "from the fixture directly.",
+    tags=("streaming", "sink"),
+    build=_lake_sink_build,
+    oracle="""
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id % 10
+ORDER BY bucket
+""",
+))
+
+
 SPECS = list(_SPECS)

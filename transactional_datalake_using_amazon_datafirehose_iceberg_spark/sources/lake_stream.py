@@ -80,6 +80,24 @@ class LakeStreamDataSource(DataSource):
             == "true",
         )
 
+    # -- write side (df.write / df.writeStream .format("lake_table")) --
+    def _table_schema(self) -> T.StructType:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("lake_table sink requires .option('path', <table root>)")
+        m = _read_manifest(root, _read_pointer(root))
+        return T.StructType.fromJson(json.loads(m["schema"]))
+
+    def writer(self, schema, overwrite: bool):
+        # conform to the TABLE schema, not the incoming frame's: a
+        # frame missing a table column fails loudly at the first batch
+        return _LakeBatchWriter(
+            self.options["path"], self._table_schema(), overwrite
+        )
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _LakeStreamWriter(self.options["path"], self._table_schema())
+
 
 class _FilePartition(InputPartition):
     def __init__(self, abs_path: str, arrow_schema):
@@ -170,3 +188,198 @@ class _LakeStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to release
+
+
+# ---------------------------------------------------------------------------
+# WRITE side: LakeTable as a Python Data Source SINK (batch + streaming).
+#
+# The distributed write path a 100 TB table needs: every executor task
+# streams its Arrow record batches straight into its own parquet file
+# under a staging dir (no driver materialization, no row-at-a-time
+# Python), returns a commit message naming the file, and the DRIVER
+# turns exactly the successfully-reported files into one atomic
+# LakeTable commit — footer stats/blooms collected metadata-side, the
+# same as the built-in write path. Failed/speculative task attempts may
+# leave stray files in staging; commit() renames only message-listed
+# files into the final commit dir and deletes the staging dir, so
+# orphans never reach a manifest. Streaming commits are exactly-once:
+# each batch records stream_sink_batch_id in the summary and a replayed
+# batch (restart from checkpoint) is dropped whole.
+#
+# Semantics: APPEND (the Firehose-delivery shape). Keyed MERGE apply
+# stays in the foreachBatch pipeline (streaming/pipeline.py) where the
+# full DataFrame engine is available.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    name: str  # file name inside the staging dir
+    rows: int
+
+
+class _ArrowFileWriter:
+    """Executor-side: one parquet file per task from Arrow batches."""
+
+    def __init__(self, root: str, staging_rel: str, schema_json: str):
+        self._root = root
+        self._staging_rel = staging_rel
+        self._schema_json = schema_json
+
+    def write(self, iterator):
+        import json as _json
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(
+            T.StructType.fromJson(_json.loads(self._schema_json))
+        )
+        name = f"part-{_uuid.uuid4().hex[:16]}.parquet"
+        path = os.path.join(self._root, self._staging_rel, name)
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                tbl = pa.Table.from_batches([batch]).select(target.names)
+                tbl = tbl.cast(target)
+                if writer is None:
+                    writer = pq.ParquetWriter(path, target)
+                writer.write_table(tbl)
+                rows += tbl.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            if os.path.exists(path):
+                os.remove(path)
+            return None
+        return _FileCommit(name=name, rows=rows)
+
+
+def _driver_commit(root: str, staging_rel: str, messages, *,
+                   overwrite: bool = False, batch_id: int | None = None) -> None:
+    """Driver-side: promote exactly the message-listed files into an
+    atomic LakeTable commit (stats collected from footers, metadata
+    scale). Streaming replays (checkpoint restart) are dropped whole —
+    their staged files deleted — via the stream_sink_batch_id ledger.
+    Only message-listed files ever leave staging, so stray files from
+    failed/speculative task attempts never reach a manifest (they are
+    cleaned by expiry's orphan sweep)."""
+    import uuid as _uuid
+
+    from ..plans.lake_table import LakeTable, _DATA_DIR
+
+    table = LakeTable.load(root)
+    staging_abs = os.path.join(root, staging_rel)
+    names = sorted({m.name for m in messages if m is not None})
+    if batch_id is not None:
+        hwm = table.manifest()["summary"].get("stream_sink_batch_id")
+        if hwm is not None and batch_id <= int(hwm):
+            for n in names:  # replayed batch: drop its staged output
+                try:
+                    os.remove(os.path.join(staging_abs, n))
+                except FileNotFoundError:
+                    pass
+            return
+    extra = {"stream_sink_batch_id": batch_id} if batch_id is not None else None
+    if not names:
+        # empty batch: still advance the streaming ledger so a replay
+        # of THIS batch id stays a no-op
+        if batch_id is not None:
+            table.commit([], operation="append", extra_summary=extra)
+        return
+    commit_rel = os.path.join(_DATA_DIR, _uuid.uuid4().hex[:16])
+    commit_abs = os.path.join(root, commit_rel)
+    os.makedirs(commit_abs)
+    for n in names:
+        os.rename(os.path.join(staging_abs, n), os.path.join(commit_abs, n))
+    metas = table._collect_stats(commit_abs)
+    if overwrite:
+        cur = table.manifest()
+        table.commit(
+            metas,
+            removed_paths=[f["path"] for f in cur["files"]],
+            operation="overwrite",
+            extra_summary=extra,
+        )
+    else:
+        table.commit(metas, operation="append", extra_summary=extra)
+
+
+def _driver_abort(root: str, staging_rel: str, messages) -> None:
+    for m in messages or []:
+        if m is not None:
+            try:
+                os.remove(os.path.join(root, staging_rel, m.name))
+            except FileNotFoundError:
+                pass
+
+
+class _LakeBatchWriter(DataSourceArrowWriter):
+    def __init__(self, root: str, schema: T.StructType, overwrite: bool):
+        import uuid as _uuid
+
+        self._root = root
+        self._overwrite = overwrite
+        self._staging_rel = os.path.join("data", f"_staging-{_uuid.uuid4().hex[:12]}")
+        os.makedirs(os.path.join(root, self._staging_rel), exist_ok=True)
+        self._w = _ArrowFileWriter(root, self._staging_rel, schema.json())
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages):
+        import shutil
+
+        _driver_commit(
+            self._root, self._staging_rel, messages, overwrite=self._overwrite
+        )
+        shutil.rmtree(os.path.join(self._root, self._staging_rel), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self._root, self._staging_rel), ignore_errors=True)
+
+
+class _LakeStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming append sink: one staging dir per query (batches are
+    sequential within a query; unique file names keep attempts apart),
+    one atomic LakeTable commit per micro-batch, exactly-once via the
+    stream_sink_batch_id summary ledger."""
+
+    def __init__(self, root: str, schema: T.StructType):
+        # DETERMINISTIC staging path: the streaming runtime constructs
+        # separate writer instances for the executor-serialization and
+        # the commit sides, so a per-instance uuid would strand the
+        # written files. One streaming writer per table at a time
+        # (single-writer discipline, as elsewhere); unique file names
+        # keep task attempts apart within it.
+        self._root = root
+        self._staging_rel = os.path.join("data", "_staging-stream")
+        os.makedirs(os.path.join(root, self._staging_rel), exist_ok=True)
+        self._w = _ArrowFileWriter(root, self._staging_rel, schema.json())
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _driver_commit(
+            self._root, self._staging_rel, messages, batch_id=batchId
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _driver_abort(self._root, self._staging_rel, messages)
