@@ -147,6 +147,8 @@ _HEADLINE = [
     "array_posexplode_outer",
     "map_zip_with_rollup",
     "streaming_lake_table_sink",
+    "udtf_analyze_dynamic_schema",
+    "source_csv_orc_roundtrip",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

@@ -2444,4 +2444,148 @@ ORDER BY bucket
 ))
 
 
+def _udtf_analyze_build(spark, sf):
+    """Polymorphic UDTF (Spark 4 analyze()): the OUTPUT SCHEMA is
+    computed at plan time from a literal argument — here the column
+    count — instead of being declared statically."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert isinstance(n.value, int) and 1 <= n.value <= 8
+            return AnalyzeResult(
+                T.StructType(
+                    [T.StructField(f"tok{i}", T.StringType()) for i in range(n.value)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("lead_tokens", LeadTokens)
+    return spark.sql("""
+        SELECT doc_id, t.tok0, t.tok1, t.tok2
+        FROM documents, LATERAL lead_tokens(text, 3) t
+        WHERE doc_id < 100
+    """).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "tok0", "tok1", "tok2"
+    ).orderBy("doc_id")
+
+
+_add(QuerySpec(
+    name="udtf_analyze_dynamic_schema",
+    doc="Polymorphic Python UDTF: analyze() computes the output schema "
+        "from a literal argument at plan time (3 -> tok0..tok2). "
+        "Oracle re-derives the leading tokens with string_split.",
+    tags=("udf",),
+    build=_udtf_analyze_build,
+    oracle="""
+SELECT doc_id,
+       string_split(text, ' ')[1] AS tok0,
+       CASE WHEN len(string_split(text, ' ')) >= 2
+            THEN string_split(text, ' ')[2] END AS tok1,
+       CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN string_split(text, ' ')[3] END AS tok2
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+))
+
+
+def _arrow_udf_build(spark, sf):
+    """Arrow-optimized scalar Python UDF (Spark 4 useArrow=True): the
+    whole column crosses as Arrow batches instead of pickled rows —
+    the right default whenever a true pandas_udf is not warranted."""
+    from pyspark.sql.functions import udf
+
+    @udf("bigint", useArrow=True)
+    def digit_sum(k):
+        return sum(int(c) for c in str(k))
+
+    return (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") <= 300)
+        .select("o_orderkey", digit_sum("o_orderkey").alias("digit_sum"))
+        .orderBy("o_orderkey")
+    )
+
+
+_add(QuerySpec(
+    name="udf_arrow_optimized",
+    doc="Arrow-optimized scalar Python UDF (useArrow=True, Spark 4): "
+        "per-digit sum of the order key; oracle via list_aggregate "
+        "over split digits.",
+    tags=("udf",),
+    build=_arrow_udf_build,
+    oracle="""
+SELECT o_orderkey,
+       CAST(list_aggregate(
+         list_transform(string_split_regex(CAST(o_orderkey AS VARCHAR), ''),
+                        c -> CAST(c AS BIGINT)),
+         'sum') AS BIGINT) AS digit_sum
+FROM orders
+WHERE o_orderkey <= 300
+ORDER BY o_orderkey
+""",
+))
+
+
+def _csv_orc_roundtrip_build(spark, sf):
+    """Source-format round-trip: the same event slice written to CSV
+    (header, explicit schema on read) and ORC, read back and
+    aggregated; both formats must agree with the parquet fixture."""
+    from ..sources.catalog import load_table
+
+    base = tempfile.mkdtemp(prefix="fmt_rt_")
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.option("header", "true").csv(os.path.join(base, "csv"))
+    ev.write.orc(os.path.join(base, "orc"))
+    csv_df = (
+        spark.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true")
+        .csv(os.path.join(base, "csv"))
+    )
+    orc_df = spark.read.orc(os.path.join(base, "orc"))
+    out = []
+    for fmt, df in (("csv", csv_df), ("orc", orc_df)):
+        out.append(
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("value"), 2).cast("double").alias("total"),
+            )
+            .withColumn("fmt", F.lit(fmt))
+        )
+    return (
+        out[0].unionByName(out[1])
+        .select("fmt", "event_type", "n", "total")
+        .orderBy("fmt", "event_type")
+    )
+
+
+_add(QuerySpec(
+    name="source_csv_orc_roundtrip",
+    doc="CSV and ORC as source formats: the parquet fixture slice "
+        "written to both, read back (CSV under an explicit schema), "
+        "aggregated per event type — both must equal the fixture "
+        "aggregate. Oracle computes it once per format label.",
+    tags=("source",),
+    build=_csv_orc_roundtrip_build,
+    oracle="""
+SELECT f.fmt, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(e.value), 2) AS DOUBLE) AS total
+FROM events e, (VALUES ('csv'), ('orc')) f(fmt)
+GROUP BY f.fmt, e.event_type
+ORDER BY f.fmt, e.event_type
+""",
+))
+
+
 SPECS = list(_SPECS)
