@@ -59,6 +59,9 @@ def test_merge_matches_reference_model(prop_spark, tmp_path_factory, batches, re
         SCHEMA,
         keys=["k"],
         cluster_by=["cat"],
+        # lineage on: every random op interleaving must also keep
+        # _row_id unique (asserted at the end)
+        properties={"row-lineage": "true"},
     )
     model: dict[int, tuple] = {}
 
@@ -95,6 +98,13 @@ def test_merge_matches_reference_model(prop_spark, tmp_path_factory, batches, re
     got = sorted((r["k"], r["v"], r["cat"]) for r in table.read(spark).collect())
     expected = sorted(model.values())
     assert got == expected
+
+    # row lineage under arbitrary MERGE interleavings: every surviving
+    # row has an id, and no two rows share one (block allocation +
+    # physical materialization through COW rewrites never collide)
+    ids = [r["_row_id"] for r in table.read(spark, with_row_ids=True).collect()]
+    assert None not in ids
+    assert len(ids) == len(set(ids)), ids
 
     # the CDC-OUT half must agree with the CDC-IN half: replaying the
     # full changelog (INSERT/UPDATE_AFTER set, DELETE remove) into an
