@@ -149,6 +149,9 @@ _HEADLINE = [
     "streaming_lake_table_sink",
     "udtf_analyze_dynamic_schema",
     "source_csv_orc_roundtrip",
+    "udf_map_in_arrow",
+    "sql_lateral_column_alias",
+    "sql_named_parameters",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

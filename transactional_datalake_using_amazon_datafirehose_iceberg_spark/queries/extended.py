@@ -2588,4 +2588,107 @@ ORDER BY f.fmt, e.event_type
 ))
 
 
+def _map_in_arrow_build(spark, sf):
+    """mapInArrow (Spark 4): partition-wise transform directly over
+    pyarrow RecordBatches — no pandas materialization at all, the
+    leanest Python hook for columnar math."""
+    import numpy as np
+    import pyarrow as pa
+
+    def batches(it):
+        for b in it:
+            vec = b.column("embedding")
+            # vectorized segmented sum over the flat list buffer: one
+            # reduceat per batch, no per-row Python
+            offs = np.asarray(vec.offsets)
+            vals = np.asarray(vec.values, dtype=np.float64)
+            starts = offs[:-1]
+            sums = np.zeros(len(starts), dtype=np.float64)
+            nonempty = starts < offs[1:]
+            if nonempty.any():
+                sums[nonempty] = np.add.reduceat(vals, starts[nonempty])
+                # reduceat merges up to the NEXT index in its argument
+                # list, so trailing segments after the last nonempty
+                # start are summed together — recompute the final
+                # nonempty segment bound explicitly
+                last = np.flatnonzero(nonempty)[-1]
+                sums[last] = vals[starts[last]: offs[last + 1]].sum()
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(sums, type=pa.float64())],
+                names=["vec_id", "vec_sum"],
+            )
+
+    return (
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        .mapInArrow(batches, "vec_id long, vec_sum double")
+        .select("vec_id", F.round("vec_sum", 4).cast("double").alias("vec_sum"))
+        .orderBy("vec_id")
+    )
+
+
+_add(QuerySpec(
+    name="udf_map_in_arrow",
+    doc="mapInArrow partition transform over raw pyarrow RecordBatches "
+        "(element-sum per embedding); float32 accumulation order is "
+        "preserved on both sides by summing in list order, rounded to "
+        "4 dp.",
+    tags=("udf",),
+    build=_map_in_arrow_build,
+    oracle="""
+SELECT vec_id,
+       CAST(ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                 'sum'), 4) AS DOUBLE) AS vec_sum
+FROM embeddings
+ORDER BY vec_id
+""",
+))
+
+
+_add(QuerySpec(
+    name="sql_lateral_column_alias",
+    doc="Lateral column aliases (Spark 3.4+/DuckDB both support): a "
+        "SELECT-list alias referenced by later expressions in the same "
+        "SELECT — identical SQL text on both engines.",
+    tags=("sql",),
+    sql="""
+SELECT o_orderkey,
+       CAST(o_totalprice * 0.9 AS DOUBLE) AS discounted,
+       CAST(ROUND(discounted * 0.07, 2) AS DOUBLE) AS tax,
+       CAST(ROUND(discounted * 1.07, 2) AS DOUBLE) AS final_price
+FROM orders
+WHERE o_orderkey <= 300
+ORDER BY o_orderkey
+""",
+))
+
+
+_add(QuerySpec(
+    name="sql_named_parameters",
+    doc="Parameterized SQL (Spark 4 named parameter markers): the "
+        "build binds :prio and :cutoff via spark.sql(args=...); the "
+        "oracle inlines the same literals.",
+    tags=("sql",),
+    build=lambda spark, sf: spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderpriority >= :prio AND o_orderkey <= :cutoff
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"prio": "3", "cutoff": 5000},
+    ),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderpriority >= '3' AND o_orderkey <= 5000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+))
+
+
 SPECS = list(_SPECS)
