@@ -160,6 +160,10 @@ _DECLARED = {
     # broadcasts the <=5-row query-vector set against the corpus on a
     # non-equi (qid <> vec_id) condition: metadata-scale build side
     "similarity_topk_cosine": {"BroadcastNestedLoopJoin"},
+    # a Python UDTF IS the row-at-a-time Python extension point — the
+    # spec exists to exercise that surface (analyze()-derived schema),
+    # not to claim a JVM hot path
+    "udtf_analyze_dynamic_schema": {"BatchEvalPython"},
 }
 
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
