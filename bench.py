@@ -246,6 +246,7 @@ def main() -> None:
     # round-3/4 additions, reported OUTSIDE the headline total so the
     # 15-query total stays comparable across rounds
     extras: dict[str, float] = {}
+    extras_load: dict[str, float] = {}
     for name in (
         "dedup_cluster_components",
         "pipeline_curate_corpus",
@@ -273,10 +274,27 @@ def main() -> None:
             continue
         try:
             spec.run_spark(spark, sf_dir).count()
-            t0 = time.perf_counter()
-            n = spec.run_spark(spark, sf_dir).count()
-            extras[name] = round(time.perf_counter() - t0, 3)
-            print(f"# extra {name}: {extras[name]:.3f}s ({n} rows)", file=sys.stderr)
+            # best-of-2 timed runs: a transient load spike (GC, another
+            # process, the round driver's own snapshotting) during one
+            # run must not masquerade as a query regression in the
+            # round-over-round record — the min is the steady state the
+            # contention sentinel exists to certify
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = spec.run_spark(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            extras[name] = round(best, 3)
+            # per-measurement load: a spike here (e.g. the round
+            # driver's periodic snapshot overlapping the longest
+            # extras) explains an outlier without a clean re-run
+            extras_load[name] = round(os.getloadavg()[0], 2)
+            print(
+                f"# extra {name}: {extras[name]:.3f}s ({n} rows, "
+                f"load1m {extras_load[name]})",
+                file=sys.stderr,
+            )
         except Exception as exc:
             print(f"# extra {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
@@ -314,6 +332,7 @@ def main() -> None:
                 },
                 "queries": timings,
                 "llm_pipeline_extras": extras,
+                "llm_pipeline_extras_load1m": extras_load,
                 "streaming_ingest": streaming,
                 "cow_vs_mor_deletes": cow_mor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
