@@ -199,3 +199,44 @@ def test_expiry_protects_tags_branches_and_rolled_back_current(spark, tmp_path):
     assert t.read(spark, ref="keepme").count() == 2
     assert t.read(spark, ref="wip").count() == 3
     assert t.read(spark).count() == 2
+
+
+def test_cherry_pick_publishes_diverged_branch_commit(spark, tmp_path):
+    """WAP with a moved base: fast_forward refuses the diverged branch,
+    cherry_pick re-applies just the audited commit's delta onto head."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+        LakeTable,
+    )
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+        keys=["k"],
+    )
+    t.append(spark.sql("SELECT CAST(1 AS LONG) k, 'base' v"))          # v1
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.append(spark.sql("SELECT CAST(2 AS LONG) k, 'staged' v"))        # v2 (branch)
+    staged_v = b.current_version()
+    t.append(spark.sql("SELECT CAST(3 AS LONG) k, 'mainline' v"))      # v3 (main)
+    with _pytest.raises(CommitConflict, match="fast-forward"):
+        t.fast_forward("audit")
+    new_v = t.cherry_pick(staged_v)
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, "base"), (2, "staged"), (3, "mainline")]
+    assert t.manifest()["summary"]["cherry_picked_version"] == staged_v
+    # picking the same commit twice is refused, not silently duplicated
+    with _pytest.raises(CommitConflict, match="already present"):
+        t.cherry_pick(staged_v)
+    # a commit that removed files no longer live at head is refused
+    b2 = t.branch("audit")
+    b2.delete_where(spark, "k = 1")                                    # removes v1's file
+    del_v = b2.current_version()
+    t.delete_where(spark, "k = 1")  # head rewrites that file first
+    with _pytest.raises(CommitConflict, match="no longer live"):
+        t.cherry_pick(del_v)
+    assert t.current_version() != new_v  # head advanced by the delete only

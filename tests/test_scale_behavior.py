@@ -152,6 +152,7 @@ _HEADLINE = [
     "udf_map_in_arrow",
     "sql_lateral_column_alias",
     "sql_named_parameters",
+    "wap_cherry_pick_publish",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

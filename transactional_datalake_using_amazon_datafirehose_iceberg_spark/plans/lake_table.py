@@ -2134,6 +2134,61 @@ class LakeTable:
             v = self.manifest(v)["parent"]
         return False
 
+    def cherry_pick(self, version: int) -> int:
+        """Iceberg ``cherrypick_snapshot``: re-apply ONE commit's delta
+        (files added, files removed, delete files added) on top of the
+        CURRENT head — the publish path for a write-audit-publish branch
+        whose base has since advanced, where ``fast_forward`` refuses.
+
+        Safe by construction for append-shaped commits (nothing
+        removed). A commit that removed data files or whose delete
+        files reference data files conflicts unless those files are
+        still live at head (Iceberg's cherry-pick raises for
+        non-append snapshots in the same situations); the normal
+        commit-time ``DanglingDeleteRefs`` validation enforces the
+        delete-file half."""
+        m = self.manifest(version)
+        parent = self.manifest(m["parent"])
+        parent_files = {f["path"] for f in parent["files"]}
+        cur_files = {f["path"] for f in m["files"]}
+        added = [f for f in m["files"] if f["path"] not in parent_files]
+        removed = sorted(parent_files - cur_files)
+        head = self.manifest()
+        head_files = {f["path"] for f in head["files"]}
+        if any(f["path"] in head_files for f in added):
+            raise CommitConflict(
+                f"cherry-pick of v{version}: its files are already present "
+                "at head (picked twice, or published via fast_forward)"
+            )
+        missing = [p for p in removed if p not in head_files]
+        if missing:
+            raise CommitConflict(
+                f"cherry-pick of v{version}: it removed files that are no "
+                f"longer live at head: {missing[:3]}"
+            )
+        parent_dels = {d["path"] for d in parent.get("delete_files", [])}
+        added_dels = [
+            dict(d)
+            for d in m.get("delete_files", [])
+            if d["path"] not in parent_dels
+        ]
+        # strip the original seq: commit() re-stamps added files and
+        # delete files with the NEW version so equality-delete ordering
+        # stays consistent at the publish point
+        added = [dict(f) for f in added]
+        for f in added:
+            f.pop("seq", None)
+            f.pop("first_row_id", None)  # re-drawn from the head counter
+        for d in added_dels:
+            d.pop("seq", None)
+        return self.commit(
+            added,
+            removed_paths=removed,
+            operation="cherry-pick",
+            added_deletes=added_dels or None,
+            extra_summary={"cherry_picked_version": version},
+        )
+
     def fast_forward(self, name: str) -> int:
         """Publish a branch: move THIS handle's pointer to the branch
         head, iff the head is a descendant of the handle's current

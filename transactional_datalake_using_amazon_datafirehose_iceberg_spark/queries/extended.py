@@ -2691,4 +2691,51 @@ ORDER BY o_orderpriority
 ))
 
 
+def _cherry_pick_build(spark, sf):
+    """Cherry-pick publish (Iceberg cherrypick_snapshot): the audited
+    branch commit lands on a head that has advanced past the branch
+    base — fast_forward refuses, cherry_pick re-applies the one delta."""
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="cherry_"), "t"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]),
+        keys=["k"],
+    )
+    t.append(spark.sql("SELECT CAST(1 AS LONG) k, 'base' v"))
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.append(spark.sql("SELECT CAST(2 AS LONG) k, 'staged' v"))
+    staged = b.current_version()
+    t.append(spark.sql("SELECT CAST(3 AS LONG) k, 'mainline' v"))
+    ff_refused = 0
+    try:
+        t.fast_forward("audit")
+    except Exception:
+        ff_refused = 1
+    t.cherry_pick(staged)
+    return (
+        t.read(spark)
+        .select("k", "v", F.lit(ff_refused).cast("int").alias("ff_refused"))
+        .orderBy("k")
+    )
+
+
+_add(QuerySpec(
+    name="wap_cherry_pick_publish",
+    doc="Write-audit-publish when the base moved: fast_forward refuses "
+        "the diverged branch, cherry_pick re-applies exactly the "
+        "audited commit's file delta onto the advanced head. Oracle = "
+        "expected rows as VALUES.",
+    tags=("lake", "refs"),
+    build=_cherry_pick_build,
+    oracle="""
+SELECT CAST(k AS BIGINT) AS k, v, CAST(1 AS INTEGER) AS ff_refused
+FROM (VALUES (1, 'base'), (2, 'staged'), (3, 'mainline')) t(k, v)
+ORDER BY k
+""",
+))
+
+
 SPECS = list(_SPECS)
