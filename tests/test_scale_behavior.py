@@ -153,6 +153,7 @@ _HEADLINE = [
     "sql_lateral_column_alias",
     "sql_named_parameters",
     "wap_cherry_pick_publish",
+    "similarity_mine_triplets",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the
@@ -161,6 +162,9 @@ _DECLARED = {
     # broadcasts the <=5-row query-vector set against the corpus on a
     # non-equi (qid <> vec_id) condition: metadata-scale build side
     "similarity_topk_cosine": {"BroadcastNestedLoopJoin"},
+    # same declared shape: metadata-scale anchor set broadcast on a
+    # non-equi (id <> anchor) condition
+    "similarity_mine_triplets": {"BroadcastNestedLoopJoin"},
     # a Python UDTF IS the row-at-a-time Python extension point — the
     # spec exists to exercise that surface (analyze()-derived schema),
     # not to claim a JVM hot path

@@ -463,3 +463,61 @@ def pq_topk(
         )
         .orderBy("qid", "rn")
     )
+
+
+def mine_triplets(
+    emb: DataFrame,
+    anchor_ids: list[int],
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-triplet mining for contrastive embedding training: for each
+    anchor, the HARDEST POSITIVE (most-similar same-label vector) and
+    HARDEST NEGATIVE (most-similar different-label vector), plus the
+    triplet margin — the batch-mining step of triplet/InfoNCE data
+    pipelines.
+
+    Scale shape: the anchor set is metadata-scale and broadcast (the
+    per-anchor full scan is exact by construction; the corpus-wide
+    variant swaps this stage for the ANN bucket join, same downstream).
+    One window over (anchor, is-positive) classifies both ranks in a
+    single shuffle; similarity rounded to 6 dp before ranking so FP
+    noise cannot reorder across engines."""
+    base = with_norm(emb, vec_col)
+    anchors = base.filter(F.col(id_col).isin(anchor_ids)).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__albl"),
+        F.col(vec_col).alias("__ae"),
+        F.col("__norm").alias("__anorm"),
+    )
+    sims = (
+        base.join(F.broadcast(anchors), F.col(id_col) != F.col("anchor_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("__ae"), F.col(vec_col))
+                / (F.col("__anorm") * F.col("__norm")),
+                6,
+            ).cast("double"),
+        )
+        .withColumn("is_pos", (F.col(label_col) == F.col("__albl")).cast("int"))
+    )
+    w = Window.partitionBy("anchor_id", "is_pos").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    best = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("anchor_id")
+        .agg(
+            F.max(F.when(F.col("is_pos") == 1, F.col(id_col))).cast("bigint").alias("pos_id"),
+            F.max(F.when(F.col("is_pos") == 1, F.col("sim"))).cast("double").alias("pos_sim"),
+            F.max(F.when(F.col("is_pos") == 0, F.col(id_col))).cast("bigint").alias("neg_id"),
+            F.max(F.when(F.col("is_pos") == 0, F.col("sim"))).cast("double").alias("neg_sim"),
+        )
+        .withColumn(
+            "margin",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).cast("double"),
+        )
+        .orderBy("anchor_id")
+    )

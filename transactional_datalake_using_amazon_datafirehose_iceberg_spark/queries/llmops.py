@@ -1846,4 +1846,64 @@ ORDER BY doc_id, win_idx
 """,
 ))
 
+_add(QuerySpec(
+    name="similarity_mine_triplets",
+    doc="Hard-triplet mining for contrastive embedding training: per "
+        "anchor the hardest positive (most-similar same-label) and "
+        "hardest negative (most-similar other-label) with the margin; "
+        "broadcast anchors, one window shuffle over (anchor, is-pos). "
+        "Oracle = the same two argmaxes in SQL.",
+    tags=("llm", "similarity"),
+    build=lambda spark, sf: S.mine_triplets(
+        spark.table("embeddings"), anchor_ids=[0, 7, 21, 50, 113]
+    ),
+    oracle="""
+WITH norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings) t
+  GROUP BY vec_id
+),
+a AS (
+  SELECT vec_id AS anchor_id, label AS albl, embedding AS ae
+  FROM embeddings WHERE vec_id IN (0, 7, 21, 50, 113)
+),
+dots AS (
+  SELECT anchor_id, vec_id, albl, label,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM (
+    SELECT a.anchor_id, e.vec_id, a.albl, e.label,
+           unnest(a.ae) AS x, unnest(e.embedding) AS y
+    FROM a JOIN embeddings e ON e.vec_id <> a.anchor_id
+  ) p
+  GROUP BY anchor_id, vec_id, albl, label
+),
+sims AS (
+  SELECT d.anchor_id, d.vec_id,
+         CAST(d.label = d.albl AS INTEGER) AS is_pos,
+         ROUND(d.dot / (na.nrm * ne.nrm), 6) AS sim
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.anchor_id
+  JOIN norms ne ON ne.vec_id = d.vec_id
+),
+best AS (
+  SELECT anchor_id, vec_id, is_pos, sim,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+       CAST(MAX(CASE WHEN is_pos = 1 THEN vec_id END) AS BIGINT) AS pos_id,
+       CAST(MAX(CASE WHEN is_pos = 1 THEN sim END) AS DOUBLE) AS pos_sim,
+       CAST(MAX(CASE WHEN is_pos = 0 THEN vec_id END) AS BIGINT) AS neg_id,
+       CAST(MAX(CASE WHEN is_pos = 0 THEN sim END) AS DOUBLE) AS neg_sim,
+       CAST(ROUND(MAX(CASE WHEN is_pos = 1 THEN sim END)
+                  - MAX(CASE WHEN is_pos = 0 THEN sim END), 6) AS DOUBLE)
+         AS margin
+FROM best
+WHERE rn = 1
+GROUP BY anchor_id
+ORDER BY anchor_id
+""",
+))
+
 SPECS = list(_SPECS)
