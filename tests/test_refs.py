@@ -240,3 +240,35 @@ def test_cherry_pick_publishes_diverged_branch_commit(spark, tmp_path):
     with _pytest.raises(CommitConflict, match="no longer live"):
         t.cherry_pick(del_v)
     assert t.current_version() != new_v  # head advanced by the delete only
+
+
+def test_orphan_sweep_spares_sink_staging(spark, tmp_path):
+    """Expiry's orphan sweep must not delete a Python Data Source
+    sink's in-flight staging files (not yet manifested by design)."""
+    import os
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.LongType())]), keys=["k"],
+    )
+    t.append(spark.range(3).selectExpr("id AS k"))
+    staging = os.path.join(t.root, "data", "_staging-stream")
+    os.makedirs(staging)
+    staged = os.path.join(staging, "part-infl.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"PAR1")  # placeholder bytes; only existence matters
+    # a genuine orphan for contrast
+    orphan = os.path.join(t.root, "data", "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1")
+    summary = expire_snapshots(t, keep_last=10)
+    assert os.path.exists(staged), "in-flight staging file was swept"
+    assert not os.path.exists(orphan), "true orphan survived the sweep"
+    # at least the planted orphan (empty unmanifested part files from
+    # the append may legitimately add to the count)
+    assert summary["removed_orphans"] >= 1

@@ -2146,7 +2146,15 @@ class LakeTable:
         still live at head (Iceberg's cherry-pick raises for
         non-append snapshots in the same situations); the normal
         commit-time ``DanglingDeleteRefs`` validation enforces the
-        delete-file half."""
+        delete-file half.
+
+        Row-lineage caveat: fresh ids are re-drawn from the head
+        counter for the picked files, but a picked file that was
+        REWRITTEN on the branch carries physically-materialized ids
+        drawn from the branch's counter, which may overlap ids the
+        head allocated after the divergence point — cherry-pick plain
+        appends (the WAP staging shape), not post-rewrite branch
+        states, on lineage-tracking tables."""
         m = self.manifest(version)
         parent = self.manifest(m["parent"])
         parent_files = {f["path"] for f in parent["files"]}

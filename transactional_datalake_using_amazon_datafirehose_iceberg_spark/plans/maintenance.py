@@ -322,7 +322,12 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     if sweep_orphans:
         refs = table.referenced_files()  # union over surviving manifests
         data_root = os.path.join(table.root, _DATA_DIR)
-        for dirpath, _dirs, files in os.walk(data_root):
+        for dirpath, dirnames, files in os.walk(data_root):
+            # _staging-* dirs hold a Python Data Source sink's
+            # in-flight task outputs — not yet manifested by design,
+            # not orphans; sweeping them mid-write would fail the
+            # writer's commit rename
+            dirnames[:] = [d for d in dirnames if not d.startswith("_staging")]
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
