@@ -3,6 +3,7 @@ custom Python Data Source (Spark 4 API)."""
 
 from .catalog import load_table, register_views
 from .cdc_jsonl import read_cdc_batch, read_cdc_stream, write_golden_corpus
+from .lake_stream import LakeStreamDataSource
 from .py_datasource import CdcEnvelopeDataSource
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "read_cdc_stream",
     "write_golden_corpus",
     "CdcEnvelopeDataSource",
+    "LakeStreamDataSource",
 ]
