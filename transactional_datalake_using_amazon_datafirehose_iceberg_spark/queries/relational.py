@@ -2802,6 +2802,46 @@ ORDER BY c_mktsegment, nation
 
 
 _add(QuerySpec(
+    name="scalar_collation_ci",
+    doc="Collated string semantics (Spark 4 COLLATE UNICODE_CI): case-"
+        "insensitive distinct counts and grouping over mixed-case "
+        "tokens; DuckDB side via lower() (equivalent on ASCII data).",
+    tags=("scalar", "sql"),
+    build=lambda spark, sf: (
+        spark.sql("""
+            SELECT p_brand,
+                   COUNT(DISTINCT CAST(w AS STRING COLLATE UNICODE_CI)) AS n_ci,
+                   COUNT(DISTINCT w) AS n_cs
+            FROM (
+              SELECT p_brand,
+                     CASE WHEN p_partkey % 2 = 0 THEN upper(tok) ELSE tok END AS w
+              FROM part LATERAL VIEW explode(split(p_name, ' ')) AS tok
+              WHERE p_partkey <= 400
+            )
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """)
+        .select("p_brand", F.col("n_ci").cast("bigint").alias("n_ci"),
+                F.col("n_cs").cast("bigint").alias("n_cs"))
+    ),
+    oracle="""
+WITH w AS (
+  SELECT p_brand,
+         CASE WHEN p_partkey % 2 = 0 THEN upper(u.tok) ELSE u.tok END AS w
+  FROM part, UNNEST(string_split(p_name, ' ')) AS u(tok)
+  WHERE p_partkey <= 400
+)
+SELECT p_brand,
+       CAST(COUNT(DISTINCT lower(w)) AS BIGINT) AS n_ci,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_cs
+FROM w
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+))
+
+
+_add(QuerySpec(
     name="sql_pipe_syntax",
     doc="SQL pipe syntax (Spark 4.0 |> operators): FROM |> WHERE |> "
         "JOIN |> AGGREGATE ... GROUP BY |> WHERE (post-agg HAVING) |> "

@@ -265,7 +265,10 @@ class _ArrowFileWriter:
         if rows == 0:
             if os.path.exists(path):
                 os.remove(path)
-            return None
+            # the runtime requires a WriterCommitMessage from every
+            # task (None is rejected) — an empty partition reports an
+            # empty name, which the driver commit skips
+            return _FileCommit(name="", rows=0)
         return _FileCommit(name=name, rows=rows)
 
 
@@ -284,7 +287,7 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
 
     table = LakeTable.load(root)
     staging_abs = os.path.join(root, staging_rel)
-    names = sorted({m.name for m in messages if m is not None})
+    names = sorted({m.name for m in messages if m is not None and m.name})
     if batch_id is not None:
         hwm = table.manifest()["summary"].get("stream_sink_batch_id")
         if hwm is not None and batch_id <= int(hwm):
