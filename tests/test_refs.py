@@ -272,3 +272,29 @@ def test_orphan_sweep_spares_sink_staging(spark, tmp_path):
     # at least the planted orphan (empty unmanifested part files from
     # the append may legitimately add to the count)
     assert summary["removed_orphans"] >= 1
+
+
+def test_cherry_pick_refuses_equality_delete_commits(spark, tmp_path):
+    """Equality deletes re-sequenced onto a moved head would delete
+    rows inserted after the divergence (write skew) — refused."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+        LakeTable,
+    )
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+        keys=["k"],
+    )
+    t.append(spark.sql("SELECT CAST(1 AS LONG) k, 'base' v"))
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.delete_eq([{"k": 1}])
+    eq_v = b.current_version()
+    t.append(spark.sql("SELECT CAST(2 AS LONG) k, 'mainline' v"))
+    with _pytest.raises(CommitConflict, match="equality-delete"):
+        t.cherry_pick(eq_v)

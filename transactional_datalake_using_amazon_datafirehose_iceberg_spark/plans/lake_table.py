@@ -2180,6 +2180,17 @@ class LakeTable:
             for d in m.get("delete_files", [])
             if d["path"] not in parent_dels
         ]
+        # an equality delete re-stamped to the publish point would also
+        # apply to rows the head inserted AFTER the branch diverged —
+        # write skew the original commit never expressed. Position
+        # deletes are safe: they target exact (file, pos) refs that are
+        # validated live above.
+        if any(d.get("kind") == "equality" for d in added_dels):
+            raise CommitConflict(
+                f"cherry-pick of v{version}: it adds equality-delete "
+                "files, which cannot be re-sequenced onto a moved head "
+                "without write skew; re-issue the delete against head"
+            )
         # strip the original seq: commit() re-stamps added files and
         # delete files with the NEW version so equality-delete ordering
         # stays consistent at the publish point
