@@ -243,7 +243,7 @@ def main() -> None:
         except Exception as exc:  # one broken query must not lose the run
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    # round-3/4 additions, reported OUTSIDE the headline total so the
+    # per-round additions, reported OUTSIDE the headline total so the
     # 15-query total stays comparable across rounds
     extras: dict[str, float] = {}
     extras_load: dict[str, float] = {}
