@@ -2842,6 +2842,57 @@ ORDER BY p_brand
 
 
 _add(QuerySpec(
+    name="agg_boolean_every_any",
+    doc="Boolean aggregates bool_and/bool_or + deterministic "
+        "any_value: per order-priority shipping predicates (identical "
+        "semantics both engines; any_value made deterministic via "
+        "min-keyed arg).",
+    tags=("agg",),
+    sql="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+))
+
+
+_add(QuerySpec(
+    name="scalar_pad_overlay_funcs",
+    doc="String padding/splicing scalars: lpad, rpad, overlay, "
+        "substring_index-equivalent (split_part); identical results "
+        "via DuckDB's printf-free equivalents.",
+    tags=("scalar",),
+    build=lambda spark, sf: (
+        spark.table("customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+            F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+            F.overlay("c_name", F.lit("XX"), 10, 2).alias("name_spliced"),
+            F.substring_index("c_name", "#", 1).alias("name_prefix"),
+        )
+        .orderBy("c_custkey")
+    ),
+    oracle="""
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       rpad(c_mktsegment, 12, '.') AS seg_padded,
+       substring(c_name, 1, 9) || 'XX' || substring(c_name, 12)
+         AS name_spliced,
+       string_split(c_name, '#')[1] AS name_prefix
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+))
+
+
+_add(QuerySpec(
     name="sql_pipe_syntax",
     doc="SQL pipe syntax (Spark 4.0 |> operators): FROM |> WHERE |> "
         "JOIN |> AGGREGATE ... GROUP BY |> WHERE (post-agg HAVING) |> "
