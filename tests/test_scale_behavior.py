@@ -154,6 +154,9 @@ _HEADLINE = [
     "sql_named_parameters",
     "wap_cherry_pick_publish",
     "similarity_mine_triplets",
+    "scalar_collation_ci",
+    "agg_boolean_every_any",
+    "scalar_pad_overlay_funcs",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the
