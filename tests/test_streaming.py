@@ -551,3 +551,37 @@ def test_lake_table_stream_sink_exactly_once_across_restart(spark, tmp_path):
     v = t.current_version()
     run()
     assert t.read(spark).count() == 80 and t.current_version() == v
+
+
+def test_lake_table_sink_composes_with_lineage_and_defaults(spark, tmp_path):
+    """Sink-written files flow through the normal commit path: row-id
+    blocks are assigned (lineage) and files are schema_v-stamped so a
+    later initial-default column classifies them as pre-ALTER."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        LakeStreamDataSource,
+    )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root,
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+        keys=["k"], properties={"row-lineage": "true"},
+    )
+    (
+        spark.sql("SELECT CAST(id AS LONG) k, CONCAT('a', id) v FROM range(6)")
+        .repartition(2)
+        .write.format("lake_table").option("path", root).mode("append").save()
+    )
+    ids = [r["_row_id"] for r in t.read(spark, with_row_ids=True).collect()]
+    assert sorted(ids) == [0, 1, 2, 3, 4, 5]  # full block, no gaps, no nulls
+    # initial-default added AFTER the sink commit: sink files are
+    # pre-ALTER by their schema_v stamp and read the default
+    t.add_column("tier", T.StringType(), default="std")
+    tiers = {r["tier"] for r in t.read(spark).collect()}
+    assert tiers == {"std"}
