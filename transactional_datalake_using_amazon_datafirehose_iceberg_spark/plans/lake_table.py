@@ -391,17 +391,21 @@ class LakeTable:
         for f in m["files"]:
             mins, maxs = f.get("min", {}), f.get("max", {})
             stats = {c: f"{mins[c]}..{maxs.get(c)}" for c in mins}
-            rows.append(("data", f["path"], f["rows"], stats))
+            rows.append((
+                "data", f["path"], f["rows"], stats,
+                f.get("schema_v"), f.get("first_row_id"),
+            ))
         for d in m.get("delete_files", []):
             label = (
                 "equality-deletes"
                 if d.get("kind") == "equality"
                 else "position-deletes"
             )
-            rows.append((label, d["path"], d["rows"], {}))
+            rows.append((label, d["path"], d["rows"], {}, None, None))
         return spark.createDataFrame(
             rows,
-            "content string, path string, rows bigint, stats map<string,string>",
+            "content string, path string, rows bigint, stats map<string,string>,"
+            " schema_v int, first_row_id bigint",
         )
 
     @property
