@@ -119,3 +119,32 @@ def test_lsh_always_recalls_exact_duplicates(prop_spark, docs):
         for b in dup_ids:
             if a < b:
                 assert (a, b) in pairs, (a, b, sorted(pairs))
+
+
+@given(docs=docs_strategy, pct=st.sampled_from([25, 40, 60]))
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_temperature_mixture_matches_reference(prop_spark, docs, pct):
+    """T=2 mixture quotas and md5-ordered fills vs a pure-Python model:
+    per-domain kept counts must match exactly for arbitrary corpora."""
+    import hashlib
+    import math
+
+    got = {
+        r["source"]: (r["n_total"], r["n_kept"], r["kept_pct"])
+        for r in CORPUS.temperature_mixture_sample(
+            _df(prop_spark, docs), target_frac_pct=pct
+        ).collect()
+    }
+    by_dom: dict[str, list[int]] = {}
+    for i, _t in enumerate(docs):
+        by_dom.setdefault("s" + str(i % 2), []).append(i)
+    total = len(docs)
+    ssum = sum(math.sqrt(len(v)) for v in by_dom.values())
+    for dom, ids in by_dom.items():
+        quota = math.ceil(pct * total * math.sqrt(len(ids)) / (ssum * 100))
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        kept = len(order[:quota])
+        assert got[dom] == (len(ids), kept, kept * 100 // len(ids)), (dom, docs)
