@@ -144,7 +144,8 @@ def test_temperature_mixture_matches_reference(prop_spark, docs, pct):
     total = len(docs)
     ssum = sum(math.sqrt(len(v)) for v in by_dom.values())
     for dom, ids in by_dom.items():
-        quota = math.ceil(pct * total * math.sqrt(len(ids)) / (ssum * 100))
+        # round-before-ceil, mirroring the operator's FP-noise guard
+        quota = math.ceil(round(pct * total * math.sqrt(len(ids)) / (ssum * 100), 9))
         order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
         kept = len(order[:quota])
         assert got[dom] == (len(ids), kept, kept * 100 // len(ids)), (dom, docs)

@@ -202,12 +202,20 @@ def temperature_mixture_sample(
     quota = counts.select(
         domain_col,
         "__nd",
-        # quota_d = target * total * (sqrt(n_d)/S) with target = pct/100
+        # quota_d = target * total * (sqrt(n_d)/S) with target = pct/100.
+        # round to 9 dp BEFORE ceil: when every domain has the same
+        # size the ratio is EXACTLY integral and 1-ulp noise from the
+        # S-summation order (which varies with partitioning) would
+        # otherwise flip ceil between n and n+1 across engines/runs;
+        # genuinely fractional quotas sit far beyond 1e-9 from integers
         F.ceil(
-            F.lit(target_frac_pct)
-            * F.sum("__nd").over(w_all)
-            * F.sqrt(F.col("__nd"))
-            / (F.sum(F.sqrt(F.col("__nd"))).over(w_all) * 100)
+            F.round(
+                F.lit(target_frac_pct)
+                * F.sum("__nd").over(w_all)
+                * F.sqrt(F.col("__nd"))
+                / (F.sum(F.sqrt(F.col("__nd"))).over(w_all) * 100),
+                9,
+            )
         ).alias("__keep"),
     )
     w = Window.partitionBy(domain_col).orderBy(

@@ -1796,7 +1796,9 @@ _add(QuerySpec(
 WITH c AS (SELECT source, COUNT(*) AS nd FROM documents GROUP BY source),
 s AS (SELECT SUM(sqrt(nd)) AS ss, SUM(nd) AS total FROM c),
 q AS (
-  SELECT source, CEIL(40 * total * sqrt(nd) / (ss * 100)) AS keep
+  -- round-before-ceil matches the engine: at exactly-integral quotas
+  -- (equal-size domains) 1-ulp summation noise must not flip the ceil
+  SELECT source, CEIL(ROUND(40 * total * sqrt(nd) / (ss * 100), 9)) AS keep
   FROM c, s
 ),
 r AS (
