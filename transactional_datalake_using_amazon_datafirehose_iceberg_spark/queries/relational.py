@@ -2893,6 +2893,38 @@ ORDER BY c_custkey
 
 
 _add(QuerySpec(
+    name="sort_limit_offset",
+    doc="Keyset-free pagination: ORDER BY ... LIMIT 20 OFFSET 40 "
+        "(Spark 3.4+ OFFSET; identical SQL both engines; fully "
+        "deterministic order via unique key tiebreak).",
+    tags=("sort", "sql"),
+    sql="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+))
+
+
+_add(QuerySpec(
+    name="agg_count_if_filtered",
+    doc="count_if conditional counting (identical SQL both engines) "
+        "alongside the FILTER clause form it sugars.",
+    tags=("agg", "sql"),
+    sql="""
+SELECT o_orderstatus,
+       count_if(o_totalprice > 150000) AS n_large,
+       COUNT(*) FILTER (WHERE o_orderpriority < '3') AS n_urgent,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+))
+
+
+_add(QuerySpec(
     name="sql_pipe_syntax",
     doc="SQL pipe syntax (Spark 4.0 |> operators): FROM |> WHERE |> "
         "JOIN |> AGGREGATE ... GROUP BY |> WHERE (post-agg HAVING) |> "
