@@ -68,6 +68,68 @@ def ducked():
 
 _ORACLE_SPECS = [s for s in QUERY_SPECS.values() if s.oracle_text() is not None]
 
+# DuckDB result-column types the driver's type-tagged value hash can
+# canonicalize against a Spark result.  Anything outside this set (HUGEINT,
+# the unsigned family, TIME, INTERVAL, BIT, UUID, ENUM, ...) has no Spark
+# counterpart, so identical VALUES still hash-mismatch on the driver —
+# the r6 `agg_count_if_filtered` failure class.  The fix is always a CAST
+# in the shared/oracle SQL; this guard turns that driver-only failure into
+# a local one (r6 verdict, "What's wrong" #2).
+_HASHABLE_DUCK_TYPES = {
+    "BOOLEAN",
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "FLOAT",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BLOB",
+}
+
+
+def _duck_type_hashable(t) -> bool:
+    s = str(t)
+    if s in _HASHABLE_DUCK_TYPES:
+        return True
+    # Parameterized / nested types: DECIMAL(p,s), VARCHAR[], STRUCT(...),
+    # MAP(...) — allowed as long as no forbidden scalar appears inside.
+    forbidden = (
+        "HUGEINT",
+        "UHUGEINT",
+        "UTINYINT",
+        "USMALLINT",
+        "UINTEGER",
+        "UBIGINT",
+        "INTERVAL",
+        "UUID",
+        "ENUM",
+        "BIT",
+        "TIME",  # bare TIME / TIMETZ; TIMESTAMP is matched exactly above
+    )
+    if s.startswith(("DECIMAL", "STRUCT", "MAP")) or s.endswith("[]"):
+        return not any(f in s for f in forbidden if f != "TIME")
+    if s.startswith("TIMESTAMP"):  # TIMESTAMP WITH TIME ZONE etc.
+        return True
+    return False
+
+
+def _assert_oracle_types_hashable(con, spec):
+    try:
+        types = list(zip(con.sql(spec.oracle_text()).columns,
+                         con.sql(spec.oracle_text()).types))
+    except Exception:
+        return  # DESCRIBE-incompatible statement; execution check suffices
+    bad = [(c, str(t)) for c, t in types if not _duck_type_hashable(t)]
+    assert not bad, (
+        f"{spec.name}: oracle produces driver-unhashable DuckDB column "
+        f"type(s) {bad} — identical values will still hash-mismatch on "
+        f"the driver. Add an explicit CAST (e.g. CAST(... AS BIGINT)) "
+        f"in the spec SQL."
+    )
+
 
 @pytest.mark.parametrize("spec", _ORACLE_SPECS, ids=[s.name for s in _ORACLE_SPECS])
 def test_query_matches_oracle(spark, ducked, spec):
@@ -75,6 +137,7 @@ def test_query_matches_oracle(spark, ducked, spec):
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
+    _assert_oracle_types_hashable(ducked, spec)
     res = ducked.execute(spec.oracle_text())
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()

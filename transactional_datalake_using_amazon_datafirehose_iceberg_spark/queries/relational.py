@@ -2910,11 +2910,14 @@ LIMIT 20 OFFSET 40
 _add(QuerySpec(
     name="agg_count_if_filtered",
     doc="count_if conditional counting (identical SQL both engines) "
-        "alongside the FILTER clause form it sugars.",
+        "alongside the FILTER clause form it sugars. DuckDB types "
+        "count_if as HUGEINT (int128) where Spark returns BIGINT and "
+        "the driver's value hash is type-tagged, so the shared SQL "
+        "casts explicitly (r6 verdict, What's wrong #1).",
     tags=("agg", "sql"),
     sql="""
 SELECT o_orderstatus,
-       count_if(o_totalprice > 150000) AS n_large,
+       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_large,
        COUNT(*) FILTER (WHERE o_orderpriority < '3') AS n_urgent,
        COUNT(*) AS n
 FROM orders
