@@ -320,21 +320,27 @@ def main() -> None:
     print(f"# contention sentinel (post): {sentinel_post}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # The round driver keeps only a ~2 KB TAIL of stdout and parses the
+    # last JSON line.  In round 6 a single all-sections line outgrew that
+    # window and the official headline total was lost (parsed: null).  So:
+    # each auxiliary section goes on its OWN preceding line (recoverable
+    # from the record tail and duplicated on stderr per-item above), and
+    # the FINAL line is the compact headline dict only.
+    for section_name, section in (
+        ("contention_sentinel", {"pre": sentinel_pre, "post": sentinel_post}),
+        ("streaming_ingest", streaming),
+        ("cow_vs_mor_deletes", cow_mor),
+        ("llm_pipeline_extras_load1m", extras_load),
+        ("llm_pipeline_extras", extras),
+    ):
+        print(json.dumps({"section": section_name, "data": section}))
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_clock_total",
                 "value": total,
                 "unit": "sec",
-                "contention_sentinel": {
-                    "pre": sentinel_pre,
-                    "post": sentinel_post,
-                },
                 "queries": timings,
-                "llm_pipeline_extras": extras,
-                "llm_pipeline_extras_load1m": extras_load,
-                "streaming_ingest": streaming,
-                "cow_vs_mor_deletes": cow_mor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

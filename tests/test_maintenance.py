@@ -83,3 +83,33 @@ def test_expire_rerun_collects_crash_orphans(spark, tmp_path):
     assert t.read(spark).count() == 4
     for p in t.file_paths():
         assert os.path.exists(p)
+
+
+def test_expire_age_sweeps_stale_staging_files(spark, tmp_path):
+    """Files stranded in a stream sink's _staging-* dir by failed or
+    speculative task attempts (never message-listed, so never promoted)
+    must not accumulate unbounded: expiry age-sweeps staging files past
+    the retention horizon while leaving recent (possibly in-flight)
+    ones alone (r6 ADVICE: the orphan sweep excluded _staging* dirs
+    entirely and nothing else ever cleaned them)."""
+    import time as _time
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "x")], SCHEMA))
+    staging = os.path.join(t.root, "data", "_staging-stream")
+    os.makedirs(staging)
+    stale = os.path.join(staging, "part-deadbeef.parquet")
+    fresh = os.path.join(staging, "part-cafebabe.parquet")
+    for p in (stale, fresh):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+
+    stats = expire_snapshots(t, keep_last=1, staging_retention_s=3600)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    assert stats["removed_orphans"] >= 1
+    # live table files untouched
+    assert t.read(spark).count() == 3

@@ -585,3 +585,131 @@ def test_lake_table_sink_composes_with_lineage_and_defaults(spark, tmp_path):
     t.add_column("tier", T.StringType(), default="std")
     tiers = {r["tier"] for r in t.read(spark).collect()}
     assert tiers == {"std"}
+
+
+def test_lake_table_sink_txn_app_ids_do_not_collide(spark, tmp_path):
+    """Two independent streaming queries (distinct txnAppId, fresh
+    checkpoints, batch ids both starting at 0) appending to one table
+    must each land their data — the per-app stream_sink_txn ledger
+    keeps their watermarks separate (r6 ADVICE: a batchId-only ledger
+    silently dropped a new query's first batches as 'replays')."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        LakeStreamDataSource,
+    )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root,
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+        keys=["k"],
+    )
+    schema = "k LONG, v STRING"
+
+    def run(src: str, ckpt: str, app: str):
+        q = (
+            spark.readStream.schema(schema).parquet(src + "/*")
+            .writeStream.format("lake_table")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", app)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.sql(
+        "SELECT CAST(id AS LONG) k, CONCAT('a', id) v FROM range(40)"
+    ).coalesce(1).write.parquet(str(tmp_path / "srcA") + "/b1")
+    run(str(tmp_path / "srcA"), str(tmp_path / "ckptA"), "appA")
+    assert t.read(spark).count() == 40
+
+    # second, INDEPENDENT query: fresh checkpoint, its batch 0 must
+    # commit, not be dropped as a replay of appA's batch 0..N
+    spark.sql(
+        "SELECT CAST(id + 1000 AS LONG) k, CONCAT('b', id) v FROM range(25)"
+    ).coalesce(1).write.parquet(str(tmp_path / "srcB") + "/b1")
+    run(str(tmp_path / "srcB"), str(tmp_path / "ckptB"), "appB")
+    assert t.read(spark).count() == 65
+    led = t.manifest()["summary"]["stream_sink_txn"]
+    assert led == {"appA": 0, "appB": 0}
+
+    # replay WITHIN an app still no-ops (restart, nothing new)
+    v = t.current_version()
+    run(str(tmp_path / "srcA"), str(tmp_path / "ckptA"), "appA")
+    assert t.read(spark).count() == 65 and t.current_version() == v
+
+
+def test_lake_table_sink_batch_regression_fails_loudly(spark, tmp_path):
+    """A query whose batch id is strictly BELOW its app's committed
+    watermark (fresh checkpoint reusing the app id) must FAIL, not
+    silently drop the batch as a replay — silent loss is worse than a
+    crash."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _driver_commit, _FileCommit,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root,
+        T.StructType([T.StructField("k", T.LongType())]),
+        keys=["k"],
+    )
+    # commit batches 0..3 for the default app via the driver path
+    staging = "data/_staging-stream"
+    os.makedirs(os.path.join(root, staging), exist_ok=True)
+    for b in range(4):
+        _driver_commit(root, staging, [], batch_id=b)
+    assert t.manifest()["summary"]["stream_sink_txn"] == {"default": 3}
+    # legacy mirror maintained for the default app
+    assert t.manifest()["summary"]["stream_sink_batch_id"] == 3
+
+    with _pytest.raises(ValueError, match="txnAppId"):
+        _driver_commit(root, staging, [_FileCommit(name="", rows=0)], batch_id=1)
+
+    # equal-to-watermark is the genuine replay case: still a no-op
+    v = t.current_version()
+    _driver_commit(root, staging, [], batch_id=3)
+    assert t.current_version() == v
+
+
+def test_lake_table_sink_legacy_scalar_ledger_migrates(spark, tmp_path):
+    """Tables written by the pre-r7 sink carry only the scalar
+    stream_sink_batch_id; the per-app ledger must read it as the
+    'default' app's watermark so restarts of the original query stay
+    exactly-once across the upgrade."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _driver_commit,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root, T.StructType([T.StructField("k", T.LongType())]), keys=["k"]
+    )
+    t.commit([], operation="append", extra_summary={"stream_sink_batch_id": 5})
+    staging = "data/_staging-stream"
+    os.makedirs(os.path.join(root, staging), exist_ok=True)
+    # replay of batch 5 no-ops; batch 6 advances both forms
+    v = t.current_version()
+    _driver_commit(root, staging, [], batch_id=5)
+    assert t.current_version() == v
+    _driver_commit(root, staging, [], batch_id=6)
+    s = t.manifest()["summary"]
+    assert s["stream_sink_txn"] == {"default": 6}
+    assert s["stream_sink_batch_id"] == 6

@@ -227,10 +227,14 @@ class LakeTable:
     # summary keys carried forward across commits unless overridden
     # (streaming exactly-once watermark must survive compaction/DML)
     # stream_batch_id: foreachBatch CDC pipeline high-watermark;
-    # stream_sink_batch_id: the Python Data Source append sink's
-    # exactly-once ledger (independent keys so the two streaming write
-    # mechanisms never replay-guard each other)
-    _CARRY_SUMMARY_KEYS = ("stream_batch_id", "stream_sink_batch_id")
+    # stream_sink_txn: the Python Data Source append sink's per-app
+    # exactly-once ledger ({txnAppId: last batchId}; the scalar
+    # stream_sink_batch_id is its pre-r7 legacy mirror for the
+    # "default" app) — independent keys so the two streaming write
+    # mechanisms never replay-guard each other
+    _CARRY_SUMMARY_KEYS = (
+        "stream_batch_id", "stream_sink_batch_id", "stream_sink_txn",
+    )
 
     # operations that cannot introduce a duplicate key into a table that
     # had none: row removal (delete/delete-eq), row-preserving rewrites

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -263,7 +264,8 @@ def rewrite_delete_files(spark: SparkSession, table: LakeTable) -> int:
     )
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool = True) -> dict:
+def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool = True,
+                     staging_retention_s: float = 3600.0) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and physically
     delete data/delete files no surviving snapshot references.
 
@@ -322,11 +324,27 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     if sweep_orphans:
         refs = table.referenced_files()  # union over surviving manifests
         data_root = os.path.join(table.root, _DATA_DIR)
+        # _staging-* dirs hold a Python Data Source sink's in-flight
+        # task outputs — not yet manifested by design, not orphans, so
+        # the reference-based sweep below skips them. But files from
+        # FAILED / speculative task attempts are never message-listed
+        # and would otherwise accumulate unbounded in the stream sink's
+        # deterministic staging dir, so age-sweep them here: anything
+        # older than the retention horizon cannot belong to an
+        # in-flight micro-batch (batches run seconds, not hours).
+        now = time.time()
         for dirpath, dirnames, files in os.walk(data_root):
-            # _staging-* dirs hold a Python Data Source sink's
-            # in-flight task outputs — not yet manifested by design,
-            # not orphans; sweeping them mid-write would fail the
-            # writer's commit rename
+            if not os.path.basename(dirpath).startswith("_staging"):
+                continue
+            for name in files:
+                full = os.path.join(dirpath, name)
+                try:
+                    if now - os.path.getmtime(full) > staging_retention_s:
+                        os.remove(full)
+                        removed_orphans += 1
+                except FileNotFoundError:
+                    pass
+        for dirpath, dirnames, files in os.walk(data_root):
             dirnames[:] = [d for d in dirnames if not d.startswith("_staging")]
             for name in files:
                 if not name.endswith(".parquet"):

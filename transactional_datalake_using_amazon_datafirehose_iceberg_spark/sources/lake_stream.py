@@ -96,7 +96,18 @@ class LakeStreamDataSource(DataSource):
         )
 
     def streamWriter(self, schema, overwrite: bool):
-        return _LakeStreamWriter(self.options["path"], self._table_schema())
+        # txnAppId (Delta-style): distinct streaming queries appending
+        # to one table must carry distinct app ids so their batch-id
+        # watermarks never collide (option keys reach us lowercased by
+        # some runtimes — accept either spelling)
+        app_id = (
+            self.options.get("txnAppId")
+            or self.options.get("txnappid")
+            or "default"
+        )
+        return _LakeStreamWriter(
+            self.options["path"], self._table_schema(), app_id=app_id
+        )
 
 
 class _FilePartition(InputPartition):
@@ -272,15 +283,36 @@ class _ArrowFileWriter:
         return _FileCommit(name=name, rows=rows)
 
 
+def _stream_txn_ledger(summary: dict) -> dict[str, int]:
+    """Per-app exactly-once ledger {txnAppId: last committed batchId}.
+
+    Modeled on Delta's public txnAppId/txnVersion idempotent-write
+    contract: two different streaming queries writing the same table
+    get independent watermarks, so a NEW query with a fresh checkpoint
+    (batch ids restart at 0) is never mistaken for a replay of an OLD
+    query's committed batches. Legacy tables that only carry the
+    pre-r7 scalar ``stream_sink_batch_id`` migrate as the ledger of
+    the implicit "default" app."""
+    led = summary.get("stream_sink_txn")
+    if led is not None:
+        return {str(k): int(v) for k, v in led.items()}
+    legacy = summary.get("stream_sink_batch_id")
+    return {} if legacy is None else {"default": int(legacy)}
+
+
 def _driver_commit(root: str, staging_rel: str, messages, *,
-                   overwrite: bool = False, batch_id: int | None = None) -> None:
+                   overwrite: bool = False, batch_id: int | None = None,
+                   app_id: str = "default") -> None:
     """Driver-side: promote exactly the message-listed files into an
     atomic LakeTable commit (stats collected from footers, metadata
-    scale). Streaming replays (checkpoint restart) are dropped whole —
-    their staged files deleted — via the stream_sink_batch_id ledger.
-    Only message-listed files ever leave staging, so stray files from
-    failed/speculative task attempts never reach a manifest (they are
-    cleaned by expiry's orphan sweep)."""
+    scale). Streaming replays (checkpoint restart re-running the last
+    in-flight batch) are dropped whole — their staged files deleted —
+    via the per-app stream_sink_txn ledger; a batch id strictly BELOW
+    the app's watermark means a different query (fresh checkpoint) is
+    reusing this app id, and silently dropping ITS early batches would
+    be data loss, so that fails loudly instead. Only message-listed
+    files ever leave staging; stray files from failed/speculative task
+    attempts are age-swept by expire_snapshots' staging retention."""
     import uuid as _uuid
 
     from ..plans.lake_table import LakeTable, _DATA_DIR
@@ -288,16 +320,32 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
     table = LakeTable.load(root)
     staging_abs = os.path.join(root, staging_rel)
     names = sorted({m.name for m in messages if m is not None and m.name})
+    extra = None
     if batch_id is not None:
-        hwm = table.manifest()["summary"].get("stream_sink_batch_id")
-        if hwm is not None and batch_id <= int(hwm):
+        ledger = _stream_txn_ledger(table.manifest()["summary"])
+        hwm = ledger.get(app_id)
+        if hwm is not None and batch_id < int(hwm):
+            raise ValueError(
+                f"lake_table sink: batch {batch_id} is below txnAppId "
+                f"{app_id!r}'s committed watermark {hwm}. A restarted "
+                "query replays at most its last batch; a far-regressed "
+                "id means a NEW query (fresh checkpoint) is reusing "
+                "this app id, and treating its first batches as "
+                "replays would silently drop data. Give each "
+                "independent query its own .option('txnAppId', ...)."
+            )
+        if hwm is not None and batch_id == int(hwm):
             for n in names:  # replayed batch: drop its staged output
                 try:
                     os.remove(os.path.join(staging_abs, n))
                 except FileNotFoundError:
                     pass
             return
-    extra = {"stream_sink_batch_id": batch_id} if batch_id is not None else None
+        ledger[app_id] = batch_id
+        extra = {"stream_sink_txn": ledger}
+        if app_id == "default":
+            # mirror the legacy scalar so pre-r7 readers keep working
+            extra["stream_sink_batch_id"] = batch_id
     if not names:
         # empty batch: still advance the streaming ledger so a replay
         # of THIS batch id stays a no-op
@@ -364,15 +412,23 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
     one atomic LakeTable commit per micro-batch, exactly-once via the
     stream_sink_batch_id summary ledger."""
 
-    def __init__(self, root: str, schema: T.StructType):
+    def __init__(self, root: str, schema: T.StructType, app_id: str = "default"):
         # DETERMINISTIC staging path: the streaming runtime constructs
         # separate writer instances for the executor-serialization and
         # the commit sides, so a per-instance uuid would strand the
-        # written files. One streaming writer per table at a time
-        # (single-writer discipline, as elsewhere); unique file names
-        # keep task attempts apart within it.
+        # written files. Keyed by txnAppId so two queries with distinct
+        # app ids never share a staging dir; unique file names keep
+        # task attempts apart within one.
+        import hashlib as _hashlib
+
         self._root = root
-        self._staging_rel = os.path.join("data", "_staging-stream")
+        self._app_id = app_id
+        suffix = (
+            ""
+            if app_id == "default"
+            else "-" + _hashlib.md5(app_id.encode()).hexdigest()[:8]
+        )
+        self._staging_rel = os.path.join("data", f"_staging-stream{suffix}")
         os.makedirs(os.path.join(root, self._staging_rel), exist_ok=True)
         self._w = _ArrowFileWriter(root, self._staging_rel, schema.json())
 
@@ -381,7 +437,8 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         _driver_commit(
-            self._root, self._staging_rel, messages, batch_id=batchId
+            self._root, self._staging_rel, messages,
+            batch_id=batchId, app_id=self._app_id,
         )
 
     def abort(self, messages, batchId: int) -> None:
