@@ -298,3 +298,50 @@ def test_cherry_pick_refuses_equality_delete_commits(spark, tmp_path):
     t.append(spark.sql("SELECT CAST(2 AS LONG) k, 'mainline' v"))
     with _pytest.raises(CommitConflict, match="equality-delete"):
         t.cherry_pick(eq_v)
+
+
+def test_cherry_pick_refuses_branch_rewrites_on_lineage_tables(spark, tmp_path):
+    """A file REWRITTEN on a branch carries physically-materialized
+    _row_id values drawn from the BRANCH counter; publishing it onto a
+    moved head could duplicate ids the head allocated after the
+    divergence. The guard raises instead of relying on a docstring
+    caveat (r6 ADVICE). Plain branch appends still cherry-pick fine."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+        LakeTable,
+    )
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]),
+        keys=["k"], properties={"row-lineage": "true"},
+    )
+    # both base rows in ONE file so a branch delete of k=0 must REWRITE
+    # the file (materializing _row_id for the survivor) rather than
+    # drop it whole
+    t.append(
+        spark.sql("SELECT CAST(id AS LONG) k, 'base' v FROM range(2)").coalesce(1)
+    )
+    t.create_branch("audit")
+
+    # append-shaped branch commit publishes fine (ids re-drawn at head)
+    b = t.branch("audit")
+    b.append(spark.sql("SELECT CAST(10 AS LONG) k, 'staged' v"))
+    staged_v = b.current_version()
+    t.append(spark.sql("SELECT CAST(20 AS LONG) k, 'mainline' v"))
+    t.cherry_pick(staged_v)
+    ids = [r["_row_id"] for r in t.read(spark, with_row_ids=True).collect()]
+    assert len(ids) == len(set(ids)) == 4  # no duplicate lineage ids
+
+    # rewrite-shaped branch commit (COW delete materializes _row_id in
+    # the surviving rows' rewritten file) is refused
+    t.create_branch("audit2")
+    b2 = t.branch("audit2")
+    b2.delete_where(spark, "k = 0")
+    rewrite_v = b2.current_version()
+    t.append(spark.sql("SELECT CAST(30 AS LONG) k, 'mainline2' v"))
+    with _pytest.raises(CommitConflict, match="_row_id"):
+        t.cherry_pick(rewrite_v)

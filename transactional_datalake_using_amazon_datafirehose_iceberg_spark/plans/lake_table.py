@@ -2156,13 +2156,15 @@ class LakeTable:
         commit-time ``DanglingDeleteRefs`` validation enforces the
         delete-file half.
 
-        Row-lineage caveat: fresh ids are re-drawn from the head
-        counter for the picked files, but a picked file that was
-        REWRITTEN on the branch carries physically-materialized ids
-        drawn from the branch's counter, which may overlap ids the
-        head allocated after the divergence point — cherry-pick plain
-        appends (the WAP staging shape), not post-rewrite branch
-        states, on lineage-tracking tables."""
+        Row lineage: fresh ids are re-drawn from the head counter for
+        the picked files, but a file REWRITTEN on the branch carries
+        physically-materialized ids drawn from the branch's counter,
+        which may overlap ids the head allocated after the divergence
+        point. That is ENFORCED below, not just documented: on
+        lineage-enabled tables, any picked file whose parquet footer
+        shows a physical ``_row_id`` column raises CommitConflict —
+        cherry-pick plain appends (the WAP staging shape), not
+        post-rewrite branch states (r6 ADVICE)."""
         m = self.manifest(version)
         parent = self.manifest(m["parent"])
         parent_files = {f["path"] for f in parent["files"]}
@@ -2199,6 +2201,28 @@ class LakeTable:
                 "files, which cannot be re-sequenced onto a moved head "
                 "without write skew; re-issue the delete against head"
             )
+        if self.row_lineage:
+            # footer-only reads, metadata scale (one per picked file):
+            # a physical _row_id column means the file was rewritten on
+            # the branch with ids from the BRANCH counter — re-drawing
+            # first_row_id at head cannot retract ids already baked
+            # into the data, so duplicates would silently enter
+            import pyarrow.parquet as _pq
+
+            tainted = [
+                f["path"]
+                for f in added
+                if "_row_id"
+                in _pq.read_schema(os.path.join(self.root, f["path"])).names
+            ]
+            if tainted:
+                raise CommitConflict(
+                    f"cherry-pick of v{version}: picked file(s) carry "
+                    f"physically-materialized _row_id columns from the "
+                    f"branch's counter ({tainted[:3]}); publishing them "
+                    "onto a moved head can duplicate row ids. Re-append "
+                    "the rows at head instead."
+                )
         # strip the original seq: commit() re-stamps added files and
         # delete files with the NEW version so equality-delete ordering
         # stays consistent at the publish point
