@@ -505,7 +505,28 @@ class LakeTable:
             shutil.rmtree(commit_dir, ignore_errors=True)
         return metas
 
-    def _collect_stats(self, commit_dir: str, schema_v: int | None = None) -> list[dict]:
+    def bloom_key_columns(self) -> list[str]:
+        """Key columns eligible for per-file blooms: exact-match-
+        friendly types only (never float); opt out via table property
+        write.bloom-filter.enabled. Shared by the driver-side stats
+        fallback and the Arrow sink's executor-side bloom build."""
+        if self.manifest().get("properties", {}).get(
+            "write.bloom-filter.enabled", "true"
+        ) == "false":
+            return []
+        return [
+            f.name
+            for f in self.schema.fields
+            if f.name in (self.keys or [])
+            and isinstance(
+                f.dataType,
+                (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                 T.StringType, T.DateType),
+            )
+        ]
+
+    def _collect_stats(self, commit_dir: str, schema_v: int | None = None,
+                       precomputed_blooms: dict[str, dict] | None = None) -> list[dict]:
         # every data file records the schema generation it was written
         # under — how initial-default columns tell pre-ALTER files (read
         # the default) from post-ALTER files (read stored values); a
@@ -515,22 +536,7 @@ class LakeTable:
             schema_v = self.manifest().get("schema_v", 0)
         schema = self.schema
         stat_cols = {f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)}
-        # bloom key columns: exact-match-friendly types only (never
-        # float); opt out via table property write.bloom-filter.enabled
-        bloom_cols = []
-        if self.manifest().get("properties", {}).get(
-            "write.bloom-filter.enabled", "true"
-        ) != "false":
-            bloom_cols = [
-                f.name
-                for f in schema.fields
-                if f.name in (self.keys or [])
-                and isinstance(
-                    f.dataType,
-                    (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
-                     T.StringType, T.DateType),
-                )
-            ]
+        bloom_cols = self.bloom_key_columns()
         metas: list[dict] = []
         for dirpath, _dirs, files in os.walk(commit_dir):
             for name in sorted(files):
@@ -574,13 +580,24 @@ class LakeTable:
                     "max": {k: v for k, v in maxs.items() if v is not None},
                     **({"schema_v": schema_v} if schema_v else {}),
                 }
-                # per-file key blooms (see module-level notes): one
-                # column read per key column, same driver-side pass that
+                # per-file key blooms (see module-level notes). The
+                # Arrow sink builds them EXECUTOR-SIDE in the write task
+                # and ships them via WriterCommitMessage (metadata
+                # scale) — those arrive here precomputed, keyed by file
+                # basename, and skip the driver column read entirely.
+                # Files from other writers fall back to one driver-side
+                # column read per key column in the same pass that
                 # already reads the footer; large files skip (min/max
-                # still applies) to keep manifests metadata-scale. On a
-                # real cluster this moves executor-side into the write
-                # task, exactly like parquet's own bloom writer.
-                if bloom_cols and md.num_rows <= _BLOOM_MAX_ROWS:
+                # still applies) to keep manifests metadata-scale.
+                if precomputed_blooms is not None and name in precomputed_blooms:
+                    pb = {
+                        k: v
+                        for k, v in (precomputed_blooms[name] or {}).items()
+                        if k in bloom_cols
+                    }
+                    if pb:
+                        meta["bloom"] = pb
+                elif bloom_cols and md.num_rows <= _BLOOM_MAX_ROWS:
                     blooms = {}
                     for kcol in bloom_cols:
                         vals = {
