@@ -23,10 +23,20 @@ SCHEMA = T.StructType(
 )
 
 
-def test_merge_rewrites_only_touched_files(spark, tmp_path):
+def test_merge_rewrites_only_touched_files(spark, tmp_path, monkeypatch):
     """600k-row clustered table; a 50-key micro-batch with keys in ONE
     bucket must rewrite a small fraction of files (manifest pruning +
-    file-level semi join), carrying the rest over by reference."""
+    file-level semi join), carrying the rest over by reference.
+
+    The probe-skip fast path (candidates under one target file rewrite
+    outright) is forced OFF here — this test pins the at-scale path,
+    where candidates always exceed that threshold; the skip path is
+    pinned separately below."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        merge as merge_mod,
+    )
+
+    monkeypatch.setattr(merge_mod, "_PROBE_SKIP_BYTES", 0)
     t = LakeTable.create(str(tmp_path / "big"), SCHEMA, keys=["k"], cluster_by=["bucket"])
     base = spark.range(600_000).select(
         F.col("id").alias("k"),
@@ -57,6 +67,33 @@ def test_merge_rewrites_only_touched_files(spark, tmp_path):
     got = t.read(spark, predicates=None).filter("v = -1.0").count()
     assert got == 50
     assert t.row_count() == 600_000
+
+
+def test_merge_small_candidates_skip_probe(spark, tmp_path):
+    """When the pruned candidates total less than one target output
+    file, the MERGE rewrites them outright — the probe scan would cost
+    more than the write it saves, and small files compact for free.
+    Results must be identical to the probed path."""
+    t = LakeTable.create(str(tmp_path / "small"), SCHEMA, keys=["k"], cluster_by=["bucket"])
+    base = spark.range(1_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("bucket"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    t.append(base)
+    n_files = len(t.file_paths())
+    src = spark.range(10).select(
+        (F.col("id") * 8).alias("k"),
+        F.lit(0).cast("long").alias("bucket"),
+        F.lit(-1.0).alias("v"),
+        F.lit("update").alias("operation"),
+    )
+    merge_into(t, src, on=["k"], op_col="operation")
+    m = t.manifest()
+    # every pruned candidate was rewritten without a probe job
+    assert m["summary"]["matched_files"] == n_files
+    assert t.read(spark).filter("v = -1.0").count() == 10
+    assert t.row_count() == 1_000
 
 
 def test_sustained_cdc_apply_throughput(spark, tmp_path):
@@ -157,6 +194,8 @@ _HEADLINE = [
     "scalar_collation_ci",
     "agg_boolean_every_any",
     "scalar_pad_overlay_funcs",
+    "merge_evolve_widening",
+    "streaming_skip_change_commits",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

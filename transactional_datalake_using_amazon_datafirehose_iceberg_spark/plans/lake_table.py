@@ -110,6 +110,10 @@ _BLOOM_K = 7
 _BLOOM_MAX_ROWS = 65536
 _BLOOM_BITS_PER_KEY = 10
 
+# target bytes per written data file when a caller supplies a write-size
+# hint (Iceberg's write.target-file-size-bytes analogue)
+_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
 
 def _bloom_hashes(v: Any) -> tuple[int, int]:
     """Stable double-hash basis (md5 — process- and engine-independent,
@@ -465,12 +469,21 @@ class LakeTable:
             cols.append(F.col("_row_id").cast("long").alias("_row_id"))
         return df.select(*cols)
 
-    def _write_files(self, df: DataFrame, cluster: bool = True) -> list[dict]:
+    def _write_files(self, df: DataFrame, cluster: bool = True,
+                     size_hint_bytes: int | None = None) -> list[dict]:
         """Write df as parquet under data/<uuid>/ and return file metas.
 
         Clustering (repartition + local sort on ``cluster_by``) makes the
         per-file min/max tight on those columns — that's what turns the
         manifest stats into a partition-pruning structure at scale.
+
+        ``size_hint_bytes``: caller's estimate of the output volume
+        (e.g. a MERGE knows the touched files' manifest bytes). Sizes
+        the clustered range shuffle to ~target-file-size partitions
+        instead of the static shuffle-partition fan-out — a micro-batch
+        rewrite writes 1 file with 1 task, a 10 GB rewrite ~80 — and a
+        hint of one partition skips the range-boundary sampling job
+        entirely (a global sort of one partition is the same file).
         """
         # one manifest read for both the conform schema and the
         # schema_v stamp: a stamp older than the conformed schema would
@@ -490,8 +503,28 @@ class LakeTable:
             # coalescing would merge adjacent ranges back together on
             # small batches, so it is suspended for the clustered write
             # (single-writer; restored immediately after).
-            df = df.repartitionByRange(*[F.col(c) for c in cb]).sortWithinPartitions(*cb)
             spark = df.sparkSession
+            n_parts = None
+            if size_hint_bytes is not None:
+                ceiling = int(
+                    spark.conf.get("spark.sql.shuffle.partitions", "32")
+                )
+                n_parts = max(
+                    1,
+                    min(ceiling, -(-int(size_hint_bytes) // _TARGET_FILE_BYTES)),
+                )
+            if n_parts == 1:
+                # single output range: a lone sorted partition IS the
+                # range partitioning, minus the sampling pass
+                df = df.repartition(1).sortWithinPartitions(*cb)
+            elif n_parts is not None:
+                df = df.repartitionByRange(
+                    n_parts, *[F.col(c) for c in cb]
+                ).sortWithinPartitions(*cb)
+            else:
+                df = df.repartitionByRange(
+                    *[F.col(c) for c in cb]
+                ).sortWithinPartitions(*cb)
             prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
             try:
@@ -504,6 +537,16 @@ class LakeTable:
         if not metas:  # all parts empty: leave no orphan dir behind
             shutil.rmtree(commit_dir, ignore_errors=True)
         return metas
+
+    def _manifest_bytes_of(self, rel_paths) -> int:
+        """Summed manifest bytes of the given data files — the exact
+        write-size hint for a COW rewrite of those files."""
+        wanted = set(rel_paths)
+        return sum(
+            int(f.get("bytes", 0))
+            for f in self.manifest()["files"]
+            if f["path"] in wanted
+        )
 
     def bloom_key_columns(self) -> list[str]:
         """Key columns eligible for per-file blooms: exact-match-
@@ -1602,7 +1645,9 @@ class LakeTable:
         survivors = self.read_files(
             spark, hit_abs, with_row_ids=self.row_lineage
         ).filter(f"NOT ({condition})")
-        added = self._write_files(survivors)
+        added = self._write_files(
+            survivors, size_hint_bytes=self._manifest_bytes_of(hit_rel)
+        )
         return self.commit(added, removed_paths=hit_rel, operation="delete")
 
     def _delete_where_mor(
@@ -1763,7 +1808,9 @@ class LakeTable:
                 cols.append(F.col(f.name))
         if "_row_id" in old.columns:
             cols.append(F.col("_row_id"))  # updated rows keep their lineage id
-        added = self._write_files(old.select(*cols))
+        added = self._write_files(
+            old.select(*cols), size_hint_bytes=self._manifest_bytes_of(hit_rel)
+        )
         return self.commit(
             added,
             removed_paths=hit_rel,

@@ -36,6 +36,15 @@ from pyspark.sql import functions as F
 
 from .lake_table import LakeTable, Predicate
 
+# rough parquet bytes per (row, column) for write-size hints; only the
+# order of magnitude matters (see LakeTable._write_files size_hint_bytes)
+_EST_ROW_BYTES_PER_COL = 24
+
+# when the pruned MERGE candidates total no more than this, rewrite them
+# all instead of running the touched-file probe scan (one target file's
+# worth — the rewrite then costs at most what the probe alone would)
+_PROBE_SKIP_BYTES = 128 * 1024 * 1024
+
 
 class MergeSourceNotUnique(Exception):
     """Iceberg parity: MERGE throws when two source rows match one target row."""
@@ -64,7 +73,9 @@ def merge_into(
     table schema (e.g. CDC metadata) are ignored on write — unless
     ``evolve_schema=True``, which first ADD-COLUMNs them to the table
     (metadata-only commit, Iceberg ``mergeSchema`` semantics: existing
-    rows read back NULL) so an upstream ``ALTER TABLE ADD COLUMN``
+    rows read back NULL) and WIDENs table columns the source carries at
+    a strictly wider type (int->bigint etc., Iceberg type promotion —
+    an upstream ALTER COLUMN applies losslessly) so source DDL
     propagated through CDC applies without operator intervention
     (reference: DMS forwards source DDL on the task stream).
     ``evolve_ignore`` names transport columns (op/ordering metadata)
@@ -164,10 +175,23 @@ def _merge_into_cow(
         raise ValueError("merge_into requires key columns (table.keys or on=)")
     if evolve_schema:
         skip = set(evolve_ignore) | ({op_col} if op_col else set())
-        existing = {f.name for f in table.schema.fields}
+        existing = {f.name: f.dataType for f in table.schema.fields}
         for f in source.schema.fields:
-            if f.name not in existing and f.name not in skip:
+            if f.name in skip:
+                continue
+            cur_t = existing.get(f.name)
+            if cur_t is None:
                 table.add_column(f.name, f.dataType)
+            elif cur_t.simpleString() != f.dataType.simpleString():
+                # a WIDER source column promotes the table column first
+                # (metadata-only, Iceberg type-promotion semantics) so
+                # e.g. an upstream int->bigint ALTER propagated through
+                # CDC applies losslessly; a NARROWER source still casts
+                # up to the table type in the rewrite, as before
+                try:
+                    table.widen_column(f.name, f.dataType)
+                except ValueError:
+                    pass  # not a widening: the rewrite's cast handles it
     schema = table.schema
     data_cols = [f.name for f in schema.fields]
 
@@ -180,6 +204,7 @@ def _merge_into_cow(
     # source-side job count)
     key_preds: list[Predicate] = []
     range_key = _rangeable_key(src, keys)
+    src_rows: int | None = None  # rides the fused agg; sizes the write
     if assume_unique:
         # dedup already guaranteed (D4): plain min/max agg, no groupBy
         # shuffle; composite/unordered keys need no source job at all
@@ -187,13 +212,17 @@ def _merge_into_cow(
             stats = [{"__lo": None}]
         else:
             stats = src.agg(
-                F.min(range_key).alias("__lo"), F.max(range_key).alias("__hi")
+                F.min(range_key).alias("__lo"),
+                F.max(range_key).alias("__hi"),
+                F.count(F.lit(1)).alias("__n"),
             ).collect()
+            src_rows = stats[0]["__n"]
     else:
-        aggs = [F.max("count").alias("__mx")]
+        aggs = [F.max("count").alias("__mx"), F.sum("count").alias("__n")]
         if range_key:
             aggs += [F.min(range_key).alias("__lo"), F.max(range_key).alias("__hi")]
         stats = src.groupBy(*keys).count().agg(*aggs).collect()
+        src_rows = stats[0]["__n"]
         if stats[0]["__mx"] is not None and stats[0]["__mx"] > 1:
             raise MergeSourceNotUnique(
                 f"MERGE source has duplicate keys on {keys}; run latest-per-key "
@@ -219,8 +248,23 @@ def _merge_into_cow(
         touched_rel = sorted(
             f["path"] for f in table.manifest()["files"]
         )
-    elif not table.file_paths(predicates=key_preds):
+    elif not (cand_paths := table.file_paths(predicates=key_preds)):
         touched_rel: list[str] = []
+    elif (
+        table._manifest_bytes_of(
+            cand_rel := sorted(table._relpath(p) for p in cand_paths)
+        )
+        <= _PROBE_SKIP_BYTES
+    ):
+        # the probe job exists to shrink the rewrite to files that truly
+        # hold matching keys — but it SCANS every candidate to find out.
+        # When the bloom+range-pruned candidates total less than one
+        # target output file, rewriting them all outright is cheaper
+        # than scanning them twice (and compacts small files for free);
+        # carried-over rows of an unmatched candidate diff as non-
+        # changes in the changelog. At scale the candidates of a real
+        # merge exceed this threshold and the probe earns its keep.
+        touched_rel = cand_rel
     else:
         src_keys = src.select(*keys).distinct()
         tgt = table.read(spark, predicates=key_preds, with_file_path=True)
@@ -234,10 +278,19 @@ def _merge_into_cow(
         ]
         touched_rel = sorted({table._relpath(p) for p in touched if p})
 
+    # rough in-parquet volume of the source rows (sizes the clustered
+    # write shuffle; order-of-magnitude is all the hint needs — the
+    # static shuffle-partition count stays the ceiling)
+    src_bytes = (
+        src_rows * _EST_ROW_BYTES_PER_COL * len(data_cols)
+        if src_rows is not None
+        else None
+    )
+
     # ---- 3. fast path: nothing matched -> append the non-delete rows -----
     if not touched_rel:
         inserts = src.filter(~is_delete).select(*data_cols)
-        added = table._write_files(inserts)
+        added = table._write_files(inserts, size_hint_bytes=src_bytes)
         return table.commit(
             added,
             operation="merge",
@@ -306,7 +359,12 @@ def _merge_into_cow(
         out_cols.append(F.col("t._row_id").cast("long").alias("_row_id"))
     result = joined.filter(keep).select(*out_cols)
 
-    added = table._write_files(result)
+    # rewrite volume = the touched files' manifest bytes (exact, already
+    # in hand) plus the source's insert contribution (estimated)
+    touched_bytes = table._manifest_bytes_of(touched_rel)
+    added = table._write_files(
+        result, size_hint_bytes=touched_bytes + (src_bytes or 0)
+    )
     return table.commit(
         added,
         removed_paths=touched_rel,

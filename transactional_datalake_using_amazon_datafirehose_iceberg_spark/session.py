@@ -45,6 +45,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce/skew-split INSIDE .persist()ed plans (off by
+        # default): a cached CDC micro-batch otherwise materializes with
+        # the full static shuffle-partition fan-out, and every MERGE job
+        # that re-reads the cache schedules those empty tasks again —
+        # at 100 TB the same conf lets a cached hot dimension keep its
+        # runtime-coalesced layout instead of the static ceiling
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # 8 MB: dimension tables broadcast, filtered FACT tables never do.
