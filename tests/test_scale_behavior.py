@@ -196,6 +196,7 @@ _HEADLINE = [
     "scalar_pad_overlay_funcs",
     "merge_evolve_widening",
     "streaming_skip_change_commits",
+    "text_bigram_fluency",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

@@ -319,3 +319,62 @@ def rare_token_fraction(
             F.floor(F.col("n_rare") * 100 / F.col("n_tokens")).cast("int"),
         )
     )
+
+
+def bigram_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-relative FLUENCY signal (the KenLM-perplexity-filter
+    analogue of a training-data pipeline, in integer-exact arithmetic):
+    per document, the fixed-point mean conditional bigram probability
+
+        mean over positions of  floor(scale * c(prev,tok) / (c(prev)+V))
+
+    where counts are corpus-wide and V is the vocabulary size (add-V
+    mass in the denominator, Laplace-flavored). Predictable, templated
+    text scores high; garbled or off-distribution text scores low —
+    the inverse direction of perplexity, with the same ordering. All
+    divisions are integer (floor of a BIGINT ratio), so the score is
+    bit-identical on any engine — no transcendental log in sight.
+
+    Scale shape: three linear, partial-agg-friendly shuffles — (1) the
+    per-doc position window (lag) building bigrams, (2) the corpus
+    bigram count, (3) the per-doc aggregate; the bigram->count join is
+    co-partitioned with (2) and the prev-token count rides a second
+    aggregate of the same shuffle. V is ONE number — it is collected
+    (metadata scale, like a centroid table) and inlined as a literal
+    rather than cross-joined, so no 1-row BroadcastNestedLoopJoin
+    enters the plan. The vocabulary and bigram tables themselves stay
+    distributed.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = toks.select(
+        F.col(id_col),
+        F.lag("tok").over(w).alias("prev"),
+        F.col("tok"),
+    ).filter(F.col("prev").isNotNull())
+    pair_c = bigrams.groupBy("prev", "tok").agg(F.count("*").alias("__cp"))
+    prev_c = pair_c.groupBy("prev").agg(F.sum("__cp").alias("__cv"))
+    v_n = toks.select(F.countDistinct("tok")).collect()[0][0]
+    scored = (
+        bigrams.join(pair_c, ["prev", "tok"])
+        .join(prev_c, "prev")
+        .withColumn(
+            "__fp",
+            F.expr(f"CAST(__cp * {scale} AS BIGINT) div (__cv + {int(v_n)})"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.expr("CAST(sum(__fp) div count(*) AS BIGINT)").alias("fluency_ppm"),
+        F.min("__fp").cast("bigint").alias("min_ppm"),
+    )

@@ -1649,6 +1649,38 @@ ORDER BY doc_id
 ))
 
 _add(QuerySpec(
+    name="text_bigram_fluency",
+    doc="Corpus-relative fluency (the KenLM-perplexity-filter analogue, "
+        "integer-exact): per-doc fixed-point mean conditional bigram "
+        "probability floor(1e6*c(prev,tok)/(c(prev)+V)) under corpus-"
+        "wide counts — predictable text scores high, garbled text low, "
+        "no transcendental log so the score is bit-identical on any "
+        "engine. Three linear shuffles; vocabulary stays distributed.",
+    tags=("llm", "text"),
+    build=lambda spark, sf: TX.bigram_fluency(
+        spark.table("documents")
+    ).orderBy("doc_id"),
+    oracle=lambda: f"""
+WITH {_TOKS_CTE.strip()},
+bigrams AS (
+  SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS prev, tok
+  FROM toks
+),
+bg AS (SELECT * FROM bigrams WHERE prev IS NOT NULL),
+pair_c AS (SELECT prev, tok, COUNT(*) AS cp FROM bg GROUP BY prev, tok),
+prev_c AS (SELECT prev, SUM(cp) AS cv FROM pair_c GROUP BY prev),
+v AS (SELECT COUNT(DISTINCT tok) AS vn FROM toks)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM((cp * 1000000) // (cv + vn)) // COUNT(*) AS BIGINT) AS fluency_ppm,
+       CAST(MIN((cp * 1000000) // (cv + vn)) AS BIGINT) AS min_ppm
+FROM bg JOIN pair_c USING (prev, tok) JOIN prev_c USING (prev) CROSS JOIN v
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+))
+
+_add(QuerySpec(
     name="text_rare_token_fraction",
     doc="Corpus-relative rarity (CCNet-style quality heuristic, "
         "integer-exact perplexity stand-in): per-doc share of token "
