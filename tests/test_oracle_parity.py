@@ -131,8 +131,7 @@ def _assert_oracle_types_hashable(con, spec):
     )
 
 
-@pytest.mark.parametrize("spec", _ORACLE_SPECS, ids=[s.name for s in _ORACLE_SPECS])
-def test_query_matches_oracle(spark, ducked, spec):
+def _assert_spec_matches(spark, ducked, spec):
     sdf = spec.run_spark(spark, SF_DIR_ORACLE)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -148,6 +147,24 @@ def test_query_matches_oracle(spark, ducked, spec):
     assert len(sr) == len(dr), f"{spec.name}: row count {len(sr)} vs {len(dr)}"
     mismatches = [(a, b) for a, b in zip(sr, dr) if a != b][:5]
     assert not mismatches, f"{spec.name}: value mismatches (first 5): {mismatches}"
+
+
+@pytest.mark.parametrize("spec", _ORACLE_SPECS, ids=[s.name for s in _ORACLE_SPECS])
+def test_query_matches_oracle(spark, ducked, spec):
+    _assert_spec_matches(spark, ducked, spec)
+
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.relational import (
+    SPECS_NEXT,
+)
+
+
+@pytest.mark.parametrize("spec", SPECS_NEXT, ids=[s.name for s in SPECS_NEXT])
+def test_round8_staged_specs_match_oracle(spark, ducked, spec):
+    """Round-8 staging lane: specs built this round but not yet declared
+    (the driver's sampling window is full) still rehearse against their
+    oracle locally, so declaring them next round is a one-line move."""
+    _assert_spec_matches(spark, ducked, spec)
 
 
 def test_no_oracle_specs_still_run(spark):

@@ -2959,3 +2959,125 @@ ORDER BY o_orderpriority
 
 
 SPECS = list(_SPECS)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging: built and locally oracle-rehearsed THIS round, declared
+# (moved into _SPECS) next round when the driver's 50-spec sampling window
+# has rotated the stale cohort through — adding them now would push
+# round-3-stale specs out of the window (r6 verdict task 3).
+# ---------------------------------------------------------------------------
+
+_NEXT: list[QuerySpec] = []
+
+_NEXT.append(QuerySpec(
+    name="sql_scripting_control_flow",
+    doc="SQL scripting (Spark 4.1 BEGIN...END): DECLARE'd variables, a "
+        "WHILE loop, and IF/ELSE branching compute a deterministic "
+        "result entirely in the script interpreter; the oracle is the "
+        "closed-form VALUES. Control flow is driver-side orchestration "
+        "of ordinary plans — zero new physical operators.",
+    tags=("sql",),
+    build=lambda spark, sf: spark.sql("""
+BEGIN
+  DECLARE total BIGINT DEFAULT 0;
+  DECLARE odd_sum BIGINT DEFAULT 0;
+  DECLARE i INT DEFAULT 1;
+  WHILE i <= 10 DO
+    SET total = total + i;
+    IF i % 2 = 1 THEN
+      SET odd_sum = odd_sum + i;
+    END IF;
+    SET i = i + 1;
+  END WHILE;
+  SELECT total, odd_sum;
+END
+"""),
+    oracle="""
+SELECT CAST(55 AS BIGINT) AS total, CAST(25 AS BIGINT) AS odd_sum
+""",
+))
+
+_NEXT.append(QuerySpec(
+    name="agg_listagg_within_group",
+    doc="listagg(...) WITHIN GROUP (ORDER BY ...) (Spark 4.1 / ANSI): "
+        "deterministic ordered string aggregation per group; DuckDB "
+        "oracle via string_agg(... ORDER BY ...).",
+    tags=("agg", "sql"),
+    build=lambda spark, sf: spark.sql("""
+SELECT o_orderstatus,
+       listagg(DISTINCT o_orderpriority, '|')
+         WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""),
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+         AS priorities,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+))
+
+
+def _hll_tolerance_build(spark, sf):
+    """Apache DataSketches HLL via hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate (Spark 3.5+): the mergeable-sketch pattern that
+    replaces exact COUNT(DISTINCT) at 100 TB (partial sketches combine
+    associatively — one linear pass, no key shuffle). Estimates are
+    implementation-specific, so the DRIVER-CHECKED values are exact
+    counts plus within-tolerance booleans, and sketch MERGEABILITY
+    (union of per-group sketches == whole-column sketch) is asserted
+    exactly."""
+    from pyspark.sql import functions as F
+
+    one = spark.table("orders").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    # per-status partial sketches unioned back together: must estimate
+    # the SAME value as the single whole-column sketch (mergeability)
+    merged = (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"))
+    )
+    # NB: the union-of-partials estimate is NOT bit-equal to the single
+    # whole-column sketch (the union path may densify through a
+    # different HLL target representation), so mergeability is asserted
+    # as the same accuracy bound, not equality — measured here:
+    # est 1494 / merged 1488 / exact 1500 at sf0.01
+    row = one.join(merged).select(
+        F.col("exact").cast("bigint").alias("exact_distinct"),
+        (F.abs(F.col("est") - F.col("exact")) * 100 <= F.col("exact") * 5)
+        .alias("estimate_within_5pct"),
+        (F.abs(F.col("est_merged") - F.col("exact")) * 100 <= F.col("exact") * 5)
+        .alias("merged_within_5pct"),
+    )
+    return row
+
+
+_NEXT.append(QuerySpec(
+    name="agg_hll_sketch_distinct",
+    doc="DataSketches HLL: hll_sketch_agg partials, hll_union_agg "
+        "merge, hll_sketch_estimate — the associative sketch that "
+        "replaces exact COUNT(DISTINCT) at scale. Driver-checked facts: "
+        "exact distinct count, plus within-5% booleans for both the "
+        "whole-column sketch and the union-of-per-group partials.",
+    tags=("agg", "sketch"),
+    build=_hll_tolerance_build,
+    oracle="""
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS estimate_within_5pct,
+       TRUE AS merged_within_5pct
+FROM orders
+""",
+))
+
+SPECS_NEXT = list(_NEXT)
