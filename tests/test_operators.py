@@ -508,3 +508,26 @@ GROUP BY doc_id
     )
     scores = {r["doc_id"]: r["fluency_ppm"] for r in bigram_fluency(probe).collect()}
     assert scores[1] > scores[2]
+
+
+def test_compression_ratio_pins_zlib_and_orders_redundancy(spark):
+    """compression_ratio must equal direct zlib calls byte-for-byte
+    (same stdlib on driver and executor) and order boilerplate below
+    natural-ish prose."""
+    import zlib
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over one lazy dog near a river bank"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for doc_id, text in rows:
+        z = len(zlib.compress(text.encode("utf-8"), 6))
+        assert got[doc_id]["n_bytes_zlib"] == z
+        assert got[doc_id]["ratio_pm"] == z * 1000 // len(text)
+    assert got[1]["ratio_pm"] < got[2]["ratio_pm"]

@@ -164,6 +164,10 @@ def test_round8_staged_specs_match_oracle(spark, ducked, spec):
     """Round-8 staging lane: specs built this round but not yet declared
     (the driver's sampling window is full) still rehearse against their
     oracle locally, so declaring them next round is a one-line move."""
+    if spec.oracle_text() is None:
+        # declared-no-oracle spec: same rows-only check the driver runs
+        assert spec.run_spark(spark, SF_DIR_ORACLE).count() > 0, spec.name
+        return
     _assert_spec_matches(spark, ducked, spec)
 
 

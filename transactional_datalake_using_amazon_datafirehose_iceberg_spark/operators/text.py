@@ -378,3 +378,48 @@ def bigram_fluency(
         F.expr("CAST(sum(__fp) div count(*) AS BIGINT)").alias("fluency_ppm"),
         F.min("__fp").cast("bigint").alias("min_ppm"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """zlib compression ratio per document — the classic redundancy /
+    boilerplate signal of web-corpus pipelines (CCNet, RefinedWeb):
+    highly repetitive or templated text compresses far below natural
+    prose; random noise barely compresses at all. Reported as
+    fixed-point ``ratio_pm`` = floor(1000 * compressed_len /
+    original_len) plus both byte counts.
+
+    Arrow-batched pandas UDF (zlib is CPython stdlib, deterministic for
+    a pinned level) — a pure map stage, embarrassingly parallel at any
+    scale. Not SQL-expressible, so the spec runs the driver's rows-only
+    check; the unit test pins exact values against direct zlib calls.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _zlen_fn(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda x: len(zlib.compress(x.encode("utf-8"), 6))
+            if x is not None
+            else None
+        )
+
+    # explicit annotations (locals-scoped 'pd' defeats the string-hint
+    # resolver that @pandas_udf uses on decorated defs)
+    _zlen_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _zlen = pandas_udf(_zlen_fn, "long")
+
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars_raw"),
+        _zlen(t).alias("n_bytes_zlib"),
+    ).withColumn(
+        "ratio_pm",
+        F.expr("CAST(n_bytes_zlib * 1000 AS BIGINT) div n_chars_raw"),
+    )

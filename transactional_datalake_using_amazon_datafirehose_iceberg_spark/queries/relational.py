@@ -3080,4 +3080,83 @@ FROM orders
 """,
 ))
 
+_NEXT.append(QuerySpec(
+    name="agg_approx_top_k",
+    doc="approx_top_k heavy-hitters sketch (Spark 3.5+): with capacity "
+        "far above the domain the counts are exact, so the exploded "
+        "top-5 (all priorities) compares exactly against GROUP BY "
+        "counts; re-sorted by (count DESC, item) so tie order is "
+        "engine-independent. At scale the sketch is one linear pass, "
+        "mergeable across partitions — COUNT GROUP BY without the "
+        "key shuffle.",
+    tags=("agg", "sketch"),
+    build=lambda spark, sf: spark.sql("""
+SELECT t.item AS item, CAST(t.count AS BIGINT) AS n
+FROM (
+  SELECT explode(approx_top_k(o_orderpriority, 5, 65536)) AS t FROM orders
+)
+ORDER BY n DESC, item
+"""),
+    oracle="""
+SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY n DESC, item
+""",
+))
+
+_NEXT.append(QuerySpec(
+    name="scalar_try_functions",
+    doc="ANSI-mode error-safe scalar family: try_divide / try_add "
+        "(overflow) / try_cast / try_element_at / try_to_number return "
+        "NULL where the strict forms raise — the dirty-data posture "
+        "Spark 4 ANSI mode requires. Oracle emits the closed-form "
+        "expected values (DuckDB has no try_ equivalents for most).",
+    tags=("scalar", "sql"),
+    build=lambda spark, sf: spark.sql("""
+SELECT o_orderkey,
+       try_divide(o_totalprice, o_orderkey % 3) AS div_maybe_null,
+       try_add(CAST(9223372036854775807 AS BIGINT),
+               CAST(o_orderkey % 2 AS BIGINT)) AS add_ovf,
+       try_cast(o_orderpriority AS INT) AS prio_int,
+       try_element_at(split(o_orderpriority, '-'), 2) AS prio_word,
+       try_element_at(split(o_orderpriority, '-'), 9) AS oob,
+       CAST(try_to_number(substring(o_orderpriority, 1, 1), '9') AS INT)
+         AS prio_digit
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100
+"""),
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_orderkey % 3) END AS div_maybe_null,
+       CASE WHEN o_orderkey % 2 = 1 THEN NULL
+            ELSE CAST(9223372036854775807 AS BIGINT) END AS add_ovf,
+       TRY_CAST(o_orderpriority AS INT) AS prio_int,
+       string_split(o_orderpriority, '-')[2] AS prio_word,
+       CAST(NULL AS VARCHAR) AS oob,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100
+""",
+))
+
+_NEXT.append(QuerySpec(
+    name="text_compression_ratio",
+    doc="zlib compression ratio per document (CCNet/RefinedWeb-style "
+        "redundancy signal): repetitive boilerplate compresses far "
+        "below natural prose. Arrow-batched pandas UDF over stdlib "
+        "zlib, pure map stage. Not SQL-expressible -> rows-only driver "
+        "check; exact values pinned by the unit test against direct "
+        "zlib calls.",
+    tags=("llm", "text", "udf"),
+    build=lambda spark, sf: __import__(
+        "transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text",
+        fromlist=["compression_ratio"],
+    ).compression_ratio(spark.table("documents")).orderBy("doc_id"),
+    no_oracle=True,
+))
+
 SPECS_NEXT = list(_NEXT)
