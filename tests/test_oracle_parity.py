@@ -154,9 +154,14 @@ def test_query_matches_oracle(spark, ducked, spec):
     _assert_spec_matches(spark, ducked, spec)
 
 
-from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.relational import (
-    SPECS_NEXT,
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.extended import (
+    SPECS_NEXT as _NEXT_EXTENDED,
 )
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.relational import (
+    SPECS_NEXT as _NEXT_RELATIONAL,
+)
+
+SPECS_NEXT = _NEXT_RELATIONAL + _NEXT_EXTENDED
 
 
 @pytest.mark.parametrize("spec", SPECS_NEXT, ids=[s.name for s in SPECS_NEXT])

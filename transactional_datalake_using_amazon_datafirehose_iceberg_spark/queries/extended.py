@@ -2849,3 +2849,84 @@ SELECT fact, CAST(n AS BIGINT) AS n FROM (
 
 
 SPECS = list(_SPECS)
+
+
+# Round-8 staging (see relational.SPECS_NEXT for the lane contract):
+# rehearsed locally now, declared when the sampling window rotates.
+
+def _sink_txn_build(spark, sf):
+    """Two INDEPENDENT availableNow streaming queries (fresh checkpoints,
+    batch ids both from 0, distinct txnAppId) append disjoint slices to
+    one LakeTable through the Arrow stream sink; the per-app
+    stream_sink_txn ledger must land both (a batchId-only ledger would
+    silently drop the second query's batches as replays), and a replayed
+    run of either query must stay a no-op."""
+    import uuid
+
+    from ..sources.lake_stream import LakeStreamDataSource
+
+    spark.dataSource.register(LakeStreamDataSource)
+    workdir = tempfile.mkdtemp(prefix="sinktxn_")
+    base = spark.table("customer").select("c_custkey", "c_acctbal")
+    t = LakeTable.create(
+        os.path.join(workdir, "cust"), base.schema, keys=["c_custkey"]
+    )
+    src_a = os.path.join(workdir, "srcA")
+    src_b = os.path.join(workdir, "srcB")
+    base.filter(F.col("c_custkey") % 2 == 0).write.parquet(src_a)
+    base.filter(F.col("c_custkey") % 2 == 1).write.parquet(src_b)
+
+    def run(src, ckpt, app):
+        q = (
+            spark.readStream.schema(base.schema).parquet(src + "/*")
+            .writeStream.format("lake_table")
+            .option("path", t.root)
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", app)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(src_a, os.path.join(workdir, "ckA"), "evens")
+    run(src_b, os.path.join(workdir, "ckB"), "odds")
+    v = t.current_version()
+    run(src_a, os.path.join(workdir, "ckA"), "evens")  # replay: no-op
+    replay_noop = t.current_version() == v
+    led = t.manifest()["summary"]["stream_sink_txn"]
+    return (
+        t.read(spark)
+        .groupBy((F.col("c_custkey") % 2).cast("bigint").alias("parity"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+        .withColumn("apps_tracked", F.lit(len(led)))
+        .orderBy("parity")
+    )
+
+
+SPECS_NEXT = [
+    QuerySpec(
+        name="streaming_sink_txn_app_ids",
+        doc="Per-query exactly-once on the Arrow stream sink: two "
+            "independent availableNow queries with distinct txnAppId "
+            "(fresh checkpoints, batch ids both from 0) each land their "
+            "slice; a replayed run stays a no-op; the ledger tracks both "
+            "apps. Oracle recomputes the parity aggregate from the "
+            "fixture.",
+        tags=("streaming", "sink"),
+        build=_sink_txn_build,
+        oracle="""
+SELECT CAST(c_custkey % 2 AS BIGINT) AS parity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+       TRUE AS replay_noop,
+       2 AS apps_tracked
+FROM customer
+GROUP BY c_custkey % 2
+ORDER BY parity
+""",
+    ),
+]
