@@ -149,3 +149,45 @@ def test_temperature_mixture_matches_reference(prop_spark, docs, pct):
         order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
         kept = len(order[:quota])
         assert got[dom] == (len(ids), kept, kept * 100 // len(ids)), (dom, docs)
+
+
+@given(docs=docs_strategy)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bigram_fluency_matches_reference(prop_spark, docs):
+    """bigram_fluency vs a pure-Python model: identical integer scores
+    for arbitrary corpora (the fixed-point arithmetic is the contract —
+    any FP in the pipeline would drift off the model)."""
+    from collections import Counter
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text import (
+        bigram_fluency,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["fluency_ppm"], r["min_ppm"])
+        for r in bigram_fluency(_df(prop_spark, docs)).collect()
+    }
+    all_bigrams: Counter = Counter()
+    vocab = set()
+    per_doc: dict[int, list] = {}
+    for i, t in enumerate(docs):
+        toks = t.lower().split(" ")
+        vocab.update(toks)
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        all_bigrams.update(bgs)
+    prev_tot = Counter()
+    for (p, _), c in all_bigrams.items():
+        prev_tot[p] += c
+    v = len(vocab)
+    for i, bgs in per_doc.items():
+        if not bgs:
+            assert i not in got
+            continue
+        fps = [
+            (all_bigrams[bg] * 1_000_000) // (prev_tot[bg[0]] + v) for bg in bgs
+        ]
+        assert got[i] == (len(bgs), sum(fps) // len(bgs), min(fps)), (i, docs)

@@ -299,3 +299,26 @@ def test_extras_all_executed_plans_free_of_scale_killers(spark):
                 if node in plan and node not in _DECLARED.get(name, set()):
                     bad.append(f"{name} (execution {eid}): {node}")
     assert not bad, "scale-killer plan nodes found in extras:\n" + "\n".join(bad)
+
+
+def test_probe_skip_rewrites_diff_as_no_change_in_changelog(spark, tmp_path):
+    """The probe-skip fast path rewrites candidate files that hold NO
+    matching key; their carried-over rows appear in both the removed and
+    added file sets of the merge commit and must classify as non-changes
+    in the changelog — only the real upsert may surface."""
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["k"], cluster_by=["bucket"])
+    base = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t.append(base)
+    v0 = t.current_version()
+    n_files = len(t.file_paths())
+    assert n_files > 1  # several candidates, most without the key
+    src = spark.createDataFrame([(7, 3, -1.0, "update")], "k long, bucket long, v double, operation string")
+    merge_into(t, src, on=["k"], op_col="operation")
+    assert t.manifest()["summary"]["matched_files"] == n_files  # skip path
+    log = t.changelog(spark, v0, t.current_version())
+    got = sorted((r["_change_type"], r["k"]) for r in log.collect())
+    assert got == [("UPDATE_AFTER", 7), ("UPDATE_BEFORE", 7)]
