@@ -2907,7 +2907,73 @@ def _sink_txn_build(spark, sf):
     )
 
 
+def _partition_evolution_build(spark, sf):
+    """Partition-spec evolution lifecycle (Iceberg partition evolution /
+    WRITE ORDERED BY): set_cluster_by is metadata-only — generation-1
+    files stay as written and keep pruning under the OLD layout while
+    generation-2 writes cluster on the new column and prune under the
+    NEW one; the full read spans both specs."""
+    from ..plans.lake_table import Predicate
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="pevo_"), "cust"),
+        T.StructType([
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_nationkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]),
+        keys=["c_custkey"], cluster_by=["c_nationkey"],
+    )
+    base = spark.table("customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    half = base.agg(F.max("c_custkey")).collect()[0][0] // 2
+    t.append(base.filter(F.col("c_custkey") <= half))          # gen-1: by nation
+    gen1 = set(t.file_paths())
+    t.set_cluster_by(["c_custkey"])                            # metadata-only
+    rewrote = set(t.file_paths()) != gen1
+    t.append(base.filter(F.col("c_custkey") > half))           # gen-2: by key
+    gen2 = set(t.file_paths()) - gen1
+    # old-layout prune: one nation hits a strict subset of gen-1 files;
+    # new-layout prune: a narrow key range hits a strict subset of gen-2
+    nation_hit = set(t.file_paths(predicates=[
+        Predicate("c_nationkey", "=", 3)]))
+    key_hit = set(t.file_paths(predicates=[
+        Predicate("c_custkey", ">=", half + 1),
+        Predicate("c_custkey", "<=", half + 3)]))
+    facts = [
+        ("1_total_rows", t.read(spark).count()),
+        ("2_rewrote_on_evolve", int(rewrote)),
+        ("3_gen1_prunes_by_old_layout",
+         int(len(nation_hit & gen1) < len(gen1))),
+        ("4_gen2_prunes_by_new_layout",
+         int(len(key_hit & gen2) < len(gen2))),
+        ("5_balance_sum_cents",
+         int(t.read(spark).agg(F.sum(F.round("c_acctbal", 2) * 100))
+             .collect()[0][0])),
+    ]
+    return spark.createDataFrame(facts, "fact string, n bigint").orderBy("fact")
+
+
 SPECS_NEXT = [
+    QuerySpec(
+        name="partition_evolution_lifecycle",
+        doc="Iceberg partition evolution: set_cluster_by changes the "
+            "write layout metadata-only (no rewrite); gen-1 files keep "
+            "pruning under the old layout, gen-2 under the new, one "
+            "read spans both. Oracle recomputes rows + balance from "
+            "the fixture and pins the behavioral booleans.",
+        tags=("lake", "ddl"),
+        build=_partition_evolution_build,
+        oracle="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (
+  SELECT '1_total_rows' AS fact, COUNT(*) AS n FROM customer
+  UNION ALL SELECT '2_rewrote_on_evolve', 0
+  UNION ALL SELECT '3_gen1_prunes_by_old_layout', 1
+  UNION ALL SELECT '4_gen2_prunes_by_new_layout', 1
+  UNION ALL SELECT '5_balance_sum_cents',
+    CAST(SUM(ROUND(c_acctbal, 2) * 100) AS BIGINT) FROM customer
+) ORDER BY fact
+""",
+    ),
     QuerySpec(
         name="streaming_sink_txn_app_ids",
         doc="Per-query exactly-once on the Arrow stream sink: two "
