@@ -268,6 +268,8 @@ def main() -> None:
         "events_funnel_stages",
         "events_retention_cohorts",
         "multimodal_audio_window_energy",
+        # round-7 addition
+        "text_bigram_fluency",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:
