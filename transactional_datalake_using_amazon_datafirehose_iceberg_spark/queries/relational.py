@@ -3159,4 +3159,52 @@ _NEXT.append(QuerySpec(
     no_oracle=True,
 ))
 
+def _sql_udf_build(spark, sf):
+    """SQL-defined functions (Spark 4.1 CREATE FUNCTION ... RETURN):
+    a scalar SQL UDF and a table-valued SQL UDF composed in one query.
+    Both inline into the plan (Catalyst sees the expanded expression /
+    subquery — no Python, no serialization boundary), so this is the
+    zero-cost extension point; the oracle states the same logic
+    inline."""
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION order_band(p DOUBLE) RETURNS STRING
+RETURN CASE WHEN p >= 200000 THEN 'high'
+            WHEN p >= 100000 THEN 'mid' ELSE 'low' END
+""")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION status_orders(st STRING)
+RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE)
+RETURN SELECT o_orderkey, CAST(o_totalprice AS DOUBLE)
+       FROM orders WHERE o_orderstatus = st
+""")
+    return spark.sql("""
+SELECT order_band(o_totalprice) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM status_orders('F')
+GROUP BY order_band(o_totalprice)
+ORDER BY band
+""")
+
+
+_NEXT.append(QuerySpec(
+    name="sql_udf_create_function",
+    doc="SQL-defined scalar + table-valued functions (Spark 4.1 CREATE "
+        "FUNCTION ... RETURN), composed in one query; both inline into "
+        "the Catalyst plan (no Python boundary). Oracle states the same "
+        "logic inline.",
+    tags=("sql", "udf"),
+    build=_sql_udf_build,
+    oracle="""
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1
+ORDER BY band
+""",
+))
+
 SPECS_NEXT = list(_NEXT)
