@@ -2953,7 +2953,65 @@ def _partition_evolution_build(spark, sf):
     return spark.createDataFrame(facts, "fact string, n bigint").orderBy("fact")
 
 
+def _xml_roundtrip_build(spark, sf):
+    """XML as a first-class format (Spark 4 bundles spark-xml): the
+    fixture slice written with rowTag, read back under an explicit
+    schema, aggregated; plus the from_xml/to_xml scalar pair proven by
+    round-tripping each row through an XML string. Both must equal the
+    parquet fixture aggregate."""
+    from ..sources.catalog import load_table
+
+    base = tempfile.mkdtemp(prefix="xml_rt_")
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.format("xml").option("rowTag", "event").save(os.path.join(base, "xml"))
+    xml_df = (
+        spark.read.format("xml")
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .option("rowTag", "event")
+        .load(os.path.join(base, "xml"))
+    )
+    scalar_df = ev.select(
+        F.from_xml(
+            F.to_xml(F.struct("event_id", "user_id", "event_type", "value")),
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+        ).alias("s")
+    ).select("s.*")
+    out = []
+    for fmt, df in (("file", xml_df), ("scalar", scalar_df)):
+        out.append(
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("value"), 2).cast("double").alias("total"),
+            )
+            .withColumn("path", F.lit(fmt))
+        )
+    return (
+        out[0].unionByName(out[1])
+        .select("path", "event_type", "n", "total")
+        .orderBy("path", "event_type")
+    )
+
+
 SPECS_NEXT = [
+    QuerySpec(
+        name="source_xml_roundtrip",
+        doc="XML format (Spark 4): fixture slice written rowTag-per-row "
+            "and read back under an explicit schema, plus the "
+            "from_xml/to_xml scalar pair round-tripping each row — both "
+            "paths must equal the fixture aggregate.",
+        tags=("source",),
+        build=_xml_roundtrip_build,
+        oracle="""
+SELECT p.path, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(e.value), 2) AS DOUBLE) AS total
+FROM events e, (VALUES ('file'), ('scalar')) p(path)
+GROUP BY p.path, e.event_type
+ORDER BY p.path, e.event_type
+""",
+    ),
     QuerySpec(
         name="partition_evolution_lifecycle",
         doc="Iceberg partition evolution: set_cluster_by changes the "
