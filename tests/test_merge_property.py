@@ -121,3 +121,49 @@ def test_merge_matches_reference_model(prop_spark, tmp_path_factory, batches, re
         elif r["_change_type"] == "DELETE":
             log_state.pop(r["k"], None)
     assert sorted(log_state.values()) == expected
+
+
+@given(batches=batches_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_probe_skip_path_equivalent_to_probed_path(
+    prop_spark, tmp_path_factory, batches
+):
+    """The probe-skip fast path (rewrite all pruned candidates outright)
+    and the probed path (semi-join to the truly-touched files) must
+    converge to IDENTICAL table state for arbitrary op sequences — the
+    skip is a physical shortcut, never a semantic one."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        merge as merge_mod,
+    )
+
+    spark = prop_spark
+    states = []
+    for skip_bytes in (0, 1 << 60):  # probe always / probe never
+        orig = merge_mod._PROBE_SKIP_BYTES
+        merge_mod._PROBE_SKIP_BYTES = skip_bytes
+        try:
+            root = str(
+                tmp_path_factory.mktemp(f"pskip{skip_bytes % 97}") / "t"
+            )
+            t = LakeTable.create(root, SCHEMA, keys=["k"], cluster_by=["cat"])
+            for batch in batches:
+                # latest-per-key collapse like the CDC path (MERGE
+                # requires unique source keys)
+                latest = {}
+                for op, k, v in batch:
+                    latest[k] = (op, k, v)
+                src = spark.createDataFrame(
+                    [(k, v, "c" + str(k % 3), op) for op, k, v in latest.values()],
+                    "k int, v int, cat string, operation string",
+                )
+                merge_into(t, src, on=["k"], op_col="operation", assume_unique=True)
+            states.append(
+                sorted(map(tuple, t.read(spark).collect()))
+            )
+        finally:
+            merge_mod._PROBE_SKIP_BYTES = orig
+    assert states[0] == states[1], batches
