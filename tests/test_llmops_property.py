@@ -191,3 +191,33 @@ def test_bigram_fluency_matches_reference(prop_spark, docs):
             (all_bigrams[bg] * 1_000_000) // (prev_tot[bg[0]] + v) for bg in bgs
         ]
         assert got[i] == (len(bgs), sum(fps) // len(bgs), min(fps)), (i, docs)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cc_driver_fast_path_equals_iterative(prop_spark, edges):
+    """connected_components' small-graph union-find shortcut must label
+    identically to the distributed pointer-jumping loop on arbitrary
+    graphs (self-loops and duplicate edges included)."""
+    df = prop_spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in D.connected_components(df).collect()
+    }
+    slow = {
+        (r["id"], r["cluster_id"])
+        for r in D.connected_components(df, driver_max_edges=0).collect()
+    }
+    assert fast == slow, edges

@@ -275,11 +275,42 @@ def jaccard_verify_docs(
     )
 
 
+_CC_DRIVER_MAX_EDGES = 200_000
+
+
+def _union_find_min_label(edges) -> dict:
+    """Driver-side union-find; returns {node: min id in its component}."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    label: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in label or n < label[r]:
+            label[r] = n
+    return {n: label[find(n)] for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs into connected components: every node gets
     ``cluster_id`` = the minimum node id reachable through the pair graph
@@ -302,6 +333,16 @@ def connected_components(
     (round-5 verdict task 6 — this beats the suggested
     probe-every-other-round, which still paid half the probes plus an
     occasional extra no-op round).
+
+    Small-graph fast path: when the deduplicated edge relation holds at
+    most ``driver_max_edges`` rows (default 200k — a few MB, the same
+    metadata-scale class as collected aggregates or centroid tables),
+    the edges are collected and resolved with a driver union-find in one
+    pass instead of paying log(diameter) rounds of fixed per-job
+    overhead. A physical shortcut only — the property test pins both
+    paths to identical labels; graphs above the gate stay fully
+    distributed (at 100 TB a near-dup pair graph exceeds it and
+    iterates).
     """
     from pyspark.sql import Observation
     # materialize the input pair list before symmetrization: both union
@@ -309,6 +350,16 @@ def connected_components(
     # LSH+Jaccard verify pipeline in the curation flow) would execute
     # twice just to build the edge relation
     pairs = pairs.select(col_a, col_b).localCheckpoint(eager=True)
+    if driver_max_edges is None:
+        driver_max_edges = _CC_DRIVER_MAX_EDGES
+    if driver_max_edges and pairs.count() <= driver_max_edges:
+        id_type = dict(pairs.dtypes)[col_a]
+        lbl = _union_find_min_label(
+            [(r[col_a], r[col_b]) for r in pairs.collect()]
+        )
+        return pairs.sparkSession.createDataFrame(
+            sorted(lbl.items()), f"id {id_type}, cluster_id {id_type}"
+        )
     sym = (
         pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
         .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
