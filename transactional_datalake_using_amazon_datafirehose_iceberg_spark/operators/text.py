@@ -340,11 +340,12 @@ def bigram_fluency(
     divisions are integer (floor of a BIGINT ratio), so the score is
     bit-identical on any engine — no transcendental log in sight.
 
-    Scale shape: three linear, partial-agg-friendly shuffles — (1) the
-    per-doc position window (lag) building bigrams, (2) the corpus
-    bigram count, (3) the per-doc aggregate; the bigram->count join is
-    co-partitioned with (2) and the prev-token count rides a second
-    aggregate of the same shuffle. V is ONE number — it is collected
+    Scale shape: every stage is LINEAR in corpus size — the per-doc
+    position window (lag) building bigrams, the corpus bigram count,
+    the prev-token re-aggregate of that count, the two key-equi joins
+    hashing the bigram stream onto those counts, and the final per-doc
+    aggregate; no stage is quadratic and no candidate blow-up exists.
+    V is ONE number — it is collected
     (metadata scale, like a centroid table) and inlined as a literal
     rather than cross-joined, so no 1-row BroadcastNestedLoopJoin
     enters the plan. The vocabulary and bigram tables themselves stay

@@ -1655,7 +1655,8 @@ _add(QuerySpec(
         "probability floor(1e6*c(prev,tok)/(c(prev)+V)) under corpus-"
         "wide counts — predictable text scores high, garbled text low, "
         "no transcendental log so the score is bit-identical on any "
-        "engine. Three linear shuffles; vocabulary stays distributed.",
+        "engine. Every stage linear in corpus size; the vocabulary "
+        "and bigram tables stay distributed.",
     tags=("llm", "text"),
     build=lambda spark, sf: TX.bigram_fluency(
         spark.table("documents")
