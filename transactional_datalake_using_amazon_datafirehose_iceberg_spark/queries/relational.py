@@ -3025,61 +3025,6 @@ ORDER BY o_orderstatus
 ))
 
 
-def _hll_tolerance_build(spark, sf):
-    """Apache DataSketches HLL via hll_sketch_agg / hll_union_agg /
-    hll_sketch_estimate (Spark 3.5+): the mergeable-sketch pattern that
-    replaces exact COUNT(DISTINCT) at 100 TB (partial sketches combine
-    associatively — one linear pass, no key shuffle). Estimates are
-    implementation-specific, so the DRIVER-CHECKED values are exact
-    counts plus within-tolerance booleans, and sketch MERGEABILITY
-    (union of per-group sketches == whole-column sketch) is asserted
-    exactly."""
-    from pyspark.sql import functions as F
-
-    one = spark.table("orders").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"),
-        F.countDistinct("o_custkey").alias("exact"),
-    )
-    # per-status partial sketches unioned back together: must estimate
-    # the SAME value as the single whole-column sketch (mergeability)
-    merged = (
-        spark.table("orders")
-        .groupBy("o_orderstatus")
-        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"))
-    )
-    # NB: the union-of-partials estimate is NOT bit-equal to the single
-    # whole-column sketch (the union path may densify through a
-    # different HLL target representation), so mergeability is asserted
-    # as the same accuracy bound, not equality — measured here:
-    # est 1494 / merged 1488 / exact 1500 at sf0.01
-    row = one.join(merged).select(
-        F.col("exact").cast("bigint").alias("exact_distinct"),
-        (F.abs(F.col("est") - F.col("exact")) * 100 <= F.col("exact") * 5)
-        .alias("estimate_within_5pct"),
-        (F.abs(F.col("est_merged") - F.col("exact")) * 100 <= F.col("exact") * 5)
-        .alias("merged_within_5pct"),
-    )
-    return row
-
-
-_NEXT.append(QuerySpec(
-    name="agg_hll_sketch_distinct",
-    doc="DataSketches HLL: hll_sketch_agg partials, hll_union_agg "
-        "merge, hll_sketch_estimate — the associative sketch that "
-        "replaces exact COUNT(DISTINCT) at scale. Driver-checked facts: "
-        "exact distinct count, plus within-5% booleans for both the "
-        "whole-column sketch and the union-of-per-group partials.",
-    tags=("agg", "sketch"),
-    build=_hll_tolerance_build,
-    oracle="""
-SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
-       TRUE AS estimate_within_5pct,
-       TRUE AS merged_within_5pct
-FROM orders
-""",
-))
-
 _NEXT.append(QuerySpec(
     name="agg_approx_top_k",
     doc="approx_top_k heavy-hitters sketch (Spark 3.5+): with capacity "
