@@ -3051,44 +3051,6 @@ ORDER BY n DESC, item
 ))
 
 _NEXT.append(QuerySpec(
-    name="scalar_try_functions",
-    doc="ANSI-mode error-safe scalar family: try_divide / try_add "
-        "(overflow) / try_cast / try_element_at / try_to_number return "
-        "NULL where the strict forms raise — the dirty-data posture "
-        "Spark 4 ANSI mode requires. Oracle emits the closed-form "
-        "expected values (DuckDB has no try_ equivalents for most).",
-    tags=("scalar", "sql"),
-    build=lambda spark, sf: spark.sql("""
-SELECT o_orderkey,
-       try_divide(o_totalprice, o_orderkey % 3) AS div_maybe_null,
-       try_add(CAST(9223372036854775807 AS BIGINT),
-               CAST(o_orderkey % 2 AS BIGINT)) AS add_ovf,
-       try_cast(o_orderpriority AS INT) AS prio_int,
-       try_element_at(split(o_orderpriority, '-'), 2) AS prio_word,
-       try_element_at(split(o_orderpriority, '-'), 9) AS oob,
-       CAST(try_to_number(substring(o_orderpriority, 1, 1), '9') AS INT)
-         AS prio_digit
-FROM orders
-ORDER BY o_orderkey
-LIMIT 100
-"""),
-    oracle="""
-SELECT o_orderkey,
-       CASE WHEN o_orderkey % 3 = 0 THEN NULL
-            ELSE o_totalprice / (o_orderkey % 3) END AS div_maybe_null,
-       CASE WHEN o_orderkey % 2 = 1 THEN NULL
-            ELSE CAST(9223372036854775807 AS BIGINT) END AS add_ovf,
-       TRY_CAST(o_orderpriority AS INT) AS prio_int,
-       string_split(o_orderpriority, '-')[2] AS prio_word,
-       CAST(NULL AS VARCHAR) AS oob,
-       TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
-FROM orders
-ORDER BY o_orderkey
-LIMIT 100
-""",
-))
-
-_NEXT.append(QuerySpec(
     name="text_compression_ratio",
     doc="zlib compression ratio per document (CCNet/RefinedWeb-style "
         "redundancy signal): repetitive boilerplate compresses far "
