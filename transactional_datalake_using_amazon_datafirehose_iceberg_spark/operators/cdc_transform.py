@@ -59,7 +59,7 @@ def decode_base64(df: DataFrame, col: str = "value") -> DataFrame:
 def transform(
     df: DataFrame,
     destination_database: str,
-    destination_table: str,
+    destination_table: str | None,
     value_col: str = "value",
     plugin: Callable[[DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -70,6 +70,13 @@ def transform(
     ``destination_table``.
     ``dead`` columns: ``raw``, ``error_type`` (+ caller adds time
     partitions via :func:`to_dead_letter`).
+
+    ``destination_table=None`` derives the destination from each
+    record's OWN ``metadata.table-name``, verbatim (dirty-name
+    fidelity) — exactly what the reference transformer does
+    (firehose_to_iceberg_transformer.py:65-71 builds otfMetadata from
+    the record's schema/table name), enabling one mixed delivery to
+    fan out to several tables via :func:`~..operators.cdc_apply.apply_routed`.
     """
     parsed = df.withColumn("v", F.from_json(F.col(value_col), CDC_ENVELOPE_RAW))
 
@@ -101,7 +108,11 @@ def transform(
             F.col("v.metadata.operation").alias("operation"),
             F.col("v.metadata").alias("metadata"),
             F.lit(destination_database).alias("destination_database"),
-            F.lit(destination_table).alias("destination_table"),
+            (
+                F.lit(destination_table)
+                if destination_table is not None
+                else F.col("v.metadata.`table-name`")
+            ).alias("destination_table"),
         )
     )
     if plugin is not None:

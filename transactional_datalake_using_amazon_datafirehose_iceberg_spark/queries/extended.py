@@ -2995,7 +2995,56 @@ def _xml_roundtrip_build(spark, sf):
     )
 
 
+def _routed_fanout_build(spark, sf):
+    """S7 multi-table routed apply, end to end: ONE mixed delivery
+    carrying two destination tables plus an unroutable one ->
+    transform with metadata-derived destinations (the reference
+    transformer's otfMetadata shape) -> apply_routed MERGEs each slice
+    into its own LakeTable; the unknown destination is ignored. Facts
+    per table: live rows and amount sum after insert/update/delete."""
+    from ..operators.cdc_apply import apply_routed
+    from ..sources.cdc_jsonl import write_routed_corpus
+
+    workdir = tempfile.mkdtemp(prefix="routed_")
+    corpus = write_routed_corpus(os.path.join(workdir, "routed.jsonl"))
+    tables = {
+        name: LakeTable.create(
+            os.path.join(workdir, name), RETAIL_TRANS,
+            keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+        )
+        for name in ("retail_trans", "retail_trans_eu")
+    }
+    good, dead = transform(read_cdc_batch(spark, corpus), "testdb", None)
+    versions = apply_routed(tables, good)
+    assert set(versions) == set(tables), versions
+    facts = []
+    for name, t in sorted(tables.items()):
+        df = t.read(spark)
+        facts.append((name, df.count(), df.agg(F.sum("amount")).collect()[0][0]))
+    return spark.createDataFrame(
+        facts, "dest string, n_rows bigint, sum_amount bigint"
+    ).orderBy("dest")
+
+
 SPECS_NEXT = [
+    QuerySpec(
+        name="cdc_routed_fanout",
+        doc="Multi-table routed apply (the Firehose destination's "
+            "destination_table_configuration_list): one mixed delivery "
+            "fans out via metadata-derived destination_table to two "
+            "LakeTables (unknown destinations ignored); per-table live "
+            "rows and sums after insert/update/delete. Oracle = the "
+            "closed-form corpus design.",
+        tags=("cdc", "routing"),
+        build=_routed_fanout_build,
+        oracle="""
+SELECT dest, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_amount AS BIGINT) AS sum_amount
+FROM (VALUES ('retail_trans', 5, 1159), ('retail_trans_eu', 5, 1159))
+  t(dest, n_rows, sum_amount)
+ORDER BY dest
+""",
+    ),
     QuerySpec(
         name="source_xml_roundtrip",
         doc="XML format (Spark 4): fixture slice written rowTag-per-row "

@@ -95,6 +95,50 @@ def golden_corpora() -> tuple[list[dict], list[dict]]:
     return insert_only, dml
 
 
+def write_routed_corpus(out_path: str,
+                        tables: tuple[str, str] = ("retail_trans",
+                                                   "retail_trans_eu")) -> str:
+    """One mixed JSONL delivery carrying envelopes for TWO destination
+    tables plus a table no destination is configured for — the
+    multi-table routed-apply shape of the reference's Firehose Iceberg
+    destination (destination_table_configuration_list,
+    firehose_to_iceberg.py:109-116). Fully deterministic (explicit
+    amounts, no rng): per table with key offset o — 6 inserts
+    (amount = 10*(k-o)), an update of o+2 to 999, a delete of o+3 —
+    leaving 5 live rows summing 1159. The unknown-table envelopes must
+    be ignored by routing (the managed service would dead-letter that
+    delivery)."""
+    rng = random.Random(7)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    txn = _BASE_TXN + 2_000_000
+    with open(out_path, "w") as f:
+        for t_i, (table, off) in enumerate(zip(tables, (0, 100))):
+            for i in range(1, 7):
+                row = _mk_row(rng, off + i, event="cart", amount=10 * i)
+                f.write(json.dumps(_envelope(
+                    row, "insert",
+                    f"2023-01-18T06:0{t_i}:{10+i:02d}.000001Z",
+                    txn + off * 10 + i, table_name=table,
+                )) + "\n")
+            upd = _mk_row(rng, off + 2, event="cart", amount=999)
+            f.write(json.dumps(_envelope(
+                upd, "update", f"2023-01-18T07:0{t_i}:01.000001Z",
+                txn + off * 10 + 50, table_name=table,
+            )) + "\n")
+            dele = _mk_row(rng, off + 3, event="cart", amount=30)
+            f.write(json.dumps(_envelope(
+                dele, "delete", f"2023-01-18T07:0{t_i}:02.000001Z",
+                txn + off * 10 + 60, table_name=table,
+            )) + "\n")
+        for i in range(2):  # unroutable destination
+            row = _mk_row(rng, 900 + i, event="visit", amount=1)
+            f.write(json.dumps(_envelope(
+                row, "insert", f"2023-01-18T08:00:{10+i:02d}.000001Z",
+                txn + 9000 + i, table_name="unknown_tbl",
+            )) + "\n")
+    return out_path
+
+
 def control_records() -> list[dict]:
     """Non-DML records DMS can emit; the transform must drop them
     silently (T5, firehose_to_iceberg_transformer.py:29-30)."""
