@@ -113,3 +113,10 @@ def test_expire_age_sweeps_stale_staging_files(spark, tmp_path):
     assert stats["removed_orphans"] >= 1
     # live table files untouched
     assert t.read(spark).count() == 3
+
+    # a staging dir a live stream has momentarily EMPTIED (every commit
+    # renames the staged files out) must survive the sidecar-prune walk
+    # — removing it would fail the stream's next write task
+    os.remove(fresh)
+    expire_snapshots(t, keep_last=1, staging_retention_s=3600)
+    assert os.path.isdir(staging)

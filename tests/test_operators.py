@@ -523,11 +523,15 @@ def test_compression_ratio_pins_zlib_and_orders_redundancy(spark):
     rows = [
         (1, "spam spam spam spam spam spam spam spam spam spam"),
         (2, "the quick brown fox jumps over one lazy dog near a river bank"),
+        (3, ""),  # empty doc: defined ratio, no divide-by-zero
+        (4, "\u6df1\u5ea6\u5b66\u4e60\u6a21\u578b " * 4),  # multibyte
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
     for doc_id, text in rows:
-        z = len(zlib.compress(text.encode("utf-8"), 6))
+        raw = text.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
         assert got[doc_id]["n_bytes_zlib"] == z
-        assert got[doc_id]["ratio_pm"] == z * 1000 // len(text)
+        assert got[doc_id]["n_bytes_raw"] == len(raw)
+        assert got[doc_id]["ratio_pm"] == z * 1000 // max(len(raw), 1)
     assert got[1]["ratio_pm"] < got[2]["ratio_pm"]

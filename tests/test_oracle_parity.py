@@ -91,11 +91,17 @@ _HASHABLE_DUCK_TYPES = {
 
 
 def _duck_type_hashable(t) -> bool:
+    import re
+
     s = str(t)
-    if s in _HASHABLE_DUCK_TYPES:
+    if s in _HASHABLE_DUCK_TYPES or s == "TIMESTAMP WITH TIME ZONE":
         return True
     # Parameterized / nested types: DECIMAL(p,s), VARCHAR[], STRUCT(...),
     # MAP(...) — allowed as long as no forbidden scalar appears inside.
+    # Word-boundary matching so TIME is caught inside a STRUCT without
+    # false-flagging TIMESTAMP; non-standard timestamp widths
+    # (TIMESTAMP_NS/_MS/_S) are NOT whitelisted — only the two exact
+    # forms above are known driver-canonicalizable.
     forbidden = (
         "HUGEINT",
         "UHUGEINT",
@@ -107,19 +113,26 @@ def _duck_type_hashable(t) -> bool:
         "UUID",
         "ENUM",
         "BIT",
-        "TIME",  # bare TIME / TIMETZ; TIMESTAMP is matched exactly above
+        "TIME",
+        "TIMETZ",
+        "TIMESTAMP_NS",
+        "TIMESTAMP_MS",
+        "TIMESTAMP_S",
     )
     if s.startswith(("DECIMAL", "STRUCT", "MAP")) or s.endswith("[]"):
-        return not any(f in s for f in forbidden if f != "TIME")
-    if s.startswith("TIMESTAMP"):  # TIMESTAMP WITH TIME ZONE etc.
-        return True
+        stripped = s.replace("TIMESTAMP WITH TIME ZONE", "TS_OK").replace(
+            "TIMESTAMP", "TS_OK"
+        )
+        return not any(
+            re.search(rf"\b{f}\b", stripped) for f in forbidden
+        )
     return False
 
 
 def _assert_oracle_types_hashable(con, spec):
     try:
-        types = list(zip(con.sql(spec.oracle_text()).columns,
-                         con.sql(spec.oracle_text()).types))
+        rel = con.sql(spec.oracle_text())
+        types = list(zip(rel.columns, rel.types))
     except Exception:
         return  # DESCRIBE-incompatible statement; execution check suffices
     bad = [(c, str(t)) for c, t in types if not _duck_type_hashable(t)]

@@ -683,6 +683,17 @@ def test_lake_table_sink_batch_regression_fails_loudly(spark, tmp_path):
     _driver_commit(root, staging, [], batch_id=3)
     assert t.current_version() == v
 
+    # EXPLICIT app id: the user owns uniqueness (Delta txnAppId
+    # contract), so a batch below the watermark is a legitimate
+    # idempotent replay — e.g. a checkpoint restored from backup —
+    # and skips silently instead of raising
+    for b in range(4):
+        _driver_commit(root, staging, [], batch_id=b, app_id="appX")
+    v = t.current_version()
+    _driver_commit(root, staging, [], batch_id=1, app_id="appX")
+    assert t.current_version() == v
+    assert t.manifest()["summary"]["stream_sink_txn"]["appX"] == 3
+
 
 def test_lake_table_sink_legacy_scalar_ledger_migrates(spark, tmp_path):
     """Tables written by the pre-r7 sink carry only the scalar

@@ -90,16 +90,28 @@ def transform(
         & F.col("v.metadata").isNotNull()
         & F.col("v.metadata.operation").isNotNull()
     )
+    # routed mode derives the destination from the record itself, so a
+    # DML record with NO table-name cannot be routed anywhere — it must
+    # dead-letter (the managed service would land it in the error
+    # prefix), never silently vanish between transform and apply_routed.
+    # Scoped to DML so control records keep their silent-drop semantics.
+    unroutable = (
+        (is_dml & F.col("v.metadata.`table-name`").isNull())
+        if destination_table is None
+        else F.lit(False)
+    )
     dead = (
-        parsed.filter(~ok | (is_dml & F.col("v.data").isNull()))
+        parsed.filter(~ok | (is_dml & F.col("v.data").isNull()) | (ok & unroutable))
         .select(
             F.col(value_col).alias("raw"),
-            F.lit("transform-malformed").alias("error_type"),
+            F.when(ok & unroutable, F.lit("transform-unroutable"))
+            .otherwise(F.lit("transform-malformed"))
+            .alias("error_type"),
         )
     )
 
     good = (
-        parsed.filter(ok & F.col("v.data").isNotNull())
+        parsed.filter(ok & F.col("v.data").isNotNull() & ~unroutable)
         # T5 — whitelist; control records dropped silently (NOT dead-lettered)
         .filter(is_dml)
         # T3 + T6 — project and annotate routing

@@ -352,14 +352,24 @@ def connected_components(
     pairs = pairs.select(col_a, col_b).localCheckpoint(eager=True)
     if driver_max_edges is None:
         driver_max_edges = _CC_DRIVER_MAX_EDGES
-    if driver_max_edges and pairs.count() <= driver_max_edges:
-        id_type = dict(pairs.dtypes)[col_a]
-        lbl = _union_find_min_label(
-            [(r[col_a], r[col_b]) for r in pairs.collect()]
-        )
-        return pairs.sparkSession.createDataFrame(
-            sorted(lbl.items()), f"id {id_type}, cluster_id {id_type}"
-        )
+    dtypes = dict(pairs.dtypes)
+    if (
+        driver_max_edges
+        # mixed endpoint types would need the distributed union's type
+        # coercion; keep the shortcut to the plain same-type case
+        and dtypes[col_a] == dtypes[col_b]
+        and pairs.count() <= driver_max_edges
+    ):
+        edges = [(r[col_a], r[col_b]) for r in pairs.collect()]
+        # a NULL endpoint has no well-defined component membership —
+        # defer those graphs to the distributed path so both paths stay
+        # behavior-identical (the property test pins this)
+        if not any(a is None or b is None for a, b in edges):
+            lbl = _union_find_min_label(edges)
+            return pairs.sparkSession.createDataFrame(
+                sorted(lbl.items()),
+                f"id {dtypes[col_a]}, cluster_id {dtypes[col_a]}",
+            )
     sym = (
         pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
         .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))

@@ -416,11 +416,18 @@ def compression_ratio(
     _zlen = pandas_udf(_zlen_fn, "long")
 
     t = F.col(text_col)
+    # octet_length, not length: the zlib numerator measures UTF-8 BYTES,
+    # so a character-count denominator would rank incompressible
+    # multibyte prose (3 bytes/char) above ASCII boilerplate — the
+    # inverse of the documented ordering. greatest(1) keeps the empty
+    # document defined (zlib emits 8 header bytes for it).
     return df.select(
         F.col(id_col),
-        F.length(t).cast("bigint").alias("n_chars_raw"),
+        F.octet_length(t).cast("bigint").alias("n_bytes_raw"),
         _zlen(t).alias("n_bytes_zlib"),
     ).withColumn(
         "ratio_pm",
-        F.expr("CAST(n_bytes_zlib * 1000 AS BIGINT) div n_chars_raw"),
+        F.expr(
+            "CAST(n_bytes_zlib * 1000 AS BIGINT) div greatest(n_bytes_raw, 1)"
+        ),
     )

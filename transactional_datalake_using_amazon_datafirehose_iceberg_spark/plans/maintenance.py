@@ -353,9 +353,15 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
                 if os.path.relpath(full, table.root) not in refs:
                     os.remove(full)
                     removed_orphans += 1
-        # prune commit dirs reduced to sidecars (_SUCCESS, .crc)
+        # prune commit dirs reduced to sidecars (_SUCCESS, .crc) — but
+        # never a _staging-* dir: a live stream sink's staging dir is
+        # legitimately EMPTY between micro-batches (every commit renames
+        # the staged files out), and removing it would fail the next
+        # write task mid-stream
         for dirpath, dirnames, files in os.walk(data_root, topdown=False):
-            if dirpath == data_root:
+            if dirpath == data_root or os.path.basename(dirpath).startswith(
+                "_staging"
+            ):
                 continue
             if not dirnames and all(
                 name.startswith((".", "_")) and not name.endswith(".parquet")

@@ -251,7 +251,9 @@ def _merge_into_cow(
     elif not (cand_paths := table.file_paths(predicates=key_preds)):
         touched_rel: list[str] = []
     elif (
-        table._manifest_bytes_of(
+        key_preds  # real key-range pruning happened (rangeable key)
+        and src_rows  # known NON-EMPTY source (an empty batch must not rewrite)
+        and table._manifest_bytes_of(
             cand_rel := sorted(table._relpath(p) for p in cand_paths)
         )
         <= _PROBE_SKIP_BYTES
@@ -262,8 +264,11 @@ def _merge_into_cow(
         # target output file, rewriting them all outright is cheaper
         # than scanning them twice (and compacts small files for free);
         # carried-over rows of an unmatched candidate diff as non-
-        # changes in the changelog. At scale the candidates of a real
-        # merge exceed this threshold and the probe earns its keep.
+        # changes in the changelog. Gated on key_preds so composite-key
+        # merges (no range pruning -> candidates = the whole table)
+        # never degrade to a full-table rewrite, and on a known
+        # non-empty source. At scale the candidates of a real merge
+        # exceed the byte threshold and the probe earns its keep.
         touched_rel = cand_rel
     else:
         src_keys = src.select(*keys).distinct()

@@ -272,6 +272,9 @@ class _ArrowFileWriter:
             T.StructType.fromJson(_json.loads(self._schema_json))
         )
         name = f"part-{_uuid.uuid4().hex[:16]}.parquet"
+        # recreate the staging dir defensively: maintenance may have
+        # swept it between micro-batches while it sat empty
+        os.makedirs(os.path.join(self._root, self._staging_rel), exist_ok=True)
         path = os.path.join(self._root, self._staging_rel, name)
         writer = None
         rows = 0
@@ -341,12 +344,15 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
                    app_id: str = "default") -> None:
     """Driver-side: promote exactly the message-listed files into an
     atomic LakeTable commit (stats collected from footers, metadata
-    scale). Streaming replays (checkpoint restart re-running the last
-    in-flight batch) are dropped whole — their staged files deleted —
-    via the per-app stream_sink_txn ledger; a batch id strictly BELOW
-    the app's watermark means a different query (fresh checkpoint) is
-    reusing this app id, and silently dropping ITS early batches would
-    be data loss, so that fails loudly instead. Only message-listed
+    scale). Streaming replays — a restart re-running the last in-flight
+    batch, or a restored-from-backup checkpoint re-running older
+    already-committed batches — are dropped whole (staged files
+    deleted) via the per-app stream_sink_txn ledger: any batch at or
+    below the app's watermark is an idempotent replay under Delta's
+    txnAppId/txnVersion contract, where the USER owns app-id
+    uniqueness. Only the implicit "default" app fails loudly on a
+    regressed batch id, because anonymous queries colliding there are
+    indistinguishable from silent data loss. Only message-listed
     files ever leave staging; stray files from failed/speculative task
     attempts are age-swept by expire_snapshots' staging retention."""
     import uuid as _uuid
@@ -360,17 +366,27 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
     if batch_id is not None:
         ledger = _stream_txn_ledger(table.manifest()["summary"])
         hwm = ledger.get(app_id)
-        if hwm is not None and batch_id < int(hwm):
+        if hwm is not None and batch_id < int(hwm) and app_id == "default":
+            # ANONYMOUS queries share the implicit app: a far-regressed
+            # batch id here means a NEW query (fresh checkpoint) whose
+            # early batches would be silently dropped as replays —
+            # data loss, so fail loudly. With an EXPLICIT txnAppId the
+            # user owns app-id uniqueness (Delta's txnAppId/txnVersion
+            # contract) and any id at-or-below the watermark is a
+            # legitimate idempotent replay — e.g. a checkpoint restored
+            # from backup re-running already-committed batches — and is
+            # skipped silently below.
             raise ValueError(
-                f"lake_table sink: batch {batch_id} is below txnAppId "
-                f"{app_id!r}'s committed watermark {hwm}. A restarted "
+                f"lake_table sink: batch {batch_id} is below the "
+                f"implicit app's committed watermark {hwm}. A restarted "
                 "query replays at most its last batch; a far-regressed "
-                "id means a NEW query (fresh checkpoint) is reusing "
-                "this app id, and treating its first batches as "
-                "replays would silently drop data. Give each "
-                "independent query its own .option('txnAppId', ...)."
+                "id means a NEW query (fresh checkpoint) is writing "
+                "anonymously to this table, and treating its first "
+                "batches as replays would silently drop data. Give "
+                "each independent query its own "
+                ".option('txnAppId', ...)."
             )
-        if hwm is not None and batch_id == int(hwm):
+        if hwm is not None and batch_id <= int(hwm):
             for n in names:  # replayed batch: drop its staged output
                 try:
                     os.remove(os.path.join(staging_abs, n))
