@@ -264,3 +264,49 @@ def test_kafka_frame_parse_matches_jsonl_transport(spark, corpus_paths):
     k_rows = sorted(map(tuple, typed_rows(good_k).collect()))
     f_rows = sorted(map(tuple, typed_rows(good_f).collect()))
     assert k_rows == f_rows
+
+
+def test_transform_routed_mode_dead_letters_unroutable(spark):
+    """destination_table=None (metadata-derived routing): a DML record
+    whose envelope carries NO table-name cannot be routed — it must
+    dead-letter as transform-unroutable, never silently vanish between
+    transform and apply_routed. Control records without a table-name
+    keep their silent drop, and the fixed-destination mode still
+    applies such records (destination is constant there)."""
+    import json
+
+    envelope = {
+        "data": {"trans_id": 1},
+        "metadata": {
+            "operation": "insert",
+            "timestamp": "2023-01-16T06:00:00.000001Z",
+            "record-type": "data",
+            "partition-key-type": "primary-key",
+            "schema-name": "testdb",
+            "table-name": None,
+            "transaction-id": 1,
+        },
+    }
+    control = {
+        "data": {},
+        "metadata": {
+            "operation": "create-table",
+            "timestamp": "2023-01-16T06:00:00.000001Z",
+            "record-type": "control",
+            "schema-name": "testdb",
+            "table-name": None,
+            "transaction-id": 2,
+        },
+    }
+    df = spark.createDataFrame(
+        [(json.dumps(envelope),), (json.dumps(control),)], "value string"
+    )
+    good, dead = transform(df, DB, None)
+    assert good.count() == 0
+    got = dead.collect()
+    assert len(got) == 1
+    assert got[0]["error_type"] == "transform-unroutable"
+    # fixed destination: the same record routes to the constant table
+    good_fixed, dead_fixed = transform(df, DB, TBL)
+    assert good_fixed.count() == 1
+    assert dead_fixed.count() == 0
