@@ -233,12 +233,20 @@ def main() -> None:
         try:
             # one untimed warm-up execution per query: amortizes whole-
             # stage-codegen compilation and file listing, so the timed run
-            # measures steady-state execution (what repeats at scale)
+            # measures steady-state execution (what repeats at scale).
+            # Best-of-2 timed runs (same as the extras, r7 onward): the
+            # clean-run headline totals were jittering ±15% on single
+            # runs (one GC pause on one query moves the whole series),
+            # which is exactly the noise the round-over-round record
+            # exists to see through.
             spec.run_spark(spark, sf_dir).count()
-            t0 = time.perf_counter()
-            df = spec.run_spark(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = spec.run_spark(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # one broken query must not lose the run
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
