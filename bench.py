@@ -185,6 +185,18 @@ def bench_cow_vs_mor_deletes(
     return out
 
 
+def _gc_millis(spark) -> int:
+    """Cumulative JVM GC time (driver == the lone executor in local
+    mode). Per-extra deltas make a run4-style episode — every query
+    uniformly slow with clean sentinels and low host load — attributable
+    to heap pressure instead of staying an unexplained outlier."""
+    try:
+        beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(b.getCollectionTime() for b in beans)
+    except Exception:
+        return -1
+
+
 def contention_sentinel(spark) -> dict:
     """Self-identifying load probe (round-5 verdict: BENCH_r05 recorded
     2-3.6x phantom regressions because the driver bench ran under
@@ -255,6 +267,8 @@ def main() -> None:
     # 15-query total stays comparable across rounds
     extras: dict[str, float] = {}
     extras_load: dict[str, float] = {}
+    extras_gc_ms: dict[str, int] = {}
+    gc_prev = _gc_millis(spark)
     for name in (
         "dedup_cluster_components",
         "pipeline_curate_corpus",
@@ -296,13 +310,16 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
             extras[name] = round(best, 3)
-            # per-measurement load: a spike here (e.g. the round
-            # driver's periodic snapshot overlapping the longest
-            # extras) explains an outlier without a clean re-run
+            # per-measurement load + GC delta: a spike here (the round
+            # driver's snapshot, or JVM heap pressure) explains an
+            # outlier without a clean re-run
             extras_load[name] = round(os.getloadavg()[0], 2)
+            gc_now = _gc_millis(spark)
+            extras_gc_ms[name] = gc_now - gc_prev if gc_now >= 0 else -1
+            gc_prev = gc_now
             print(
                 f"# extra {name}: {extras[name]:.3f}s ({n} rows, "
-                f"load1m {extras_load[name]})",
+                f"load1m {extras_load[name]}, gc_ms {extras_gc_ms[name]})",
                 file=sys.stderr,
             )
         except Exception as exc:
@@ -341,6 +358,7 @@ def main() -> None:
         ("streaming_ingest", streaming),
         ("cow_vs_mor_deletes", cow_mor),
         ("llm_pipeline_extras_load1m", extras_load),
+        ("llm_pipeline_extras_gc_ms", extras_gc_ms),
         ("llm_pipeline_extras", extras),
     ):
         print(json.dumps({"section": section_name, "data": section}))
