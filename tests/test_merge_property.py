@@ -167,3 +167,91 @@ def test_probe_skip_path_equivalent_to_probed_path(
         finally:
             merge_mod._PROBE_SKIP_BYTES = orig
     assert states[0] == states[1], batches
+
+
+routed_ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["t_alpha", "t_beta", "t_ghost"]),  # ghost: unroutable
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(batches=st.lists(routed_ops_strategy, min_size=1, max_size=3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_routed_apply_matches_reference_model(prop_spark, tmp_path_factory, batches):
+    """apply_routed (the Firehose destination's multi-table
+    destination_table_configuration_list) vs a per-table dict model for
+    arbitrary interleavings of ops across two configured tables and one
+    unconfigured ('ghost') destination: each table converges to exactly
+    its own slice's last-write-wins state, and the ghost ops influence
+    nothing (they are ignored at the routing boundary)."""
+    import json as _json
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_routed,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_transform import (
+        transform,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
+        RETAIL_TRANS,
+        RETAIL_TRANS_KEYS,
+    )
+
+    spark = prop_spark
+    base = tmp_path_factory.mktemp("routedprop")
+    tables = {
+        name: LakeTable.create(str(base / name), RETAIL_TRANS, keys=RETAIL_TRANS_KEYS)
+        for name in ("t_alpha", "t_beta")
+    }
+    models: dict[str, dict[int, int]] = {"t_alpha": {}, "t_beta": {}}
+
+    def envelope(table, op, k, v, seq):
+        return _json.dumps({
+            "data": {
+                "trans_id": k, "customer_id": "c", "event": "cart",
+                "sku": "SKU1", "amount": v, "device": "pc",
+                "trans_datetime": "2023-01-16T06:00:00Z",
+            },
+            "metadata": {
+                "timestamp": f"2023-01-16T06:{seq // 60 % 60:02d}:"
+                             f"{seq % 60:02d}.{seq % 1000000:06d}Z",
+                "record-type": "data", "operation": op,
+                "partition-key-type": "primary-key",
+                "schema-name": "testdb", "table-name": table,
+                "transaction-id": 1000 + seq,
+            },
+        })
+
+    for b_i, ops in enumerate(batches):
+        lines = [
+            (envelope(t, op, k, v, b_i * 100 + i),)
+            for i, (t, op, k, v) in enumerate(ops)
+        ]
+        raw = spark.createDataFrame(lines, "value string")
+        good, dead = transform(raw, "testdb", None)
+        apply_routed(tables, good)
+        assert dead.count() == 0
+        # model: per table, ordered last-write-wins by key
+        for t, op, k, v in ops:
+            if t not in models:
+                continue
+            if op == "delete":
+                models[t].pop(k, None)
+            else:
+                models[t][k] = v
+
+    for name, t in tables.items():
+        got = sorted(
+            (r["trans_id"], r["amount"]) for r in t.read(spark).collect()
+        )
+        assert got == sorted(models[name].items()), (name, batches)
