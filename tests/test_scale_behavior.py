@@ -197,6 +197,11 @@ _HEADLINE = [
     "merge_evolve_widening",
     "streaming_skip_change_commits",
     "text_bigram_fluency",
+    # round-8 declarations
+    "cdc_routed_fanout",
+    "partition_evolution_lifecycle",
+    "streaming_sink_txn_app_ids",
+    "sql_udf_create_function",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

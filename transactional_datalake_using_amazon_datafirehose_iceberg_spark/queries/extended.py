@@ -2946,9 +2946,13 @@ def _partition_evolution_build(spark, sf):
          int(len(nation_hit & gen1) < len(gen1))),
         ("4_gen2_prunes_by_new_layout",
          int(len(key_hit & gen2) < len(gen2))),
+        # Integer-exact on BOTH sides (round-8 advice): round each row to
+        # BIGINT cents before summing so neither engine's FP summation
+        # order nor int()-vs-CAST rounding mode can produce an off-by-one.
         ("5_balance_sum_cents",
-         int(t.read(spark).agg(F.sum(F.round("c_acctbal", 2) * 100))
-             .collect()[0][0])),
+         t.read(spark)
+         .agg(F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")))
+         .collect()[0][0]),
     ]
     return spark.createDataFrame(facts, "fact string, n bigint").orderBy("fact")
 
@@ -3026,7 +3030,7 @@ def _routed_fanout_build(spark, sf):
     ).orderBy("dest")
 
 
-SPECS_NEXT = [
+_STAGED = [
     QuerySpec(
         name="cdc_routed_fanout",
         doc="Multi-table routed apply (the Firehose destination's "
@@ -3077,7 +3081,7 @@ SELECT fact, CAST(n AS BIGINT) AS n FROM (
   UNION ALL SELECT '3_gen1_prunes_by_old_layout', 1
   UNION ALL SELECT '4_gen2_prunes_by_new_layout', 1
   UNION ALL SELECT '5_balance_sum_cents',
-    CAST(SUM(ROUND(c_acctbal, 2) * 100) AS BIGINT) FROM customer
+    SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) FROM customer
 ) ORDER BY fact
 """,
     ),
@@ -3103,3 +3107,17 @@ ORDER BY parity
 """,
     ),
 ]
+
+# Round-8 declaration: the sampling-window math (49 r4-stale + 1 r5 at
+# the start of r8) leaves room for ~4 new never-green specs; VERDICT r7
+# task 1 prioritizes reference fidelity — the multi-destination routed
+# fanout first, then partition evolution and the txn-ledger driver
+# check.  source_xml_roundtrip stays staged for round 9 (still
+# rehearsed by test_round8_staged_specs_match_oracle).
+_DECLARE_R8 = {
+    "cdc_routed_fanout",
+    "partition_evolution_lifecycle",
+    "streaming_sink_txn_app_ids",
+}
+SPECS.extend(s for s in _STAGED if s.name in _DECLARE_R8)
+SPECS_NEXT = [s for s in _STAGED if s.name not in _DECLARE_R8]

@@ -174,6 +174,33 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "widen_column_lifecycle", "window_nth_cume_dist",
         "window_ntile_buckets",
     }),
+    # CORRECTNESS_r07: 50/50 sampled green — the 4 never-green specs
+    # (agg_count_if_filtered CAST fix + 3 new r7 specs) plus the full
+    # 46-spec r3-stale cohort.
+    7: frozenset({
+        "agg_count_if_filtered", "agg_regression", "agg_stats_moments",
+        "approx_distinct_percentile", "catalog_ddl_lifecycle",
+        "changelog_incremental_read", "join_cross_grid", "join_range_bands",
+        "maintenance_zorder_cluster", "map_transform_funcs",
+        "merge_evolve_widening", "merge_schema_evolution",
+        "metadata_tables_inspect", "pipeline_curate_corpus",
+        "q10_returned_items", "q12_shipmode_priority",
+        "q13_customer_distribution", "q14_promo_share",
+        "q15_top_supplier_revenue", "q17_small_quantity_revenue",
+        "q18_large_volume_orders", "q19_disjunctive_predicates",
+        "q22_dormant_customers", "q4_priority_exists", "q6_forecast_revenue",
+        "q7_nation_pair_revenue", "q8_market_share",
+        "scalar_fuzzy_levenshtein", "scalar_string_funcs",
+        "scalar_try_funcs", "schema_evolution_add_drop",
+        "setops_union_intersect_except", "similarity_ann_pq",
+        "sort_topk_global", "streaming_skip_change_commits",
+        "streaming_static_enrich", "subq_correlated_avg", "subq_in_list",
+        "subq_scalar_threshold", "text_bigram_fluency", "text_redact_scrub",
+        "text_top_ngrams_per_lang", "text_url_parse", "wap_branch_publish",
+        "window_fill_forward", "window_moving_avg", "window_percent_dense",
+        "window_running_lag_rank", "window_time_range_frame",
+        "window_topk_per_group",
+    }),
 }
 
 
