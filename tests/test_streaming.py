@@ -645,6 +645,88 @@ def test_lake_table_sink_txn_app_ids_do_not_collide(spark, tmp_path):
     assert t.read(spark).count() == 65 and t.current_version() == v
 
 
+def test_lake_table_sink_txn_ledger_survives_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Two apps committing CONCURRENTLY must not clobber each other's
+    watermark (r8 ADVICE, medium): _driver_commit snapshots the ledger,
+    then commits the full dict — if another app advances its watermark
+    in between, carrying the stale snapshot forward would regress the
+    victim's watermark and let a replayed micro-batch commit twice.
+    _commit_once now merges per-app (max) against the freshly-re-read
+    head, so the interleave below — B commits batch 7 exactly between
+    A's ledger read and A's commit — must leave BOTH watermarks
+    intact, and B's replay of batch 7 must stay a no-op."""
+    from pyspark.sql import types as T
+
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream as ls
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root, T.StructType([T.StructField("k", T.LongType())]), keys=["k"]
+    )
+    staging = "data/_staging-stream"
+    os.makedirs(os.path.join(root, staging), exist_ok=True)
+
+    orig = ls._stream_txn_ledger
+    state = {"fired": False}
+
+    def interleave(summary):
+        led = orig(summary)
+        if not state["fired"]:
+            state["fired"] = True
+            # app B commits between A's ledger snapshot and A's commit
+            ls._driver_commit(root, staging, [], batch_id=7, app_id="B")
+        return led
+
+    monkeypatch.setattr(ls, "_stream_txn_ledger", interleave)
+    ls._driver_commit(root, staging, [], batch_id=0, app_id="A")
+    assert t.manifest()["summary"]["stream_sink_txn"] == {"A": 0, "B": 7}
+
+    # B's watermark survived, so its replayed batch is still a no-op
+    # (pre-fix: watermark regressed to absent -> double-commit)
+    v = t.current_version()
+    ls._driver_commit(root, staging, [], batch_id=7, app_id="B")
+    assert t.current_version() == v
+
+
+def test_lake_table_sink_missing_staged_files_error_names_retention(
+    spark, tmp_path
+):
+    """A staged file that vanished before commit (the maintenance age
+    sweep deleting an in-flight batch's output past
+    staging_retention_s) must fail with an error naming that setting,
+    and must fail BEFORE any file is promoted — never a half-committed
+    batch (r8 ADVICE, low)."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _driver_commit, _FileCommit,
+    )
+
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root, T.StructType([T.StructField("k", T.LongType())]), keys=["k"]
+    )
+    staging = "data/_staging-stream"
+    os.makedirs(os.path.join(root, staging), exist_ok=True)
+    v = t.current_version()
+    with _pytest.raises(FileNotFoundError, match="staging_retention_s"):
+        _driver_commit(
+            root, staging, [_FileCommit(name="swept.parquet", rows=3)],
+            batch_id=0,
+        )
+    # nothing promoted, no ledger advance: the batch can be re-run whole
+    assert t.current_version() == v
+
+
 def test_lake_table_sink_batch_regression_fails_loudly(spark, tmp_path):
     """A query whose batch id is strictly BELOW its app's committed
     watermark (fresh checkpoint reusing the app id) must FAIL, not

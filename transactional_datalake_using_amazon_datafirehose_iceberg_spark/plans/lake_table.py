@@ -815,6 +815,25 @@ class LakeTable:
         )
         if cur["keys"] and preserves and cur["summary"].get("keys_unique") is True:
             carried["keys_unique"] = True
+        # Per-app stream-sink ledger: MERGE, never overwrite. The caller
+        # snapshotted the ledger before building extra_summary; a
+        # concurrently-committing app (or a commit this retry loop lost
+        # the pointer race to) may have advanced ITS watermark in
+        # between, and carrying the caller's stale full dict forward
+        # would regress the victim's watermark — a replayed micro-batch
+        # would then pass the replay guard and commit twice. Watermarks
+        # only ever advance, so per-app max over (fresh head, caller
+        # delta) is exact; ``cur`` is re-read on every optimistic-retry
+        # attempt, making the merge race-free under the
+        # exclusive-create commit protocol.
+        extra_summary = dict(extra_summary or {})
+        if "stream_sink_txn" in extra_summary and "stream_sink_txn" in carried:
+            merged = {
+                str(k): int(v) for k, v in carried["stream_sink_txn"].items()
+            }
+            for k, v in extra_summary["stream_sink_txn"].items():
+                merged[str(k)] = max(int(v), merged.get(str(k), int(v)))
+            extra_summary["stream_sink_txn"] = merged
         manifest = {
             "version": version,
             "parent": cur["version"],

@@ -281,7 +281,16 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     making re-runs actually converge (Iceberg's separate
     ``remove_orphan_files`` folded into expiry). Single-writer
     discipline applies: run expiry from the writer, not concurrently
-    with an in-flight commit whose files are not yet manifested."""
+    with an in-flight commit whose files are not yet manifested.
+
+    ``staging_retention_s`` is a HARD upper bound on stream-sink
+    micro-batch duration: the age sweep deletes any ``_staging-*``
+    file older than the horizon, including one belonging to a batch
+    that is still in flight (there is no in-flight marker to check).
+    A stalled batch whose staged files are swept fails at commit time
+    with a StagedFilesMissing error naming this setting — raise the
+    retention (default 1 h) well above the slowest plausible batch,
+    or schedule expiry in the stream's own foreachBatch gaps."""
     import shutil
 
     snap_dir = os.path.join(table.root, _SNAPSHOT_DIR)

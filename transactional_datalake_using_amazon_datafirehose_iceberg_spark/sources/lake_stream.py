@@ -407,6 +407,23 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
     commit_rel = os.path.join(_DATA_DIR, _uuid.uuid4().hex[:16])
     commit_abs = os.path.join(root, commit_rel)
     os.makedirs(commit_abs)
+    # Verify the full staged set up front so a partially-promoted batch
+    # never half-commits, and name the likely culprit: the maintenance
+    # age sweep deletes _staging-* files older than staging_retention_s
+    # regardless of whether their batch is still in flight, so a batch
+    # that outlived the retention horizon loses its files here.
+    missing = [n for n in names
+               if not os.path.exists(os.path.join(staging_abs, n))]
+    if missing:
+        raise FileNotFoundError(
+            f"lake_table sink: {len(missing)} staged file(s) for batch "
+            f"{batch_id} vanished before commit (e.g. {missing[0]!r}). "
+            "If expire_snapshots ran while this micro-batch was in "
+            "flight, its staging age sweep removed them — "
+            "staging_retention_s (default 1h) is a hard bound on batch "
+            "duration; raise it or run expiry between batches. "
+            "[StagedFilesMissing]"
+        )
     for n in names:
         os.rename(os.path.join(staging_abs, n), os.path.join(commit_abs, n))
     # task-computed blooms (keyed by basename, unchanged by the rename
