@@ -171,18 +171,18 @@ def test_bigram_fluency_matches_reference(prop_spark, docs):
         for r in bigram_fluency(_df(prop_spark, docs)).collect()
     }
     all_bigrams: Counter = Counter()
-    vocab = set()
     per_doc: dict[int, list] = {}
     for i, t in enumerate(docs):
         toks = t.lower().split(" ")
-        vocab.update(toks)
         bgs = list(zip(toks, toks[1:]))
         per_doc[i] = bgs
         all_bigrams.update(bgs)
     prev_tot = Counter()
     for (p, _), c in all_bigrams.items():
         prev_tot[p] += c
-    v = len(vocab)
+    # V = continuation vocabulary: distinct token types seen as a
+    # bigram continuation (matches the operator's pair_c-derived V)
+    v = len({tok for (_, tok) in all_bigrams})
     for i, bgs in per_doc.items():
         if not bgs:
             assert i not in got

@@ -487,7 +487,7 @@ bigrams AS (
 bg AS (SELECT * FROM bigrams WHERE prev IS NOT NULL),
 pair_c AS (SELECT prev, tok, COUNT(*) AS cp FROM bg GROUP BY prev, tok),
 prev_c AS (SELECT prev, SUM(cp) AS cv FROM pair_c GROUP BY prev),
-v AS (SELECT COUNT(DISTINCT tok) AS vn FROM toks)
+v AS (SELECT COUNT(DISTINCT tok) AS vn FROM pair_c)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM((cp * 1000000) // (cv + vn)) // COUNT(*) AS BIGINT) AS fluency_ppm,
@@ -508,6 +508,27 @@ GROUP BY doc_id
     )
     scores = {r["doc_id"]: r["fluency_ppm"] for r in bigram_fluency(probe).collect()}
     assert scores[1] > scores[2]
+
+
+def test_bigram_fluency_tokenizes_corpus_exactly_once(spark):
+    """The shared bigram subtree must be materialized (r7 verdict #1):
+    three consumers (pair counts, V, scoring join) previously re-ran
+    the posexplode+window over the full corpus once each. With the
+    checkpoint, the consumer plan contains NO Generate (posexplode)
+    node at all — tokenization happened exactly once, eagerly, into
+    the checkpointed bigram relation."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text import (
+        bigram_fluency,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bigram_fluency(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan, (
+        "tokenization leaked into the consumer plan — the bigram "
+        "checkpoint is not being reused"
+    )
 
 
 def test_compression_ratio_pins_zlib_and_orders_redundancy(spark):

@@ -333,23 +333,29 @@ def bigram_fluency(
 
         mean over positions of  floor(scale * c(prev,tok) / (c(prev)+V))
 
-    where counts are corpus-wide and V is the vocabulary size (add-V
-    mass in the denominator, Laplace-flavored). Predictable, templated
-    text scores high; garbled or off-distribution text scores low —
-    the inverse direction of perplexity, with the same ordering. All
-    divisions are integer (floor of a BIGINT ratio), so the score is
-    bit-identical on any engine — no transcendental log in sight.
+    where counts are corpus-wide and V is the CONTINUATION vocabulary
+    size — the number of distinct token types observed as a bigram
+    continuation (distinct ``tok`` over the pair-count table; the
+    Kneser-Ney continuation-count flavor of the add-V mass).
+    Predictable, templated text scores high; garbled or
+    off-distribution text scores low — the inverse direction of
+    perplexity, with the same ordering. All divisions are integer
+    (floor of a BIGINT ratio), so the score is bit-identical on any
+    engine — no transcendental log in sight.
 
-    Scale shape: every stage is LINEAR in corpus size — the per-doc
-    position window (lag) building bigrams, the corpus bigram count,
-    the prev-token re-aggregate of that count, the two key-equi joins
-    hashing the bigram stream onto those counts, and the final per-doc
-    aggregate; no stage is quadratic and no candidate blow-up exists.
-    V is ONE number — it is collected
-    (metadata scale, like a centroid table) and inlined as a literal
-    rather than cross-joined, so no 1-row BroadcastNestedLoopJoin
-    enters the plan. The vocabulary and bigram tables themselves stay
-    distributed.
+    Scale shape: every stage is LINEAR in corpus size, and the corpus
+    is TOKENIZED EXACTLY ONCE — ``bigrams`` is eagerly materialized
+    (localCheckpoint, the module's shared-subtree pattern, cf.
+    connected_components) because three consumers read it (pair
+    counts, the scoring join, and via pair_c the V scalar); without
+    the checkpoint each consumer would re-run the posexplode + window
+    over the full corpus. ``pair_c`` (already aggregated, vocabulary
+    scale) is checkpointed too so its three consumers (prev_c, V, the
+    scoring join) don't re-shuffle the corpus-scale bigram stream.
+    V is ONE number — collected (metadata scale, like a centroid
+    table) and inlined as a literal rather than cross-joined, so no
+    1-row BroadcastNestedLoopJoin enters the plan. The vocabulary and
+    bigram tables themselves stay distributed.
     """
     from pyspark.sql import Window
 
@@ -362,10 +368,14 @@ def bigram_fluency(
         F.col(id_col),
         F.lag("tok").over(w).alias("prev"),
         F.col("tok"),
-    ).filter(F.col("prev").isNotNull())
-    pair_c = bigrams.groupBy("prev", "tok").agg(F.count("*").alias("__cp"))
+    ).filter(F.col("prev").isNotNull()).localCheckpoint(eager=True)
+    pair_c = (
+        bigrams.groupBy("prev", "tok")
+        .agg(F.count("*").alias("__cp"))
+        .localCheckpoint(eager=True)
+    )
     prev_c = pair_c.groupBy("prev").agg(F.sum("__cp").alias("__cv"))
-    v_n = toks.select(F.countDistinct("tok")).collect()[0][0]
+    v_n = pair_c.select(F.countDistinct("tok")).collect()[0][0]
     scored = (
         bigrams.join(pair_c, ["prev", "tok"])
         .join(prev_c, "prev")

@@ -1653,10 +1653,12 @@ _add(QuerySpec(
     doc="Corpus-relative fluency (the KenLM-perplexity-filter analogue, "
         "integer-exact): per-doc fixed-point mean conditional bigram "
         "probability floor(1e6*c(prev,tok)/(c(prev)+V)) under corpus-"
-        "wide counts — predictable text scores high, garbled text low, "
-        "no transcendental log so the score is bit-identical on any "
-        "engine. Every stage linear in corpus size; the vocabulary "
-        "and bigram tables stay distributed.",
+        "wide counts, V = continuation vocabulary (distinct tok over "
+        "the pair table, Kneser-Ney flavor) — predictable text scores "
+        "high, garbled text low, no transcendental log so the score is "
+        "bit-identical on any engine. Corpus tokenized exactly once "
+        "(shared bigram subtree checkpointed); vocabulary and bigram "
+        "tables stay distributed.",
     tags=("llm", "text"),
     build=lambda spark, sf: TX.bigram_fluency(
         spark.table("documents")
@@ -1670,7 +1672,7 @@ bigrams AS (
 bg AS (SELECT * FROM bigrams WHERE prev IS NOT NULL),
 pair_c AS (SELECT prev, tok, COUNT(*) AS cp FROM bg GROUP BY prev, tok),
 prev_c AS (SELECT prev, SUM(cp) AS cv FROM pair_c GROUP BY prev),
-v AS (SELECT COUNT(DISTINCT tok) AS vn FROM toks)
+v AS (SELECT COUNT(DISTINCT tok) AS vn FROM pair_c)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM((cp * 1000000) // (cv + vn)) // COUNT(*) AS BIGINT) AS fluency_ppm,
