@@ -138,7 +138,10 @@ def test_merge_sql_rejects_unknown_update_cols():
 
 def test_merge_into_dispatch_forwards_options():
     """merge_into must forward every MERGE option to sql_merge (captured
-    via a stub backend), and refuse evolve_schema on the SQL path."""
+    via a stub backend) — including evolve_schema/evolve_ignore, which
+    the SQL path now implements as generated ALTER statements (a
+    dropped flag would silently narrow the CDC schema-drift story on
+    the native backend)."""
     from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.merge import (
         merge_into,
     )
@@ -159,14 +162,67 @@ def test_merge_into_dispatch_forwards_options():
         match_condition="s.v > t.v",
         update_cols=["v"],
         condition_gates_delete=True,
+        evolve_schema=True,
+        evolve_ignore=("_seq",),
     ) == 1
     assert captured["match_condition"] == "s.v > t.v"
     assert captured["update_cols"] == ["v"]
     assert captured["condition_gates_delete"] is True
     assert captured["op_col"] == "_op"
+    assert captured["evolve_schema"] is True
+    assert captured["evolve_ignore"] == ("_seq",)
 
-    with pytest.raises(NotImplementedError, match="evolve_schema"):
-        merge_into(Stub(), source=None, evolve_schema=True)
+
+CUR_FIELDS = [
+    ("trans_id", "bigint"), ("customer_id", "string"),
+    ("event", "string"), ("sku", "string"), ("amount", "int"),
+]
+
+
+def test_evolve_sql_adds_new_columns_batched():
+    stmts = _tbl().evolve_sql(
+        [("trans_id", "bigint"), ("coupon", "string"), ("channel", "string")],
+        current_fields=CUR_FIELDS,
+    )
+    assert stmts == [
+        "ALTER TABLE lakehouse.db.retail_trans "
+        "ADD COLUMNS (`coupon` string, `channel` string)"
+    ]
+
+
+def test_evolve_sql_widens_promotable_column():
+    stmts = _tbl().evolve_sql(
+        [("amount", "bigint")], current_fields=CUR_FIELDS
+    )
+    assert stmts == [
+        "ALTER TABLE lakehouse.db.retail_trans ALTER COLUMN `amount` TYPE bigint"
+    ]
+
+
+def test_evolve_sql_skips_transport_and_non_widening():
+    # op/ordering metadata never becomes a table column; a NARROWER
+    # source type generates nothing (the MERGE cast handles it) —
+    # exactly the LakeTable evolve loop's behavior
+    stmts = _tbl().evolve_sql(
+        [("_op", "string"), ("_seq", "bigint"),
+         ("trans_id", "int"),            # narrower than bigint: no-op
+         ("event", "string")],           # unchanged: no-op
+        op_col="_op", evolve_ignore=("_seq",),
+        current_fields=CUR_FIELDS,
+    )
+    assert stmts == []
+
+
+def test_evolve_sql_decimal_precision_rules():
+    cur = [("amount", "decimal(10,2)")]
+    t = _tbl()
+    assert t.evolve_sql([("amount", "decimal(12,2)")], current_fields=cur) == [
+        "ALTER TABLE lakehouse.db.retail_trans "
+        "ALTER COLUMN `amount` TYPE decimal(12,2)"
+    ]
+    # scale change or precision decrease is NOT a widening
+    assert t.evolve_sql([("amount", "decimal(12,4)")], current_fields=cur) == []
+    assert t.evolve_sql([("amount", "decimal(8,2)")], current_fields=cur) == []
 
 
 def test_merge_sql_not_matched_by_source_delete():

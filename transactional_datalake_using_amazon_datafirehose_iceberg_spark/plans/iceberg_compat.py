@@ -24,6 +24,26 @@ from pyspark.sql import types as T
 CATALOG = "lakehouse"
 
 
+def _is_widening(old_s: str, new_s: str) -> bool:
+    """Lossless type promotion per Iceberg's rules — the same table the
+    LakeTable backend enforces (``LakeTable._WIDENINGS``), shared so the
+    two backends can never drift on what counts as a widening. Decimal
+    widens only on a precision increase at equal scale."""
+    from .lake_table import LakeTable
+
+    base = (old_s.split("(")[0], new_s.split("(")[0])
+    if base not in LakeTable._WIDENINGS:
+        return False
+    if base == ("decimal", "decimal"):
+        try:
+            op = [int(x) for x in old_s.split("(")[1].rstrip(")").split(",")]
+            np = [int(x) for x in new_s.split("(")[1].rstrip(")").split(",")]
+        except (IndexError, ValueError):
+            return False
+        return np[1] == op[1] and np[0] >= op[0]
+    return True
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the Iceberg Spark runtime is on this session's classpath."""
     try:
@@ -152,6 +172,56 @@ class IcebergTable:
     def _SRC_VIEW(self) -> str:
         return f"__merge_src_{abs(hash(self.identifier)) % 10**8}"
 
+    def evolve_sql(
+        self,
+        source_fields: list[tuple[str, str]],
+        op_col: str | None = None,
+        evolve_ignore: tuple[str, ...] = (),
+        current_fields: list[tuple[str, str]] | None = None,
+    ) -> list[str]:
+        """Generate the ALTER statements ``evolve_schema=True`` runs
+        before the MERGE — the SQL-path mirror of the LakeTable evolve
+        loop (plans/merge.py): source columns absent from the table are
+        ADDed in one batched ``ADD COLUMNS`` (existing rows read back
+        NULL, Iceberg mergeSchema semantics); a source column at a
+        strictly WIDER type promotes the table column via ``ALTER
+        COLUMN ... TYPE`` (Iceberg type promotion, metadata-only); a
+        narrower or non-widenable source type generates nothing — the
+        MERGE's store-assignment cast handles it, exactly as the COW
+        rewrite's cast does. Transport columns (``op_col`` +
+        ``evolve_ignore``) never become table columns.
+
+        Pure string assembly over ``(name, simpleString-type)`` pairs —
+        pass ``current_fields`` explicitly to pin the generated
+        statements jar-free (tests/test_iceberg_backend.py), same
+        pattern as ``merge_sql``'s ``data_cols``."""
+        if current_fields is None:
+            current_fields = [
+                (f.name, f.dataType.simpleString()) for f in self.schema.fields
+            ]
+        existing = dict(current_fields)
+        skip = set(evolve_ignore) | ({op_col} if op_col else set())
+        adds: list[str] = []
+        widens: list[str] = []
+        for name, stype in source_fields:
+            if name in skip:
+                continue
+            cur = existing.get(name)
+            if cur is None:
+                adds.append(f"`{name}` {stype}")
+            elif cur != stype and _is_widening(cur, stype):
+                widens.append(
+                    f"ALTER TABLE {self.identifier} "
+                    f"ALTER COLUMN `{name}` TYPE {stype}"
+                )
+        stmts: list[str] = []
+        if adds:
+            stmts.append(
+                f"ALTER TABLE {self.identifier} ADD COLUMNS ({', '.join(adds)})"
+            )
+        stmts.extend(widens)
+        return stmts
+
     def merge_sql(
         self,
         on: list[str] | None = None,
@@ -217,6 +287,8 @@ class IcebergTable:
         update_cols: list[str] | None = None,
         condition_gates_delete: bool = False,
         not_matched_by_source_delete: bool = False,
+        evolve_schema: bool = False,
+        evolve_ignore: tuple[str, ...] = (),
     ) -> int:
         """Native MERGE INTO — what the Firehose Iceberg destination does
         per delivery (routed upsert/delete by unique key). ``merge_into``
@@ -243,7 +315,23 @@ class IcebergTable:
         out-of-order CDC stale guard), and ``update_cols`` narrows
         UPDATE SET to the listed columns. Previously these were silently
         dropped here, turning a gated partial MERGE into an
-        unconditional full-column upsert on the native backend."""
+        unconditional full-column upsert on the native backend.
+
+        ``evolve_schema`` (CDC schema drift): generated ``ALTER TABLE
+        ... ADD COLUMNS`` / ``ALTER COLUMN ... TYPE`` statements run
+        BEFORE the MERGE (``evolve_sql``), so new/widened source
+        columns land exactly as on the LakeTable backend. The ALTERs
+        are separate metadata commits — idempotent to replay (re-adding
+        an existing column can't happen: the generator diffs against
+        the live schema each call), matching Iceberg's own
+        schema-update-then-write sequencing."""
+        if evolve_schema:
+            for stmt in self.evolve_sql(
+                [(f.name, f.dataType.simpleString()) for f in source.schema.fields],
+                op_col=op_col,
+                evolve_ignore=evolve_ignore,
+            ):
+                self.spark.sql(stmt)
         sql = self.merge_sql(
             on=on,
             op_col=op_col,

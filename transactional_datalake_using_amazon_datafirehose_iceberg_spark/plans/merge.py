@@ -104,13 +104,10 @@ def merge_into(
     # real-Iceberg backend (plans/iceberg_compat.py): native MERGE INTO.
     # Every semantic option is forwarded (a silently-dropped
     # match_condition would disarm the out-of-order CDC stale guard on
-    # this backend); what the SQL path can't express raises instead.
+    # this backend; a dropped evolve_schema would silently narrow the
+    # CDC schema-drift story to the LakeTable backend — sql_merge runs
+    # generated ALTER TABLE statements before the MERGE instead).
     if hasattr(table, "sql_merge"):
-        if evolve_schema:
-            raise NotImplementedError(
-                "evolve_schema is not supported on the native-Iceberg SQL "
-                "MERGE path; ALTER TABLE ... ADD COLUMN first"
-            )
         return table.sql_merge(
             source,
             on=on,
@@ -121,6 +118,8 @@ def merge_into(
             update_cols=update_cols,
             condition_gates_delete=condition_gates_delete,
             not_matched_by_source_delete=not_matched_by_source_delete,
+            evolve_schema=evolve_schema,
+            evolve_ignore=evolve_ignore,
         )
 
     # Lost-race re-plan (the COW commit removes files, so commit-level
