@@ -343,13 +343,40 @@ def connected_components(
     paths to identical labels; graphs above the gate stay fully
     distributed (at 100 TB a near-dup pair graph exceeds it and
     iterates).
+
+    Checkpoint lifetime (r7 verdict task 5 — the GC tail): each round's
+    eager checkpoint supersedes the previous round's label blocks, but
+    localCheckpoint pins its blocks until the RDD is garbage-collected
+    — across ~log(diameter) rounds that holds every generation of a
+    corpus-scale label table in executor memory simultaneously, which
+    showed up as a 1.1 s JVM GC episode on the bench. Dead generations
+    are therefore unpersisted EXPLICITLY the moment their successor
+    lands (tracked by diffing the context's persistent-RDD ids around
+    each checkpoint, so only blocks this function created are ever
+    touched); the input pair checkpoint is likewise dropped once the
+    symmetrized edge relation exists. The returned labels' own
+    checkpoint stays live — the caller consumes it.
     """
     from pyspark.sql import Observation
+
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _pids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist(ids) -> None:
+        m = jsc.getPersistentRDDs()
+        for rid in ids:
+            if m.containsKey(rid):
+                m.get(rid).unpersist(False)
+
     # materialize the input pair list before symmetrization: both union
     # branches reference it, so an unmaterialized upstream (the whole
     # LSH+Jaccard verify pipeline in the curation flow) would execute
     # twice just to build the edge relation
+    before = _pids()
     pairs = pairs.select(col_a, col_b).localCheckpoint(eager=True)
+    pairs_ids = _pids() - before
     if driver_max_edges is None:
         driver_max_edges = _CC_DRIVER_MAX_EDGES
     dtypes = dict(pairs.dtypes)
@@ -366,22 +393,28 @@ def connected_components(
         # behavior-identical (the property test pins this)
         if not any(a is None or b is None for a, b in edges):
             lbl = _union_find_min_label(edges)
+            _unpersist(pairs_ids)  # collected; blocks are dead
             return pairs.sparkSession.createDataFrame(
                 sorted(lbl.items()),
                 f"id {dtypes[col_a]}, cluster_id {dtypes[col_a]}",
             )
+    before = _pids()
     sym = (
         pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
         .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    sym_ids = _pids() - before  # outlives every round (msgs join)
+    _unpersist(pairs_ids)  # symmetrized copy exists; input blocks dead
+    before = _pids()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_ids = _pids() - before  # the label generation rounds supersede
     for rnd in range(max_iter):
         # (1) each node offers its label to every neighbor; the node's
         # own previous label rides along (as __old) so convergence is a
@@ -402,6 +435,7 @@ def connected_components(
         # (2) shortcut: follow the label's own label (pointer jumping)
         hop = new.select(F.col("id").alias("__lid"), F.col("lbl").alias("__lbl2"))
         obs = Observation(f"cc_round_{rnd}")
+        before = _pids()
         new = (
             new.join(hop, new["lbl"] == hop["__lid"], "left")
             .select("id", F.coalesce("__lbl2", "lbl").alias("lbl"), "__old")
@@ -413,11 +447,17 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # this round's blocks are live; the previous generation is dead
+        _unpersist(prev_ids - sym_ids)
+        prev_ids = _pids() - before
         labels = new.select("id", "lbl")
         # the eager checkpoint IS the action: the metric is already in
         # (sum over empty input is null -> treat as converged)
         if (obs.get["changed"] or 0) == 0:
             break
+    # only the final label generation leaves the function; the edge
+    # relation's blocks are dead once iteration stops
+    _unpersist(sym_ids)
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

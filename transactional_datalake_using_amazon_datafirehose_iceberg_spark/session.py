@@ -83,4 +83,18 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # connected_components unpersists superseded localCheckpoint
+    # generations by design (operators/dedup.py); Spark WARNs on every
+    # such unpersist ("lineage has been truncated") — expected and
+    # harmless here, so keep that one logger at ERROR
+    try:
+        jvm = spark.sparkContext._jvm
+        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "org.apache.spark.rdd.MapPartitionsRDD"
+        )
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            logger.getName(), jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:
+        pass  # logging backend differs: cosmetic only
     return spark
