@@ -619,6 +619,32 @@ def test_bloom_respects_property_and_row_cap(spark, tmp_path):
     assert t.file_paths(predicates=[Predicate("id", "=", 999)]) == []
 
 
+def test_bloom_builds_executor_side_above_driver_gate(spark, table):
+    """Commits above the micro-batch gate (_BLOOM_DRIVER_ROWS) build
+    blooms via the distributed grouped-by-file job, not a driver column
+    read (r7 verdict #3) — the resulting blooms must be identical in
+    behavior: point lookups prune absent keys and never lose present
+    ones."""
+    from pyspark.sql import Row
+
+    n = 6000  # > _BLOOM_DRIVER_ROWS, < _BLOOM_MAX_ROWS
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit("x").alias("cat"),
+        F.col("id").cast("double").alias("val"),
+    )
+    table.append(df)
+    files = table.manifest()["files"]
+    assert all("bloom" in f and "id" in f["bloom"] for f in files)
+    # present key: kept; absent key: fully pruned (ranges overlap 0..n)
+    assert len(table.file_paths(predicates=[Predicate("id", "=", 17)])) >= 1
+    assert table.file_paths(predicates=[Predicate("id", "=", n + 5)]) == []
+    got = table.read(spark, predicates=[Predicate("id", "=", 17)]).filter(
+        F.col("id") == 17
+    )
+    assert got.count() == 1
+
+
 def test_bloom_mor_delete_prunes_candidate_files(spark, table):
     """delete_by_keys_mor collects its (micro-batch-scale) key set and
     lets the bloom prune the candidate scan; deletes still land."""
