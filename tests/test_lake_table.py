@@ -625,8 +625,6 @@ def test_bloom_builds_executor_side_above_driver_gate(spark, table):
     read (r7 verdict #3) — the resulting blooms must be identical in
     behavior: point lookups prune absent keys and never lose present
     ones."""
-    from pyspark.sql import Row
-
     n = 6000  # > _BLOOM_DRIVER_ROWS, < _BLOOM_MAX_ROWS
     df = spark.range(n).select(
         F.col("id").cast("int").alias("id"),

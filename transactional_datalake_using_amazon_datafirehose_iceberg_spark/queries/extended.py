@@ -3030,7 +3030,121 @@ def _routed_fanout_build(spark, sf):
     ).orderBy("dest")
 
 
+def _pit_asof_build(spark, sf):
+    """CDC point-in-time composite (closes SURVEY §2.5's 'CDC-style
+    point-in-time queries' note end-to-end): a keyed table evolves
+    through three commits (insert all / update evens +700 cents /
+    delete every 5th key) with the real manifest timestamps captured
+    after each; ``read(timestamp=...)`` (Iceberg TIMESTAMP AS OF) must
+    recover each intermediate state exactly, and an AS-OF JOIN of
+    per-key query points against the version-stamped change history
+    must agree with the snapshot reads — the two point-in-time
+    mechanisms cross-check each other. Scale shape: each time-travel
+    read is a manifest-pruned scan of one snapshot; the as-of join is
+    the union+window single-shuffle pattern; the history relation is
+    versions x keys (at 100 TB you would read the changelog
+    incrementally instead of unioning snapshots — changelog_incremental
+    covers that path).
+    """
+    from ..operators.asof import asof_join
+
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="pit_"), "bal"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]),
+        keys=["k"],
+    )
+    base = spark.table("customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    t.append(base)                                               # v1
+    ts1 = t.manifest()["created"]
+    t.update_where(spark, "k % 2 = 0", {"cents": "cents + 700"})  # v2
+    ts2 = t.manifest()["created"]
+    t.delete_where(spark, "k % 5 = 0")                            # v3
+    ts3 = t.manifest()["created"]
+
+    facts = []
+    for label, ts in (("1_v1", ts1), ("2_v2", ts2), ("3_v3", ts3)):
+        row = (
+            t.read(spark, timestamp=ts)
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+            .collect()[0]
+        )
+        facts.append((label, row["n"], row["s"]))
+
+    # as-of cross-check: per-key query points at ts1 and ts2 pick up
+    # the latest change at-or-before them from the stamped history
+    hist = (
+        t.read(spark, version=1)
+        .withColumn("commit_ts", F.to_timestamp(F.lit(ts1)))
+        .unionByName(
+            t.read(spark, version=2)
+            .withColumn("commit_ts", F.to_timestamp(F.lit(ts2)))
+        )
+    )
+    queries = (
+        t.read(spark, version=1)
+        .select("k")
+        .withColumn(
+            "q_ts",
+            F.explode(
+                F.array(
+                    F.to_timestamp(F.lit(ts1)), F.to_timestamp(F.lit(ts2))
+                )
+            ),
+        )
+    )
+    snapped = asof_join(
+        queries, hist.select("k", "commit_ts", F.col("cents").alias("bal")),
+        on=["k"], left_ts="q_ts", right_ts="commit_ts", value_cols=["bal"],
+    )
+    for label, ts in (("4_asof_v1", ts1), ("5_asof_v2", ts2)):
+        row = (
+            snapped.filter(F.col("q_ts") == F.to_timestamp(F.lit(ts)))
+            .agg(F.count("*").alias("n"), F.sum("asof_bal").alias("s"))
+            .collect()[0]
+        )
+        facts.append((label, row["n"], row["s"]))
+    return spark.createDataFrame(
+        facts, "fact string, n bigint, cents bigint"
+    ).orderBy("fact")
+
+
 _STAGED = [
+    QuerySpec(
+        name="cdc_point_in_time_asof",
+        doc="CDC point-in-time composite: TIMESTAMP AS OF reads of an "
+            "evolving keyed table at three captured commit stamps, "
+            "cross-checked by an as-of join of per-key query points "
+            "against the version-stamped change history. Oracle is the "
+            "closed-form state evolution recomputed from the fixture.",
+        tags=("cdc", "timetravel", "asof"),
+        build=_pit_asof_build,
+        oracle="""
+WITH c AS (
+  SELECT c_custkey AS k,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+)
+SELECT fact, CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS cents
+FROM (
+  SELECT '1_v1' AS fact, COUNT(*) AS n, SUM(cents) AS cents FROM c
+  UNION ALL SELECT '2_v2', COUNT(*),
+    SUM(cents + CASE WHEN k % 2 = 0 THEN 700 ELSE 0 END) FROM c
+  UNION ALL SELECT '3_v3', COUNT(*),
+    SUM(cents + CASE WHEN k % 2 = 0 THEN 700 ELSE 0 END)
+    FROM c WHERE k % 5 <> 0
+  UNION ALL SELECT '4_asof_v1', COUNT(*), SUM(cents) FROM c
+  UNION ALL SELECT '5_asof_v2', COUNT(*),
+    SUM(cents + CASE WHEN k % 2 = 0 THEN 700 ELSE 0 END) FROM c
+)
+ORDER BY fact
+""",
+    ),
     QuerySpec(
         name="cdc_routed_fanout",
         doc="Multi-table routed apply (the Firehose destination's "
