@@ -643,6 +643,42 @@ def test_bloom_builds_executor_side_above_driver_gate(spark, table):
     assert got.count() == 1
 
 
+def test_bloom_distributed_and_driver_paths_bit_identical(
+    spark, tmp_path, monkeypatch
+):
+    """The executor-side (applyInPandas) and in-process (pyarrow) bloom
+    builds must produce bit-identical filters for the same file — the
+    Arrow->pandas conversion upcasts a nullable int64 key to float64
+    (5 -> 5.0) and renders dates as python date objects, and any
+    encoding drift between the paths would silently diverge pruning
+    between micro-batch and bulk commits."""
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table as lt
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("day", T.DateType()),
+    ])
+    rows = spark.sql("""
+        SELECT CASE WHEN id % 97 = 0 THEN NULL ELSE id END AS id,
+               CONCAT('n', id % 50) AS name,
+               DATE_ADD(DATE'2024-01-01', CAST(id % 30 AS INT)) AS day
+        FROM range(6000)
+    """).coalesce(1)
+
+    manifests = {}
+    for label, gate in (("distributed", 0), ("driver", 10**9)):
+        monkeypatch.setattr(lt, "_BLOOM_DRIVER_ROWS", gate)
+        t = lt.LakeTable.create(
+            str(tmp_path / label), schema, keys=["id", "name", "day"]
+        )
+        t.append(rows)
+        files = t.manifest()["files"]
+        assert len(files) == 1 and "bloom" in files[0]
+        manifests[label] = files[0]["bloom"]
+    assert manifests["distributed"] == manifests["driver"]
+
+
 def test_bloom_mor_delete_prunes_candidate_files(spark, table):
     """delete_by_keys_mor collects its (micro-batch-scale) key set and
     lets the bloom prune the candidate scan; deletes still land."""
