@@ -185,6 +185,36 @@ def bench_cow_vs_mor_deletes(
     return out
 
 
+def _release_query_blocks(spark, before_ids: set) -> None:
+    """Unpersist every persistent RDD a query execution left behind.
+
+    Operators that materialize shared subtrees (localCheckpoint in the
+    LSH chain, curate, bigram fluency) legitimately return DataFrames
+    that reference those blocks — so they cannot self-release — but the
+    bench discards each result after count(). Each spec executes three
+    times (warm-up + best-of-2), so without this sweep a bench run
+    accumulates dozens of corpus-scale checkpoint generations on the
+    heap, and their eventual garbage collection lands as a GC episode
+    inside whichever later query is running (the r7 run4 pattern)."""
+    try:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in {int(k) for k in m.keySet().toArray()} - before_ids:
+            if m.containsKey(rid):
+                m.get(rid).unpersist(False)
+    except Exception:
+        pass  # hygiene only — never fail the bench over it
+
+
+def _persistent_ids(spark) -> set:
+    try:
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+    except Exception:
+        return set()
+
+
 def _gc_millis(spark) -> int:
     """Cumulative JVM GC time (driver == the lone executor in local
     mode). Per-extra deltas make a run4-style episode — every query
@@ -251,13 +281,16 @@ def main() -> None:
             # runs (one GC pause on one query moves the whole series),
             # which is exactly the noise the round-over-round record
             # exists to see through.
+            pids0 = _persistent_ids(spark)
             spec.run_spark(spark, sf_dir).count()
+            _release_query_blocks(spark, pids0)
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 n = spec.run_spark(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
+                _release_query_blocks(spark, pids0)
             timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # one broken query must not lose the run
@@ -297,7 +330,9 @@ def main() -> None:
         if spec is None:
             continue
         try:
+            pids0 = _persistent_ids(spark)
             spec.run_spark(spark, sf_dir).count()
+            _release_query_blocks(spark, pids0)
             # best-of-2 timed runs: a transient load spike (GC, another
             # process, the round driver's own snapshotting) during one
             # run must not masquerade as a query regression in the
@@ -309,6 +344,7 @@ def main() -> None:
                 n = spec.run_spark(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
+                _release_query_blocks(spark, pids0)
             extras[name] = round(best, 3)
             # per-measurement load + GC delta: a spike here (the round
             # driver's snapshot, or JVM heap pressure) explains an
