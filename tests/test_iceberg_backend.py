@@ -213,6 +213,46 @@ def test_evolve_sql_skips_transport_and_non_widening():
     assert stmts == []
 
 
+def test_evolve_sql_widening_table_matches_laketable_exactly(tmp_path):
+    """The SQL path's widening predicate must agree with
+    LakeTable.widen_column on EVERY ordered type pair — the two
+    backends sharing _WIDENINGS is not enough, because the decimal
+    precision/scale logic is reimplemented on the SQL side and any
+    drift silently diverges CDC schema evolution between backends."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.iceberg_compat import (
+        _is_widening,
+    )
+
+    pool = [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(), T.StringType(), T.DateType(),
+        T.DecimalType(10, 2), T.DecimalType(12, 2), T.DecimalType(12, 4),
+        T.DecimalType(8, 2),
+    ]
+    for i, old in enumerate(pool):
+        for j, new in enumerate(pool):
+            if i == j:
+                continue
+            t = LakeTable.create(
+                str(tmp_path / f"w_{i}_{j}"),
+                T.StructType([T.StructField("c", old)]),
+            )
+            try:
+                t.widen_column("c", new)
+                accepted = True
+            except ValueError:
+                accepted = False
+            predicted = _is_widening(
+                old.simpleString(), new.simpleString()
+            )
+            assert predicted == accepted, (
+                f"{old.simpleString()} -> {new.simpleString()}: "
+                f"SQL path says {predicted}, LakeTable says {accepted}"
+            )
+
+
 def test_evolve_sql_decimal_precision_rules():
     cur = [("amount", "decimal(10,2)")]
     t = _tbl()
