@@ -3114,7 +3114,131 @@ def _pit_asof_build(spark, sf):
     ).orderBy("fact")
 
 
+def _leakage_split_build(spark, sf):
+    """Leakage-free train/val/holdout split (the dedup-aware step a
+    naive per-doc hash split gets wrong): near-duplicate documents
+    straddling train and holdout leak evaluation data into training, so
+    the split key must be the NEAR-DUP CLUSTER, not the document. LSH
+    candidates -> exact-Jaccard verify -> connected components, then
+    one md5 band split on the cluster representative: every member of a
+    cluster lands in the same split by construction. Output: per-split
+    doc/cluster counts plus the cross-split-cluster count (structurally
+    zero — the property the spec exists to pin). Scale shape: the
+    dedup chain is the already-verified bucketed pipeline; the split
+    itself is one map stage plus two linear aggregates."""
+    from ..operators import dedup as D
+
+    docs = spark.table("documents")
+    pairs = D.jaccard_verify_docs(
+        docs,
+        D.lsh_candidate_pairs(
+            D.minhash_signature_mapside(docs, "text", "doc_id"), "doc_id"
+        ),
+        "text",
+        "doc_id",
+        threshold=0.6,
+    ).select("doc_a", "doc_b")
+    labels = D.connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cid", F.coalesce("cluster_id", "doc_id"))
+        .withColumn("__b", F.substring(F.md5(F.col("cid").cast("string")), 1, 2))
+        .withColumn(
+            "split",
+            F.when(F.col("__b") < "1a", "holdout")
+            .when(F.col("__b") < "4d", "val")
+            .otherwise("train"),
+        )
+    )
+    per = labeled.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cid").cast("bigint").alias("n_clusters"),
+    )
+    leaky = (
+        labeled.groupBy("cid")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .count()
+    )
+    return per.unionByName(
+        spark.createDataFrame(
+            [("zz_leaky_clusters", int(leaky), 0)],
+            "split string, n_docs bigint, n_clusters bigint",
+        )
+    ).orderBy("split")
+
+
+def _leakage_split_oracle() -> str:
+    from .llmops import _SHINGLES_CTE, _SIG_CTE, _SIG_SHINGLES_CTE
+
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE.strip()}, {_SIG_SHINGLES_CTE.strip()},
+{_SIG_CTE.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 1.0 * i.i / (sa.n + sb.n - i.i) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+rep AS (SELECT id, MIN(lbl) AS rep FROM reach GROUP BY id),
+docs2 AS (
+  SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS cid
+  FROM documents d LEFT JOIN rep r ON r.id = d.doc_id
+),
+labeled AS (
+  SELECT doc_id, cid,
+    CASE WHEN substring(md5(CAST(cid AS VARCHAR)), 1, 2) < '1a' THEN 'holdout'
+         WHEN substring(md5(CAST(cid AS VARCHAR)), 1, 2) < '4d' THEN 'val'
+         ELSE 'train' END AS split
+  FROM docs2
+)
+SELECT split, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_clusters AS BIGINT) AS n_clusters
+FROM (
+  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT cid) AS n_clusters
+  FROM labeled GROUP BY split
+  UNION ALL
+  SELECT 'zz_leaky_clusters',
+    (SELECT COUNT(*) FROM (
+       SELECT cid FROM labeled GROUP BY cid
+       HAVING COUNT(DISTINCT split) > 1)), 0
+)
+ORDER BY split
+"""
+
+
 _STAGED = [
+    QuerySpec(
+        name="split_leakage_free_by_cluster",
+        doc="Leakage-free corpus split: near-dup clusters (LSH -> "
+            "Jaccard verify -> connected components) are hash-split by "
+            "CLUSTER representative so no near-duplicate pair straddles "
+            "train and holdout; per-split doc/cluster counts plus the "
+            "structurally-zero cross-split-cluster count. Oracle "
+            "recomputes the same chain with a recursive CTE.",
+        tags=("llm", "dedup", "split"),
+        build=_leakage_split_build,
+        oracle=_leakage_split_oracle,
+    ),
     QuerySpec(
         name="cdc_point_in_time_asof",
         doc="CDC point-in-time composite: TIMESTAMP AS OF reads of an "
