@@ -3114,6 +3114,95 @@ def _pit_asof_build(spark, sf):
     ).orderBy("fact")
 
 
+def _dead_letter_replay_build(spark, sf):
+    """Dead-letter REPLAY — the operational recovery loop the reference
+    leaves to the operator (failed records land in the S3 error prefix
+    with their raw payload, README.md:82; re-delivery is a manual job):
+    a delivery arrives with some records double-base64-encoded (a
+    classic transport mis-wrapping) and one truly truncated. Pass 1
+    transforms + applies the parseable records and dead-letters the
+    rest WITH their raw payloads. The recovery job then reads the dead
+    letters, strips the extra base64 layer where one exists, re-runs
+    the SAME transform (no special-case parser — the fix is upstream
+    of the standard path), applies the recovered records, and
+    dead-letters the truncated line again. Facts: final live rows +
+    amount sum (must equal the no-failure outcome) and the
+    initial/recovered/unrecoverable counts. Scale shape: both passes
+    are the standard linear transform; recovery reads only the
+    dead-letter partition (error-volume, not delivery-volume)."""
+    import base64 as _b64
+    import json as _json
+    import random as _random
+
+    from ..operators.cdc_apply import apply_batch, typed_rows
+    from ..operators.cdc_transform import to_dead_letter, transform
+    from ..schemas import RETAIL_TRANS, RETAIL_TRANS_KEYS
+    from ..sources.cdc_jsonl import _envelope, _mk_row, read_cdc_batch
+
+    rng = _random.Random(5)
+    workdir = tempfile.mkdtemp(prefix="dlq_replay_")
+    lines = []
+    for k in range(1, 9):  # 8 inserts, amount 10*k
+        lines.append(_json.dumps(_envelope(
+            _mk_row(rng, k, event="cart", amount=10 * k), "insert",
+            f"2023-01-20T06:00:{10+k:02d}.000001Z", 3_000_000 + k,
+        )))
+    lines.append(_json.dumps(_envelope(  # update k=2 -> 999
+        _mk_row(rng, 2, event="cart", amount=999), "update",
+        "2023-01-20T07:00:01.000001Z", 3_000_100,
+    )))
+    lines.append(_json.dumps(_envelope(  # delete k=3
+        _mk_row(rng, 3, event="cart", amount=30), "delete",
+        "2023-01-20T07:00:02.000001Z", 3_000_101,
+    )))
+    # 3 recoverable: whole line wrapped in ONE extra base64 layer
+    for i, (k, amt) in enumerate([(11, 111), (12, 222), (13, 333)]):
+        line = _json.dumps(_envelope(
+            _mk_row(rng, k, event="cart", amount=amt), "insert",
+            f"2023-01-20T08:00:{10+i:02d}.000001Z", 3_000_200 + i,
+        ))
+        lines.append(_b64.b64encode(line.encode()).decode())
+    lines.append('{"data": {"trans_id": 99, "customer')  # truncated
+    p = os.path.join(workdir, "delivery.jsonl")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    t = LakeTable.create(
+        os.path.join(workdir, "retail"), RETAIL_TRANS, keys=RETAIL_TRANS_KEYS
+    )
+    good, dead = transform(read_cdc_batch(spark, p), "testdb", "retail_trans")
+    apply_batch(t, typed_rows(good))
+    dlq = to_dead_letter(dead).localCheckpoint(eager=True)
+    n_dead = dlq.count()
+
+    # recovery: strip the extra base64 layer where one exists, re-run
+    # the standard transform on the fixed lines
+    fixed = dlq.select(
+        F.when(
+            F.col("raw").rlike("^[A-Za-z0-9+/=]+$"),
+            F.unbase64(F.col("raw")).cast("string"),
+        ).otherwise(F.col("raw")).alias("value")
+    )
+    good2, dead2 = transform(fixed, "testdb", "retail_trans")
+    apply_batch(t, typed_rows(good2))
+    n_unrecoverable = dead2.count()
+
+    out = t.read(spark)
+    row = out.agg(
+        F.count("*").alias("n"), F.sum("amount").alias("s")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("1_rows_live", int(row["n"])),
+            ("2_amount_sum", int(row["s"])),
+            ("3_dead_initial", int(n_dead)),
+            ("4_recovered", int(n_dead - n_unrecoverable)),
+            ("5_unrecoverable", int(n_unrecoverable)),
+        ],
+        "fact string, n bigint",
+    ).orderBy("fact")
+
+
 def _leakage_split_build(spark, sf):
     """Leakage-free train/val/holdout split (the dedup-aware step a
     naive per-doc hash split gets wrong): near-duplicate documents
@@ -3227,6 +3316,23 @@ ORDER BY split
 
 
 _STAGED = [
+    QuerySpec(
+        name="cdc_dead_letter_replay",
+        doc="Dead-letter replay, end to end: a delivery with "
+            "double-base64-wrapped records dead-letters them with raw "
+            "payloads; the recovery job strips the extra layer, re-runs "
+            "the standard transform, and applies — the table converges "
+            "to the no-failure outcome and the truncated record stays "
+            "dead. Oracle = the closed-form corpus design.",
+        tags=("cdc", "deadletter"),
+        build=_dead_letter_replay_build,
+        oracle="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (VALUES
+  ('1_rows_live', 10), ('2_amount_sum', 1975), ('3_dead_initial', 4),
+  ('4_recovered', 3), ('5_unrecoverable', 1)) t(fact, n)
+ORDER BY fact
+""",
+    ),
     QuerySpec(
         name="split_leakage_free_by_cluster",
         doc="Leakage-free corpus split: near-dup clusters (LSH -> "
