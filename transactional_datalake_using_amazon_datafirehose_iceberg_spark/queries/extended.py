@@ -3060,11 +3060,11 @@ def _pit_asof_build(spark, sf):
         F.col("c_custkey").cast("long").alias("k"),
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
     )
-    t.append(base)                                               # v1
+    v1 = t.append(base)
     ts1 = t.manifest()["created"]
-    t.update_where(spark, "k % 2 = 0", {"cents": "cents + 700"})  # v2
+    v2 = t.update_where(spark, "k % 2 = 0", {"cents": "cents + 700"})
     ts2 = t.manifest()["created"]
-    t.delete_where(spark, "k % 5 = 0")                            # v3
+    t.delete_where(spark, "k % 5 = 0")
     ts3 = t.manifest()["created"]
 
     facts = []
@@ -3079,15 +3079,15 @@ def _pit_asof_build(spark, sf):
     # as-of cross-check: per-key query points at ts1 and ts2 pick up
     # the latest change at-or-before them from the stamped history
     hist = (
-        t.read(spark, version=1)
+        t.read(spark, version=v1)
         .withColumn("commit_ts", F.to_timestamp(F.lit(ts1)))
         .unionByName(
-            t.read(spark, version=2)
+            t.read(spark, version=v2)
             .withColumn("commit_ts", F.to_timestamp(F.lit(ts2)))
         )
     )
     queries = (
-        t.read(spark, version=1)
+        t.read(spark, version=v1)
         .select("k")
         .withColumn(
             "q_ts",
