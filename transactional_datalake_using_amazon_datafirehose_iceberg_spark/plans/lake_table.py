@@ -677,21 +677,7 @@ class LakeTable:
         total_rows = sum(m["rows"] for _p, m in need)
         spark = SparkSession.getActiveSession()
         if spark is None or total_rows <= _BLOOM_DRIVER_ROWS:
-            out: dict[str, dict] = {}
-            for path, _meta in need:
-                pf = _pq.ParquetFile(path)
-                blooms = {}
-                for kcol in bloom_cols:
-                    vals = {
-                        _encode_stat(x)
-                        for x in pf.read(columns=[kcol]).column(0).to_pylist()
-                        if x is not None
-                    }
-                    if vals:
-                        blooms[kcol] = _bloom_build(vals)
-                if blooms:
-                    out[os.path.basename(path)] = blooms
-            return out
+            return self._build_blooms_inprocess(need, bloom_cols)
 
         cols = list(bloom_cols)
         read_schema = T.StructType(
@@ -715,23 +701,49 @@ class LakeTable:
                 {"name": [name], "blooms": [_json.dumps(blooms)]}
             )
 
-        rows = (
-            # explicit schema: no footer-inference job; group-by-file is
-            # correct under any input partitioning (a split file still
-            # lands whole in one group), and each group is bounded by
-            # the _BLOOM_MAX_ROWS cap checked from the footers
-            spark.read.schema(read_schema)
-            .parquet(*[p for p, _m in need])
-            .select(F.input_file_name().alias("__f"), *cols)
-            .groupBy("__f")
-            .applyInPandas(_build, "name string, blooms string")
-            .collect()
-        )
+        try:
+            rows = (
+                # explicit schema: no footer-inference job; group-by-file
+                # is correct under any input partitioning (a split file
+                # still lands whole in one group), and each group is
+                # bounded by the _BLOOM_MAX_ROWS cap checked from footers
+                spark.read.schema(read_schema)
+                .parquet(*[p for p, _m in need])
+                .select(F.input_file_name().alias("__f"), *cols)
+                .groupBy("__f")
+                .applyInPandas(_build, "name string, blooms string")
+                .collect()
+            )
+        except Exception:
+            # blooms are an optimization: a failed build job must not
+            # fail the DATA commit. Fall back to the in-process read —
+            # same bitsets (pinned bit-identical), bounded by the
+            # per-file row cap.
+            return self._build_blooms_inprocess(need, bloom_cols)
         return {
             r["name"]: {k: v for k, v in json.loads(r["blooms"]).items()}
             for r in rows
             if r["blooms"] != "{}"
         }
+
+    def _build_blooms_inprocess(
+        self, need: list[tuple[str, dict]], bloom_cols: list[str]
+    ) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        for path, _meta in need:
+            pf = _pq.ParquetFile(path)
+            blooms = {}
+            for kcol in bloom_cols:
+                vals = {
+                    _encode_stat(x)
+                    for x in pf.read(columns=[kcol]).column(0).to_pylist()
+                    if x is not None
+                }
+                if vals:
+                    blooms[kcol] = _bloom_build(vals)
+            if blooms:
+                out[os.path.basename(path)] = blooms
+        return out
 
     def commit(
         self,
