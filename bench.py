@@ -272,6 +272,7 @@ def main() -> None:
         spec = QUERY_SPECS.get(name)
         if spec is None:
             continue
+        pids0 = _persistent_ids(spark)
         try:
             # one untimed warm-up execution per query: amortizes whole-
             # stage-codegen compilation and file listing, so the timed run
@@ -281,7 +282,6 @@ def main() -> None:
             # runs (one GC pause on one query moves the whole series),
             # which is exactly the noise the round-over-round record
             # exists to see through.
-            pids0 = _persistent_ids(spark)
             spec.run_spark(spark, sf_dir).count()
             _release_query_blocks(spark, pids0)
             best = None
@@ -290,11 +290,14 @@ def main() -> None:
                 n = spec.run_spark(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
-                _release_query_blocks(spark, pids0)
             timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # one broken query must not lose the run
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+        finally:
+            # a FAILED spec's blocks must release too, or they pin heap
+            # for the rest of the run (the GC-episode pattern)
+            _release_query_blocks(spark, pids0)
 
     # per-round additions, reported OUTSIDE the headline total so the
     # 15-query total stays comparable across rounds
@@ -329,8 +332,8 @@ def main() -> None:
         spec = QUERY_SPECS.get(name)
         if spec is None:
             continue
+        pids0 = _persistent_ids(spark)
         try:
-            pids0 = _persistent_ids(spark)
             spec.run_spark(spark, sf_dir).count()
             _release_query_blocks(spark, pids0)
             # best-of-2 timed runs: a transient load spike (GC, another
@@ -360,6 +363,8 @@ def main() -> None:
             )
         except Exception as exc:
             print(f"# extra {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
+        finally:
+            _release_query_blocks(spark, pids0)
 
     try:
         cow_mor = bench_cow_vs_mor_deletes(spark)

@@ -213,12 +213,14 @@ def test_evolve_sql_skips_transport_and_non_widening():
     assert stmts == []
 
 
-def test_evolve_sql_widening_table_matches_laketable_exactly(tmp_path):
-    """The SQL path's widening predicate must agree with
-    LakeTable.widen_column on EVERY ordered type pair — the two
-    backends sharing _WIDENINGS is not enough, because the decimal
-    precision/scale logic is reimplemented on the SQL side and any
-    drift silently diverges CDC schema evolution between backends."""
+def test_evolve_sql_widening_set_is_safe_subset_of_laketable(tmp_path):
+    """Sweep every ordered type pair: any ALTER the SQL path would
+    generate must be a promotion the offline LakeTable backend ALSO
+    performs (subset — drift only in the safe direction, since a
+    generated ALTER real Iceberg rejects fails the whole MERGE while a
+    skipped widening just falls back to the MERGE cast). Additionally
+    pin the exact Iceberg-legal promotions so neither a widening the
+    spec allows goes missing nor a Spark-only one sneaks in."""
     from pyspark.sql import types as T
 
     from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.iceberg_compat import (
@@ -231,26 +233,33 @@ def test_evolve_sql_widening_table_matches_laketable_exactly(tmp_path):
         T.DecimalType(10, 2), T.DecimalType(12, 2), T.DecimalType(12, 4),
         T.DecimalType(8, 2),
     ]
+    sql_widens = set()
     for i, old in enumerate(pool):
         for j, new in enumerate(pool):
             if i == j:
                 continue
+            predicted = _is_widening(old.simpleString(), new.simpleString())
+            if not predicted:
+                continue
+            sql_widens.add((old.simpleString(), new.simpleString()))
             t = LakeTable.create(
                 str(tmp_path / f"w_{i}_{j}"),
                 T.StructType([T.StructField("c", old)]),
             )
-            try:
-                t.widen_column("c", new)
-                accepted = True
-            except ValueError:
-                accepted = False
-            predicted = _is_widening(
-                old.simpleString(), new.simpleString()
-            )
-            assert predicted == accepted, (
-                f"{old.simpleString()} -> {new.simpleString()}: "
-                f"SQL path says {predicted}, LakeTable says {accepted}"
-            )
+            t.widen_column("c", new)  # must not raise: subset property
+    # exactly the promotions Iceberg's ALTER COLUMN TYPE accepts
+    assert sql_widens == {
+        ("int", "bigint"),
+        ("float", "double"),
+        ("decimal(10,2)", "decimal(12,2)"),
+        ("decimal(8,2)", "decimal(10,2)"),
+        ("decimal(8,2)", "decimal(12,2)"),
+    }
+    # and the Spark-only promotions the offline backend allows must NOT
+    # generate ALTERs the native backend would choke on
+    for old_s, new_s in (("int", "double"), ("smallint", "bigint"),
+                         ("tinyint", "int"), ("decimal(12,2)", "decimal(12,4)")):
+        assert not _is_widening(old_s, new_s), (old_s, new_s)
 
 
 def test_evolve_sql_decimal_precision_rules():

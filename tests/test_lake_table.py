@@ -659,8 +659,13 @@ def test_bloom_distributed_and_driver_paths_bit_identical(
         T.StructField("name", T.StringType()),
         T.StructField("day", T.DateType()),
     ])
+    # ids pushed above 2^53 with NULLs present: the pandas path would
+    # upcast the column to float64 and hash lossy scientific-notation
+    # strings — exactly the regime where snowflake-style bigint keys
+    # live; the Arrow-native build must stay exact
     rows = spark.sql("""
-        SELECT CASE WHEN id % 97 = 0 THEN NULL ELSE id END AS id,
+        SELECT CASE WHEN id % 97 = 0 THEN NULL
+               ELSE 9223372036854000000 + id END AS id,
                CONCAT('n', id % 50) AS name,
                DATE_ADD(DATE'2024-01-01', CAST(id % 30 AS INT)) AS day
         FROM range(6000)
@@ -669,10 +674,23 @@ def test_bloom_distributed_and_driver_paths_bit_identical(
     manifests = {}
     for label, gate in (("distributed", 0), ("driver", 10**9)):
         monkeypatch.setattr(lt, "_BLOOM_DRIVER_ROWS", gate)
+        if label == "distributed":
+            # the silent driver-read fallback must NOT mask a broken
+            # distributed job here (it did once: applyInArrow keys are
+            # pyarrow scalars, the job crashed, the fallback hid it)
+            monkeypatch.setattr(
+                lt.LakeTable,
+                "_build_blooms_inprocess",
+                lambda self, need, cols: (_ for _ in ()).throw(
+                    AssertionError("distributed bloom job fell back")
+                ),
+            )
         t = lt.LakeTable.create(
             str(tmp_path / label), schema, keys=["id", "name", "day"]
         )
         t.append(rows)
+        monkeypatch.undo()
+        monkeypatch.setattr(lt, "_BLOOM_DRIVER_ROWS", gate)
         files = t.manifest()["files"]
         assert len(files) == 1 and "bloom" in files[0]
         manifests[label] = files[0]["bloom"]

@@ -555,7 +555,9 @@ def test_bigram_fluency_tokenizes_corpus_exactly_once(spark):
         bigram_fluency,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = (
         bigram_fluency(docs)._jdf.queryExecution().executedPlan().toString()
     )

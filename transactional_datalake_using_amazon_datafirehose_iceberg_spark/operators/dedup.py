@@ -351,32 +351,39 @@ def connected_components(
     corpus-scale label table in executor memory simultaneously, which
     showed up as a 1.1 s JVM GC episode on the bench. Dead generations
     are therefore unpersisted EXPLICITLY the moment their successor
-    lands (tracked by diffing the context's persistent-RDD ids around
-    each checkpoint, so only blocks this function created are ever
-    touched); the input pair checkpoint is likewise dropped once the
-    symmetrized edge relation exists. The returned labels' own
-    checkpoint stays live — the caller consumes it.
+    lands. Each checkpoint's backing RDD id is read off its OWN
+    analyzed plan (LogicalRDD), never inferred by diffing the
+    context's persistent-RDD set — a concurrent job in the same driver
+    (a parallel foreachBatch, another thread checkpointing) can
+    legitimately persist RDDs between any two statements here, and a
+    diff would mis-attribute and destroy its blocks. The input pair
+    checkpoint is likewise dropped once the symmetrized edge relation
+    exists. The returned labels' own checkpoint stays live — the
+    caller consumes it.
     """
     from pyspark.sql import Observation
 
     jsc = pairs.sparkSession.sparkContext._jsc
 
-    def _pids() -> set:
-        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    def _ckpt_id(df) -> int | None:
+        # the checkpointed DataFrame's plan IS the LogicalRDD scan
+        try:
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            return None  # plan shape drifted: skip hygiene, never break
 
-    def _unpersist(ids) -> None:
+    def _unpersist(*ids) -> None:
         m = jsc.getPersistentRDDs()
         for rid in ids:
-            if m.containsKey(rid):
+            if rid is not None and m.containsKey(rid):
                 m.get(rid).unpersist(False)
 
     # materialize the input pair list before symmetrization: both union
     # branches reference it, so an unmaterialized upstream (the whole
     # LSH+Jaccard verify pipeline in the curation flow) would execute
     # twice just to build the edge relation
-    before = _pids()
     pairs = pairs.select(col_a, col_b).localCheckpoint(eager=True)
-    pairs_ids = _pids() - before
+    pairs_id = _ckpt_id(pairs)
     if driver_max_edges is None:
         driver_max_edges = _CC_DRIVER_MAX_EDGES
     dtypes = dict(pairs.dtypes)
@@ -393,28 +400,26 @@ def connected_components(
         # behavior-identical (the property test pins this)
         if not any(a is None or b is None for a, b in edges):
             lbl = _union_find_min_label(edges)
-            _unpersist(pairs_ids)  # collected; blocks are dead
+            _unpersist(pairs_id)  # collected; blocks are dead
             return pairs.sparkSession.createDataFrame(
                 sorted(lbl.items()),
                 f"id {dtypes[col_a]}, cluster_id {dtypes[col_a]}",
             )
-    before = _pids()
     sym = (
         pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
         .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sym_ids = _pids() - before  # outlives every round (msgs join)
-    _unpersist(pairs_ids)  # symmetrized copy exists; input blocks dead
-    before = _pids()
+    sym_id = _ckpt_id(sym)  # outlives every round (msgs join)
+    _unpersist(pairs_id)  # symmetrized copy exists; input blocks dead
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_ids = _pids() - before  # the label generation rounds supersede
+    prev_id = _ckpt_id(labels)  # the label generation rounds supersede
     for rnd in range(max_iter):
         # (1) each node offers its label to every neighbor; the node's
         # own previous label rides along (as __old) so convergence is a
@@ -435,7 +440,6 @@ def connected_components(
         # (2) shortcut: follow the label's own label (pointer jumping)
         hop = new.select(F.col("id").alias("__lid"), F.col("lbl").alias("__lbl2"))
         obs = Observation(f"cc_round_{rnd}")
-        before = _pids()
         new = (
             new.join(hop, new["lbl"] == hop["__lid"], "left")
             .select("id", F.coalesce("__lbl2", "lbl").alias("lbl"), "__old")
@@ -448,8 +452,8 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # this round's blocks are live; the previous generation is dead
-        _unpersist(prev_ids - sym_ids)
-        prev_ids = _pids() - before
+        _unpersist(prev_id)
+        prev_id = _ckpt_id(new)
         labels = new.select("id", "lbl")
         # the eager checkpoint IS the action: the metric is already in
         # (sum over empty input is null -> treat as converged)
@@ -457,7 +461,7 @@ def connected_components(
             break
     # only the final label generation leaves the function; the edge
     # relation's blocks are dead once iteration stops
-    _unpersist(sym_ids)
+    _unpersist(sym_id)
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

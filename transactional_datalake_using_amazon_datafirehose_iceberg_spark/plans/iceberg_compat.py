@@ -24,15 +24,28 @@ from pyspark.sql import types as T
 CATALOG = "lakehouse"
 
 
-def _is_widening(old_s: str, new_s: str) -> bool:
-    """Lossless type promotion per Iceberg's rules — the same table the
-    LakeTable backend enforces (``LakeTable._WIDENINGS``), shared so the
-    two backends can never drift on what counts as a widening. Decimal
-    widens only on a precision increase at equal scale."""
-    from .lake_table import LakeTable
+# Promotions REAL Iceberg's `ALTER COLUMN ... TYPE` accepts (the spec's
+# schema-evolution rules): int -> long, float -> double, decimal
+# precision increase at equal scale — and nothing else. Deliberately
+# NARROWER than LakeTable._WIDENINGS, which also allows Spark/parquet-
+# reader promotions (int -> double, tinyint -> anything) that the
+# native backend would reject at execution time: generating an ALTER
+# Iceberg throws on would fail the whole MERGE, whereas generating
+# nothing falls back to the documented path (the MERGE's store-
+# assignment cast handles a non-widenable source type). The sweep test
+# pins that this set is a strict SUBSET of the LakeTable set, so every
+# ALTER the SQL path emits is also a widening the offline backend
+# performs — drift is only possible in the safe direction.
+_ICEBERG_WIDENINGS = frozenset(
+    {("int", "bigint"), ("float", "double"), ("decimal", "decimal")}
+)
 
+
+def _is_widening(old_s: str, new_s: str) -> bool:
+    """True iff real Iceberg accepts ``ALTER COLUMN ... TYPE old -> new``.
+    Decimal widens only on a precision increase at equal scale."""
     base = (old_s.split("(")[0], new_s.split("(")[0])
-    if base not in LakeTable._WIDENINGS:
+    if base not in _ICEBERG_WIDENINGS:
         return False
     if base == ("decimal", "decimal"):
         try:

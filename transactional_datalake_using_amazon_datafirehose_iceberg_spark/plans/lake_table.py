@@ -587,7 +587,10 @@ class LakeTable:
         stat_cols = {f.name for f in schema.fields if isinstance(f.dataType, _STATS_TYPES)}
         bloom_cols = self.bloom_key_columns()
         metas: list[dict] = []
-        need_bloom: list[tuple[str, dict]] = []  # (abs path, its meta)
+        # (abs path, its meta, the already-open ParquetFile handle —
+        # the in-process bloom path reuses it instead of re-parsing the
+        # footer on the micro-batch hot path)
+        need_bloom: list[tuple[str, dict, Any]] = []
         for dirpath, _dirs, files in os.walk(commit_dir):
             for name in sorted(files):
                 if not name.endswith(".parquet"):
@@ -648,18 +651,18 @@ class LakeTable:
                     if pb:
                         meta["bloom"] = pb
                 elif bloom_cols and md.num_rows <= _BLOOM_MAX_ROWS:
-                    need_bloom.append((path, meta))
+                    need_bloom.append((path, meta, pf))
                 metas.append(meta)
         if need_bloom:
             built = self._build_blooms(need_bloom, bloom_cols)
-            for _path, meta in need_bloom:
+            for _path, meta, _pf in need_bloom:
                 b = built.get(os.path.basename(_path))
                 if b:
                     meta["bloom"] = b
         return metas
 
     def _build_blooms(
-        self, need: list[tuple[str, dict]], bloom_cols: list[str]
+        self, need: list[tuple[str, dict, Any]], bloom_cols: list[str]
     ) -> dict[str, dict]:
         """Build per-file key blooms for freshly written files, keyed by
         file basename.
@@ -674,7 +677,7 @@ class LakeTable:
         a per-commit Spark job would cost more than the batch itself;
         the read is bounded by the same small constant as a collected
         aggregate) and the no-active-session case."""
-        total_rows = sum(m["rows"] for _p, m in need)
+        total_rows = sum(m["rows"] for _p, m, _pf in need)
         spark = SparkSession.getActiveSession()
         if spark is None or total_rows <= _BLOOM_DRIVER_ROWS:
             return self._build_blooms_inprocess(need, bloom_cols)
@@ -684,20 +687,34 @@ class LakeTable:
             [f for f in self.schema.fields if f.name in cols]
         )
 
-        def _build(pdf):
+        # Arrow-native group handler, NOT applyInPandas: the
+        # Arrow->pandas conversion upcasts a nullable int64 key column
+        # to float64, which silently loses precision for keys >= 2^53
+        # (and renders them in scientific notation) — the resulting
+        # bloom would false-negative on exact probes and prune files
+        # that DO hold the key. to_pylist() on the Arrow column is the
+        # exact extraction the in-process pyarrow path uses, so the two
+        # builds stay bit-identical for every type and magnitude.
+        def _build(key, tbl):
             import json as _json
             import os as _os
             import urllib.parse as _up
 
-            import pandas as _pd
+            import pyarrow as _pa
 
-            name = _os.path.basename(_up.urlparse(pdf["__f"].iloc[0]).path)
+            # the grouping key arrives as a pyarrow scalar, not str
+            fname = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+            name = _os.path.basename(_up.urlparse(fname).path)
             blooms = {}
             for c in cols:
-                vals = {_encode_stat(x) for x in pdf[c].dropna().tolist()}
+                vals = {
+                    _encode_stat(x)
+                    for x in tbl.column(c).to_pylist()
+                    if x is not None
+                }
                 if vals:
                     blooms[c] = _bloom_build(vals)
-            return _pd.DataFrame(
+            return _pa.Table.from_pydict(
                 {"name": [name], "blooms": [_json.dumps(blooms)]}
             )
 
@@ -708,10 +725,10 @@ class LakeTable:
                 # still lands whole in one group), and each group is
                 # bounded by the _BLOOM_MAX_ROWS cap checked from footers
                 spark.read.schema(read_schema)
-                .parquet(*[p for p, _m in need])
+                .parquet(*[p for p, _m, _pf in need])
                 .select(F.input_file_name().alias("__f"), *cols)
                 .groupBy("__f")
-                .applyInPandas(_build, "name string, blooms string")
+                .applyInArrow(_build, "name string, blooms string")
                 .collect()
             )
         except Exception:
@@ -727,11 +744,10 @@ class LakeTable:
         }
 
     def _build_blooms_inprocess(
-        self, need: list[tuple[str, dict]], bloom_cols: list[str]
+        self, need: list[tuple[str, dict, Any]], bloom_cols: list[str]
     ) -> dict[str, dict]:
         out: dict[str, dict] = {}
-        for path, _meta in need:
-            pf = _pq.ParquetFile(path)
+        for path, _meta, pf in need:
             blooms = {}
             for kcol in bloom_cols:
                 vals = {

@@ -85,8 +85,11 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     # connected_components unpersists superseded localCheckpoint
     # generations by design (operators/dedup.py); Spark WARNs on every
-    # such unpersist ("lineage has been truncated") — expected and
-    # harmless here, so keep that one logger at ERROR
+    # such unpersist ("lineage has been truncated"). Deliberate
+    # trade-off: demoting this one logger to ERROR session-wide also
+    # hides its other (rare) WARNs, but the alternative is one spurious
+    # warning per label-propagation round in every production log —
+    # log4j config is global, so there is no per-call-site scope.
     try:
         jvm = spark.sparkContext._jvm
         logger = jvm.org.apache.logging.log4j.LogManager.getLogger(

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -404,28 +405,42 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
         if batch_id is not None:
             table.commit([], operation="append", extra_summary=extra)
         return
-    commit_rel = os.path.join(_DATA_DIR, _uuid.uuid4().hex[:16])
-    commit_abs = os.path.join(root, commit_rel)
-    os.makedirs(commit_abs)
-    # Verify the full staged set up front so a partially-promoted batch
-    # never half-commits, and name the likely culprit: the maintenance
-    # age sweep deletes _staging-* files older than staging_retention_s
-    # regardless of whether their batch is still in flight, so a batch
-    # that outlived the retention horizon loses its files here.
+    def _staged_missing_error(missing_name: str) -> FileNotFoundError:
+        return FileNotFoundError(
+            f"lake_table sink: staged file(s) for batch {batch_id} "
+            f"vanished before commit (e.g. {missing_name!r}). If "
+            "expire_snapshots ran while this micro-batch was in flight, "
+            "its staging age sweep removed them — staging_retention_s "
+            "(default 1h) is a hard bound on batch duration; raise it "
+            "or run expiry between batches. [StagedFilesMissing]"
+        )
+
+    # Verify the full staged set BEFORE creating the commit dir so the
+    # common failure (the maintenance age sweep deleted an in-flight
+    # batch's files past staging_retention_s) strands nothing on disk.
     missing = [n for n in names
                if not os.path.exists(os.path.join(staging_abs, n))]
     if missing:
-        raise FileNotFoundError(
-            f"lake_table sink: {len(missing)} staged file(s) for batch "
-            f"{batch_id} vanished before commit (e.g. {missing[0]!r}). "
-            "If expire_snapshots ran while this micro-batch was in "
-            "flight, its staging age sweep removed them — "
-            "staging_retention_s (default 1h) is a hard bound on batch "
-            "duration; raise it or run expiry between batches. "
-            "[StagedFilesMissing]"
-        )
-    for n in names:
-        os.rename(os.path.join(staging_abs, n), os.path.join(commit_abs, n))
+        raise _staged_missing_error(missing[0])
+    commit_rel = os.path.join(_DATA_DIR, _uuid.uuid4().hex[:16])
+    commit_abs = os.path.join(root, commit_rel)
+    os.makedirs(commit_abs)
+    promoted: list[str] = []
+    try:
+        for n in names:
+            os.rename(os.path.join(staging_abs, n), os.path.join(commit_abs, n))
+            promoted.append(n)
+    except FileNotFoundError as exc:
+        # check-then-rename race (the sweep landed mid-loop): restore
+        # the already-promoted files to staging and remove the commit
+        # dir so the batch can still be retried whole
+        for n in promoted:
+            try:
+                os.rename(os.path.join(commit_abs, n), os.path.join(staging_abs, n))
+            except OSError:
+                pass
+        shutil.rmtree(commit_abs, ignore_errors=True)
+        raise _staged_missing_error(str(exc.filename)) from exc
     # task-computed blooms (keyed by basename, unchanged by the rename
     # above) let _collect_stats skip its driver-side column read
     pre = {
