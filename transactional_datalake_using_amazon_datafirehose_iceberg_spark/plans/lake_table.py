@@ -731,11 +731,20 @@ class LakeTable:
                 .applyInArrow(_build, "name string, blooms string")
                 .collect()
             )
-        except Exception:
+        except Exception as exc:
             # blooms are an optimization: a failed build job must not
             # fail the DATA commit. Fall back to the in-process read —
             # same bitsets (pinned bit-identical), bounded by the
-            # per-file row cap.
+            # per-file row cap — but say so: a silently-persistent
+            # fallback once masked a broken distributed build entirely.
+            import sys as _sys
+
+            print(
+                f"lake_table: distributed bloom build failed "
+                f"({type(exc).__name__}: {exc}); falling back to the "
+                f"in-process read for {len(need)} file(s)",
+                file=_sys.stderr,
+            )
             return self._build_blooms_inprocess(need, bloom_cols)
         return {
             r["name"]: {k: v for k, v in json.loads(r["blooms"]).items()}
