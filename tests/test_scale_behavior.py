@@ -286,6 +286,36 @@ def _executions_after(store, exec_id: int) -> list[tuple[int, str]]:
     return out
 
 
+def test_headline_scans_push_filters_and_prune_columns(spark):
+    """The 100 TB contract for scan-heavy queries: selective predicates
+    must reach the parquet reader (PushedFilters non-empty — a filter
+    evaluated only post-scan decodes every row group) and unused wide
+    columns must not appear in the scan (column pruning). The canary
+    column is one the query never references; plan-string truncation
+    can only under-detect, never flake."""
+    import re as _re
+
+    sf = _os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+    cases = {
+        "q6_forecast_revenue": "l_returnflag",
+        "q19_disjunctive_predicates": "l_returnflag",
+        "q14_promo_share": "l_returnflag",
+        "q1_pricing_summary": "l_suppkey",
+    }
+    for name, canary in cases.items():
+        df = QUERY_SPECS[name].run_spark(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # "[" not immediately followed by "]" — the list itself may be
+        # truncated with "..." before its closing bracket
+        assert _re.search(r"PushedFilters: \[(?!\])", plan), (
+            f"{name}: no filters pushed to the parquet scan"
+        )
+        assert canary not in plan, (
+            f"{name}: unused column {canary} appears in the scan — "
+            "column pruning regressed"
+        )
+
+
 def test_extras_all_executed_plans_free_of_scale_killers(spark):
     sf = _os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
     missing = [n for n in _EXTRAS if n not in QUERY_SPECS]
