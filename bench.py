@@ -328,6 +328,10 @@ def main() -> None:
         "multimodal_audio_window_energy",
         # round-7 addition
         "text_bigram_fluency",
+        # round-8 declarations (the two with real data movement: the
+        # multi-table routed MERGE and the two-generation evolve scan)
+        "cdc_routed_fanout",
+        "partition_evolution_lifecycle",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:
