@@ -177,11 +177,24 @@ from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.rela
 SPECS_NEXT = _NEXT_RELATIONAL + _NEXT_EXTENDED
 
 
-@pytest.mark.parametrize("spec", SPECS_NEXT, ids=[s.name for s in SPECS_NEXT])
-def test_round8_staged_specs_match_oracle(spark, ducked, spec):
-    """Round-8 staging lane: specs built this round but not yet declared
-    (the driver's sampling window is full) still rehearse against their
-    oracle locally, so declaring them next round is a one-line move."""
+def test_staged_lane_is_empty():
+    """Round 9 declared the entire former staged lane; any spec staged
+    in a future round re-enters rehearsal via the parametrized test
+    below (it skips while the lane is empty)."""
+    assert SPECS_NEXT == []
+
+
+@pytest.mark.parametrize(
+    "spec",
+    SPECS_NEXT or [None],
+    ids=[s.name for s in SPECS_NEXT] or ["lane-empty"],
+)
+def test_staged_specs_match_oracle(spark, ducked, spec):
+    """Staging lane: specs built but not yet declared (the driver's
+    sampling window is full) still rehearse against their oracle
+    locally, so declaring them next round is a one-line move."""
+    if spec is None:
+        pytest.skip("staged lane empty this round")
     if spec.oracle_text() is None:
         # declared-no-oracle spec: same rows-only check the driver runs
         assert spec.run_spark(spark, SF_DIR_ORACLE).count() > 0, spec.name

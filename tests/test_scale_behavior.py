@@ -202,6 +202,16 @@ _HEADLINE = [
     "partition_evolution_lifecycle",
     "streaming_sink_txn_app_ids",
     "sql_udf_create_function",
+    # round-9 declarations (the full former staged lane)
+    "sql_scripting_control_flow",
+    "agg_listagg_within_group",
+    "agg_approx_top_k",
+    "text_compression_ratio",
+    "join_runtime_bloom_filter",
+    "cdc_dead_letter_replay",
+    "split_leakage_free_by_cluster",
+    "cdc_point_in_time_asof",
+    "source_xml_roundtrip",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

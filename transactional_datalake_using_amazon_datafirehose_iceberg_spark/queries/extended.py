@@ -3452,16 +3452,18 @@ ORDER BY parity
     ),
 ]
 
-# Round-8 declaration: the sampling-window math (49 r4-stale + 1 r5 at
-# the start of r8) leaves room for ~4 new never-green specs; VERDICT r7
-# task 1 prioritizes reference fidelity — the multi-destination routed
-# fanout first, then partition evolution and the txn-ledger driver
-# check.  source_xml_roundtrip stays staged for round 9 (still
-# rehearsed by test_round8_staged_specs_match_oracle).
-_DECLARE_R8 = {
+# Round-9 declaration: the full remaining staged lane (window math in
+# relational.py's _DECLARE_R9 note — 9 new never-green specs fit the
+# 50-spec sampling window alongside the 3 r4-stale + 38 r5-stale).
+_DECLARE_R9 = {
     "cdc_routed_fanout",
     "partition_evolution_lifecycle",
     "streaming_sink_txn_app_ids",
+    "cdc_dead_letter_replay",
+    "split_leakage_free_by_cluster",
+    "cdc_point_in_time_asof",
+    "source_xml_roundtrip",
 }
-SPECS.extend(s for s in _STAGED if s.name in _DECLARE_R8)
-SPECS_NEXT = [s for s in _STAGED if s.name not in _DECLARE_R8]
+SPECS.extend(s for s in _STAGED if s.name in _DECLARE_R9)
+SPECS_NEXT = [s for s in _STAGED if s.name not in _DECLARE_R9]
+assert not SPECS_NEXT, "extended staged lane fully declared in r9"

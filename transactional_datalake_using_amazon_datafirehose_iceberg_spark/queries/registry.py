@@ -201,6 +201,33 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "window_running_lag_rank", "window_time_range_frame",
         "window_topk_per_group",
     }),
+    # CORRECTNESS_r08: 50/50 sampled green — the 4 round-8 declarations
+    # plus the 46-spec r4-stale cohort that fit the window.
+    8: frozenset({
+        "agg_group_by_all", "agg_min_max_by", "approx_freq_items",
+        "array_funcs_tokens", "cdc_routed_fanout", "embedding_quantize_int8",
+        "equality_delete_lifecycle", "events_hourly_windows",
+        "events_sessionize_gap", "higher_order_array_funcs",
+        "incremental_mv_maintenance", "join_bucketed_colocated",
+        "json_extract_props", "maintenance_compact_binpack",
+        "map_from_json_props", "multimodal_frame_sample",
+        "observe_metrics_inline", "partition_evolution_lifecycle",
+        "pivot_status_by_flag", "pydatasource_cdc_ingest",
+        "q11_shape_important_stock", "q16_shape_supplier_counts",
+        "q20_shape_excess_availability", "q21_shape_sole_failing_supplier",
+        "q2_shape_min_cost_supplier", "q9_shape_product_profit",
+        "recursive_cte_ancestors", "sample_balanced_per_group",
+        "scalar_conditional_funcs", "scalar_date_funcs", "scalar_math_funcs",
+        "scalar_regex_funcs", "scd2_dimension_history", "setops_all_variants",
+        "sketch_hll_union", "sql_udf_create_function",
+        "streaming_cdc_pipeline", "streaming_dedup_within_watermark",
+        "streaming_delivery_log", "streaming_interval_join",
+        "streaming_interval_join_outer", "streaming_running_user_counts",
+        "streaming_session_windows", "streaming_sink_txn_app_ids",
+        "streaming_stateful_dedup", "streaming_watermark_late_drop",
+        "text_chunk_windows", "text_tfidf_top_terms", "udf_sql_registered",
+        "variant_json_extract",
+    }),
 }
 
 

@@ -3189,9 +3189,17 @@ SELECT fact, CAST(n AS BIGINT) AS n FROM (
 ))
 
 
-# Round-8 declaration (window math in extended.py's _DECLARE_R8 note):
-# the SQL-defined-function surface is the one relational staged spec
-# that fits this round's budget; the other four roll to round 9.
-_DECLARE_R8 = {"sql_udf_create_function"}
-SPECS.extend(s for s in _NEXT if s.name in _DECLARE_R8)
-SPECS_NEXT = [s for s in _NEXT if s.name not in _DECLARE_R8]
+# Round-9 declaration: the full remaining staged lane.  Window math
+# after folding CORRECTNESS_r08 into the ledger: 9 never-green (5 here +
+# 4 in extended.py) + 3 r4-stale + 38 of the 50 r5-stale = 50; the 12
+# evicted r5 specs lead round 10's window, so max staleness stays
+# bounded at 5 rounds either way — declaring all 9 now completes the
+# staged surface a round early.
+_DECLARE_R9 = {
+    "sql_scripting_control_flow", "agg_listagg_within_group",
+    "agg_approx_top_k", "text_compression_ratio",
+    "join_runtime_bloom_filter", "sql_udf_create_function",
+}
+SPECS.extend(s for s in _NEXT if s.name in _DECLARE_R9)
+SPECS_NEXT = [s for s in _NEXT if s.name not in _DECLARE_R9]
+assert not SPECS_NEXT, "relational staged lane fully declared in r9"
