@@ -290,6 +290,10 @@ def main() -> None:
                 n = spec.run_spark(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
+                # release between timed runs too (the extras loop already
+                # does): run 2 must see the same heap as run 1, not run
+                # 1's leftover persisted blocks (r8 advice)
+                _release_query_blocks(spark, pids0)
             timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # one broken query must not lose the run

@@ -606,6 +606,35 @@ def test_bloom_point_lookup_prunes_overlapping_ranges(spark, table):
     assert none == []
 
 
+def test_bloom_skips_duplicated_basenames(spark, table, tmp_path, capfd):
+    """Bloom maps are keyed by basename while _collect_stats walks the
+    commit dir recursively: two same-named files in different subdirs
+    must get NO bloom (ambiguous attachment would false-negative prune
+    — rows missing from reads), while min/max stats still collect
+    (r8 advice, plans/lake_table.py basename-keying hazard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    commit = tmp_path / "commit"
+    for sub, ids in (("a", [1, 2]), ("b", [3, 4])):
+        d = commit / sub
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "name": pa.array(["x"] * len(ids)),
+                "score": pa.array([1.0] * len(ids)),
+            }),
+            d / "part-000.parquet",
+        )
+    metas = table._collect_stats(str(commit))
+    assert len(metas) == 2
+    assert all("bloom" not in m for m in metas), metas
+    # min/max stats are attachment-safe (computed per walked file)
+    assert all(m["min"].get("id") is not None for m in metas)
+    assert "duplicated parquet basename" in capfd.readouterr().err
+
+
 def test_bloom_respects_property_and_row_cap(spark, tmp_path):
     """write.bloom-filter.enabled=false skips bloom writing; files over
     the row cap skip it too (manifest stays metadata-scale)."""

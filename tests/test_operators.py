@@ -567,6 +567,33 @@ def test_bigram_fluency_tokenizes_corpus_exactly_once(spark):
     )
 
 
+def test_bigram_fluency_release_hook_frees_checkpoints(spark):
+    """bigram_fluency pins two localCheckpoints the returned plan
+    references (it cannot self-release); release_checkpoints(result)
+    must free exactly those blocks after the caller consumes the
+    result, and be a no-op on unadorned DataFrames (r8 advice —
+    long-lived sessions otherwise accumulate corpus-scale blocks)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text import (
+        bigram_fluency,
+        release_checkpoints,
+    )
+
+    jsc = spark.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    res = bigram_fluency(docs)
+    assert res.count() == 5
+    mid = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    assert len(mid - before) == 2, "expected the two pinned checkpoints"
+    release_checkpoints(res)
+    after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    assert after - before == set(), "release must free both checkpoints"
+    release_checkpoints(docs)  # no attachments: must be a silent no-op
+
+
 def test_compression_ratio_pins_zlib_and_orders_redundancy(spark):
     """compression_ratio must equal direct zlib calls byte-for-byte
     (same stdlib on driver and executor) and order boilerplate below

@@ -305,12 +305,62 @@ def _union_find_min_label(edges) -> dict:
     return {n: label[find(n)] for n in parent}
 
 
+def _quiet_truncated_lineage_warns(spark):
+    """Demote org.apache.spark.rdd.MapPartitionsRDD to ERROR for the
+    duration of a call, restoring the prior level afterwards.
+
+    connected_components unpersists superseded localCheckpoint
+    generations by design, and Spark WARNs "lineage has been truncated"
+    on every such unpersist — one spurious warning per
+    label-propagation round. Scoped here (r8 advice) instead of
+    session-wide in session.py so the logger's other, legitimate WARNs
+    stay visible to every other caller. Returns a restore callable;
+    both halves are cosmetic-only and never raise."""
+    restore = lambda: None  # noqa: E731
+    try:
+        jvm = spark.sparkContext._jvm
+        lm = jvm.org.apache.logging.log4j.LogManager
+        cfg = jvm.org.apache.logging.log4j.core.config.Configurator
+        name = "org.apache.spark.rdd.MapPartitionsRDD"
+        prev = lm.getLogger(name).getLevel()
+        cfg.setLevel(name, jvm.org.apache.logging.log4j.Level.ERROR)
+
+        def restore():  # noqa: F811
+            try:
+                cfg.setLevel(name, prev)
+            except Exception:
+                pass
+
+    except Exception:
+        pass  # logging backend differs: cosmetic only
+    return restore
+
+
 def connected_components(
     pairs: DataFrame,
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iter: int = 25,
     driver_max_edges: int | None = None,
+) -> DataFrame:
+    """Public entry: see ``_connected_components`` for algorithm and
+    scale notes; this wrapper only scopes the expected
+    truncated-lineage WARN demotion to the call."""
+    restore = _quiet_truncated_lineage_warns(pairs.sparkSession)
+    try:
+        return _connected_components(
+            pairs, col_a, col_b, max_iter, driver_max_edges
+        )
+    finally:
+        restore()
+
+
+def _connected_components(
+    pairs: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_iter: int,
+    driver_max_edges: int | None,
 ) -> DataFrame:
     """Cluster near-dup pairs into connected components: every node gets
     ``cluster_id`` = the minimum node id reachable through the pair graph

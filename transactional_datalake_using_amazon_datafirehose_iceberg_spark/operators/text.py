@@ -384,11 +384,58 @@ def bigram_fluency(
             F.expr(f"CAST(__cp * {scale} AS BIGINT) div (__cv + {int(v_n)})"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    out = scored.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.expr("CAST(sum(__fp) div count(*) AS BIGINT)").alias("fluency_ppm"),
         F.min("__fp").cast("bigint").alias("min_ppm"),
     )
+    # Both checkpoints are referenced by the returned plan (the scoring
+    # join reads ``bigrams`` and ``pair_c``), so the operator cannot
+    # self-release; in a long-lived session repeated calls accumulate
+    # persisted blocks until driver GC (the leak class
+    # connected_components fixed internally — here the blocks must
+    # outlive the call). Contract: after FULLY consuming the result
+    # (collect/write — the truncated lineage cannot be recomputed once
+    # released), call ``release_checkpoints(result)``. The bench's
+    # persistent-RDD diff sweep does this implicitly.
+    out._sg_checkpoints = (bigrams, pair_c)
+    return out
+
+
+def release_checkpoints(df: DataFrame) -> None:
+    """Release localCheckpoint blocks an operator pinned for its result.
+
+    Operators that materialize shared subtrees (``bigram_fluency``)
+    attach those checkpointed DataFrames to the result as
+    ``_sg_checkpoints``; callers in long-lived sessions call this after
+    fully consuming the result. The result must NOT be re-executed
+    afterwards — a localCheckpoint truncates lineage, so its blocks
+    cannot be recomputed. No-op for results without attachments.
+
+    Implementation note: ``DataFrame.unpersist()`` only drops
+    cacheManager entries, NOT the RDD blocks backing a localCheckpoint
+    — each attachment's LogicalRDD id is read off its own analyzed
+    plan and unpersisted at the RDD layer (the connected_components
+    pattern; never a persistent-RDD-set diff, which could destroy a
+    concurrent job's blocks)."""
+    cps = getattr(df, "_sg_checkpoints", ())
+    if not cps:
+        return
+    from .dedup import _quiet_truncated_lineage_warns
+
+    restore = _quiet_truncated_lineage_warns(cps[0].sparkSession)
+    try:
+        for c in cps:
+            try:
+                jsc = c.sparkSession.sparkContext._jsc
+                rid = int(c._jdf.queryExecution().analyzed().rdd().id())
+                m = jsc.getPersistentRDDs()
+                if m.containsKey(rid):
+                    m.get(rid).unpersist(False)
+            except Exception:
+                pass  # hygiene only — never fail the caller over release
+    finally:
+        restore()
 
 
 def compression_ratio(

@@ -591,6 +591,30 @@ class LakeTable:
         # the in-process bloom path reuses it instead of re-parsing the
         # footer on the micro-batch hot path)
         need_bloom: list[tuple[str, dict, Any]] = []
+        # Bloom maps are keyed by file BASENAME (the executor-side
+        # builds see only input_file_name / the sink's commit message,
+        # not commit_dir). The walk is recursive, so two same-named
+        # files in different subdirectories would silently attach one
+        # file's bloom to the other — false-NEGATIVE pruning, i.e. rows
+        # missing from reads. Writes are flat today; enforce it: any
+        # duplicated basename gets NO bloom (min/max stats still apply),
+        # never a possibly-wrong one.
+        basename_counts: dict[str, int] = {}
+        for dirpath, _dirs, files in os.walk(commit_dir):
+            for name in files:
+                if name.endswith(".parquet"):
+                    basename_counts[name] = basename_counts.get(name, 0) + 1
+        dup_names = {n for n, c in basename_counts.items() if c > 1}
+        if dup_names:
+            import sys as _sys
+
+            print(
+                f"lake_table: {len(dup_names)} duplicated parquet "
+                f"basename(s) under {commit_dir}; skipping key blooms "
+                f"for them (basename-keyed attachment would be "
+                f"ambiguous)",
+                file=_sys.stderr,
+            )
         for dirpath, _dirs, files in os.walk(commit_dir):
             for name in sorted(files):
                 if not name.endswith(".parquet"):
@@ -642,7 +666,9 @@ class LakeTable:
                 # whole commit — the footer pass here never reads column
                 # data); large files skip (min/max still applies) to
                 # keep manifests metadata-scale.
-                if precomputed_blooms is not None and name in precomputed_blooms:
+                if name in dup_names:
+                    pass  # ambiguous basename: stats-only (see above)
+                elif precomputed_blooms is not None and name in precomputed_blooms:
                     pb = {
                         k: v
                         for k, v in (precomputed_blooms[name] or {}).items()

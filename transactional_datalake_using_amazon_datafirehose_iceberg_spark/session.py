@@ -83,21 +83,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    # connected_components unpersists superseded localCheckpoint
-    # generations by design (operators/dedup.py); Spark WARNs on every
-    # such unpersist ("lineage has been truncated"). Deliberate
-    # trade-off: demoting this one logger to ERROR session-wide also
-    # hides its other (rare) WARNs, but the alternative is one spurious
-    # warning per label-propagation round in every production log —
-    # log4j config is global, so there is no per-call-site scope.
-    try:
-        jvm = spark.sparkContext._jvm
-        logger = jvm.org.apache.logging.log4j.LogManager.getLogger(
-            "org.apache.spark.rdd.MapPartitionsRDD"
-        )
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            logger.getName(), jvm.org.apache.logging.log4j.Level.ERROR
-        )
-    except Exception:
-        pass  # logging backend differs: cosmetic only
+    # NOTE: the expected truncated-lineage WARNs from
+    # connected_components' checkpoint-generation unpersists are
+    # silenced with a scoped demote/restore around that call
+    # (operators/dedup.py:_quiet_truncated_lineage_warns), not here —
+    # a session-wide demotion would hide the logger's other legitimate
+    # WARNs from every caller (r8 advice).
     return spark
