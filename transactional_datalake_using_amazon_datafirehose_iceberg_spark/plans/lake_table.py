@@ -37,6 +37,7 @@ concurrency, Iceberg-style).
 from __future__ import annotations
 
 import base64
+import contextlib as _contextlib
 import datetime as _dt
 import functools as _functools
 import hashlib
@@ -44,6 +45,18 @@ import json
 import os
 import shutil
 import uuid
+
+import threading as _threading
+
+try:  # POSIX advisory file locking for the commit critical section
+    import fcntl as _fcntl
+except ImportError:  # non-POSIX: optimistic exclusive-create only
+    _fcntl = None
+
+# per-table-root in-process commit locks (see LakeTable._commit_lock)
+_COMMIT_LOCKS: dict[str, _threading.RLock] = {}
+_COMMIT_LOCKS_GUARD = _threading.Lock()
+_COMMIT_TL = _threading.local()
 from dataclasses import dataclass
 from typing import Any, Iterable
 
@@ -433,6 +446,65 @@ class LakeTable:
     @property
     def cluster_by(self) -> list[str]:
         return list(self.manifest().get("cluster_by", []))
+
+    @_contextlib.contextmanager
+    def _commit_lock(self):
+        """Serialize the data-commit critical section (head read ->
+        manifest write -> pointer swap) across threads AND processes.
+
+        The exclusive-create of ``v{N}.json`` alone leaves a hole: after
+        writer A creates v5 but BEFORE it swaps the pointer, a retrying
+        writer B still reads head v4 through the pointer, mints v6 with
+        parent v4 (skipping A's commit), and whichever pointer swap runs
+        last silently discards the other writer's snapshot from the head
+        lineage — a lost update the conflict backstop cannot see (found
+        by the simultaneous two-writer ledger test, round 9).
+
+        Two layers, both REENTRANT within a thread (a commit whose own
+        code triggers a nested commit on the same table — how the race
+        tests simulate interleavings — must fall through to plain
+        optimistic behavior, never self-deadlock):
+
+        - a per-root ``threading.RLock`` serializes threads in-process;
+        - at depth 1 only, an advisory ``flock`` on
+          ``<root>/_commit.lock`` serializes processes (kernel-released
+          on death, so no stale-lock sweeps; ``flock`` is per-open-
+          file-description, so re-acquiring it in the same thread would
+          deadlock — hence the depth gate).
+
+        At real scale this critical section IS the catalog's atomic
+        compare-and-swap (Iceberg HadoopTableOperations / Glue-Nessie
+        CAS); the lock pair is the local-filesystem stand-in. Non-POSIX
+        hosts keep the RLock and fall back to optimistic
+        exclusive-create across processes."""
+        key = os.path.abspath(self.root)
+        with _COMMIT_LOCKS_GUARD:
+            rlock = _COMMIT_LOCKS.setdefault(key, _threading.RLock())
+        rlock.acquire()
+        depths = getattr(_COMMIT_TL, "depths", None)
+        if depths is None:
+            depths = _COMMIT_TL.depths = {}
+        depths[key] = depths.get(key, 0) + 1
+        fd = None
+        try:
+            if depths[key] == 1 and _fcntl is not None:
+                try:
+                    fd = os.open(
+                        os.path.join(self.root, "_commit.lock"),
+                        os.O_CREAT | os.O_RDWR,
+                        0o644,
+                    )
+                    _fcntl.flock(fd, _fcntl.LOCK_EX)
+                except OSError:
+                    pass  # FS without flock support: backstop only
+            yield
+        finally:
+            depths[key] -= 1
+            if not depths[key]:
+                del depths[key]
+            if fd is not None:
+                os.close(fd)  # releases the flock
+            rlock.release()
 
     def _write_manifest(self, manifest: dict) -> None:
         p = os.path.join(self.root, _SNAPSHOT_DIR, f"v{manifest['version']:012d}.json")
@@ -857,17 +929,22 @@ class LakeTable:
         attempts = 5 if commutative else 1
         for attempt in range(attempts):
             try:
-                return self._commit_once(
-                    added,
-                    removed,
-                    operation,
-                    extra_summary,
-                    added_deletes,
-                    removed_del,
-                    unstamped_files,
-                    unstamped_dels,
-                    preserves_key_uniqueness,
-                )
+                # the lock makes the head read inside _commit_once
+                # fresh w.r.t. every concurrent data commit; the
+                # CommitConflict retry loop remains for races with
+                # unlocked writers (refs, DDL, older library versions)
+                with self._commit_lock():
+                    return self._commit_once(
+                        added,
+                        removed,
+                        operation,
+                        extra_summary,
+                        added_deletes,
+                        removed_del,
+                        unstamped_files,
+                        unstamped_dels,
+                        preserves_key_uniqueness,
+                    )
             except DanglingDeleteRefs:
                 raise  # permanent: the referenced files are gone
             except CommitConflict:
