@@ -279,3 +279,30 @@ def test_merge_sql_not_matched_by_source_delete():
     assert sql.endswith("WHEN NOT MATCHED BY SOURCE THEN DELETE")
     # absent unless requested
     assert "BY SOURCE" not in _tbl().merge_sql(data_cols=COLS)
+
+
+def test_merge_sql_not_matched_by_source_update():
+    sql = _tbl().merge_sql(
+        data_cols=COLS,
+        not_matched_by_source_update={"event": "'stale'", "amount": "t.amount + 1"},
+    )
+    assert sql.endswith(
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+        "t.amount = t.amount + 1, t.event = 'stale'"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        _tbl().merge_sql(
+            data_cols=COLS,
+            not_matched_by_source_update={"event": "'x'"},
+            not_matched_by_source_delete=True,
+        )
+    with _pytest.raises(ValueError, match="key columns"):
+        _tbl().merge_sql(
+            data_cols=COLS, not_matched_by_source_update={"trans_id": "0"}
+        )
+    with _pytest.raises(ValueError, match="unknown columns"):
+        _tbl().merge_sql(
+            data_cols=COLS, not_matched_by_source_update={"nope": "1"}
+        )

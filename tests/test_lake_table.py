@@ -767,6 +767,79 @@ def test_merge_not_matched_by_source_on_empty_table(spark, table):
     assert [r["id"] for r in table.read(spark).collect()] == [7]
 
 
+def test_merge_not_matched_by_source_update_flags_stale(spark, table):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (Spark 4 / Delta
+    parity): target rows absent from the source get the assignments
+    (expressions over t.<col>) — the stale-flagging variant of snapshot
+    sync that keeps history rows; matched rows update from the source,
+    new keys insert, nothing is deleted."""
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    table.append(_mk(spark, [(3, "c", 3.0)]))
+    snapshot = spark.createDataFrame(
+        [(2, "b", 20.0), (5, "e", 5.0)], "id int, cat string, val double"
+    )
+    merge_into(
+        table,
+        snapshot,
+        on=["id"],
+        not_matched_by_source_update={"cat": "'stale'", "val": "t.val + 100"},
+    )
+    got = {r["id"]: (r["cat"], r["val"]) for r in table.read(spark).collect()}
+    assert got == {
+        1: ("stale", 101.0),
+        2: ("b", 20.0),
+        3: ("stale", 103.0),
+        5: ("e", 5.0),
+    }
+    # guard rails: mutually exclusive with the delete flag; keys frozen
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        merge_into(
+            table, snapshot, on=["id"],
+            not_matched_by_source_update={"cat": "'x'"},
+            not_matched_by_source_delete=True,
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(
+            table, snapshot, on=["id"],
+            not_matched_by_source_update={"id": "0"},
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_into(
+            table, snapshot, on=["id"],
+            not_matched_by_source_update={"nope": "1"},
+        )
+
+
+def test_meta_partitions_rollup(spark, tmp_path):
+    """meta_partitions (Iceberg `partitions` parity): per-value rollup
+    straight from manifest stats — single-valued files group under
+    their value, range-spanning files under the NULL partition with
+    their span preserved. No data file is opened."""
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("cat", T.StringType()),
+    ])
+    t = LakeTable.create(
+        str(tmp_path / "mp"), sch, keys=["id"], cluster_by=["cat"]
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], sch))
+    rows = {r["partition"]: r for r in t.meta_partitions(spark).collect()}
+    assert rows["a"]["row_count"] == 2 and rows["b"]["row_count"] == 1
+    assert rows["a"]["file_count"] >= 1
+    # a hand-planted mixed-range file rolls up under NULL with its span
+    m = t.manifest()
+    m["files"].append({
+        "path": "data/fake.parquet", "rows": 5, "bytes": 10,
+        "min": {"cat": "c"}, "max": {"cat": "e"},
+    })
+    t._write_manifest({**m, "version": t.current_version() + 1,
+                       "parent": t.current_version()})
+    t._swap_pointer(t.current_version() + 1)
+    rows = {r["partition"]: r for r in t.meta_partitions(spark).collect()}
+    assert rows[None]["row_count"] == 5
+    assert (rows[None]["value_lo"], rows[None]["value_hi"]) == ("c", "e")
+
+
 def test_rename_column_metadata_only(spark, table):
     """RENAME COLUMN is metadata-only: files written before the rename
     keep the former physical name yet read back under the new one

@@ -55,6 +55,18 @@ def test_asof_join_semantics(spark):
     got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
     assert got == {100: 9.5, 101: 11.0, 102: None, 103: 11.0}
 
+    # tolerance (pandas merge_asof parity): a match staler than the
+    # bound is discarded, an exact-boundary match survives (<=)
+    out = asof_join(
+        trades, quotes, ["user_id"], "ts", "ts", ["px"],
+        tolerance=1800.0,
+    )
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    # trade 100 at 10:00: quote 09:30 is exactly 1800s old -> kept;
+    # trade 101 at 12:00: quote 11:00 is 3600s old -> dropped;
+    # trade 103 at 11:00: equal-ts quote (0s) -> kept
+    assert got == {100: 9.5, 101: None, 102: None, 103: 11.0}
+
 
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(

@@ -177,13 +177,6 @@ from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.rela
 SPECS_NEXT = _NEXT_RELATIONAL + _NEXT_EXTENDED
 
 
-def test_staged_lane_is_empty():
-    """Round 9 declared the entire former staged lane; any spec staged
-    in a future round re-enters rehearsal via the parametrized test
-    below (it skips while the lane is empty)."""
-    assert SPECS_NEXT == []
-
-
 @pytest.mark.parametrize(
     "spec",
     SPECS_NEXT or [None],

@@ -27,11 +27,19 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
-    tolerance: None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Attach, to every left row, ``value_cols`` from the latest right
     row with the same ``on`` keys and ``right_ts`` <= ``left_ts``.
-    Left rows with no prior right row get NULLs (LEFT ASOF JOIN)."""
+    Left rows with no prior right row get NULLs (LEFT ASOF JOIN).
+
+    ``tolerance``: maximum allowed staleness in SECONDS (pandas
+    ``merge_asof(tolerance=...)`` / kdb ``wj`` semantics): a match
+    older than ``left_ts - tolerance`` is discarded (NULLs), not
+    attached. Computed on second-truncated timestamps (``unix_
+    timestamp`` both sides), so engines agree exactly. Same single
+    shuffle — the matched right timestamp rides the window carry and
+    the bound is one post-filter expression, no extra join."""
     l_cols = left.columns
     tagged_left = left.select(
         *on,
@@ -63,11 +71,26 @@ def asof_join(
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
             for c in value_cols
         ],
+        # the matched right row's own timestamp (for the staleness bound)
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w).alias("__asof_ts"),
+    )
+    within = (
+        F.lit(True)
+        if tolerance is None
+        else (
+            F.unix_timestamp(F.col("__ts"))
+            - F.unix_timestamp(F.col("__asof_ts"))
+        ) <= F.lit(float(tolerance))
     )
     out = carried.filter(F.col("__side") == 1).select(
         *on,
         F.col("__ts").alias(left_ts),
         *[c for c in l_cols if c not in on and c != left_ts],
-        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[
+            F.when(within, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
     )
     return out

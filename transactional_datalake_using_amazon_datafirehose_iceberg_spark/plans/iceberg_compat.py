@@ -245,6 +245,7 @@ class IcebergTable:
         condition_gates_delete: bool = False,
         data_cols: list[str] | None = None,
         not_matched_by_source_delete: bool = False,
+        not_matched_by_source_update: dict[str, str] | None = None,
     ) -> str:
         """Assemble the MERGE INTO statement ``sql_merge`` executes.
 
@@ -274,13 +275,33 @@ class IcebergTable:
             else ""
         )
         insert_guard = f" AND s.{op_col} <> '{delete_value}'" if op_col else ""
-        # Spark 4 native clause: full-snapshot sync deletes target rows
-        # absent from the source
-        nmbs = (
-            " WHEN NOT MATCHED BY SOURCE THEN DELETE"
-            if not_matched_by_source_delete
-            else ""
-        )
+        if not_matched_by_source_update and not_matched_by_source_delete:
+            raise ValueError(
+                "not_matched_by_source_update and not_matched_by_source_"
+                "delete are mutually exclusive"
+            )
+        # Spark 4 native clauses: full-snapshot sync deletes target rows
+        # absent from the source, or stale-flags them via UPDATE SET
+        if not_matched_by_source_delete:
+            nmbs = " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        elif not_matched_by_source_update:
+            unknown = [c for c in not_matched_by_source_update if c not in cols]
+            if unknown:
+                raise ValueError(
+                    f"not_matched_by_source_update targets unknown columns: {unknown}"
+                )
+            in_keys = [c for c in not_matched_by_source_update if c in keys]
+            if in_keys:
+                raise ValueError(
+                    f"not_matched_by_source_update cannot assign key columns: {in_keys}"
+                )
+            assigns = ", ".join(
+                f"t.{c} = {e}"
+                for c, e in sorted(not_matched_by_source_update.items())
+            )
+            nmbs = f" WHEN NOT MATCHED BY SOURCE THEN UPDATE SET {assigns}"
+        else:
+            nmbs = ""
         return (
             f"MERGE INTO {self.identifier} t USING {self._SRC_VIEW} s ON {cond} "
             + delete_clause
@@ -300,6 +321,7 @@ class IcebergTable:
         update_cols: list[str] | None = None,
         condition_gates_delete: bool = False,
         not_matched_by_source_delete: bool = False,
+        not_matched_by_source_update: dict[str, str] | None = None,
         evolve_schema: bool = False,
         evolve_ignore: tuple[str, ...] = (),
     ) -> int:
@@ -353,6 +375,7 @@ class IcebergTable:
             update_cols=update_cols,
             condition_gates_delete=condition_gates_delete,
             not_matched_by_source_delete=not_matched_by_source_delete,
+            not_matched_by_source_update=not_matched_by_source_update,
         )
         # finally: a raising MERGE must not leak the source view into the
         # session — a later merge would silently reuse the stale

@@ -410,6 +410,44 @@ class LakeTable:
             rows, "name string, type string, version int, total_rows bigint"
         )
 
+    def meta_partitions(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Per-partition-value rollup (Iceberg ``partitions`` metadata
+        table parity). The cluster-by layout is range-based rather than
+        hive-discrete, so a file REPRESENTS a partition value exactly
+        when its min == max on the leading cluster column — the normal
+        case for low-cardinality cluster keys (the reference's
+        ``PARTITIONED BY (event)``, README.md:301); files spanning a
+        value range roll up under the NULL partition with their span
+        preserved in ``value_lo``/``value_hi``. Manifest-scale: no data
+        file is opened."""
+        cb = self.cluster_by
+        m = self.manifest(version)
+        agg: dict[object, list] = {}
+        for f in m["files"]:
+            lo = f.get("min", {}).get(cb[0]) if cb else None
+            hi = f.get("max", {}).get(cb[0]) if cb else None
+            key = lo if (lo is not None and lo == hi) else None
+            row = agg.setdefault(key, [0, 0, 0, None, None])
+            row[0] += 1
+            row[1] += f["rows"]
+            row[2] += f.get("bytes", 0)
+            row[3] = lo if row[3] is None else min(row[3], lo) if lo is not None else row[3]
+            row[4] = hi if row[4] is None else max(row[4], hi) if hi is not None else row[4]
+        rows = [
+            (None if k is None else str(k), c, r, b,
+             None if lo is None else str(lo), None if hi is None else str(hi))
+            for k, (c, r, b, lo, hi) in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition string, file_count int, row_count bigint,"
+            " bytes bigint, value_lo string, value_hi string",
+        )
+
     def meta_files(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Data + position-delete files of one snapshot with their
         manifest stats (min/max per tracked column, stringified)."""

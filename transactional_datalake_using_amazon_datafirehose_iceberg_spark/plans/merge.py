@@ -65,6 +65,7 @@ def merge_into(
     update_cols: list[str] | None = None,
     condition_gates_delete: bool = False,
     not_matched_by_source_delete: bool = False,
+    not_matched_by_source_update: dict[str, str] | None = None,
 ) -> int:
     """MERGE ``source`` into ``table`` by key columns ``on``.
 
@@ -100,7 +101,32 @@ def merge_into(
     candidate file is rewritten (the touched-file probe is skipped —
     this mode is inherently table-volume COW, which is the honest cost
     of snapshot sync on any engine).
+
+    ``not_matched_by_source_update``: Spark 4 / Delta ``WHEN NOT
+    MATCHED BY SOURCE THEN UPDATE SET col = <expr>, ...`` — assignments
+    (SQL expressions over the target alias ``t``) applied to target
+    rows whose key has no source row: the standard stale-flagging /
+    tombstone-marking move of a full-snapshot sync that must KEEP
+    history rows. Key columns cannot be assigned. Same full-rewrite
+    cost shape as the delete variant (any file may hold an unmatched
+    row). Mutually exclusive with ``not_matched_by_source_delete`` —
+    a row cannot both vanish and be updated.
     """
+    if not_matched_by_source_update and not_matched_by_source_delete:
+        raise ValueError(
+            "not_matched_by_source_update and not_matched_by_source_delete "
+            "are mutually exclusive: an unmatched target row cannot both "
+            "be deleted and updated"
+        )
+    if not_matched_by_source_update:
+        tbl_cols = {f.name for f in table.schema.fields}
+        bad = [c for c in not_matched_by_source_update if c not in tbl_cols]
+        if bad:
+            raise ValueError(f"not_matched_by_source_update targets unknown columns: {bad}")
+        key_cols = set(on or table.keys)
+        bad = [c for c in not_matched_by_source_update if c in key_cols]
+        if bad:
+            raise ValueError(f"not_matched_by_source_update cannot assign key columns: {bad}")
     # real-Iceberg backend (plans/iceberg_compat.py): native MERGE INTO.
     # Every semantic option is forwarded (a silently-dropped
     # match_condition would disarm the out-of-order CDC stale guard on
@@ -118,6 +144,7 @@ def merge_into(
             update_cols=update_cols,
             condition_gates_delete=condition_gates_delete,
             not_matched_by_source_delete=not_matched_by_source_delete,
+            not_matched_by_source_update=not_matched_by_source_update,
             evolve_schema=evolve_schema,
             evolve_ignore=evolve_ignore,
         )
@@ -137,7 +164,7 @@ def merge_into(
             table, source, on, op_col, delete_value, assume_unique,
             broadcast_source, extra_summary, evolve_schema, evolve_ignore,
             match_condition, update_cols, condition_gates_delete,
-            not_matched_by_source_delete,
+            not_matched_by_source_delete, not_matched_by_source_update,
         )
     except CommitConflict:
         # evolve_schema is passed through unchanged: column evolution is
@@ -148,7 +175,7 @@ def merge_into(
             table, source, on, op_col, delete_value, assume_unique,
             broadcast_source, extra_summary, evolve_schema, evolve_ignore,
             match_condition, update_cols, condition_gates_delete,
-            not_matched_by_source_delete,
+            not_matched_by_source_delete, not_matched_by_source_update,
         )
 
 
@@ -167,6 +194,7 @@ def _merge_into_cow(
     update_cols: list[str] | None,
     condition_gates_delete: bool,
     not_matched_by_source_delete: bool = False,
+    not_matched_by_source_update: dict[str, str] | None = None,
 ) -> int:
     spark = source.sparkSession
     keys = on or table.keys
@@ -240,10 +268,10 @@ def _merge_into_cow(
     # ---- 2. find touched files (manifest-stats prune + semi join) --------
     # zero candidate files after pruning (empty table, or the source key
     # range misses every file) -> skip the probe job entirely
-    if not_matched_by_source_delete:
-        # a to-be-deleted (not-in-source) row can live in ANY file, even
-        # one outside the source key range: every file is touched and
-        # the probe job is pointless
+    if not_matched_by_source_delete or not_matched_by_source_update:
+        # a to-be-deleted/updated (not-in-source) row can live in ANY
+        # file, even one outside the source key range: every file is
+        # touched and the probe job is pointless
         touched_rel = sorted(
             f["path"] for f in table.manifest()["files"]
         )
@@ -341,6 +369,7 @@ def _merge_into_cow(
         keep = keep & ~(tgt_present & ~src_present)
     takes_update = src_present & (~tgt_present | upd_gate)
 
+    nmbs_upd = not_matched_by_source_update or {}
     out_cols = []
     for f in schema.fields:
         if f.name in keys:
@@ -355,6 +384,13 @@ def _merge_into_cow(
             c = F.when(takes_update, F.col(f"s.{f.name}")).otherwise(
                 F.col(f"t.{f.name}")
             )
+        if f.name in nmbs_upd:
+            # WHEN NOT MATCHED BY SOURCE THEN UPDATE SET <col> = <expr>:
+            # expressions reference the target alias (t.<col>) and apply
+            # only to target rows with no source counterpart
+            c = F.when(
+                tgt_present & ~src_present, F.expr(nmbs_upd[f.name])
+            ).otherwise(c)
         out_cols.append(c.cast(f.dataType).alias(f.name))
     if lineage:
         # carried/updated rows keep their lineage id; source-inserted

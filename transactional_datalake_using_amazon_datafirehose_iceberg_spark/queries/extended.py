@@ -3465,5 +3465,444 @@ _DECLARE_R9 = {
     "source_xml_roundtrip",
 }
 SPECS.extend(s for s in _STAGED if s.name in _DECLARE_R9)
-SPECS_NEXT = [s for s in _STAGED if s.name not in _DECLARE_R9]
-assert not SPECS_NEXT, "extended staged lane fully declared in r9"
+assert not [s for s in _STAGED if s.name not in _DECLARE_R9], (
+    "round-8 staged lane fully declared in r9"
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging lane: built and oracle-rehearsed this round
+# (tests/test_oracle_parity.py staged-lane test), declared next round as
+# the sampling window rotates.
+# ---------------------------------------------------------------------------
+_STAGED_R10: list[QuerySpec] = []
+
+
+def _nmbs_update_build(spark, sf):
+    from ..plans.merge import merge_into
+
+    base = spark.table("orders").filter(F.col("o_orderkey") < 1500).select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="nmbsu_"), "orders"),
+        base.schema,
+        keys=["o_orderkey"],
+    )
+    t.append(base)
+    src = (
+        spark.table("orders")
+        .filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 2000))
+        .select(
+            "o_orderkey",
+            F.lit("SYNC").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+        )
+    )
+    merge_into(
+        t, src,
+        not_matched_by_source_update={"o_orderstatus": "'STALE'"},
+    )
+    return (
+        t.read(spark)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_STAGED_R10.append(QuerySpec(
+    name="merge_not_matched_update_stale",
+    doc="MERGE ... WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (Spark 4 "
+        "/ Delta parity, plans/merge.py): a snapshot sync that KEEPS "
+        "history rows — matched keys take source values, new keys "
+        "insert, and target rows absent from the source are "
+        "stale-flagged in place (assignments are SQL expressions over "
+        "the target alias). The oracle restates the three-way outcome "
+        "with a FULL OUTER JOIN.",
+    tags=("dml", "merge"),
+    build=_nmbs_update_build,
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 1500
+),
+src AS (
+  SELECT o_orderkey, 'SYNC' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 2000
+)
+SELECT CAST(COALESCE(b.o_orderkey, s.o_orderkey) AS BIGINT) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+            ELSE 'STALE' END AS o_orderstatus,
+       CAST(ROUND(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                       ELSE b.o_totalprice END * 100, 0) AS BIGINT)
+         AS price_cents
+FROM base b FULL OUTER JOIN src s ON b.o_orderkey = s.o_orderkey
+ORDER BY o_orderkey
+""",
+))
+
+
+def _gap_fill_build(spark, sf):
+    from pyspark.sql import Window
+
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 10)
+    # hourly value in integer milli-units: per-row ROUND is unambiguous,
+    # the SUM of bigints is order-insensitive, and FLOOR(sum/count) is
+    # exact — no double summation anywhere (the merge_conditional
+    # lesson)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+            / F.count("*")
+        ).cast("bigint").alias("v_milli")
+    )
+    # per-user dense hour grid between first and last observed hour —
+    # sequence() explodes distributed (no driver calendar); grid size
+    # is bounded by the observation span, not corpus volume
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_lo", "h_hi", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v_milli").isNotNull(), F.col("h"))
+    f = (
+        j.withColumn("prev_v", F.last("v_milli", ignorenulls=True).over(w_back))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(w_back))
+        .withColumn("next_v", F.first("v_milli", ignorenulls=True).over(w_fwd))
+        .withColumn("next_h", F.first(obs_h, ignorenulls=True).over(w_fwd))
+    )
+    k = (F.unix_timestamp("h") - F.unix_timestamp("prev_h")) / 3600
+    n = (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")) / 3600
+    # FLOOR over double division in BOTH engines (not integer div —
+    # Spark `div` truncates toward zero, DuckDB `//` floors; a negative
+    # delta would diverge). Magnitudes stay far below 2^53.
+    interp = F.col("prev_v") + F.floor(
+        (F.col("next_v") - F.col("prev_v")) * k / n
+    ).cast("bigint")
+    return f.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "h",
+        F.when(F.col("v_milli").isNotNull(), F.col("v_milli"))
+        .otherwise(interp)
+        .cast("bigint")
+        .alias("v_filled_milli"),
+        F.when(F.col("v_milli").isNull(), 1).otherwise(0)
+        .cast("int")
+        .alias("is_gap"),
+    ).orderBy("user_id", "h")
+
+
+_STAGED_R10.append(QuerySpec(
+    name="events_gap_fill_interpolate",
+    doc="Time-series gap fill with linear interpolation (the metrics/"
+        "sensor-pipeline staple): per-user hourly averages in integer "
+        "milli-units, a dense hour grid via distributed sequence()+"
+        "explode between each user's first and last observation, and "
+        "missing hours linearly interpolated between the neighboring "
+        "observed values (IGNORE NULLS window fill both directions; "
+        "FLOOR over double division keeps both engines bit-identical). "
+        "Scale shape: one agg shuffle + one window per direction, grid "
+        "bounded by observation span; no driver calendar, no UDF.",
+    tags=("events", "window", "timeseries"),
+    build=_gap_fill_build,
+    oracle="""
+WITH e AS (
+  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS t, value
+  FROM events WHERE user_id < 10
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', t) AS h,
+         CAST(FLOOR(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) * 1.0
+                    / COUNT(*)) AS BIGINT) AS v_milli
+  FROM e GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(h) AS h_lo, MAX(h) AS h_hi FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT b.user_id, gs.h
+  FROM bounds b,
+       LATERAL (SELECT unnest(generate_series(b.h_lo, b.h_hi,
+                                              INTERVAL 1 HOUR)) AS h) gs
+),
+j AS (
+  SELECT g.user_id, g.h, hv.v_milli
+  FROM grid g LEFT JOIN hourly hv USING (user_id, h)
+),
+f AS (
+  SELECT *,
+    last_value(v_milli IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN v_milli IS NOT NULL THEN h END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    first_value(v_milli IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN v_milli IS NOT NULL THEN h END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM j
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, h,
+       CAST(CASE WHEN v_milli IS NOT NULL THEN v_milli
+                 ELSE prev_v + CAST(FLOOR(
+                        (next_v - prev_v)
+                        * (CAST(date_diff('hour', prev_h, h) AS BIGINT) * 1.0)
+                        / CAST(date_diff('hour', prev_h, next_h) AS BIGINT)
+                      ) AS BIGINT)
+            END AS BIGINT) AS v_filled_milli,
+       CAST(CASE WHEN v_milli IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+FROM f ORDER BY user_id, h
+""",
+))
+
+
+def _asof_tolerance_build(spark, sf):
+    from ..operators.asof import asof_join
+
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_value"],
+        tolerance=1800.0,  # 30 min staleness bound
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.round(F.col("asof_click_value") * 100)
+        .cast("bigint")
+        .alias("click_cents"),
+        F.col("asof_click_value").isNotNull().cast("int").alias("matched"),
+    ).orderBy("event_id")
+
+
+_STAGED_R10.append(QuerySpec(
+    name="asof_join_tolerance_bounded",
+    doc="As-of join with a staleness tolerance (pandas merge_asof "
+        "tolerance / kdb wj parity, operators/asof.py): each purchase "
+        "attaches the latest prior click per user ONLY if it is at most "
+        "30 minutes old — the matched right timestamp rides the same "
+        "single-shuffle window carry and the bound is one post-filter "
+        "expression (second-truncated on both engines). Oracle: DuckDB "
+        "native ASOF LEFT JOIN with a date_diff gate.",
+    tags=("join", "asof"),
+    build=_asof_tolerance_build,
+    oracle="""
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN c.ts IS NOT NULL
+                  AND date_diff('second', c.ts, p.ts) <= 1800
+                 THEN ROUND(c.value * 100, 0) END AS BIGINT) AS click_cents,
+       CAST(CASE WHEN c.ts IS NOT NULL
+                  AND date_diff('second', c.ts, p.ts) <= 1800
+                 THEN 1 ELSE 0 END AS INTEGER) AS matched
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY event_id
+""",
+))
+
+
+def _dpp_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    # hive-partitioned copy of events by event_type: the layout DPP
+    # prunes. Written once per build into a temp dir (sf-scale write;
+    # the INTERESTING part is the read-side plan).
+    ev = load_table(spark, sf, "events")
+    root = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "events_part")
+    ev.select(
+        "user_id", "event_id", "value", "event_type"
+    ).write.partitionBy("event_type").parquet(root)
+    fact = spark.read.parquet(root)
+    # dim carries the selective attribute; the fact-side partition
+    # filter exists ONLY via the join -> dynamic partition pruning
+    # inserts the dim subquery as a partition filter on the scan
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "grp",
+            F.when(
+                F.col("event_type").isin("click", "view"), "hot"
+            ).otherwise("cold"),
+        )
+    )
+    joined = fact.join(F.broadcast(dim), "event_type").filter(
+        F.col("grp") == "hot"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    pruned = int("dynamicpruning" in plan.lower())
+    row = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("1_hot_rows", int(row["n"])),
+            ("2_hot_cents", int(row["cents"])),
+            ("3_dpp_partition_filter_injected", pruned),
+        ],
+        "fact string, n bigint",
+    ).orderBy("fact")
+
+
+_STAGED_R10.append(QuerySpec(
+    name="dpp_partitioned_scan_proof",
+    doc="Dynamic partition pruning proof: a hive-partitioned fact scan "
+        "whose partition filter exists only through a broadcast dim "
+        "join gets a dynamicpruning expression injected into its "
+        "PartitionFilters (Spark DPP) — at scale the scan reads ONLY "
+        "the dim-selected partitions instead of the whole table, the "
+        "partition-layout counterpart of the runtime bloom join. "
+        "Result aggregate plus plan-derived injection proof; oracle "
+        "recomputes the aggregate and pins the proof.",
+    tags=("join", "scale", "scan"),
+    build=_dpp_build,
+    oracle="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (
+  SELECT '1_hot_rows' AS fact, COUNT(*) AS n
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL SELECT '2_hot_cents',
+    SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL SELECT '3_dpp_partition_filter_injected', 1
+) ORDER BY fact
+""",
+))
+
+
+_STAGED_R10.append(QuerySpec(
+    name="pivot_multi_agg",
+    doc="Pivot with MULTIPLE aggregates per cell (sum + count): "
+        "explicit pivot values keep the column set static for Catalyst "
+        "(no dictionary-discovery job) and deterministic for the "
+        "oracle, which restates the grid as conditional aggregation. "
+        "Integer-cents sums are order-insensitive.",
+    tags=("pivot", "agg"),
+    build=lambda spark, sf: (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+            # count(lit(1)), not count("*"): star is invalid inside a
+            # pivot aggregate (INVALID_USAGE_OF_STAR_OR_REGEX)
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    ),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END)
+            AS BIGINT) AS F_cents,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+         AS F_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END)
+            AS BIGINT) AS O_cents,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+         AS O_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END)
+            AS BIGINT) AS P_cents,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+         AS P_n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+))
+
+
+def _meta_partitions_build(spark, sf):
+    base = spark.table("orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    t = LakeTable.create(
+        os.path.join(tempfile.mkdtemp(prefix="metap_"), "orders"),
+        base.schema,
+        keys=["o_orderkey"],
+        cluster_by=["o_orderstatus"],
+    )
+    t.append(base)
+    # file_count/bytes are layout-dependent (range-partitioner
+    # boundaries); the ORACLE-STABLE surface is the per-value row
+    # rollup, plus a proof that every file is single-valued under a
+    # low-cardinality cluster key (no NULL mixed-range partition)
+    mp = t.meta_partitions(spark)
+    n_mixed = mp.filter(F.col("partition").isNull()).count()
+    return (
+        mp.filter(F.col("partition").isNotNull())
+        .select(
+            "partition",
+            F.col("row_count").cast("bigint").alias("row_count"),
+            F.lit(n_mixed).cast("int").alias("mixed_range_partitions"),
+        )
+        .orderBy("partition")
+    )
+
+
+_STAGED_R10.append(QuerySpec(
+    name="meta_partitions_inspect",
+    doc="Iceberg `partitions` metadata-table parity "
+        "(plans/lake_table.py meta_partitions): per-partition-value "
+        "file/row rollup straight from the manifest (no data file "
+        "opened). Under a low-cardinality cluster key the range writer "
+        "makes every file single-valued, so the rollup equals the "
+        "hive-partition view — pinned by the mixed_range_partitions=0 "
+        "proof column; the oracle recomputes per-value row counts from "
+        "the fixture.",
+    tags=("metadata", "lake"),
+    build=_meta_partitions_build,
+    oracle="""
+SELECT o_orderstatus AS partition,
+       CAST(COUNT(*) AS BIGINT) AS row_count,
+       0 AS mixed_range_partitions
+FROM orders GROUP BY o_orderstatus ORDER BY partition
+""",
+))
+
+
+SPECS_NEXT = list(_STAGED_R10)
