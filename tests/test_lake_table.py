@@ -810,6 +810,26 @@ def test_merge_not_matched_by_source_update_flags_stale(spark, table):
         )
 
 
+def test_metadata_commit_refuses_stale_base(spark, table):
+    """A DDL derived from a head that a data commit has since advanced
+    must raise CommitConflict, not commit — its manifest copies the
+    stale head's FILE LIST, so committing would silently drop the
+    racing commit's files (the round-9 lost-update class, DDL flavor)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+    )
+
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    cur = table.manifest()  # DDL base read ...
+    table.append(_mk(spark, [(2, "b", 2.0)]))  # ... race: data commit lands
+    with pytest.raises(CommitConflict, match="concurrent commit"):
+        table._metadata_commit(cur, table.schema, {"operation": "test-ddl"})
+    # both data commits' rows are intact
+    assert sorted(r["id"] for r in table.read(spark).collect()) == [1, 2]
+    # a fresh-base DDL goes through
+    table._metadata_commit(table.manifest(), table.schema, {"operation": "test-ddl"})
+
+
 def test_meta_partitions_rollup(spark, tmp_path):
     """meta_partitions (Iceberg `partitions` parity): per-value rollup
     straight from manifest stats — single-valued files group under

@@ -2327,6 +2327,13 @@ class LakeTable:
         layout, exactly like Iceberg tables carrying data in several
         partition specs; a later compact()/zorder_by() converges old
         files onto the new layout."""
+        # read-to-swap under the commit lock: this manifest copies the
+        # head's file list, so an unlocked racing data commit would be
+        # silently dropped (round-9 lost-update class)
+        with self._commit_lock():
+            return self._set_cluster_by_locked(cols)
+
+    def _set_cluster_by_locked(self, cols: list[str]) -> int:
         cur = self.manifest()
         schema = T.StructType.fromJson(json.loads(cur["schema"]))
         names = [f.name for f in schema.fields]
@@ -2369,7 +2376,33 @@ class LakeTable:
         metadata-only DDL between stream batches must not erase the
         exactly-once guard or distort the row count).
         ``manifest_updates`` lets rename_column update keys/cluster_by/
-        renames in the same atomic commit."""
+        renames in the same atomic commit.
+
+        Runs under the commit lock with a parent-freshness check: the
+        caller derived ``cur`` (and the new schema) from an UNLOCKED
+        head read, so a data commit landing in between would otherwise
+        be silently dropped — this manifest copies ``cur``'s file list
+        (the same lost-update class the data path closed in round 9).
+        A stale base raises CommitConflict (fail loudly; DDL is cheap
+        to re-issue) rather than guessing at a merge."""
+        with self._commit_lock():
+            return self._metadata_commit_locked(
+                cur, new_schema, summary, manifest_updates
+            )
+
+    def _metadata_commit_locked(
+        self,
+        cur: dict,
+        new_schema: T.StructType,
+        summary: dict,
+        manifest_updates: dict | None = None,
+    ) -> int:
+        head = self.current_version()
+        if head != cur["version"]:
+            raise CommitConflict(
+                f"concurrent commit v{head} landed while this DDL was "
+                f"derived from v{cur['version']}; re-read and retry"
+            )
         version = self._next_version()
         # schema evolution is row-preserving and key columns cannot be
         # dropped, so keys_unique survives alongside the stream watermark
@@ -2583,14 +2616,18 @@ class LakeTable:
         version (Iceberg ``fast_forward``). The audited branch state
         becomes visible to readers in one atomic pointer swap; diverged
         branches are refused rather than silently merged."""
-        target = self.resolve_ref(name)
-        cur = self.current_version()
-        if not self.is_ancestor(cur, target):
-            raise CommitConflict(
-                f"cannot fast-forward: v{cur} is not an ancestor of {name}@v{target}"
-            )
-        self._swap_pointer(target)
-        return target
+        # check-to-swap under the commit lock: a data commit landing
+        # between the ancestry check and the pointer swap would be
+        # silently discarded by the swap (round-9 lost-update class)
+        with self._commit_lock():
+            target = self.resolve_ref(name)
+            cur = self.current_version()
+            if not self.is_ancestor(cur, target):
+                raise CommitConflict(
+                    f"cannot fast-forward: v{cur} is not an ancestor of {name}@v{target}"
+                )
+            self._swap_pointer(target)
+            return target
 
     def rollback_to(self, version: int) -> int:
         """Iceberg ``rollback_to_snapshot``: atomically move the current
@@ -2598,13 +2635,17 @@ class LakeTable:
         nothing is deleted — later snapshots stay readable by version
         until expiry; the next commit parents off the restored snapshot
         (the snapshot graph becomes a DAG, see _next_version)."""
-        cur = self.current_version()
-        if not self.is_ancestor(version, cur):
-            raise SnapshotNotFound(
-                f"v{version} is not an ancestor of current v{cur}"
-            )
-        self._swap_pointer(version)
-        return version
+        # same lock discipline as fast_forward: rollback is an
+        # EXPLICIT pointer move, but a commit racing the ancestry check
+        # deserves a conflict, not silent burial under the rollback
+        with self._commit_lock():
+            cur = self.current_version()
+            if not self.is_ancestor(version, cur):
+                raise SnapshotNotFound(
+                    f"v{version} is not an ancestor of current v{cur}"
+                )
+            self._swap_pointer(version)
+            return version
 
     # ------------------------------------------------------------------
     # maintenance (see also plans/maintenance.py)
