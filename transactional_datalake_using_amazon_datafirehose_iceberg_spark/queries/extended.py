@@ -3905,4 +3905,49 @@ FROM orders GROUP BY o_orderstatus ORDER BY partition
 ))
 
 
+def _exec_immediate_build(spark, sf):
+    """Session variables + dynamic SQL (Spark 4 DECLARE/SET VARIABLE,
+    EXECUTE IMMEDIATE ... USING/INTO): the parameterized-runbook
+    surface — a variable binds the predicate of a dynamically-composed
+    statement, and a scalar result lands INTO a second variable that
+    the final query reads. All plan-time inlined (no Python boundary);
+    the oracle states the same statements with the constant inline."""
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE price_floor = 180000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE n_total BIGINT DEFAULT 0")
+    spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT CAST(COUNT(*) AS BIGINT) FROM orders "
+        "WHERE o_totalprice > ?' INTO n_total USING price_floor"
+    )
+    return spark.sql("""
+EXECUTE IMMEDIATE
+  'SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+          n_total AS total_above_floor
+   FROM orders WHERE o_totalprice > ? GROUP BY o_orderstatus
+   ORDER BY o_orderstatus'
+  USING price_floor
+""")
+
+
+_STAGED_R10.append(QuerySpec(
+    name="sql_execute_immediate_variables",
+    doc="Spark 4 session variables + dynamic SQL: DECLARE/SET VARIABLE, "
+        "EXECUTE IMMEDIATE with USING parameter binding and INTO scalar "
+        "capture, composed so the captured variable feeds the final "
+        "projection. Plan-time inlined. Oracle restates with the "
+        "constant inline.",
+    tags=("sql", "runbook"),
+    build=_exec_immediate_build,
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_totalprice > 180000.0) AS total_above_floor
+FROM orders WHERE o_totalprice > 180000.0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+))
+
+
 SPECS_NEXT = list(_STAGED_R10)
