@@ -810,6 +810,54 @@ def test_merge_not_matched_by_source_update_flags_stale(spark, table):
         )
 
 
+def test_shallow_clone_diverges_and_expiry_spares_source(spark, tmp_path):
+    """shallow_clone (Delta SHALLOW CLONE / Iceberg register_table
+    parity): zero-copy v0 referencing the source's files; divergent
+    commits on either side never touch the other; a COW rewrite on the
+    clone materializes its own files; and clone expiry NEVER deletes
+    borrowed (outside-root) files — the vacuum-on-clone contract."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.merge import (
+        merge_into,
+    )
+
+    src = LakeTable.create(str(tmp_path / "src"), SCHEMA, keys=["id"])
+    src.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+
+    # zero-copy: clone reads the source's rows without a data dir copy
+    assert sorted(r["id"] for r in clone.read(spark).collect()) == [1, 2]
+    assert not any(
+        f.endswith(".parquet")
+        for _d, _s, fs in os.walk(os.path.join(clone.root, "data"))
+        for f in fs
+    )
+    # stats/bloom pruning carries across the borrow
+    assert len(clone.file_paths(predicates=[Predicate("id", "=", 1)])) == 1
+
+    # divergence: clone-side MERGE rewrites into the CLONE's root only
+    merge_into(clone, _mk(spark, [(2, "b", 20.0), (3, "c", 3.0)]))
+    assert {r["id"]: r["val"] for r in clone.read(spark).collect()} == {
+        1: 1.0, 2: 20.0, 3: 3.0,
+    }
+    assert sorted(r["val"] for r in src.read(spark).collect()) == [1.0, 2.0]
+
+    # expiry on the clone: the rewritten-away borrowed file is dropped
+    # from the clone's manifests but its BYTES survive (source-owned)
+    src_files_before = set(src.file_paths())
+    expire_snapshots(clone, keep_last=1)
+    assert all(os.path.exists(p) for p in src_files_before)
+    assert sorted(r["id"] for r in src.read(spark).collect()) == [1, 2]
+
+    # a fresh ledgered clone does not inherit stream watermarks
+    assert "stream_sink_txn" not in clone.manifest()["summary"]
+    # double-clone onto an existing table refuses
+    with pytest.raises(ValueError, match="already a table"):
+        src.shallow_clone(str(tmp_path / "clone"))
+
+
 def test_metadata_commit_refuses_stale_base(spark, table):
     """A DDL derived from a head that a data commit has since advanced
     must raise CommitConflict, not commit — its manifest copies the

@@ -320,6 +320,74 @@ class LakeTable:
         t._swap_pointer(0)
         return t
 
+    def shallow_clone(self, dest_root: str) -> "LakeTable":
+        """Delta ``SHALLOW CLONE`` / Iceberg ``register_table`` parity:
+        a NEW independent table whose v0 snapshot references this
+        table's current data/delete files BY PATH — zero data copied,
+        metadata-only cost. The clone and the source diverge freely
+        from here: commits on either never touch the other, a COW
+        rewrite on the clone materializes its own files under its own
+        root, and the clone's snapshot expiry never deletes borrowed
+        (outside-root) files — ``expire_snapshots`` refuses to remove
+        any path resolving outside the expiring table's root, which is
+        exactly Delta's vacuum-on-clone contract.
+
+        Schema, keys, layout, properties, rename/default/schema_v
+        history and row-lineage cursor all carry over (a borrowed
+        file's stats, blooms and schema_v stamps stay valid — the
+        bytes ARE the same file). Stream-sink watermarks deliberately
+        do NOT carry: a clone is a new sink target, and inheriting the
+        source's ledger would silently drop the first replayed batches
+        of a re-pointed stream."""
+        cur = self.manifest()
+        dest = LakeTable(dest_root)
+        if os.path.exists(os.path.join(dest.root, _CURRENT)):
+            raise ValueError(f"destination already a table: {dest.root}")
+        os.makedirs(os.path.join(dest.root, _SNAPSHOT_DIR), exist_ok=True)
+        os.makedirs(os.path.join(dest.root, _DATA_DIR), exist_ok=True)
+
+        def _borrow(fm: dict) -> dict:
+            out = dict(fm)
+            out["path"] = os.path.relpath(
+                os.path.join(self.root, fm["path"]), dest.root
+            )
+            return out
+
+        carried_summary = {
+            k: cur["summary"][k]
+            for k in ("keys_unique",)
+            if k in cur.get("summary", {})
+        }
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "schema": cur["schema"],
+            "keys": cur.get("keys", []),
+            "cluster_by": cur.get("cluster_by", []),
+            "properties": cur.get("properties", {}),
+            **({"renames": cur["renames"]} if cur.get("renames") else {}),
+            **({"defaults": cur["defaults"]} if cur.get("defaults") else {}),
+            **({"schema_v": cur["schema_v"]} if cur.get("schema_v") else {}),
+            **(
+                {"next_row_id": cur["next_row_id"]}
+                if cur.get("next_row_id") is not None
+                else {}
+            ),
+            "files": [_borrow(f) for f in cur["files"]],
+            "delete_files": [_borrow(d) for d in cur.get("delete_files", [])],
+            "summary": {
+                "operation": "shallow-clone",
+                "source_root": self.root,
+                "source_version": cur["version"],
+                "total_rows": cur["summary"].get("total_rows"),
+                **carried_summary,
+            },
+            "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+        dest._write_manifest(manifest)
+        dest._swap_pointer(0)
+        return dest
+
     @classmethod
     def load(cls, root: str) -> "LakeTable":
         t = cls(root)

@@ -323,8 +323,17 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
         drop_refs.update(fm["path"] for fm in dm.get("delete_files", []))
         os.remove(p)  # manifest first: version becomes unreachable
     removed_files = 0
+    root_real = os.path.realpath(table.root)
     for r in sorted(drop_refs - keep_refs):
         fp = os.path.join(table.root, r)
+        # shallow-clone guard (Delta vacuum-on-clone contract): a
+        # borrowed reference resolves OUTSIDE this table's root — the
+        # bytes belong to the clone source, so expiry here must never
+        # delete them. Containment is checked on the resolved path.
+        if os.path.commonpath(
+            [os.path.realpath(fp), root_real]
+        ) != root_real:
+            continue
         if os.path.exists(fp):
             os.remove(fp)
             removed_files += 1

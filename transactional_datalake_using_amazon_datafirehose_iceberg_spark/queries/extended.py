@@ -3950,4 +3950,83 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 ))
 
 
+def _shallow_clone_build(spark, sf):
+    from ..plans.merge import merge_into
+
+    base = spark.table("orders").filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="clone_")
+    src = LakeTable.create(
+        os.path.join(root, "src"), base.schema, keys=["o_orderkey"]
+    )
+    src.append(base)
+    clone = src.shallow_clone(os.path.join(root, "clone"))
+    delta = (
+        spark.table("orders")
+        .filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).cast("double").alias("o_totalprice"),
+        )
+    )
+    merge_into(clone, delta)
+    import os as _os
+
+    clone_own_parquet = any(
+        f.endswith(".parquet")
+        for _d, _s, fs in _os.walk(_os.path.join(clone.root, "data"))
+        for f in fs
+    )
+
+    def _cents(t):
+        return t.read(spark).agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"),
+        ).collect()[0]
+
+    s, c = _cents(src), _cents(clone)
+    return spark.createDataFrame(
+        [
+            ("1_source_rows", int(s["n"])),
+            ("2_source_cents", int(s["c"])),
+            ("3_clone_rows", int(c["n"])),
+            ("4_clone_cents", int(c["c"])),
+            ("5_clone_materialized_own_files", int(clone_own_parquet)),
+        ],
+        "fact string, n bigint",
+    ).orderBy("fact")
+
+
+_STAGED_R10.append(QuerySpec(
+    name="lake_shallow_clone_divergence",
+    doc="Zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg "
+        "register_table parity, plans/lake_table.py shallow_clone): the "
+        "clone's v0 borrows the source's files by path, a MERGE on the "
+        "clone rewrites into the clone's own root, and the source reads "
+        "back untouched. Proof row pins that the clone materialized its "
+        "own files; oracle recomputes both tables' aggregates from the "
+        "fixture.",
+    tags=("lake", "dml"),
+    build=_shallow_clone_build,
+    oracle="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (
+  SELECT '1_source_rows' AS fact, COUNT(*) AS n
+  FROM orders WHERE o_orderkey < 1000
+  UNION ALL SELECT '2_source_cents',
+    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+  FROM orders WHERE o_orderkey < 1000
+  UNION ALL SELECT '3_clone_rows', COUNT(*)
+  FROM orders WHERE o_orderkey < 1500
+  UNION ALL SELECT '4_clone_cents',
+    SUM(CAST(ROUND(o_totalprice * CASE WHEN o_orderkey >= 500 THEN 200
+                                       ELSE 100 END, 0) AS BIGINT))
+  FROM orders WHERE o_orderkey < 1500
+  UNION ALL SELECT '5_clone_materialized_own_files', 1
+) ORDER BY fact
+""",
+))
+
+
 SPECS_NEXT = list(_STAGED_R10)
