@@ -346,6 +346,41 @@ def test_extras_all_executed_plans_free_of_scale_killers(spark):
     assert not bad, "scale-killer plan nodes found in extras:\n" + "\n".join(bad)
 
 
+def test_staged_lane_executed_plans_free_of_scale_killers(spark):
+    """The round-10 staging lane gets the same executed-plan sweep as
+    declared specs BEFORE declaration — a scale-killer must fail the
+    round it is built, not the round it is declared. Runs every staged
+    spec to completion and sweeps every execution it triggered (side
+    effects included), exactly like the extras sweep."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.extended import (
+        SPECS_NEXT as _STAGED_EXT,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.relational import (
+        SPECS_NEXT as _STAGED_REL,
+    )
+
+    staged = _STAGED_REL + _STAGED_EXT
+    if not staged:
+        import pytest as _pytest
+
+        _pytest.skip("staging lane empty this round")
+    sf = _os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+    store = spark._jsparkSession.sharedState().statusStore()
+    bad: list[str] = []
+    for spec in staged:
+        _flush_listener_bus(spark)
+        last = max((eid for eid, _ in _executions_after(store, -1)), default=-1)
+        spec.run_spark(spark, sf).count()
+        _flush_listener_bus(spark)
+        for eid, plan in _executions_after(store, last):
+            for node in _FORBIDDEN:
+                if node in plan and node not in _DECLARED.get(spec.name, set()):
+                    bad.append(f"{spec.name} (execution {eid}): {node}")
+    assert not bad, (
+        "scale-killer plan nodes found in staged lane:\n" + "\n".join(bad)
+    )
+
+
 def test_probe_skip_rewrites_diff_as_no_change_in_changelog(spark, tmp_path):
     """The probe-skip fast path rewrites candidate files that hold NO
     matching key; their carried-over rows appear in both the removed and
