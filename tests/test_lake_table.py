@@ -858,6 +858,38 @@ def test_shallow_clone_diverges_and_expiry_spares_source(spark, tmp_path):
         src.shallow_clone(str(tmp_path / "clone"))
 
 
+def test_concurrent_appends_all_rows_survive(spark, tmp_path):
+    """Two writer threads appending REAL data concurrently: with the
+    commit lock, every append lands exactly once — no lost snapshots,
+    no dropped files, row multiset complete. (The empty-commit flavor
+    lives in test_streaming's ledger test; this pins the data path.)"""
+    import threading
+
+    t = LakeTable.create(str(tmp_path / "conc"), SCHEMA, keys=["id"])
+    n_each, errors = 4, []
+    barrier = threading.Barrier(2)
+
+    def writer(base: int):
+        try:
+            for i in range(n_each):
+                barrier.wait(timeout=30)
+                t.append(_mk(spark, [(base + i, f"w{base}", float(i))]))
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(b,)) for b in (100, 200)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors, errors
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [100, 101, 102, 103, 200, 201, 202, 203]
+    assert t.current_version() == 2 * n_each
+
+
 def test_metadata_commit_refuses_stale_base(spark, table):
     """A DDL derived from a head that a data commit has since advanced
     must raise CommitConflict, not commit — its manifest copies the
