@@ -310,3 +310,34 @@ def test_transform_routed_mode_dead_letters_unroutable(spark):
     good_fixed, dead_fixed = transform(df, DB, TBL)
     assert good_fixed.count() == 1
     assert dead_fixed.count() == 0
+
+
+def test_split_schema_drift_gate(spark):
+    """split_schema_drift: payloads with keys beyond the destination
+    schema split to the drifted side in one json_object_keys pass;
+    clean payloads (including ones MISSING schema columns — narrowing
+    is not drift) stay clean."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_transform import (
+        split_schema_drift,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    good = spark.createDataFrame(
+        [
+            ('{"id": 1, "name": "a"}',),            # exact
+            ('{"id": 2}',),                          # narrower: clean
+            ('{"id": 3, "name": "c", "x": 1}',),     # extra key: drift
+            ('{"x": 9, "y": 8, "id": 4}',),          # two extras: drift
+        ],
+        "data string",
+    )
+    clean, drifted = split_schema_drift(good, schema)
+    assert sorted(r["data"] for r in clean.collect()) == [
+        '{"id": 1, "name": "a"}', '{"id": 2}',
+    ]
+    assert drifted.count() == 2

@@ -145,3 +145,32 @@ def to_dead_letter(dead: DataFrame, ts_col=None) -> DataFrame:
         F.dayofmonth(ts).alias("day"),
         F.hour(ts).alias("hour"),
     )
+
+
+def split_schema_drift(
+    good: DataFrame,
+    table_schema,
+    data_col: str = "data",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-drift gate between transform and apply: split records
+    whose payload carries columns the destination table does not have.
+
+    The managed pipeline has exactly two answers to a drifted record —
+    land it in the S3 error prefix (schema mismatch at the Iceberg
+    destination, README.md:82) or evolve the destination first (DMS
+    forwards upstream DDL). This gate makes the policy explicit:
+    ``clean`` rows apply as usual; ``drifted`` rows go to the caller's
+    choice of :func:`to_dead_letter` (quarantine, error_type
+    ``schema-drift``) or ``merge_into(..., evolve_schema=True)``
+    (evolve — the unknown columns become table columns, earlier rows
+    read NULL).
+
+    Detection is ONE ``json_object_keys`` pass over the payload —
+    JVM-side, no shuffle, linear in batch size; the schema's name set
+    is a plan-time literal (metadata scale)."""
+    names = [f.name for f in table_schema.fields]
+    has_unknown = F.exists(
+        F.json_object_keys(F.col(data_col)),
+        lambda k: ~k.isin(*names),
+    )
+    return good.filter(~has_unknown), good.filter(has_unknown)

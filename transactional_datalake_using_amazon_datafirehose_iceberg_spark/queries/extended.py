@@ -4029,4 +4029,109 @@ SELECT fact, CAST(n AS BIGINT) AS n FROM (
 ))
 
 
+def _schema_drift_build(spark, sf):
+    from ..operators.cdc_transform import split_schema_drift
+    from ..plans.merge import merge_into
+
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    seed = spark.table("orders").filter(F.col("o_orderkey") < 500).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="drift_")
+    tq = LakeTable.create(os.path.join(root, "q"), schema, keys=["o_orderkey"])
+    te = LakeTable.create(os.path.join(root, "e"), schema, keys=["o_orderkey"])
+    tq.append(seed)
+    te.append(seed)
+    # CDC batch from the fixture: keys >= 600 drift (an upstream ADD
+    # COLUMN surfaced a 'channel' attribute the destinations lack)
+    batch = (
+        spark.table("orders")
+        .filter((F.col("o_orderkey") >= 250) & (F.col("o_orderkey") < 750))
+        .select(
+            F.to_json(
+                F.when(
+                    F.col("o_orderkey") >= 600,
+                    F.struct(
+                        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                        F.col("o_orderstatus"),
+                        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                        F.lit("web").alias("channel"),
+                    ),
+                ).otherwise(
+                    # same struct type with channel=NULL; to_json's
+                    # default ignoreNullFields omits the key, so the
+                    # clean rows' payload genuinely lacks 'channel'
+                    F.struct(
+                        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                        F.col("o_orderstatus"),
+                        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                        F.lit(None).cast("string").alias("channel"),
+                    )
+                )
+            ).alias("data")
+        )
+    )
+    clean, drifted = split_schema_drift(batch, schema)
+    n_clean, n_drift = clean.count(), drifted.count()
+    # policy A (quarantine): clean rows apply, drifted rows dead-letter
+    merge_into(tq, clean.select(F.from_json("data", schema).alias("r")).select("r.*"))
+    # policy B (evolve): every row applies; the drifted column becomes
+    # a table column (earlier rows read NULL)
+    evolve_schema_t = T.StructType(
+        schema.fields + [T.StructField("channel", T.StringType())]
+    )
+    merge_into(
+        te,
+        batch.select(F.from_json("data", evolve_schema_t).alias("r")).select("r.*"),
+        evolve_schema=True,
+    )
+    e = te.read(spark)
+    facts = [
+        ("1_clean_records", n_clean),
+        ("2_drifted_records", n_drift),
+        ("3_quarantine_table_rows", tq.read(spark).count()),
+        ("4_evolve_table_rows", e.count()),
+        ("5_evolve_channel_rows", e.filter(F.col("channel").isNotNull()).count()),
+        ("6_evolve_has_channel_col", int("channel" in e.columns)),
+    ]
+    return spark.createDataFrame(facts, "fact string, n bigint").orderBy("fact")
+
+
+_STAGED_R10.append(QuerySpec(
+    name="cdc_schema_drift_policy",
+    doc="Schema-drift policy gate (operators/cdc_transform.py "
+        "split_schema_drift): payloads carrying columns the destination "
+        "lacks split out in one json_object_keys pass — QUARANTINE "
+        "(reference: Iceberg-destination schema mismatch lands in the "
+        "S3 error prefix, README.md:82) vs EVOLVE (reference: DMS "
+        "forwards upstream DDL; merge_into(evolve_schema=True) adds the "
+        "column, earlier rows read NULL). Both policies driven "
+        "end-to-end on fixture-derived CDC batches; oracle recomputes "
+        "every count.",
+    tags=("cdc", "schema"),
+    build=_schema_drift_build,
+    oracle="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (
+  SELECT '1_clean_records' AS fact, COUNT(*) AS n
+  FROM orders WHERE o_orderkey >= 250 AND o_orderkey < 600
+  UNION ALL SELECT '2_drifted_records', COUNT(*)
+  FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 750
+  UNION ALL SELECT '3_quarantine_table_rows', COUNT(*)
+  FROM orders WHERE o_orderkey < 600
+  UNION ALL SELECT '4_evolve_table_rows', COUNT(*)
+  FROM orders WHERE o_orderkey < 750
+  UNION ALL SELECT '5_evolve_channel_rows', COUNT(*)
+  FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 750
+  UNION ALL SELECT '6_evolve_has_channel_col', 1
+) ORDER BY fact
+""",
+))
+
+
 SPECS_NEXT = list(_STAGED_R10)
