@@ -1227,3 +1227,51 @@ def test_row_ids_distinct_and_stable_without_lineage_flag(spark, tmp_path):
     # lineage not enabled: with_row_ids surfaces NULLs, never fabricates
     vals = [r["_row_id"] for r in t.read(spark, with_row_ids=True).collect()]
     assert vals == [None, None, None]
+
+
+def test_plan_path_metrics_observable(spark, table, monkeypatch):
+    """plans.metrics counts which planner branch fired (r8 verdict #5:
+    'measure how often the in-process paths fire at sf0.1') — the merge
+    probe-skip/probe-job split and the bloom driver/distributed split
+    must be distinguishable without log scraping."""
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.merge as mg
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import metrics
+
+    metrics.reset()
+    # micro-batch append: under _BLOOM_DRIVER_ROWS -> in-process bloom
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    assert metrics.snapshot().get("bloom.inprocess_small") == 1
+
+    # small-candidate merge: byte-gated rewrite, probe job skipped
+    src = spark.createDataFrame(
+        [(2, "b", 9.0, "update")],
+        schema="id int, cat string, val double, operation string",
+    )
+    merge_into(table, src, on=["id"], op_col="operation")
+    snap = metrics.snapshot()
+    assert snap.get("merge.probe_skip_small") == 1
+    assert "merge.probe_job" not in snap
+
+    # force the at-scale path: probe threshold 0 -> semi-join probe runs
+    monkeypatch.setattr(mg, "_PROBE_SKIP_BYTES", 0)
+    merge_into(table, src, on=["id"], op_col="operation")
+    assert metrics.snapshot().get("merge.probe_job") == 1
+
+    # source key range missing every file -> no candidates, no probe
+    miss = spark.createDataFrame(
+        [(10_000, "z", 0.0, "update")],
+        schema="id int, cat string, val double, operation string",
+    )
+    merge_into(table, miss, on=["id"], op_col="operation")
+    assert metrics.snapshot().get("merge.no_candidates") == 1
+
+    # full-snapshot sync mode counts as full_candidates by construction
+    merge_into(
+        table,
+        src.drop("operation"),
+        on=["id"],
+        not_matched_by_source_delete=True,
+    )
+    assert metrics.snapshot().get("merge.full_candidates") == 1
+    metrics.reset()
+    assert metrics.snapshot() == {}

@@ -881,10 +881,14 @@ class LakeTable:
         a per-commit Spark job would cost more than the batch itself;
         the read is bounded by the same small constant as a collected
         aggregate) and the no-active-session case."""
+        from . import metrics
+
         total_rows = sum(m["rows"] for _p, m, _pf in need)
         spark = SparkSession.getActiveSession()
         if spark is None or total_rows <= _BLOOM_DRIVER_ROWS:
+            metrics.bump("bloom.inprocess_small")
             return self._build_blooms_inprocess(need, bloom_cols)
+        metrics.bump("bloom.distributed")
 
         cols = list(bloom_cols)
         read_schema = T.StructType(
@@ -949,6 +953,7 @@ class LakeTable:
                 f"in-process read for {len(need)} file(s)",
                 file=_sys.stderr,
             )
+            metrics.bump("bloom.fallback_inprocess")
             return self._build_blooms_inprocess(need, bloom_cols)
         return {
             r["name"]: {k: v for k, v in json.loads(r["blooms"]).items()}

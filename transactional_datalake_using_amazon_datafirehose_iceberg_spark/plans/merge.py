@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import metrics
 from .lake_table import LakeTable, Predicate
 
 # rough parquet bytes per (row, column) for write-size hints; only the
@@ -275,8 +276,10 @@ def _merge_into_cow(
         touched_rel = sorted(
             f["path"] for f in table.manifest()["files"]
         )
+        metrics.bump("merge.full_candidates")
     elif not (cand_paths := table.file_paths(predicates=key_preds)):
         touched_rel: list[str] = []
+        metrics.bump("merge.no_candidates")
     elif (
         key_preds  # real key-range pruning happened (rangeable key)
         and src_rows  # known NON-EMPTY source (an empty batch must not rewrite)
@@ -297,7 +300,9 @@ def _merge_into_cow(
         # non-empty source. At scale the candidates of a real merge
         # exceed the byte threshold and the probe earns its keep.
         touched_rel = cand_rel
+        metrics.bump("merge.probe_skip_small")
     else:
+        metrics.bump("merge.probe_job")
         src_keys = src.select(*keys).distinct()
         tgt = table.read(spark, predicates=key_preds, with_file_path=True)
         probe = F.broadcast(src_keys) if broadcast_source else src_keys
