@@ -1275,3 +1275,59 @@ def test_plan_path_metrics_observable(spark, table, monkeypatch):
     assert metrics.snapshot().get("merge.full_candidates") == 1
     metrics.reset()
     assert metrics.snapshot() == {}
+
+
+def test_torn_manifest_crash_recovery(spark, tmp_path):
+    """A process killed mid-manifest-write (after `open(p, "x")`, before
+    json.dump finishes) leaves a torn v{N}.json that was never the
+    committed head (the atomic pointer swap only follows a completed
+    write). Every snapshot-dir walker must treat it as a non-snapshot:
+    before the guard, one torn file permanently wedged expire_snapshots
+    and crashed the .snapshots metadata table with JSONDecodeError."""
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table as lt
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        SnapshotNotFound,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    t.append(_mk(spark, [(2, "b", 2.0)]))
+    head = t.current_version()
+
+    # simulate the torn write: a crashed commit's partial v3 manifest,
+    # plus an orphaned data file it was about to reference
+    snap_dir = os.path.join(t.root, lt._SNAPSHOT_DIR)
+    torn_v = head + 1
+    with open(os.path.join(snap_dir, f"v{torn_v:012d}.json"), "w") as f:
+        f.write('{"version": %d, "files": [{"pa' % torn_v)  # truncated
+    orphan = os.path.join(t.root, lt._DATA_DIR, "crashed", "part-0.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    _mk(spark, [(9, "z", 9.0)]).toPandas().to_parquet(orphan)
+
+    # readers: head unaffected, listing skips the torn file, time travel
+    # to the torn version says so explicitly
+    assert t.read(spark).count() == 2
+    assert [s["version"] for s in t.snapshots()] == [0, 1, 2]
+    with pytest.raises(SnapshotNotFound, match="torn"):
+        t.manifest(version=torn_v)
+    # the torn version's files are not "referenced" — they are orphans
+    assert not any("crashed" in r for r in t.referenced_files())
+
+    # the NEXT writer skips the torn number (filename-based numbering)
+    # and commits with the real head as parent
+    v_next = t.append(_mk(spark, [(3, "c", 3.0)]))
+    assert v_next == torn_v + 1
+    assert t.manifest()["parent"] == head
+    assert t.read(spark).count() == 3
+
+    # expiry reaps the torn manifest AND the crashed commit's orphan
+    # data file, and keeps working on re-run (it used to wedge forever)
+    res = expire_snapshots(t, keep_last=10)
+    assert not os.path.exists(os.path.join(snap_dir, f"v{torn_v:012d}.json"))
+    assert not os.path.exists(orphan)
+    assert t.read(spark).count() == 3
+    expire_snapshots(t, keep_last=10)  # idempotent re-run
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]

@@ -234,6 +234,35 @@ class CommitConflict(Exception):
     pass
 
 
+def _load_manifest_or_none(path: str) -> dict | None:
+    """Parse one snapshot manifest; ``None`` if the file is torn.
+
+    A process killed between ``_write_manifest``'s ``json.dump`` and its
+    close (or mid-dump) leaves a partial ``v{N}.json``. The commit
+    protocol guarantees such a file was NEVER the committed head — the
+    atomic pointer swap only runs after the manifest write returns — so
+    every snapshot-directory walker (``snapshots()``,
+    ``referenced_files()``, expiry) must treat it as a non-snapshot
+    rather than crash on JSONDecodeError: before this guard, one torn
+    manifest permanently wedged ``expire_snapshots`` (it parsed every
+    manifest before removing any) and broke the ``.snapshots`` metadata
+    table. ``_next_version`` needs no guard — it numbers off filenames,
+    so the torn version is simply skipped, exactly like Iceberg's
+    orphaned metadata files under an uncommitted snapshot."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, ValueError):
+        import sys as _sys
+
+        print(
+            f"lake_table: skipping torn manifest {path} (crashed commit; "
+            "expiry will reap it)",
+            file=_sys.stderr,
+        )
+        return None
+
+
 class DanglingDeleteRefs(CommitConflict):
     """A position-delete commit references data files no longer in the
     head snapshot (a concurrent compaction/COW rewrite removed them).
@@ -413,15 +442,25 @@ class LakeTable:
         p = os.path.join(self.root, _SNAPSHOT_DIR, f"v{v:012d}.json")
         if not os.path.exists(p):
             raise SnapshotNotFound(f"version {v} of {self.root}")
-        with open(p) as f:
-            return json.load(f)
+        m = _load_manifest_or_none(p)
+        if m is None:
+            # a torn manifest was never committed (the pointer swap only
+            # follows a completed write) — time travel to it behaves as
+            # "no such version", with the crash named for the operator
+            raise SnapshotNotFound(
+                f"version {v} of {self.root} is a torn manifest (crash "
+                "mid-commit before the pointer swap); it was never "
+                "committed and snapshot expiry will reap it"
+            )
+        return m
 
     def snapshots(self) -> list[dict]:
         d = os.path.join(self.root, _SNAPSHOT_DIR)
         out = []
         for name in sorted(os.listdir(d)):
-            with open(os.path.join(d, name)) as f:
-                m = json.load(f)
+            m = _load_manifest_or_none(os.path.join(d, name))
+            if m is None:  # torn write of a crashed commit: not a snapshot
+                continue
             out.append(
                 {
                     "version": m["version"],
@@ -2727,8 +2766,11 @@ class LakeTable:
         d = os.path.join(self.root, _SNAPSHOT_DIR)
         refs: set[str] = set()
         for name in os.listdir(d):
-            with open(os.path.join(d, name)) as f:
-                m = json.load(f)
+            m = _load_manifest_or_none(os.path.join(d, name))
+            if m is None:
+                # a torn manifest's data files were never committed —
+                # correctly orphans, eligible for the sweep
+                continue
             refs.update(fm["path"] for fm in m["files"])
             refs.update(fm["path"] for fm in m.get("delete_files", []))
         return refs

@@ -25,7 +25,7 @@ import time
 
 from pyspark.sql import SparkSession
 
-from .lake_table import LakeTable, _DATA_DIR, _SNAPSHOT_DIR
+from .lake_table import LakeTable, _DATA_DIR, _SNAPSHOT_DIR, _load_manifest_or_none
 
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
@@ -310,15 +310,24 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     # manifests already gone but the files still present)
     keep_refs: set[str] = set()
     for n in to_keep:
-        with open(os.path.join(snap_dir, n)) as f:
-            km = json.load(f)
+        km = _load_manifest_or_none(os.path.join(snap_dir, n))
+        if km is None:
+            # a torn manifest (crashed commit) landed inside the newest
+            # keep_last window by filename — it was never committed
+            # (it cannot be pinned: the pointer swap follows a COMPLETED
+            # write), so reap it like any expired version; its data
+            # files fall to the orphan sweep
+            os.remove(os.path.join(snap_dir, n))
+            continue
         keep_refs.update(fm["path"] for fm in km["files"])
         keep_refs.update(fm["path"] for fm in km.get("delete_files", []))
     drop_refs: set[str] = set()
     for n in to_drop:
         p = os.path.join(snap_dir, n)
-        with open(p) as f:
-            dm = json.load(f)
+        dm = _load_manifest_or_none(p)
+        if dm is None:  # torn: no refs to collect, just remove
+            os.remove(p)
+            continue
         drop_refs.update(fm["path"] for fm in dm["files"])
         drop_refs.update(fm["path"] for fm in dm.get("delete_files", []))
         os.remove(p)  # manifest first: version becomes unreachable
