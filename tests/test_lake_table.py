@@ -1331,3 +1331,32 @@ def test_torn_manifest_crash_recovery(spark, tmp_path):
     assert t.read(spark).count() == 3
     expire_snapshots(t, keep_last=10)  # idempotent re-run
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_ref_creation_atomic_and_torn_ref_skipped(spark, tmp_path):
+    """Ref creation is write-then-link (a crash can no longer leave a
+    torn ref), born-once exclusivity still holds, and a pre-fix torn
+    ref file is skipped by refs() instead of wedging expiry."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict, _REFS_DIR,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    t.create_tag("stable")
+    with pytest.raises(CommitConflict, match="already exists"):
+        t.create_tag("stable")
+    refs_dir = os.path.join(t.root, _REFS_DIR)
+    # no leftover tmp files from the link dance
+    assert all(".tmp." not in n for n in os.listdir(refs_dir))
+
+    # a torn ref (crashed pre-fix creation): skipped, expiry still runs
+    with open(os.path.join(refs_dir, "torn.json"), "w") as f:
+        f.write('{"type": "ta')
+    assert set(t.refs()) == {"stable"}
+    t.append(_mk(spark, [(2, "b", 2.0)]))
+    expire_snapshots(t, keep_last=1)
+    assert t.read(spark, ref="stable").count() == 1  # tag pinned v1

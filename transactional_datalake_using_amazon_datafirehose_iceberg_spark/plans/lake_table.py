@@ -2564,20 +2564,35 @@ class LakeTable:
             return {}
         out: dict[str, dict] = {}
         for fname in sorted(os.listdir(d)):
-            if fname.endswith(".json"):
-                with open(os.path.join(d, fname)) as f:
-                    out[fname[:-5]] = json.load(f)
+            if not fname.endswith(".json"):
+                continue  # in-flight .tmp.* from the write-then-link path
+            r = _load_manifest_or_none(os.path.join(d, fname))
+            if r is None:
+                # pre-fix torn ref (creation now links atomically);
+                # defensive: a wedged refs() breaks expiry's pinned set
+                continue
+            out[fname[:-5]] = r
         return out
 
     def _create_ref(self, name: str, kind: str, version: int | None) -> int:
         v = self.current_version() if version is None else version
         self.manifest(v)  # must exist
         os.makedirs(os.path.join(self.root, _REFS_DIR), exist_ok=True)
-        try:  # exclusive create: a ref is born once (tags stay immutable)
-            with open(self._ref_file(name), "x") as f:
-                json.dump({"type": kind, "version": v}, f)
+        # write-then-link: `open(p, "x") + json.dump` could crash
+        # mid-dump and leave a TORN ref file — unlike a torn manifest
+        # (never the committed head, skippable), a ref file IS its own
+        # pointer, so it must appear fully-written or not at all.
+        # os.link is atomic AND fails on an existing target, preserving
+        # the born-once exclusivity (tags stay immutable).
+        tmp = f"{self._ref_file(name)}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"type": kind, "version": v}, f)
+        try:
+            os.link(tmp, self._ref_file(name))
         except FileExistsError as e:
             raise CommitConflict(f"ref {name!r} already exists") from e
+        finally:
+            os.unlink(tmp)
         return v
 
     def create_tag(self, name: str, version: int | None = None) -> int:
