@@ -148,3 +148,38 @@ def test_expiry_interleavings_preserve_pinned_state(
     assert _disk_parquets(t.root) == {
         p for p in t.referenced_files() if p.endswith(".parquet")
     }
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=60, deadline=None)
+def test_any_crash_prefix_of_a_manifest_reads_as_torn(tmp_path_factory, cut):
+    """_write_manifest crashes can truncate the file at ANY byte. A
+    strict prefix of json.dump's output must never parse as a manifest
+    (it always starts with '{', so it is incomplete JSON until the last
+    byte) — _load_manifest_or_none must return None for every prefix
+    and the full dict only at full length. A prefix that slipped
+    through would make snapshots()/expiry read a half-commit."""
+    import json
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        _load_manifest_or_none,
+    )
+
+    manifest = {
+        "version": 7, "parent": 6, "schema": "{}", "keys": ["id"],
+        "cluster_by": [], "properties": {"k": "v"},
+        "files": [{"path": "data/x/part-0.parquet", "rows": 10}],
+        "delete_files": [],
+        "summary": {"operation": "append", "total_rows": 10},
+        "created": "2026-08-15T00:00:00+00:00",
+    }
+    full = json.dumps(manifest)
+    n = cut % (len(full) + 1)
+    d = tmp_path_factory.mktemp("torn")
+    p = str(d / "v000000000007.json")
+    with open(p, "w") as f:
+        f.write(full[:n])
+    got = _load_manifest_or_none(p)
+    if n == len(full):
+        assert got == manifest
+    else:
+        assert got is None
