@@ -402,6 +402,14 @@ def main() -> None:
     # each auxiliary section goes on its OWN preceding line (recoverable
     # from the record tail and duplicated on stderr per-item above), and
     # the FINAL line is the compact headline dict only.
+    # planner path census for the whole run (plans.metrics): how often
+    # the MERGE probe-skip vs probe-job and the bloom in-process vs
+    # distributed branches fired at this SF — the scale-audit evidence
+    # behind "micro-batch commits stay metadata-scale"
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        metrics as _plan_metrics,
+    )
+
     for section_name, section in (
         ("contention_sentinel", {"pre": sentinel_pre, "post": sentinel_post}),
         ("streaming_ingest", streaming),
@@ -409,6 +417,7 @@ def main() -> None:
         ("llm_pipeline_extras_load1m", extras_load),
         ("llm_pipeline_extras_gc_ms", extras_gc_ms),
         ("llm_pipeline_extras", extras),
+        ("planner_path_census", _plan_metrics.snapshot()),
     ):
         print(json.dumps({"section": section_name, "data": section}))
     print(

@@ -100,7 +100,10 @@ def test_sustained_cdc_apply_throughput(spark, tmp_path):
     """10 consecutive micro-batches of 2k upserts each into a growing
     table: every batch must apply well inside the reference's 60 s
     trigger interval (README.md:447; firehose buffer 60 s)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import metrics
+
     t = LakeTable.create(str(tmp_path / "tput"), SCHEMA, keys=["k"], cluster_by=["bucket"])
+    metrics.reset()
     timings = []
     for b in range(10):
         # 50% new keys, 50% updates of earlier keys
@@ -119,6 +122,19 @@ def test_sustained_cdc_apply_throughput(spark, tmp_path):
     # batches kept getting applied at roughly constant cost (no blow-up):
     # final batch within 5x of the first (generous local-jitter bound)
     assert timings[-1] < timings[0] * 5 + 2.0, timings
+    # planner census pins the micro-batch hot path mechanically: every
+    # commit stayed under the in-process bloom gate, no merge ever ran
+    # the touched-file probe scan (candidates under _PROBE_SKIP_BYTES),
+    # and the distributed bloom build never silently fell back
+    snap = metrics.snapshot()
+    assert snap.get("bloom.fallback_inprocess", 0) == 0, snap
+    assert snap.get("merge.probe_job", 0) == 0, snap
+    # batch 0 merges into an empty table (pruning leaves zero candidate
+    # files -> append fast path); the other 9 take the byte-gated
+    # probe-skip rewrite
+    assert (
+        snap.get("merge.probe_skip_small", 0) + snap.get("merge.no_candidates", 0)
+    ) == 10, snap
 
 
 # ---------------------------------------------------------------------------

@@ -3050,20 +3050,56 @@ ORDER BY n DESC, item
 """,
 ))
 
+def _compression_oracle() -> str:
+    """Computed VALUES oracle: DuckDB has no zlib, so the expected rows
+    are computed driver-side with pyarrow + stdlib zlib (the same
+    fixed-point arithmetic as the operator) and inlined as a VALUES
+    table. This verifies the SPARK side end-to-end — Arrow batching,
+    UDF signature, byte-vs-char denominators, fixed-point div — with a
+    full rows+schema+hash driver check instead of the weaker rows-only
+    form. sf dir matches the driver's oracle run (sf0.01 default,
+    SPARK_GRAFT_ORACLE_SF_DIR override used by the rehearsal harness)."""
+    import os as _os
+    import zlib as _zlib
+
+    import pyarrow.parquet as _pq
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = _pq.read_table(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        raw = len(text.encode("utf-8"))
+        z = len(_zlib.compress(text.encode("utf-8"), 6))
+        rows.append(f"({doc_id}, {raw}, {z}, {z * 1000 // max(raw, 1)})")
+    values = ",\n".join(rows)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bytes_raw AS BIGINT) AS n_bytes_raw,
+       CAST(n_bytes_zlib AS BIGINT) AS n_bytes_zlib,
+       CAST(ratio_pm AS BIGINT) AS ratio_pm
+FROM (VALUES
+{values}
+) t(doc_id, n_bytes_raw, n_bytes_zlib, ratio_pm)
+ORDER BY doc_id
+"""
+
+
 _NEXT.append(QuerySpec(
     name="text_compression_ratio",
     doc="zlib compression ratio per document (CCNet/RefinedWeb-style "
         "redundancy signal): repetitive boilerplate compresses far "
         "below natural prose. Arrow-batched pandas UDF over stdlib "
-        "zlib, pure map stage. Not SQL-expressible -> rows-only driver "
-        "check; exact values pinned by the unit test against direct "
-        "zlib calls.",
+        "zlib, pure map stage. DuckDB has no zlib, so the oracle is a "
+        "computed VALUES table (pyarrow + stdlib zlib driver-side) — "
+        "full rows+schema+hash parity instead of rows-only.",
     tags=("llm", "text", "udf"),
     build=lambda spark, sf: __import__(
         "transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text",
         fromlist=["compression_ratio"],
     ).compression_ratio(spark.table("documents")).orderBy("doc_id"),
-    no_oracle=True,
+    oracle=_compression_oracle,
 ))
 
 def _sql_udf_build(spark, sf):
