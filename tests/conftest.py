@@ -11,6 +11,13 @@ from transactional_datalake_using_amazon_datafirehose_iceberg_spark.session impo
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+# export the RESOLVED oracle dir: computed oracles (VALUES tables built
+# driver-side, e.g. text_compression_ratio's pyarrow+zlib oracle) read
+# this env var to know which parquet to recompute from. Their fallback
+# default is sf0.01 — the round driver's pinned comparison SF — so
+# without this export a full-suite run (harness default sf0.001) would
+# compare sf0.001 Spark results against sf0.01 oracle values.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR_ORACLE
 
 
 @pytest.fixture(scope="session")
