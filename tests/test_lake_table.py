@@ -1360,3 +1360,29 @@ def test_ref_creation_atomic_and_torn_ref_skipped(spark, tmp_path):
     t.append(_mk(spark, [(2, "b", 2.0)]))
     expire_snapshots(t, keep_last=1)
     assert t.read(spark, ref="stable").count() == 1  # tag pinned v1
+
+
+def test_create_recovers_from_crash_before_pointer_swap(spark, tmp_path):
+    """create() killed between the v0 manifest write and the pointer
+    swap used to brick the root: every retried create raised
+    CommitConflict("v0 already exists") while the table stayed
+    unreadable (no pointer). An uncommitted v0 (complete or torn) is
+    reclaimed by the next create; an EXISTING table (pointer present)
+    still refuses re-creation."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict, _CURRENT, _SNAPSHOT_DIR,
+    )
+
+    root = str(tmp_path / "t")
+    # simulate the crash: v0 exists, pointer does not
+    os.makedirs(os.path.join(root, _SNAPSHOT_DIR))
+    with open(os.path.join(root, _SNAPSHOT_DIR, "v000000000000.json"), "w") as f:
+        f.write('{"version": 0, "par')  # torn is the worst case
+    t = LakeTable.create(root, SCHEMA, keys=["id"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    assert t.read(spark).count() == 1
+
+    # a COMMITTED table still refuses re-create (pointer present)
+    with pytest.raises(CommitConflict):
+        LakeTable.create(root, SCHEMA, keys=["id"])
+    assert os.path.exists(os.path.join(root, _CURRENT))

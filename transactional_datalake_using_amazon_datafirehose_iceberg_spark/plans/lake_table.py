@@ -328,6 +328,17 @@ class LakeTable:
         t = cls(root)
         os.makedirs(os.path.join(t.root, _SNAPSHOT_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.root, _DATA_DIR), exist_ok=True)
+        # crashed-create recovery: a v0 manifest WITHOUT the pointer file
+        # means an earlier create died between manifest write and pointer
+        # swap — v0 was never committed (complete or torn, nothing can
+        # reference it), and leaving it would brick the root: every
+        # retried create hits CommitConflict("v0 already exists") while
+        # the table stays unreadable (no pointer). Reclaim it.
+        v0_path = os.path.join(t.root, _SNAPSHOT_DIR, "v000000000000.json")
+        if os.path.exists(v0_path) and not os.path.exists(
+            os.path.join(t.root, _CURRENT)
+        ):
+            os.remove(v0_path)
         manifest = {
             "version": 0,
             "parent": None,
