@@ -120,3 +120,48 @@ def test_expire_age_sweeps_stale_staging_files(spark, tmp_path):
     os.remove(fresh)
     expire_snapshots(t, keep_last=1, staging_retention_s=3600)
     assert os.path.isdir(staging)
+
+
+def test_expire_dry_run_reports_without_removing(spark, tmp_path):
+    """dry_run=True (Delta VACUUM DRY RUN parity): the report matches
+    what the real pass then removes, and NOTHING on disk changes —
+    including a torn manifest and an orphan file, the two non-obvious
+    removal classes."""
+    import hashlib
+    import json as _json
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "a")], SCHEMA))
+    # one orphan parquet + one torn manifest (crashed-commit leftovers)
+    orphan = os.path.join(t.root, "data", "crashed", "part-0.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    spark.createDataFrame([(9, "z")], SCHEMA).toPandas().to_parquet(orphan)
+    with open(os.path.join(t.root, "_snapshots", "v000000000099.json"), "w") as f:
+        f.write('{"version": 99, "fi')
+
+    def _tree_state(root):
+        out = {}
+        for dp, _dn, fns in os.walk(root):
+            for fn in fns:
+                p = os.path.join(dp, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = _tree_state(t.root)
+    report = expire_snapshots(t, keep_last=2, dry_run=True)
+    assert report["dry_run"] is True
+    assert _tree_state(t.root) == before  # byte-identical tree
+    # time travel still works on every pre-dry-run version
+    assert t.read(spark, version=1).count() == 1
+
+    real = expire_snapshots(t, keep_last=2)
+    assert "dry_run" not in real
+    # the audit predicted the action (orphan counts include the torn
+    # manifest's crashed data file and the stray orphan)
+    assert real["removed_snapshots"] == report["removed_snapshots"]
+    assert real["removed_files"] == report["removed_files"]
+    assert real["removed_orphans"] == report["removed_orphans"]
+    assert not os.path.exists(orphan)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 2, 3]

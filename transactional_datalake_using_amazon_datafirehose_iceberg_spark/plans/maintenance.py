@@ -265,7 +265,8 @@ def rewrite_delete_files(spark: SparkSession, table: LakeTable) -> int:
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool = True,
-                     staging_retention_s: float = 3600.0) -> dict:
+                     staging_retention_s: float = 3600.0,
+                     dry_run: bool = False) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and physically
     delete data/delete files no surviving snapshot references.
 
@@ -290,7 +291,13 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     A stalled batch whose staged files are swept fails at commit time
     with a StagedFilesMissing error naming this setting — raise the
     retention (default 1 h) well above the slowest plausible batch,
-    or schedule expiry in the stream's own foreachBatch gaps."""
+    or schedule expiry in the stream's own foreachBatch gaps.
+
+    ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` parity) computes the
+    same report — snapshots, files and orphans that WOULD be removed —
+    without touching the filesystem, so an operator can audit a
+    retention change before running it for real. The report carries
+    ``"dry_run": True`` so it cannot be mistaken for an action."""
     import shutil
 
     snap_dir = os.path.join(table.root, _SNAPSHOT_DIR)
@@ -317,7 +324,8 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
             # (it cannot be pinned: the pointer swap follows a COMPLETED
             # write), so reap it like any expired version; its data
             # files fall to the orphan sweep
-            os.remove(os.path.join(snap_dir, n))
+            if not dry_run:
+                os.remove(os.path.join(snap_dir, n))
             continue
         keep_refs.update(fm["path"] for fm in km["files"])
         keep_refs.update(fm["path"] for fm in km.get("delete_files", []))
@@ -326,11 +334,13 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
         p = os.path.join(snap_dir, n)
         dm = _load_manifest_or_none(p)
         if dm is None:  # torn: no refs to collect, just remove
-            os.remove(p)
+            if not dry_run:
+                os.remove(p)
             continue
         drop_refs.update(fm["path"] for fm in dm["files"])
         drop_refs.update(fm["path"] for fm in dm.get("delete_files", []))
-        os.remove(p)  # manifest first: version becomes unreachable
+        if not dry_run:
+            os.remove(p)  # manifest first: version becomes unreachable
     removed_files = 0
     root_real = os.path.realpath(table.root)
     for r in sorted(drop_refs - keep_refs):
@@ -344,12 +354,17 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
         ) != root_real:
             continue
         if os.path.exists(fp):
-            os.remove(fp)
+            if not dry_run:
+                os.remove(fp)
             removed_files += 1
 
     removed_orphans = 0
     if sweep_orphans:
-        refs = table.referenced_files()  # union over surviving manifests
+        # union over SURVIVING manifests. In dry-run the to-drop
+        # manifests are still on disk, so referenced_files() would
+        # wrongly keep their files alive — keep_refs is exactly what
+        # referenced_files() returns after a real removal pass
+        refs = keep_refs if dry_run else table.referenced_files()
         data_root = os.path.join(table.root, _DATA_DIR)
         # _staging-* dirs hold a Python Data Source sink's in-flight
         # task outputs — not yet manifested by design, not orphans, so
@@ -367,7 +382,8 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
                 full = os.path.join(dirpath, name)
                 try:
                     if now - os.path.getmtime(full) > staging_retention_s:
-                        os.remove(full)
+                        if not dry_run:
+                            os.remove(full)
                         removed_orphans += 1
                 except FileNotFoundError:
                     pass
@@ -378,25 +394,28 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
                     continue
                 full = os.path.join(dirpath, name)
                 if os.path.relpath(full, table.root) not in refs:
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     removed_orphans += 1
         # prune commit dirs reduced to sidecars (_SUCCESS, .crc) — but
         # never a _staging-* dir: a live stream sink's staging dir is
         # legitimately EMPTY between micro-batches (every commit renames
         # the staged files out), and removing it would fail the next
         # write task mid-stream
-        for dirpath, dirnames, files in os.walk(data_root, topdown=False):
-            if dirpath == data_root or os.path.basename(dirpath).startswith(
-                "_staging"
-            ):
-                continue
-            if not dirnames and all(
-                name.startswith((".", "_")) and not name.endswith(".parquet")
-                for name in files
-            ):
-                shutil.rmtree(dirpath, ignore_errors=True)
+        if not dry_run:  # sidecar-dir pruning is cosmetic; skip in audit
+            for dirpath, dirnames, files in os.walk(data_root, topdown=False):
+                if dirpath == data_root or os.path.basename(dirpath).startswith(
+                    "_staging"
+                ):
+                    continue
+                if not dirnames and all(
+                    name.startswith((".", "_")) and not name.endswith(".parquet")
+                    for name in files
+                ):
+                    shutil.rmtree(dirpath, ignore_errors=True)
     return {
         "removed_snapshots": len(to_drop),
         "removed_files": removed_files,
         "removed_orphans": removed_orphans,
+        **({"dry_run": True} if dry_run else {}),
     }
