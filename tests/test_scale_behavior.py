@@ -228,6 +228,16 @@ _HEADLINE = [
     "split_leakage_free_by_cluster",
     "cdc_point_in_time_asof",
     "source_xml_roundtrip",
+    # round-10 declarations (the full former staged lane)
+    "merge_not_matched_update_stale",
+    "events_gap_fill_interpolate",
+    "asof_join_tolerance_bounded",
+    "dpp_partitioned_scan_proof",
+    "pivot_multi_agg",
+    "meta_partitions_inspect",
+    "sql_execute_immediate_variables",
+    "lake_shallow_clone_divergence",
+    "cdc_schema_drift_policy",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

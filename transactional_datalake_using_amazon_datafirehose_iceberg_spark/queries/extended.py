@@ -4134,4 +4134,31 @@ SELECT fact, CAST(n AS BIGINT) AS n FROM (
 ))
 
 
-SPECS_NEXT = list(_STAGED_R10)
+# Round-10 declaration: the full staged lane. Window math (registry
+# `_GREEN_BY_ROUND`): 9 never-green + the r5/r6-stale cohort fill the
+# driver's 50-spec sampling prefix; r6 greens that slip stay within the
+# 5-round staleness bound.
+_DECLARE_R10 = {
+    "merge_not_matched_update_stale",
+    "events_gap_fill_interpolate",
+    "asof_join_tolerance_bounded",
+    "dpp_partitioned_scan_proof",
+    "pivot_multi_agg",
+    "meta_partitions_inspect",
+    "sql_execute_immediate_variables",
+    "lake_shallow_clone_divergence",
+    "cdc_schema_drift_policy",
+}
+SPECS.extend(s for s in _STAGED_R10 if s.name in _DECLARE_R10)
+assert not [s for s in _STAGED_R10 if s.name not in _DECLARE_R10], (
+    "round-10 staged lane fully declared in r10"
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging lane: built and oracle-rehearsed this round, declared
+# next round as the sampling window rotates.
+# ---------------------------------------------------------------------------
+_STAGED_R11: list[QuerySpec] = []
+
+SPECS_NEXT = list(_STAGED_R11)

@@ -228,6 +228,32 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "text_chunk_windows", "text_tfidf_top_terms", "udf_sql_registered",
         "variant_json_extract",
     }),
+    # CORRECTNESS_r09: 50/50 sampled green — the 7 round-9 declarations
+    # plus the r5-stale cohort that fit the window.
+    9: frozenset({
+        "agg_approx_top_k", "agg_cube", "agg_distinct_rows", "agg_filtered",
+        "agg_global_stats", "agg_grouping_sets", "agg_histogram_width_bucket",
+        "agg_listagg_within_group", "agg_rollup", "asof_join_purchase_click",
+        "cdc_dead_letter_replay", "cdc_dead_letter_split",
+        "cdc_point_in_time_asof", "cdc_retail_replay",
+        "decontaminate_ngram_overlap", "dedup_embedding_cosine",
+        "dedup_exact_by_text", "dedup_minhash_lsh_pairs",
+        "dedup_neardup_jaccard", "dedup_simhash_buckets",
+        "events_session_window_batch", "events_sliding_windows",
+        "join_runtime_bloom_filter", "join_skew_salted",
+        "merge_conditional_partial", "multimodal_decode_features",
+        "multimodal_resize_batch", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_region_revenue", "runbook_dml_lifecycle",
+        "similarity_ann_ivf", "similarity_ann_lsh_bucket",
+        "similarity_topk_cosine", "source_xml_roundtrip",
+        "split_leakage_free_by_cluster", "sql_scripting_control_flow",
+        "streaming_windowed_counts", "text_compression_ratio",
+        "text_fingerprints", "text_lang_id_markers", "text_repetition_filters",
+        "text_rolling_hash", "text_stats_quality", "text_token_counts",
+        "time_travel_versions", "udf_applyinpandas_zscore",
+        "udf_grouped_agg_pandas", "udf_pandas_quality_score",
+        "udtf_first_tokens",
+    }),
 }
 
 
