@@ -333,6 +333,9 @@ def test_split_schema_drift_gate(spark):
             ('{"id": 2}',),                          # narrower: clean
             ('{"id": 3, "name": "c", "x": 1}',),     # extra key: drift
             ('{"x": 9, "y": 8, "id": 4}',),          # two extras: drift
+            ('not json at all',),                    # unparseable: drift
+            ('[1, 2, 3]',),                          # non-object: drift
+            (None,),                                 # NULL payload: drift
         ],
         "data string",
     )
@@ -340,4 +343,7 @@ def test_split_schema_drift_gate(spark):
     assert sorted(r["data"] for r in clean.collect()) == [
         '{"id": 1, "name": "a"}', '{"id": 2}',
     ]
-    assert drifted.count() == 2
+    # the split is a partition: unparseable/non-object/NULL payloads
+    # land in drifted (quarantine-able), never vanish from both sides
+    assert drifted.count() == 5
+    assert clean.count() + drifted.count() == good.count()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F, types as T
@@ -1331,6 +1332,55 @@ def test_torn_manifest_crash_recovery(spark, tmp_path):
     assert t.read(spark).count() == 3
     expire_snapshots(t, keep_last=10)  # idempotent re-run
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_manifest_write_atomic_and_tmp_invisible(spark, tmp_path):
+    """_write_manifest publishes via write-tmp + os.link (round-9
+    advice, high): a manifest at its FINAL name is born complete, so
+    snapshot expiry's torn-manifest reap can never race a live writer
+    mid-write. A crashed writer leaves only a v{N}.json.tmp.{hex} file —
+    invisible to every walker even when fully written (no double-counted
+    version), kept by expiry while young, age-reaped when stale."""
+    import json as _json
+
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table as lt
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    snap_dir = os.path.join(t.root, lt._SNAPSHOT_DIR)
+    # the link dance leaves no tmp residue on the happy path
+    assert all(".tmp." not in n for n in os.listdir(snap_dir))
+    # exclusive-create survives the link change: same version loses
+    with pytest.raises(CommitConflict, match="already exists"):
+        t._write_manifest(t.manifest())
+
+    # simulate a writer crashed between tmp write and os.link, with the
+    # tmp FULLY written — the worst case for walkers, since its content
+    # parses as a complete manifest for a version that already exists
+    head = t.current_version()
+    tmp_path_f = os.path.join(snap_dir, f"v{head:012d}.json.tmp.deadbeef")
+    with open(tmp_path_f, "w") as f:
+        _json.dump(t.manifest(), f)
+    assert [s["version"] for s in t.snapshots()] == [0, 1]  # no double-count
+    assert t._next_version() == head + 1  # numbering ignores tmp
+    t.append(_mk(spark, [(2, "b", 2.0)]))  # next commit unobstructed
+    assert t.read(spark).count() == 2
+
+    # expiry: young tmp survives (a live writer's link window), stale
+    # tmp is reaped under the same staging retention horizon
+    expire_snapshots(t, keep_last=10)
+    assert os.path.exists(tmp_path_f)
+    old = time.time() - 7200
+    os.utime(tmp_path_f, (old, old))
+    expire_snapshots(t, keep_last=10, staging_retention_s=3600)
+    assert not os.path.exists(tmp_path_f)
+    assert t.read(spark).count() == 2
 
 
 def test_ref_creation_atomic_and_torn_ref_skipped(spark, tmp_path):

@@ -133,6 +133,12 @@ def test_expire_dry_run_reports_without_removing(spark, tmp_path):
     t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
     for i in range(4):
         t.append(spark.createDataFrame([(i, "a")], SCHEMA))
+    # an overwrite then an append: the dropped append-era snapshots now
+    # reference files NO surviving snapshot keeps, so the drop pass has
+    # real work (removed_files > 0) — in dry-run those files are still
+    # on disk during the orphan walk, the case that used to double-count
+    t.overwrite(spark.createDataFrame([(0, "a"), (1, "a"), (2, "a"), (3, "a")], SCHEMA))
+    t.append(spark.createDataFrame([(4, "a")], SCHEMA))
     # one orphan parquet + one torn manifest (crashed-commit leftovers)
     orphan = os.path.join(t.root, "data", "crashed", "part-0.parquet")
     os.makedirs(os.path.dirname(orphan))
@@ -159,9 +165,13 @@ def test_expire_dry_run_reports_without_removing(spark, tmp_path):
     real = expire_snapshots(t, keep_last=2)
     assert "dry_run" not in real
     # the audit predicted the action (orphan counts include the torn
-    # manifest's crashed data file and the stray orphan)
+    # manifest's crashed data file and the stray orphan). removed_files
+    # must be non-trivial here, or the no-double-count claim is vacuous:
+    # a real run deletes drop-pass files BEFORE the orphan walk, and the
+    # dry-run audit must not count the still-on-disk copies twice.
+    assert real["removed_files"] > 0
     assert real["removed_snapshots"] == report["removed_snapshots"]
     assert real["removed_files"] == report["removed_files"]
     assert real["removed_orphans"] == report["removed_orphans"]
     assert not os.path.exists(orphan)
-    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 2, 3]
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 2, 3, 4]

@@ -68,6 +68,40 @@ def test_asof_join_semantics(spark):
     assert got == {100: 9.5, 101: None, 102: None, 103: 11.0}
 
 
+def test_asof_join_null_in_matched_row_not_backfilled(spark):
+    """Timestamp and values must come from the SAME matched right row
+    (round-9 advice): when the latest right row holds NULL in a value
+    column, the result is that row's NULL (pandas merge_asof parity),
+    never a value backfilled from an earlier right row — and the
+    staleness bound is evaluated against the matched row's timestamp,
+    not a stale carrier's."""
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), 200)],
+        "user_id int, ts timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 9.0, "early"),
+            (1, _ts("2024-01-01T11:59:00"), None, "late"),  # matched row
+        ],
+        "user_id int, ts timestamp, px double, src string",
+    )
+    out = asof_join(trades, quotes, ["user_id"], "ts", "ts", ["px", "src"])
+    row = out.collect()[0]
+    # the matched (latest) row's NULL px stays NULL; src proves which
+    # row matched — the pre-fix per-column carry returned (9.0, "late")
+    assert row["asof_px"] is None and row["asof_src"] == "late"
+
+    # with a 5-minute tolerance the matched row (60s old) is in bounds;
+    # the pre-fix carrier would have attached early's 3h-old px anyway
+    out = asof_join(
+        trades, quotes, ["user_id"], "ts", "ts", ["px", "src"],
+        tolerance=300.0,
+    )
+    row = out.collect()[0]
+    assert row["asof_px"] is None and row["asof_src"] == "late"
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(3, "aa"), (1, "aa"), (2, "bb"), (5, "aa")], "doc_id int, text string"

@@ -6,7 +6,9 @@ shuffles |L|x|candidates|), this uses the union+window trick:
 
 1. tag both sides and UNION them on a common schema;
 2. one window per key ordered by (ts, side) carries the last seen
-   right-side attributes forward (``last_value ... IGNORE NULLS``);
+   right-side ROW forward as a single struct (``last_value ... IGNORE
+   NULLS`` over a per-right-row struct, so timestamp and values always
+   travel together);
 3. keep only left rows.
 
 Cost: ONE shuffle by key of |L|+|R| rows and one sort — the same as a
@@ -62,26 +64,37 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE carried struct per match, not one carry per column: per-column
+    # last(__r_c, ignorenulls=True) could backfill a value from an
+    # EARLIER right row when the matched (latest) right row holds NULL
+    # in that column, while the staleness bound was evaluated against
+    # the matched row's timestamp — mismatched rows (round-9 advice).
+    # The struct is non-NULL for every right row (even all-NULL fields),
+    # so ts and values always come from the SAME matched row — pandas
+    # merge_asof semantics: the matched row's NULL stays NULL.
+    matched = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(
+                F.col("__ts").alias("__mts"),
+                *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
     carried = unioned.select(
         *on,
         "__ts",
         "__side",
         *[c for c in l_cols if c not in on and c != left_ts],
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
-        # the matched right row's own timestamp (for the staleness bound)
-        F.last(
-            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-        ).over(w).alias("__asof_ts"),
+        matched.alias("__match"),
     )
     within = (
-        F.lit(True)
+        F.col("__match").isNotNull()
         if tolerance is None
         else (
             F.unix_timestamp(F.col("__ts"))
-            - F.unix_timestamp(F.col("__asof_ts"))
+            - F.unix_timestamp(F.col("__match.__mts"))
         ) <= F.lit(float(tolerance))
     )
     out = carried.filter(F.col("__side") == 1).select(
@@ -89,7 +102,7 @@ def asof_join(
         F.col("__ts").alias(left_ts),
         *[c for c in l_cols if c not in on and c != left_ts],
         *[
-            F.when(within, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+            F.when(within, F.col(f"__match.{c}")).alias(f"asof_{c}")
             for c in value_cols
         ],
     )

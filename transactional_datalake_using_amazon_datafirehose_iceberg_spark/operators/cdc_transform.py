@@ -167,10 +167,17 @@ def split_schema_drift(
 
     Detection is ONE ``json_object_keys`` pass over the payload —
     JVM-side, no shuffle, linear in batch size; the schema's name set
-    is a plan-time literal (metadata scale)."""
+    is a plan-time literal (metadata scale).
+
+    A payload that is not a parseable JSON object yields NULL from
+    ``json_object_keys`` (and so NULL from ``exists``) — such a row
+    goes to ``drifted`` (quarantine-able), never silently vanishes
+    from BOTH outputs (round-9 advice): the split is a partition of
+    its input, row for row."""
     names = [f.name for f in table_schema.fields]
     has_unknown = F.exists(
         F.json_object_keys(F.col(data_col)),
         lambda k: ~k.isin(*names),
     )
-    return good.filter(~has_unknown), good.filter(has_unknown)
+    clean = F.coalesce(~has_unknown, F.lit(False))
+    return good.filter(clean), good.filter(~clean)

@@ -234,12 +234,23 @@ class CommitConflict(Exception):
     pass
 
 
+def _is_manifest_name(name: str) -> bool:
+    """True iff ``name`` is a published snapshot manifest file name
+    (``v`` + 12 digits + ``.json``). _write_manifest's in-flight
+    ``v{N}.json.tmp.{hex}`` files and any other stray entries in the
+    snapshot directory must be invisible to walkers — a fully-written
+    tmp otherwise double-counts its version in snapshots()."""
+    return len(name) == 18 and name.startswith("v") and name.endswith(".json") and name[1:13].isdigit()
+
+
 def _load_manifest_or_none(path: str) -> dict | None:
     """Parse one snapshot manifest; ``None`` if the file is torn.
 
-    A process killed between ``_write_manifest``'s ``json.dump`` and its
-    close (or mid-dump) leaves a partial ``v{N}.json``. The commit
-    protocol guarantees such a file was NEVER the committed head — the
+    Since _write_manifest went write-then-link (round-9 advice), a
+    manifest at its final name is born complete and a torn ``v{N}.json``
+    can only predate that change (or arrive via external copy). The
+    guard stays as defense in depth: the commit protocol guarantees such
+    a file was NEVER the committed head — the
     atomic pointer swap only runs after the manifest write returns — so
     every snapshot-directory walker (``snapshots()``,
     ``referenced_files()``, expiry) must treat it as a non-snapshot
@@ -328,17 +339,6 @@ class LakeTable:
         t = cls(root)
         os.makedirs(os.path.join(t.root, _SNAPSHOT_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.root, _DATA_DIR), exist_ok=True)
-        # crashed-create recovery: a v0 manifest WITHOUT the pointer file
-        # means an earlier create died between manifest write and pointer
-        # swap — v0 was never committed (complete or torn, nothing can
-        # reference it), and leaving it would brick the root: every
-        # retried create hits CommitConflict("v0 already exists") while
-        # the table stays unreadable (no pointer). Reclaim it.
-        v0_path = os.path.join(t.root, _SNAPSHOT_DIR, "v000000000000.json")
-        if os.path.exists(v0_path) and not os.path.exists(
-            os.path.join(t.root, _CURRENT)
-        ):
-            os.remove(v0_path)
         manifest = {
             "version": 0,
             "parent": None,
@@ -356,8 +356,28 @@ class LakeTable:
             | ({"keys_unique": True} if keys else {}),
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
-        t._write_manifest(manifest)
-        t._swap_pointer(0)
+        # The whole create (reclaim -> manifest write -> pointer swap)
+        # runs under the commit lock: the unlocked read-then-delete
+        # reclaim could reap the v0 of a CONCURRENT creator sitting
+        # between its manifest write and pointer swap, after which that
+        # creator's swap published a v0 written by someone else (round-9
+        # advice, medium). Serialized, the loser simply hits
+        # CommitConflict("v0 already exists") below — create is
+        # first-wins, like the exclusive-create it wraps.
+        with t._commit_lock():
+            # crashed-create recovery: a v0 manifest WITHOUT the pointer
+            # file means an earlier create died between manifest write
+            # and pointer swap — v0 was never committed (nothing can
+            # reference it), and leaving it would brick the root: every
+            # retried create hits CommitConflict("v0 already exists")
+            # while the table stays unreadable (no pointer). Reclaim it.
+            v0_path = os.path.join(t.root, _SNAPSHOT_DIR, "v000000000000.json")
+            if os.path.exists(v0_path) and not os.path.exists(
+                os.path.join(t.root, _CURRENT)
+            ):
+                os.remove(v0_path)
+            t._write_manifest(manifest)
+            t._swap_pointer(0)
         return t
 
     def shallow_clone(self, dest_root: str) -> "LakeTable":
@@ -469,6 +489,8 @@ class LakeTable:
         d = os.path.join(self.root, _SNAPSHOT_DIR)
         out = []
         for name in sorted(os.listdir(d)):
+            if not _is_manifest_name(name):  # in-flight .tmp / stray file
+                continue
             m = _load_manifest_or_none(os.path.join(d, name))
             if m is None:  # torn write of a crashed commit: not a snapshot
                 continue
@@ -663,12 +685,27 @@ class LakeTable:
             rlock.release()
 
     def _write_manifest(self, manifest: dict) -> None:
+        # Write-then-link, like _create_ref: `open(p, "x") + json.dump`
+        # published the manifest BYTE BY BYTE at its final name, so a
+        # concurrent reader (snapshot expiry's torn-manifest reap, a
+        # snapshots() walk) could observe — and expiry could DELETE — a
+        # half-written file that a live committer was about to complete
+        # and swap the pointer to (round-9 advice, high). os.link makes
+        # the manifest appear fully-written or not at all, and still
+        # fails on an existing target, preserving the optimistic
+        # exclusive-create. The `.tmp.` name is invisible to every
+        # snapshot-dir walker (_is_manifest_name); a crashed writer's
+        # leftover tmp is age-swept by expire_snapshots.
         p = os.path.join(self.root, _SNAPSHOT_DIR, f"v{manifest['version']:012d}.json")
+        tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
         try:
-            with open(p, "x") as f:
-                json.dump(manifest, f)
+            os.link(tmp, p)
         except FileExistsError as e:  # optimistic concurrency: lost the race
             raise CommitConflict(f"snapshot v{manifest['version']} already exists") from e
+        finally:
+            os.unlink(tmp)
 
     def _swap_pointer(self, version: int) -> None:
         target = os.path.join(self.root, self._pointer)
@@ -687,7 +724,7 @@ class LakeTable:
         mint the same number. Exclusive-create in _write_manifest still
         backstops a lost race."""
         d = os.path.join(self.root, _SNAPSHOT_DIR)
-        return 1 + max(int(n[1:13]) for n in os.listdir(d) if n.startswith("v"))
+        return 1 + max(int(n[1:13]) for n in os.listdir(d) if _is_manifest_name(n))
 
     # ------------------------------------------------------------------
     # write path
@@ -2792,6 +2829,8 @@ class LakeTable:
         d = os.path.join(self.root, _SNAPSHOT_DIR)
         refs: set[str] = set()
         for name in os.listdir(d):
+            if not _is_manifest_name(name):  # in-flight .tmp / stray file
+                continue
             m = _load_manifest_or_none(os.path.join(d, name))
             if m is None:
                 # a torn manifest's data files were never committed —

@@ -25,7 +25,13 @@ import time
 
 from pyspark.sql import SparkSession
 
-from .lake_table import LakeTable, _DATA_DIR, _SNAPSHOT_DIR, _load_manifest_or_none
+from .lake_table import (
+    LakeTable,
+    _DATA_DIR,
+    _SNAPSHOT_DIR,
+    _is_manifest_name,
+    _load_manifest_or_none,
+)
 
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
@@ -301,7 +307,25 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     import shutil
 
     snap_dir = os.path.join(table.root, _SNAPSHOT_DIR)
-    names = sorted(os.listdir(snap_dir))
+    all_entries = sorted(os.listdir(snap_dir))
+    names = [n for n in all_entries if _is_manifest_name(n)]
+    # A crashed _write_manifest leaves a v{N}.json.tmp.{hex} file —
+    # invisible to every walker (never published), but disk it still
+    # holds. Age-sweep, never reap young: a LIVE writer is between its
+    # tmp write and os.link for milliseconds, so the staging horizon is
+    # an enormous safety margin (this replaces the old torn-final reap's
+    # race against in-flight commits — finals are born complete now).
+    now_tmp = time.time()
+    for n in all_entries:
+        if n in names or ".tmp." not in n:
+            continue
+        full = os.path.join(snap_dir, n)
+        try:
+            if now_tmp - os.path.getmtime(full) > staging_retention_s:
+                if not dry_run:
+                    os.remove(full)
+        except FileNotFoundError:
+            pass
     # Pinned versions survive regardless of age: the current pointer
     # (which after a rollback may be OLDER than the newest keep_last
     # manifests) and every named ref — tags pin forever, branch heads
@@ -319,11 +343,14 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     for n in to_keep:
         km = _load_manifest_or_none(os.path.join(snap_dir, n))
         if km is None:
-            # a torn manifest (crashed commit) landed inside the newest
-            # keep_last window by filename — it was never committed
-            # (it cannot be pinned: the pointer swap follows a COMPLETED
-            # write), so reap it like any expired version; its data
-            # files fall to the orphan sweep
+            # a torn manifest landed inside the newest keep_last window
+            # by filename — necessarily a LEGACY artifact (or external
+            # copy): _write_manifest publishes via os.link, so a live
+            # writer can never be mid-write at the final name, and
+            # reaping here cannot race an in-flight commit. It was never
+            # committed (it cannot be pinned: the pointer swap follows a
+            # COMPLETED write), so reap it like any expired version; its
+            # data files fall to the orphan sweep
             if not dry_run:
                 os.remove(os.path.join(snap_dir, n))
             continue
@@ -342,6 +369,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
         if not dry_run:
             os.remove(p)  # manifest first: version becomes unreachable
     removed_files = 0
+    counted_drop_paths: set[str] = set()
     root_real = os.path.realpath(table.root)
     for r in sorted(drop_refs - keep_refs):
         fp = os.path.join(table.root, r)
@@ -356,6 +384,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
         if os.path.exists(fp):
             if not dry_run:
                 os.remove(fp)
+            counted_drop_paths.add(r)
             removed_files += 1
 
     removed_orphans = 0
@@ -393,10 +422,17 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
                 if not name.endswith(".parquet"):
                     continue
                 full = os.path.join(dirpath, name)
-                if os.path.relpath(full, table.root) not in refs:
-                    if not dry_run:
-                        os.remove(full)
-                    removed_orphans += 1
+                rel = os.path.relpath(full, table.root)
+                if rel in refs:
+                    continue
+                # in dry-run the drop-pass files are still on disk —
+                # skip anything already counted in removed_files, or the
+                # audit double-counts what one real run would remove
+                if dry_run and rel in counted_drop_paths:
+                    continue
+                if not dry_run:
+                    os.remove(full)
+                removed_orphans += 1
         # prune commit dirs reduced to sidecars (_SUCCESS, .crc) — but
         # never a _staging-* dir: a live stream sink's staging dir is
         # legitimately EMPTY between micro-batches (every commit renames
