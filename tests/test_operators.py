@@ -102,6 +102,56 @@ def test_asof_join_null_in_matched_row_not_backfilled(spark):
     assert row["asof_px"] is None and row["asof_src"] == "late"
 
 
+def test_asof_join_directions(spark):
+    """direction= (pandas merge_asof parity): forward matches the
+    earliest right row at-or-after, nearest picks the closer side with
+    equidistant ties going backward, and tolerance bounds the absolute
+    time distance in every direction."""
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),
+            (1, _ts("2024-01-01T09:45:00"), 101),  # equidistant tie
+            (1, _ts("2024-01-01T11:30:00"), 102),  # no later quote
+        ],
+        "user_id int, ts timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 9.0),
+            (1, _ts("2024-01-01T10:30:00"), 10.5),
+            (1, _ts("2024-01-01T11:00:00"), 11.0),
+        ],
+        "user_id int, ts timestamp, px double",
+    )
+
+    fwd = asof_join(
+        trades, quotes, ["user_id"], "ts", "ts", ["px"], direction="forward"
+    )
+    got = {r["trade_id"]: r["asof_px"] for r in fwd.collect()}
+    # 100 -> first quote >= 10:00 is 10:30; 102 has none after 11:30
+    assert got == {100: 10.5, 101: 10.5, 102: None}
+
+    near = asof_join(
+        trades, quotes, ["user_id"], "ts", "ts", ["px"], direction="nearest"
+    )
+    got = {r["trade_id"]: r["asof_px"] for r in near.collect()}
+    # 100: 10:30 (30m) beats 09:00 (60m); 101: equidistant 09:00/10:30
+    # -> backward (9.0); 102: only backward exists
+    assert got == {100: 10.5, 101: 9.0, 102: 11.0}
+
+    near_tol = asof_join(
+        trades, quotes, ["user_id"], "ts", "ts", ["px"],
+        direction="nearest", tolerance=600.0,
+    )
+    got = {r["trade_id"]: r["asof_px"] for r in near_tol.collect()}
+    # nothing within 10 minutes of 10:00 or 09:45; 11:00 is 30m from 11:30
+    assert got == {100: None, 101: None, 102: None}
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, ["user_id"], "ts", "ts", ["px"],
+                  direction="sideways")
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(3, "aa"), (1, "aa"), (2, "bb"), (5, "aa")], "doc_id int, text string"

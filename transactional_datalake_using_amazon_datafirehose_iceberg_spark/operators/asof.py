@@ -30,18 +30,29 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tolerance: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Attach, to every left row, ``value_cols`` from the latest right
-    row with the same ``on`` keys and ``right_ts`` <= ``left_ts``.
-    Left rows with no prior right row get NULLs (LEFT ASOF JOIN).
+    """Attach, to every left row, ``value_cols`` from the matched right
+    row with the same ``on`` keys. Left rows with no match get NULLs
+    (LEFT ASOF JOIN).
 
-    ``tolerance``: maximum allowed staleness in SECONDS (pandas
+    ``direction`` (pandas ``merge_asof(direction=...)`` parity):
+    ``"backward"`` matches the LATEST right row with ``right_ts`` <=
+    ``left_ts`` (the default), ``"forward"`` the EARLIEST right row
+    with ``right_ts`` >= ``left_ts``, ``"nearest"`` whichever of the
+    two is closer in time (ties go backward, as in pandas). Backward
+    and forward are one window scan each; nearest carries both and
+    picks per row — still the single key shuffle, one extra sort.
+
+    ``tolerance``: maximum allowed time distance in SECONDS (pandas
     ``merge_asof(tolerance=...)`` / kdb ``wj`` semantics): a match
-    older than ``left_ts - tolerance`` is discarded (NULLs), not
-    attached. Computed on second-truncated timestamps (``unix_
+    farther than ``tolerance`` from ``left_ts`` is discarded (NULLs),
+    not attached. Computed on second-truncated timestamps (``unix_
     timestamp`` both sides), so engines agree exactly. Same single
     shuffle — the matched right timestamp rides the window carry and
     the bound is one post-filter expression, no extra join."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     l_cols = left.columns
     tagged_left = left.select(
         *on,
@@ -59,11 +70,6 @@ def asof_join(
     )
     unioned = tagged_left.unionByName(tagged_right)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # ONE carried struct per match, not one carry per column: per-column
     # last(__r_c, ignorenulls=True) could backfill a value from an
     # EARLIER right row when the matched (latest) right row holds NULL
@@ -72,16 +78,47 @@ def asof_join(
     # The struct is non-NULL for every right row (even all-NULL fields),
     # so ts and values always come from the SAME matched row — pandas
     # merge_asof semantics: the matched row's NULL stays NULL.
-    matched = F.last(
-        F.when(
-            F.col("__side") == 0,
-            F.struct(
-                F.col("__ts").alias("__mts"),
-                *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+    def _carry(descending: bool):
+        # Ascending scan + "last right row seen" = latest right <= left
+        # (backward). Descending scan = earliest right >= left
+        # (forward). Either way, at equal __ts the right row (__side 0)
+        # sorts FIRST, so boundary equality matches (<= / >=).
+        order = F.col("__ts").desc() if descending else F.col("__ts").asc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(order, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(
+            F.when(
+                F.col("__side") == 0,
+                F.struct(
+                    F.col("__ts").alias("__mts"),
+                    *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+                ),
             ),
-        ),
-        ignorenulls=True,
-    ).over(w)
+            ignorenulls=True,
+        ).over(w)
+
+    if direction == "backward":
+        matched = _carry(descending=False)
+    elif direction == "forward":
+        matched = _carry(descending=True)
+    else:  # nearest: both scans over the SAME key shuffle, pick per row
+        back, fwd = _carry(descending=False), _carry(descending=True)
+        back_age = F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(
+            back["__mts"]
+        )
+        fwd_age = F.unix_timestamp(fwd["__mts"]) - F.unix_timestamp(
+            F.col("__ts")
+        )
+        matched = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            # strict <: an equidistant pair goes backward (pandas tie rule)
+            .when(fwd_age < back_age, fwd)
+            .otherwise(back)
+        )
     carried = unioned.select(
         *on,
         "__ts",
@@ -89,13 +126,15 @@ def asof_join(
         *[c for c in l_cols if c not in on and c != left_ts],
         matched.alias("__match"),
     )
+    # time distance from the matched row, nonnegative in every direction
+    age = F.abs(
+        F.unix_timestamp(F.col("__ts"))
+        - F.unix_timestamp(F.col("__match.__mts"))
+    )
     within = (
         F.col("__match").isNotNull()
         if tolerance is None
-        else (
-            F.unix_timestamp(F.col("__ts"))
-            - F.unix_timestamp(F.col("__match.__mts"))
-        ) <= F.lit(float(tolerance))
+        else age <= F.lit(float(tolerance))
     )
     out = carried.filter(F.col("__side") == 1).select(
         *on,

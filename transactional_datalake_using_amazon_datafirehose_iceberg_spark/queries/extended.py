@@ -4161,4 +4161,531 @@ assert not [s for s in _STAGED_R10 if s.name not in _DECLARE_R10], (
 # ---------------------------------------------------------------------------
 _STAGED_R11: list[QuerySpec] = []
 
+
+_STAGED_R11.append(QuerySpec(
+    name="agg_bitmap_distinct",
+    doc="EXACT distinct counting via bitmap aggregates (Spark 3.5 "
+        "bitmap_bucket_number / bitmap_bit_position / "
+        "bitmap_construct_agg / bitmap_or_agg / bitmap_count): the "
+        "inner GROUP BY builds one 4 KB bitmap per (group, 32k-id "
+        "bucket) with full map-side partial aggregation, the outer ORs "
+        "buckets per group — the Delta/BigQuery pattern that replaces "
+        "a COUNT(DISTINCT) expand-shuffle of raw ids with fixed-size "
+        "mergeable state, the exact-count sibling of sketch_hll_union. "
+        "Oracle recomputes with plain COUNT(DISTINCT).",
+    tags=("agg", "scale", "sketch"),
+    build=lambda spark, sf: spark.sql("""
+SELECT o_orderstatus,
+       bitmap_count(bitmap_or_agg(b)) AS exact_distinct_custkeys
+FROM (
+  -- bitmap_bit_position is 1-based (id 0 collides with id 1), so the
+  -- key space shifts by +1 before bucketing
+  SELECT o_orderstatus,
+         bitmap_construct_agg(bitmap_bit_position(o_custkey + 1)) AS b
+  FROM orders
+  GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey + 1)
+)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct_custkeys
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+))
+
+
+_STAGED_R11.append(QuerySpec(
+    name="agg_mode_median",
+    doc="mode() and median() aggregates (Spark 3.4 surface) per group. "
+        "The mode column is a quantity band with a structurally wide "
+        "margin (<=40 covers ~80% of lineitem rows), so the winner is "
+        "unique at every SF and both engines' arbitrary-tie rules never "
+        "engage; median lands on the same percentile(0.5) continuous "
+        "interpolation in both engines, pinned to cents.",
+    tags=("agg",),
+    build=lambda spark, sf: spark.sql("""
+SELECT l_returnflag,
+       mode(CASE WHEN l_quantity <= 40 THEN 'common' ELSE 'rare' END)
+         AS mode_band,
+       CAST(ROUND(median(l_extendedprice) * 100) AS BIGINT)
+         AS median_price_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""),
+    oracle="""
+SELECT l_returnflag,
+       mode(CASE WHEN l_quantity <= 40 THEN 'common' ELSE 'rare' END)
+         AS mode_band,
+       CAST(ROUND(median(l_extendedprice) * 100) AS BIGINT)
+         AS median_price_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+))
+
+
+def _window_distinct_running_build(spark, sf):
+    from pyspark.sql import Window
+
+    first_days = (
+        spark.table("events")
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("first_day"))
+        .groupBy("event_type", F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    day_grid = (
+        spark.table("events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        first_days.join(day_grid, ["event_type", "day"], "right")
+        .select(
+            "event_type", "day",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            "event_type", "day",
+            F.sum("new_users").over(w).cast("bigint")
+            .alias("cum_distinct_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_STAGED_R11.append(QuerySpec(
+    name="window_distinct_running",
+    doc="Cumulative DISTINCT users per event_type by day. Spark has no "
+        "COUNT(DISTINCT) OVER; the naive workaround "
+        "(size(collect_set() OVER)) holds every id seen so far in "
+        "window state — O(users) per row, a 100 TB OOM. This restates "
+        "it scalably: a user's FIRST active day is one shuffle "
+        "(min-aggregate), daily new-user counts another, and the "
+        "running SUM of new users IS the running distinct count — "
+        "constant window state. The day grid keeps new-user-free days "
+        "visible. Oracle uses DuckDB's native COUNT(DISTINCT) OVER "
+        "RANGE to independently verify the identity.",
+    tags=("window", "agg", "scale"),
+    build=_window_distinct_running_build,
+    oracle="""
+SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY CAST(ts AS DATE)
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_distinct_users
+FROM events
+ORDER BY event_type, day
+""",
+))
+
+
+_STAGED_R11.append(QuerySpec(
+    name="events_transition_matrix",
+    doc="Event-to-next-event transition matrix per user journey: "
+        "lead() over (user, ts, event_id) — one shuffle by user, no "
+        "self-join — then counts and transition probability in basis "
+        "points per source event. The deterministic (ts, event_id) "
+        "tiebreak keeps both engines on identical sequences.",
+    tags=("window", "events"),
+    sql="""
+SELECT event_type,
+       next_type,
+       CAST(COUNT(*) AS BIGINT) AS transitions,
+       CAST(ROUND(10000.0 * COUNT(*) /
+            SUM(COUNT(*)) OVER (PARTITION BY event_type)) AS BIGINT)
+         AS prob_bp
+FROM (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+""",
+))
+
+
+_STAGED_R11.append(QuerySpec(
+    name="subq_not_in_null_semantics",
+    doc="NOT IN vs NOT EXISTS under NULLs — the classic ANSI tri-state "
+        "trap, pinned as a spec so the engine's null-aware anti-join "
+        "(Spark plans NOT IN as a null-aware BroadcastHashJoin, not a "
+        "row-at-a-time subquery) provably matches the standard: one "
+        "NULL in the subquery makes NOT IN return ZERO rows, while NOT "
+        "EXISTS (null-rejecting equality) still returns the true "
+        "complement, and filtering the NULL restores agreement.",
+    tags=("subquery", "join"),
+    sql="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (
+  SELECT '1_not_in_with_null' AS fact, COUNT(*) AS n FROM customer
+  WHERE c_custkey NOT IN (
+    SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+    FROM orders)
+  UNION ALL
+  SELECT '2_not_exists', COUNT(*) FROM customer c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT '3_not_in_null_filtered', COUNT(*) FROM customer
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+) ORDER BY fact
+""",
+))
+
+
+_STAGED_R11.append(QuerySpec(
+    name="scalar_xpath_funcs",
+    doc="xpath scalar family (xpath_string / xpath_int / xpath_long / "
+        "xpath_boolean / xpath list) over XML assembled from part rows "
+        "— JVM-side Hive UDFs, no Python in the plan. The oracle "
+        "restates each extraction from the source columns directly, so "
+        "parity proves the round-trip through the XML parser is exact.",
+    tags=("scalar",),
+    build=lambda spark, sf: (
+        spark.table("part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.concat(
+                F.lit("<part><size>"), F.col("p_size").cast("string"),
+                F.lit("</size><mfgr>"), F.col("p_brand"),
+                F.lit("</mfgr><price>"), F.col("p_retailprice").cast("string"),
+                F.lit("</price></part>"),
+            ).alias("xml"),
+        )
+        .select(
+            "p_partkey",
+            F.expr("xpath_int(xml, 'part/size')").alias("size_out"),
+            F.expr("xpath_string(xml, 'part/mfgr')").alias("mfgr_out"),
+            F.expr(
+                "CAST(ROUND(xpath_double(xml, 'part/price') * 100) AS BIGINT)"
+            ).alias("price_cents"),
+            F.expr("xpath_boolean(xml, 'part/size')").alias("has_size"),
+            F.expr("size(xpath(xml, 'part/*/text()'))").alias("n_leaf_texts"),
+        )
+        .orderBy("p_partkey")
+    ),
+    oracle="""
+SELECT p_partkey,
+       CAST(p_size AS INTEGER) AS size_out,
+       p_brand AS mfgr_out,
+       CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+       TRUE AS has_size,
+       3 AS n_leaf_texts
+FROM part WHERE p_partkey <= 200
+ORDER BY p_partkey
+""",
+))
+
+def _asof_forward_nearest_build(spark, sf):
+    from ..operators.asof import asof_join
+
+    # second-truncated timestamps keep distance comparisons integral in
+    # both engines (Spark unix_timestamp truncates; DuckDB epoch() is
+    # fractional); right sides collapse to one row per (user, second)
+    # so equal-ts arbitration never differs between engines
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.date_trunc("second", F.col("ts")).alias("ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def _side(kind, prefix):
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy("user_id", "ts")
+            .agg(F.min("value").alias(f"{prefix}v"))
+            .select(
+                "user_id", "ts",
+                F.col("ts").alias(f"{prefix}ts"), f"{prefix}v",
+            )
+        )
+
+    fwd = asof_join(
+        purchases, _side("error", "e"), ["user_id"], "ts", "ts",
+        ["ets", "ev"], direction="forward",
+    )
+    near = asof_join(
+        fwd, _side("view", "v"), ["user_id"], "ts", "ts",
+        ["vts", "vv"], direction="nearest", tolerance=3600.0,
+    )
+    return near.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_timestamp("asof_ets") - F.unix_timestamp("ts")
+        ).cast("bigint").alias("next_error_delta_s"),
+        F.round(F.col("asof_ev") * 100).cast("bigint").alias("next_error_cents"),
+        F.abs(
+            F.unix_timestamp("asof_vts") - F.unix_timestamp("ts")
+        ).cast("bigint").alias("near_view_dist_s"),
+        F.round(F.col("asof_vv") * 100).cast("bigint").alias("near_view_cents"),
+    ).orderBy("event_id")
+
+
+_STAGED_R11.append(QuerySpec(
+    name="asof_join_forward_nearest",
+    doc="Directional as-of joins (operators/asof.py direction=): for "
+        "every purchase, the FIRST error at-or-after it (forward) and "
+        "the NEAREST view within an hour (nearest, equidistant ties "
+        "backward — pandas merge_asof parity). Chained as-of calls stay "
+        "one key-shuffle each (union+window, no range-join blowup). "
+        "Oracle uses DuckDB's native ASOF JOIN in both directions and "
+        "restates 'nearest' as a CASE over the two.",
+    tags=("join", "asof", "events"),
+    build=_asof_forward_nearest_build,
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value,
+         date_trunc('second', ts) AS ts
+  FROM events
+),
+p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+e AS (SELECT user_id, ts, MIN(value) AS ev FROM ev
+      WHERE event_type = 'error' GROUP BY user_id, ts),
+v AS (SELECT user_id, ts, MIN(value) AS vv FROM ev
+      WHERE event_type = 'view' GROUP BY user_id, ts),
+fwd AS (
+  SELECT p.event_id, p.user_id, p.ts, e.ts AS ets, e.ev
+  FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts <= e.ts
+),
+vb AS (
+  SELECT p.event_id, v.ts AS bts, v.vv AS bv
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+),
+vf AS (
+  SELECT p.event_id, v.ts AS fts, v.vv AS fv
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+),
+near AS (
+  SELECT vb.event_id,
+         CASE
+           WHEN bts IS NULL AND fts IS NULL THEN NULL
+           WHEN bts IS NULL THEN fts
+           WHEN fts IS NULL THEN bts
+           WHEN epoch(fts - p.ts) < epoch(p.ts - bts) THEN fts
+           ELSE bts
+         END AS nts,
+         CASE
+           WHEN bts IS NULL AND fts IS NULL THEN NULL
+           WHEN bts IS NULL THEN fv
+           WHEN fts IS NULL THEN bv
+           WHEN epoch(fts - p.ts) < epoch(p.ts - bts) THEN fv
+           ELSE bv
+         END AS nv,
+         p.ts
+  FROM vb JOIN vf USING (event_id) JOIN p USING (event_id)
+)
+SELECT fwd.event_id,
+       fwd.user_id,
+       CAST(epoch(fwd.ets - fwd.ts) AS BIGINT) AS next_error_delta_s,
+       CAST(ROUND(fwd.ev * 100) AS BIGINT) AS next_error_cents,
+       CASE WHEN abs(CAST(epoch(near.nts - near.ts) AS BIGINT)) <= 3600
+            THEN abs(CAST(epoch(near.nts - near.ts) AS BIGINT)) END
+         AS near_view_dist_s,
+       CASE WHEN abs(CAST(epoch(near.nts - near.ts) AS BIGINT)) <= 3600
+            THEN CAST(ROUND(near.nv * 100) AS BIGINT) END
+         AS near_view_cents
+FROM fwd JOIN near USING (event_id)
+ORDER BY fwd.event_id
+""",
+))
+
+
+def _expire_dry_run_audit_build(spark, sf):
+    import hashlib
+
+    from ..plans.maintenance import expire_snapshots
+
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    src = spark.table("orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="audit_")
+    t = LakeTable.create(os.path.join(root, "t"), schema, keys=["o_orderkey"])
+    t.append(src.filter(F.col("o_orderkey") < 400))
+    t.append(src.filter((F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 800)))
+    # the overwrite strands every pre-overwrite file: the drop pass of
+    # a keep_last=2 expiry has real file work, which is exactly the
+    # case whose dry-run audit used to double-count
+    t.overwrite(src.filter(F.col("o_orderkey") < 600))
+    t.append(src.filter((F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 700)))
+    # crashed-commit leftovers: an orphan data file and a stale
+    # manifest tmp (a writer killed between tmp write and publish)
+    orphan = os.path.join(t.root, "data", "crashed", "part-0.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    src.limit(1).toPandas().to_parquet(orphan)
+    stale_tmp = os.path.join(
+        t.root, "_snapshots", "v000000000009.json.tmp.deadbeef"
+    )
+    with open(stale_tmp, "w") as f:
+        f.write("{}")
+    os.utime(stale_tmp, (0, 0))
+
+    def _tree(root_):
+        h = hashlib.md5()
+        for dp, _dn, fns in sorted(os.walk(root_)):
+            for fn in sorted(fns):
+                p = os.path.join(dp, fn)
+                h.update(p.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    before = _tree(t.root)
+    audit = expire_snapshots(t, keep_last=2, dry_run=True)
+    unchanged = int(_tree(t.root) == before)
+    real = expire_snapshots(t, keep_last=2)
+    matches = int(
+        audit["removed_snapshots"] == real["removed_snapshots"]
+        and audit["removed_files"] == real["removed_files"]
+        and audit["removed_orphans"] == real["removed_orphans"]
+    )
+    facts = [
+        ("1_audit_flagged_dry", int(audit.get("dry_run") is True)),
+        ("2_tree_unchanged_after_audit", unchanged),
+        ("3_audit_had_file_work", int(audit["removed_files"] > 0)),
+        ("4_real_run_matched_audit", matches),
+        ("5_orphan_and_stale_tmp_gone", int(
+            not os.path.exists(orphan) and not os.path.exists(stale_tmp)
+        )),
+        ("6_rows_after_expiry", t.read(spark).count()),
+    ]
+    return spark.createDataFrame(facts, "fact string, n bigint").orderBy("fact")
+
+
+_STAGED_R11.append(QuerySpec(
+    name="maintenance_expire_dry_run_audit",
+    doc="Snapshot-expiry DRY RUN audit (Delta VACUUM DRY RUN parity, "
+        "plans/maintenance.py dry_run=True): the audit reports exactly "
+        "what one real run then removes — including drop-pass files "
+        "that are still on disk during the audit's orphan walk (the "
+        "double-count case) and a stale manifest-publish tmp — while "
+        "changing NOTHING on disk (whole-tree hash pinned). Oracle "
+        "recomputes the surviving row count from the fixture and pins "
+        "every audit invariant.",
+    tags=("lake", "maintenance"),
+    build=_expire_dry_run_audit_build,
+    oracle="""
+SELECT fact, CAST(n AS BIGINT) AS n FROM (
+  SELECT '1_audit_flagged_dry' AS fact, 1 AS n
+  UNION ALL SELECT '2_tree_unchanged_after_audit', 1
+  UNION ALL SELECT '3_audit_had_file_work', 1
+  UNION ALL SELECT '4_real_run_matched_audit', 1
+  UNION ALL SELECT '5_orphan_and_stale_tmp_gone', 1
+  UNION ALL SELECT '6_rows_after_expiry', COUNT(*)
+  FROM orders WHERE o_orderkey < 700
+) ORDER BY fact
+""",
+))
+
+
+def _dedup_url_canonicalize_build(spark, sf):
+    # deterministic raw-URL synthesis from the documents fixture: three
+    # surface variants (case-mangled scheme/host, explicit default
+    # port, shuffled utm params) of the same logical resource
+    docs = spark.table("documents").select(
+        "doc_id", "source", (F.col("doc_id") % 10).cast("string").alias("pid"),
+    )
+    variant = F.col("doc_id") % 3
+    raw = (
+        F.when(variant == 0, F.concat(
+            F.lit("https://www.example.com/"), F.col("source"), F.lit("/"),
+            F.col("pid"), F.lit("/?page="), F.col("pid"),
+            F.lit("&utm_source=feed"),
+        ))
+        .when(variant == 1, F.concat(
+            F.lit("HTTPS://WWW.EXAMPLE.COM:443/"), F.col("source"), F.lit("/"),
+            F.col("pid"), F.lit("/?utm_campaign=x&page="), F.col("pid"),
+        ))
+        .otherwise(F.concat(
+            F.lit("https://www.example.com:443/"), F.col("source"), F.lit("/"),
+            F.col("pid"), F.lit("/?page="), F.col("pid"),
+        ))
+    )
+    with_url = docs.select("doc_id", raw.alias("url"))
+    # generic canonicalizer — all JVM built-ins, no UDF: lowercase
+    # scheme+host, drop the port (parse_url HOST is portless), strip
+    # utm_* tracking params, keep remaining params in order
+    kept_q = F.array_join(
+        F.filter(
+            F.split(F.parse_url(F.col("url"), F.lit("QUERY")), "&"),
+            lambda kv: ~kv.startswith("utm_"),
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL"))),
+        F.lit("://"),
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))),
+        F.parse_url(F.col("url"), F.lit("PATH")),
+        F.when(kept_q != "", F.concat(F.lit("?"), kept_q)).otherwise(F.lit("")),
+    )
+    return (
+        with_url.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+_STAGED_R11.append(QuerySpec(
+    name="dedup_url_canonicalize",
+    doc="URL-canonicalization dedup (the crawl-corpus step before any "
+        "content dedup): three surface variants of the same resource "
+        "(case-mangled scheme/host, explicit default port, utm_* "
+        "tracking params) collapse to one canonical URL via parse_url "
+        "+ higher-order filter — all JVM built-ins, one groupBy "
+        "shuffle, no Python. Oracle reconstructs the canonical form "
+        "algebraically from the fixture columns, so parity proves the "
+        "parse/strip round-trip is exact.",
+    tags=("dedup", "llm", "scalar"),
+    build=_dedup_url_canonicalize_build,
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, CAST(doc_id % 10 AS VARCHAR) AS pid,
+         doc_id % 3 AS variant
+  FROM documents
+)
+SELECT 'https://www.example.com/' || source || '/' || pid || '/?page=' || pid
+         AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_raw_variants
+FROM docs
+GROUP BY canonical_url
+ORDER BY canonical_url
+""",
+))
+
+
 SPECS_NEXT = list(_STAGED_R11)
