@@ -336,6 +336,11 @@ def main() -> None:
         # multi-table routed MERGE and the two-generation evolve scan)
         "cdc_routed_fanout",
         "partition_evolution_lifecycle",
+        # round-10 declarations (the three with real data movement:
+        # conditional-stale MERGE, gap-fill grid, bounded as-of)
+        "merge_not_matched_update_stale",
+        "events_gap_fill_interpolate",
+        "asof_join_tolerance_bounded",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:

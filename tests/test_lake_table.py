@@ -1334,6 +1334,83 @@ def test_torn_manifest_crash_recovery(spark, tmp_path):
     assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]
 
 
+def test_rollback_to_tag_survives_expired_intermediates(spark, tmp_path):
+    """Expiry drops intermediate manifests, which used to break the
+    parent-chain walk in is_ancestor — rollback to a TAG-PINNED
+    snapshot raised SnapshotNotFound on the first expired ancestor
+    (found by the expiry property test). Expiry now tombstones the
+    dropped (version -> parent) edges in _lineage.json and is_ancestor
+    falls back to it: a pinned tag stays rollback-able forever."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    t.create_tag("genesis")  # pins v0 (empty table)
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    t.append(_mk(spark, [(2, "b", 2.0)]))
+    t.append(_mk(spark, [(3, "c", 3.0)]))
+    expire_snapshots(t, keep_last=1)  # drops v1, v2; keeps v3 + pinned v0
+    assert t.is_ancestor(0, t.current_version())  # via the tombstones
+    assert not t.is_ancestor(99, t.current_version())
+    t.rollback_to(t.resolve_ref("genesis"))
+    assert t.read(spark).count() == 0
+    # history continues from the restored snapshot as usual
+    t.append(_mk(spark, [(9, "z", 9.0)]))
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [9]
+
+
+def test_manifest_cache_identity_and_invalidation(spark, tmp_path):
+    """Published manifests are immutable (write-then-link, never
+    rewritten), so the process-wide parse cache keyed on (path, inode,
+    mtime_ns, size) returns the SAME parsed object on repeated access —
+    at 100 TB this is tens of MB of JSON NOT re-parsed per
+    schema/keys/head access — while a reclaimed-and-recreated v0 (new
+    inode) and a new commit are seen immediately."""
+    import json as _json
+
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table as lt
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import metrics
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    t.append(_mk(spark, [(1, "a", 1.0)]))
+    metrics.reset()
+    m1 = t.manifest()
+    m2 = t.manifest()
+    assert m1 is m2  # cache hit returns the shared parsed object
+    assert metrics.snapshot().get("manifest_cache.hit", 0) >= 1
+    head = t.current_version()
+
+    # a new commit is a new file: the head read sees it immediately
+    t.append(_mk(spark, [(2, "b", 2.0)]))
+    assert t.manifest()["version"] == head + 1
+    # time travel to the old version still serves the cached object
+    assert t.manifest(head) is m1
+
+    # crashed-create reclaim rewrites v0 AT THE SAME PATH: the fresh
+    # file's (inode, mtime_ns) key must miss the cache, never serve the
+    # dead creator's manifest
+    root2 = str(tmp_path / "u")
+    u = LakeTable.create(root2, SCHEMA, keys=["id"])
+    stale = u.manifest(0)
+    os.remove(os.path.join(root2, lt._CURRENT))  # simulate crash pre-swap
+    u2 = LakeTable.create(root2, SCHEMA, keys=["id"])
+    fresh = u2.manifest(0)
+    assert fresh is not stale
+    assert fresh["created"] != stale["created"] or fresh == _json.loads(
+        open(os.path.join(root2, lt._SNAPSHOT_DIR, "v000000000000.json")).read()
+    )
+
+    # read-only contract: every cached manifest matches a fresh re-parse
+    # from disk after a typical workload (nothing mutated the shared
+    # objects in place)
+    t.delete_where(spark, "id = 1")
+    for v in [s["version"] for s in t.snapshots()]:
+        p = os.path.join(t.root, lt._SNAPSHOT_DIR, f"v{v:012d}.json")
+        with open(p) as f:
+            assert t.manifest(v) == _json.load(f)
+
+
 def test_manifest_write_atomic_and_tmp_invisible(spark, tmp_path):
     """_write_manifest publishes via write-tmp + os.link (round-9
     advice, high): a manifest at its FINAL name is born complete, so

@@ -37,6 +37,7 @@ concurrency, Iceberg-style).
 from __future__ import annotations
 
 import base64
+import collections as _collections
 import contextlib as _contextlib
 import datetime as _dt
 import functools as _functools
@@ -69,6 +70,9 @@ _SNAPSHOT_DIR = "_snapshots"
 _CURRENT = "_current"
 _DATA_DIR = "data"
 _REFS_DIR = "refs"
+# tombstone lineage of expired snapshots (version -> parent), at the
+# table root so snapshot-dir walkers never see it
+_LINEAGE_FILE = "_lineage.json"
 
 # columns whose min/max we keep in the manifest (scalar types only)
 _STATS_TYPES = (
@@ -274,6 +278,50 @@ def _load_manifest_or_none(path: str) -> dict | None:
         return None
 
 
+# Process-wide parsed-manifest cache. Published manifests are IMMUTABLE
+# by construction (_write_manifest links them complete; no code path
+# rewrites a published v{N}.json — crashed-create reclaim DELETES, and
+# the recreate mints a new inode), so a parse keyed on the file's
+# (realpath, inode, mtime_ns, size) identity can never go stale. At
+# 100 TB a manifest holds ~200k file entries (tens of MB of JSON);
+# without this, EVERY schema/keys/properties access and every commit's
+# head re-read re-parses it. Cached dicts are shared read-only objects —
+# commit paths already build fresh dicts rather than mutating the head
+# (pinned by test_manifest_cache_objects_not_mutated).
+_MANIFEST_CACHE: "OrderedDict[tuple, dict]" = _collections.OrderedDict()
+_MANIFEST_CACHE_MAX = 64
+_MANIFEST_CACHE_LOCK = _threading.Lock()
+_MANIFEST_MISSING = object()
+
+
+def _load_manifest_cached(path: str):
+    """Cached manifest load: the parsed dict, ``None`` for a torn file,
+    ``_MANIFEST_MISSING`` if the file does not exist."""
+    from . import metrics
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return _MANIFEST_MISSING
+    key = (path, st.st_ino, st.st_mtime_ns, st.st_size)
+    with _MANIFEST_CACHE_LOCK:
+        m = _MANIFEST_CACHE.get(key)
+        if m is not None:
+            _MANIFEST_CACHE.move_to_end(key)
+            metrics.bump("manifest_cache.hit")
+            return m
+    m = _load_manifest_or_none(path)
+    if m is None:  # torn: never cache (expiry may reap it)
+        return None
+    metrics.bump("manifest_cache.miss")
+    with _MANIFEST_CACHE_LOCK:
+        _MANIFEST_CACHE[key] = m
+        _MANIFEST_CACHE.move_to_end(key)
+        while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.popitem(last=False)
+    return m
+
+
 class DanglingDeleteRefs(CommitConflict):
     """A position-delete commit references data files no longer in the
     head snapshot (a concurrent compaction/COW rewrite removed them).
@@ -469,11 +517,15 @@ class LakeTable:
         return int(json.loads(content)["version"]) if content.startswith("{") else int(content)
 
     def manifest(self, version: int | None = None) -> dict:
+        """Load one snapshot manifest (cached — see _load_manifest_cached).
+
+        The returned dict is a SHARED read-only object: commit paths
+        build fresh manifests rather than mutating the head in place."""
         v = self.current_version() if version is None else version
         p = os.path.join(self.root, _SNAPSHOT_DIR, f"v{v:012d}.json")
-        if not os.path.exists(p):
+        m = _load_manifest_cached(p)
+        if m is _MANIFEST_MISSING:
             raise SnapshotNotFound(f"version {v} of {self.root}")
-        m = _load_manifest_or_none(p)
         if m is None:
             # a torn manifest was never committed (the pointer swap only
             # follows a completed write) — time travel to it behaves as
@@ -491,8 +543,8 @@ class LakeTable:
         for name in sorted(os.listdir(d)):
             if not _is_manifest_name(name):  # in-flight .tmp / stray file
                 continue
-            m = _load_manifest_or_none(os.path.join(d, name))
-            if m is None:  # torn write of a crashed commit: not a snapshot
+            m = _load_manifest_cached(os.path.join(d, name))
+            if m is None or m is _MANIFEST_MISSING:  # torn / raced expiry
                 continue
             out.append(
                 {
@@ -2677,14 +2729,39 @@ class LakeTable:
             raise ValueError(f"ref {name!r} is a tag (immutable); cannot write")
         return LakeTable(self.root, pointer=os.path.join(_REFS_DIR, f"{name}.json"))
 
+    def _lineage_map(self) -> dict[int, int | None]:
+        """Tombstone lineage of EXPIRED snapshots: version -> parent,
+        recorded by expire_snapshots before it removes a manifest (the
+        snapshot-log survivor Iceberg keeps in table metadata). A few
+        bytes per expired snapshot, never expired itself — ancestry
+        stays answerable across the whole table history."""
+        p = os.path.join(self.root, _LINEAGE_FILE)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            raw = json.load(f)
+        return {int(k): v for k, v in raw.items()}
+
     def is_ancestor(self, anc: int, desc: int) -> bool:
         """True iff ``anc`` is on ``desc``'s parent chain (or equal).
-        Driver-side metadata walk — O(history), no data touched."""
+        Driver-side metadata walk — O(history), no data touched. Walks
+        live manifests first; an EXPIRED intermediate (its manifest
+        reaped, but lineage tombstoned by expiry) resolves through
+        _lineage_map, so rollback to a tag-pinned ancestor keeps
+        working after the snapshots between head and tag are expired."""
+        lineage: dict[int, int | None] | None = None
         v: int | None = desc
         while v is not None:
             if v == anc:
                 return True
-            v = self.manifest(v)["parent"]
+            try:
+                v = self.manifest(v)["parent"]
+            except SnapshotNotFound:
+                if lineage is None:
+                    lineage = self._lineage_map()
+                if v not in lineage:
+                    return False  # genuinely unknown (pre-tombstone expiry)
+                v = lineage[v]
         return False
 
     def cherry_pick(self, version: int) -> int:
@@ -2831,8 +2908,8 @@ class LakeTable:
         for name in os.listdir(d):
             if not _is_manifest_name(name):  # in-flight .tmp / stray file
                 continue
-            m = _load_manifest_or_none(os.path.join(d, name))
-            if m is None:
+            m = _load_manifest_cached(os.path.join(d, name))
+            if m is None or m is _MANIFEST_MISSING:
                 # a torn manifest's data files were never committed —
                 # correctly orphans, eligible for the sweep
                 continue

@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 from .lake_table import (
     LakeTable,
     _DATA_DIR,
+    _LINEAGE_FILE,
     _SNAPSHOT_DIR,
     _is_manifest_name,
     _load_manifest_or_none,
@@ -357,6 +358,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
         keep_refs.update(fm["path"] for fm in km["files"])
         keep_refs.update(fm["path"] for fm in km.get("delete_files", []))
     drop_refs: set[str] = set()
+    dropped_lineage: dict[int, int | None] = {}
     for n in to_drop:
         p = os.path.join(snap_dir, n)
         dm = _load_manifest_or_none(p)
@@ -364,9 +366,29 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
             if not dry_run:
                 os.remove(p)
             continue
+        dropped_lineage[int(dm["version"])] = dm.get("parent")
         drop_refs.update(fm["path"] for fm in dm["files"])
         drop_refs.update(fm["path"] for fm in dm.get("delete_files", []))
-        if not dry_run:
+    # Tombstone the dropped snapshots' (version -> parent) edges BEFORE
+    # any manifest is removed (crash-safe order: lineage is recorded
+    # before it is lost). is_ancestor falls back to this map, so
+    # rollback / fast-forward ancestry checks against a tag-pinned
+    # snapshot keep working after the intermediate history is expired —
+    # the snapshot-log Iceberg retains in table metadata.
+    if dropped_lineage and not dry_run:
+        lin_path = os.path.join(table.root, _LINEAGE_FILE)
+        merged: dict = {}
+        if os.path.exists(lin_path):
+            with open(lin_path) as f:
+                merged = json.load(f)
+        merged.update({str(k): v for k, v in dropped_lineage.items()})
+        tmp = f"{lin_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, lin_path)
+    for n in to_drop:
+        p = os.path.join(snap_dir, n)
+        if not dry_run and os.path.exists(p):
             os.remove(p)  # manifest first: version becomes unreachable
     removed_files = 0
     counted_drop_paths: set[str] = set()
