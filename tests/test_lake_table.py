@@ -1360,6 +1360,38 @@ def test_rollback_to_tag_survives_expired_intermediates(spark, tmp_path):
     assert sorted(r["id"] for r in t.read(spark).collect()) == [9]
 
 
+def test_history_and_changelog_across_expired_versions(spark, tmp_path):
+    """meta_history stays complete to the root through lineage
+    tombstones (expired ancestors get NULL operation/created);
+    changelog over a range crossing an expired snapshot raises a
+    remedial error naming expiry, not a bare missing-version."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        SnapshotNotFound,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    t.create_tag("genesis")
+    for i in range(1, 4):
+        t.append(_mk(spark, [(i, "x", float(i))]))
+    expire_snapshots(t, keep_last=2)  # v1 expired; v0 pinned, v2-v3 live
+
+    hist = t.meta_history(spark).collect()
+    assert [r["version"] for r in hist] == [0, 1, 2, 3]
+    assert [r["operation"] for r in hist] == ["create", None, "append", "append"]
+
+    # crossing the expired v1 (walk) or needing it as a diff base both
+    # name expiry and the remedy, not a bare missing-version
+    with pytest.raises(SnapshotNotFound, match="expired snapshot"):
+        t.changelog(spark, from_version=0).count()
+    with pytest.raises(SnapshotNotFound, match="expire_snapshots"):
+        t.changelog(spark, from_version=1).count()
+    # a range entirely inside live history still works
+    assert t.changelog(spark, from_version=2).count() == 1
+
+
 def test_manifest_cache_identity_and_invalidation(spark, tmp_path):
     """Published manifests are immutable (write-then-link, never
     rewritten), so the process-wide parse cache keyed on (path, inode,

@@ -580,11 +580,24 @@ class LakeTable:
     def meta_history(self, spark: SparkSession) -> DataFrame:
         """Ancestry of the CURRENT snapshot, root first — unlike
         meta_snapshots this excludes rolled-back / unpublished heads
-        (Iceberg ``history`` with ``is_current_ancestor=true``)."""
+        (Iceberg ``history`` with ``is_current_ancestor=true``).
+        EXPIRED ancestors resolve through the lineage tombstones with
+        NULL operation/created — the chain stays complete to the root
+        after expiry instead of breaking at the first reaped version."""
+        lineage: dict[int, int | None] | None = None
         chain: list[tuple] = []
         v: int | None = self.current_version()
         while v is not None:
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except SnapshotNotFound:
+                if lineage is None:
+                    lineage = self._lineage_map()
+                if v not in lineage:
+                    break  # pre-tombstone expiry: chain ends here
+                chain.append((v, lineage[v], None, None))
+                v = lineage[v]
+                continue
             chain.append((v, m["parent"], m["summary"].get("operation"), m.get("created")))
             v = m["parent"]
         chain.reverse()
@@ -1874,14 +1887,38 @@ class LakeTable:
                 raise SnapshotNotFound(
                     f"v{from_version} is not an ancestor of v{to_version}"
                 )
-            m_walk = self.manifest(v_walk)
+            try:
+                m_walk = self.manifest(v_walk)
+            except SnapshotNotFound:
+                if v_walk in self._lineage_map():
+                    # the range crosses an EXPIRED snapshot: its file
+                    # lists (and data) are gone, so an incremental diff
+                    # is impossible by design — name the remedy instead
+                    # of surfacing a bare missing-version error
+                    raise SnapshotNotFound(
+                        f"changelog range v{from_version}..v{to_version} "
+                        f"crosses expired snapshot v{v_walk}: incremental "
+                        "history was removed by expire_snapshots — "
+                        "re-bootstrap the consumer from a full table read"
+                    ) from None
+                raise
             chain.append(m_walk)
             v_walk = m_walk["parent"]
         chain.reverse()
         parts: list[DataFrame] = []
         for cur in chain:
             v = cur["version"]
-            prev = self.manifest(cur["parent"])
+            try:
+                # the diff base: from_version itself must be live too
+                prev = self.manifest(cur["parent"])
+            except SnapshotNotFound:
+                raise SnapshotNotFound(
+                    f"changelog range v{from_version}..v{to_version} "
+                    f"needs expired snapshot v{cur['parent']} as a diff "
+                    "base: incremental history was removed by "
+                    "expire_snapshots — re-bootstrap the consumer from "
+                    "a full table read"
+                ) from None
             if cur["summary"].get("operation") in ("compact", "rewrite-deletes"):
                 continue
             prev_files = {f["path"] for f in prev["files"]}
