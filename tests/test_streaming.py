@@ -9,6 +9,7 @@ import shutil
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import LakeTable
 from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
@@ -917,3 +918,37 @@ def test_lake_table_sink_files_carry_task_computed_blooms(spark, tmp_path):
     some_key = next(iter(rows_per_file[files[0]["path"]]))
     pruned = t.file_paths(predicates=[Predicate("k", "=", some_key)])
     assert len(pruned) < 4
+
+
+def test_lake_stream_resume_past_expired_offset_names_remedy(spark, tmp_path):
+    """A resumed stream whose checkpoint offset predates snapshot expiry
+    cannot replan the expired increments — the reader raises a remedial
+    error naming expire_snapshots and the restart options, not a bare
+    FileNotFoundError from the reaped manifest."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _LakeStreamReader,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("val", T.DoubleType(), True),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, float(i))], schema))
+    expire_snapshots(t, keep_last=2)  # v1 reaped; v2, v3 live
+
+    reader = _LakeStreamReader(t.root, schema, skip_change_commits=False)
+    with pytest.raises(ValueError, match="expire_snapshots"):
+        reader.partitions({"version": 0}, {"version": t.current_version()})
+    # a resumed offset inside live history still plans normally
+    parts = reader.partitions(
+        {"version": t.current_version() - 1}, {"version": t.current_version()}
+    )
+    assert len(parts) == 1

@@ -53,8 +53,19 @@ def _read_pointer(root: str) -> int:
 
 
 def _read_manifest(root: str, version: int) -> dict:
-    with open(os.path.join(root, "_snapshots", f"v{version:012d}.json")) as f:
-        return json.load(f)
+    try:
+        with open(os.path.join(root, "_snapshots", f"v{version:012d}.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        # a resumed stream whose checkpoint offset predates snapshot
+        # expiry cannot replan the missing increments — name the remedy
+        # instead of a bare missing-file error
+        raise ValueError(
+            f"lake_table stream needs snapshot v{version} of {root}, "
+            "which has been expired (expire_snapshots ran past this "
+            "stream's checkpoint offset) — restart from a fresh "
+            "checkpoint (full re-read) or raise the expiry retention"
+        ) from None
 
 
 class LakeStreamDataSource(DataSource):
