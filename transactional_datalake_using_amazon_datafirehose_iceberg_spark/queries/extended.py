@@ -4688,4 +4688,159 @@ ORDER BY canonical_url
 ))
 
 
+_STAGED_R11.append(QuerySpec(
+    name="agg_grouping_id_cube",
+    doc="grouping() / grouping_id() over CUBE: the bitmask that tells a "
+        "report row its aggregation level apart from a genuine NULL "
+        "group key. Bit order verified identical between engines "
+        "(leftmost CUBE column = most significant bit), so grouping_id "
+        "is asserted natively, not restated.",
+    tags=("agg",),
+    sql="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+))
+
+
+def _interval_overlap_build(spark, sf):
+    # intervals from the fixture: [ts, ts + (1 + value%29) * 6 minutes);
+    # two sets (purchase vs error) per user. The BINNED join is the
+    # scale path: each interval lands in ceil(len/W) width-W bins via
+    # sequence(), candidates meet on (user, bin) — a pure equi-join a
+    # 1000-executor shuffle handles — and the exact overlap predicate +
+    # pair dedup run on candidate volume only, never |A| x |B|.
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("s"),
+        (
+            F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+            + (F.lit(1) + F.floor("value").cast("bigint") % 29) * 360
+        ).alias("e"),
+    )
+    W = 1800  # bin width (s): ~interval scale keeps bins-per-interval tiny
+    def _binned(kind):
+        side = ev.filter(F.col("event_type") == kind)
+        return side.select(
+            "event_id", "user_id", "s", "e",
+            F.explode(
+                F.sequence(
+                    (F.col("s") / W).cast("bigint"),
+                    ((F.col("e") - 1) / W).cast("bigint"),
+                )
+            ).alias("bin"),
+        )
+    a, b = _binned("purchase"), _binned("error")
+    pairs = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            # exact overlap on half-open intervals [s, e)
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("purchase_id"),
+            F.col("b.event_id").alias("error_id"),
+            F.greatest(F.col("a.s"), F.col("b.s")).alias("ov_start"),
+            F.least(F.col("a.e"), F.col("b.e")).alias("ov_end"),
+        )
+        .distinct()  # an overlapping pair can meet in several bins
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum(F.col("ov_end") - F.col("ov_start")).cast("bigint")
+            .alias("overlap_seconds"),
+            F.min("purchase_id").alias("first_purchase_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STAGED_R11.append(QuerySpec(
+    name="join_interval_overlap_binned",
+    doc="Interval-overlap join (purchase windows x error windows per "
+        "user) via fixed-width BINNING: sequence() explodes each "
+        "interval to its covered bins, candidates meet on the "
+        "(user, bin) equi-join, the exact [s,e) overlap predicate and "
+        "pair-dedup run on candidate volume only — the standard trick "
+        "that keeps interval joins shuffle-shaped at 100 TB instead of "
+        "a range-condition nested loop. Oracle is DuckDB's plain "
+        "range-predicate join, proving the binned plan loses no pair.",
+    tags=("join", "scale", "events"),
+    build=_interval_overlap_build,
+    oracle="""
+WITH iv AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           + (1 + CAST(FLOOR(value) AS BIGINT) % 29) * 360 AS e
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id, a.event_id AS purchase_id, b.event_id AS error_id,
+         GREATEST(a.s, b.s) AS ov_start, LEAST(a.e, b.e) AS ov_end
+  FROM iv a JOIN iv b
+    ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+  WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(ov_end - ov_start) AS BIGINT) AS overlap_seconds,
+       MIN(purchase_id) AS first_purchase_id
+FROM pairs
+GROUP BY user_id
+ORDER BY user_id
+""",
+))
+
+
+_STAGED_R11.append(QuerySpec(
+    name="events_anomaly_zscore_daily",
+    doc="Daily per-type event-count anomalies against a trailing 7-day "
+        "window, with the z-score test |x-mean| > 2*stddev restated in "
+        "EXACT integer algebra on counts ((7x-sum)^2*(n-1) > "
+        "4*(n*sumsq-sum^2)*n over bigints) — no floating point anywhere, "
+        "so both engines agree bit-for-bit with no rounding boundary. "
+        "Rows flag only with a full 7-day history.",
+    tags=("window", "events", "agg"),
+    sql="""
+SELECT event_type, day, n,
+       CASE WHEN days7 = 7
+                 AND (7 * n - sum7) * (7 * n - sum7) * 6
+                     > 4 * (7 * sumsq7 - sum7 * sum7) * 7
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM (
+  SELECT event_type, day, n,
+         COUNT(*) OVER w AS days7,
+         SUM(n) OVER w AS sum7,
+         SUM(n * n) OVER w AS sumsq7
+  FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+  )
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+ORDER BY event_type, day
+""",
+))
+
+
 SPECS_NEXT = list(_STAGED_R11)
