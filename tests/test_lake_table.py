@@ -1392,6 +1392,27 @@ def test_history_and_changelog_across_expired_versions(spark, tmp_path):
     assert t.changelog(spark, from_version=2).count() == 1
 
 
+def test_shallow_clone_recovers_from_crash_before_pointer_swap(spark, tmp_path):
+    """A clone killed between its v0 write and pointer swap used to
+    brick the destination root (every retry hit CommitConflict while
+    the table stayed unreadable) — the same crashed-create class fixed
+    for create(); the retried clone reclaims the unpointed v0 under the
+    dest commit lock. An EXISTING table still refuses cloning over."""
+    t = LakeTable.create(str(tmp_path / "src"), SCHEMA, keys=["id"])
+    t.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table as lt
+
+    dest_root = str(tmp_path / "clone")
+    # simulate the crash: run the clone, then delete the pointer only
+    t.shallow_clone(dest_root)
+    os.remove(os.path.join(dest_root, lt._CURRENT))
+    c = t.shallow_clone(dest_root)  # retry succeeds via the reclaim
+    assert c.read(spark).count() == 2
+    with pytest.raises(ValueError, match="already a table"):
+        t.shallow_clone(dest_root)
+
+
 def test_manifest_cache_identity_and_invalidation(spark, tmp_path):
     """Published manifests are immutable (write-then-link, never
     rewritten), so the process-wide parse cache keyed on (path, inode,

@@ -492,8 +492,20 @@ class LakeTable:
             },
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
-        dest._write_manifest(manifest)
-        dest._swap_pointer(0)
+        # same publish discipline as create(): reclaim of a CRASHED
+        # clone's v0 (manifest written, pointer never swapped — the
+        # root would otherwise brick on CommitConflict forever) plus
+        # manifest write and pointer swap all under the dest commit
+        # lock, so a concurrent clone to the same dest loses cleanly
+        # at the exclusive-create instead of racing the reclaim
+        with dest._commit_lock():
+            v0_path = os.path.join(dest.root, _SNAPSHOT_DIR, "v000000000000.json")
+            if os.path.exists(v0_path) and not os.path.exists(
+                os.path.join(dest.root, _CURRENT)
+            ):
+                os.remove(v0_path)
+            dest._write_manifest(manifest)
+            dest._swap_pointer(0)
         return dest
 
     @classmethod
