@@ -246,10 +246,36 @@ def contention_sentinel(spark) -> dict:
         "calibration_job": "range(2e8).sum(id % 7)",
         "runs_sec": times,
         "min_sec": min(times),
+        "read_mb_s": _read_sentinel(),
         "loadavg_1m": round(load1, 2),
         "loadavg_5m": round(load5, 2),
         "cpu_count": os.cpu_count(),
     }
+
+
+def _read_sentinel() -> float:
+    """Parquet read-throughput probe (MB/s), the I/O half the CPU
+    calibration job cannot see: round-10 run 3 had CLEAN CPU sentinels
+    (0.207 s) yet every query — including pure-SQL ones untouched that
+    round — ran a uniform 1.1-1.4x slow, an I/O-throughput episode the
+    record could only attribute by cross-referencing per-query history.
+    Reads a fixed fixture through pyarrow (no Spark, no repo code);
+    page-cache warmth makes the absolute number optimistic, but an
+    episode that throttles reads still craters it vs the run-to-run
+    band."""
+    try:
+        import pyarrow.parquet as pq
+
+        p = os.path.join(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "lineitem.parquet",
+        )
+        size_mb = os.path.getsize(p) / 1e6
+        t0 = time.perf_counter()
+        pq.read_table(p)
+        return round(size_mb / (time.perf_counter() - t0), 1)
+    except Exception:
+        return -1.0
 
 
 def main() -> None:
