@@ -30,7 +30,7 @@ SCHEMA = T.StructType(
 )
 
 # op = ("append", [(k, v)...]) | ("delete_cow", k) | ("delete_mor", k)
-#    | ("tag",) | ("expire", keep_last)
+#    | ("tag",) | ("branch",) | ("expire", keep_last)
 ops_strategy = st.lists(
     st.one_of(
         st.tuples(
@@ -43,6 +43,7 @@ ops_strategy = st.lists(
         st.tuples(st.just("delete_cow"), st.integers(0, 6)),
         st.tuples(st.just("delete_mor"), st.integers(0, 6)),
         st.tuples(st.just("tag")),
+        st.tuples(st.just("branch")),
         st.tuples(st.just("rollback")),
         st.tuples(st.just("expire"), st.integers(1, 3)),
     ),
@@ -79,9 +80,10 @@ def test_expiry_interleavings_preserve_pinned_state(
         str(tmp_path_factory.mktemp("exp") / "t"), SCHEMA, keys=["k"]
     )
     model: dict[int, int] = {}
-    pinned: dict[str, dict[int, int]] = {}  # tag name -> state snapshot
+    pinned: dict[str, dict[int, int]] = {}  # ref name -> state snapshot
     expired: set[int] = set()
     n_tags = 0
+    n_branches = 0
     for op in ops:
         kind = op[0]
         if kind == "append":
@@ -102,6 +104,14 @@ def test_expiry_interleavings_preserve_pinned_state(
             name = f"tag{n_tags}"
             n_tags += 1
             t.create_tag(name)
+            pinned[name] = dict(model)
+        elif kind == "branch":
+            # a branch head pins its snapshot exactly like a tag until
+            # the branch moves; nothing writes through it here, so its
+            # recorded state must survive every later expiry
+            name = f"br{n_branches}"
+            n_branches += 1
+            t.create_branch(name)
             pinned[name] = dict(model)
         elif kind == "rollback":
             # roll back to the newest tag when it is still an ancestor
