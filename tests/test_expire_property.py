@@ -18,6 +18,9 @@ from hypothesis import strategies as st
 from pyspark.sql import types as T
 
 from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import LakeTable
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+    SnapshotNotFound,
+)
 from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
     expire_snapshots,
 )
@@ -115,14 +118,16 @@ def test_expiry_interleavings_preserve_pinned_state(
             pinned[name] = dict(model)
         elif kind == "rollback":
             # roll back to the newest tag when it is still an ancestor
-            # of the head; a tag stranded on an abandoned branch makes
-            # rollback_to raise and the model stays put
-            if pinned:
+            # of the head; a tag stranded on an abandoned lineage makes
+            # rollback_to raise (SnapshotNotFound) and the model stays
+            # put. Guard on n_tags, not pinned: branches fill `pinned`
+            # too but are never rollback targets here.
+            if n_tags:
                 name = f"tag{n_tags - 1}"
                 try:
                     t.rollback_to(t.resolve_ref(name))
                     model = dict(pinned[name])
-                except ValueError:
+                except (ValueError, SnapshotNotFound):
                     pass
         elif kind == "expire":
             live_before = {s["version"] for s in t.snapshots()}

@@ -920,11 +920,13 @@ def test_lake_table_sink_files_carry_task_computed_blooms(spark, tmp_path):
     assert len(pruned) < 4
 
 
-def test_lake_stream_resume_past_expired_offset_names_remedy(spark, tmp_path):
-    """A resumed stream whose checkpoint offset predates snapshot expiry
-    cannot replan the expired increments — the reader raises a remedial
-    error naming expire_snapshots and the restart options, not a bare
-    FileNotFoundError from the reaped manifest."""
+def test_lake_stream_expired_history_bootstrap_and_checkpoint_remedy(spark, tmp_path):
+    """Snapshot expiry vs streaming reads: a FRESH stream over a table
+    whose early history was expired bootstraps its first batch from the
+    oldest live snapshot's full state (the promised 'full re-read'
+    actually happens — no infinite error loop), while a RESUMED stream
+    whose checkpoint offset predates expiry raises a remedial error
+    naming expire_snapshots, not a bare FileNotFoundError."""
     from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
         LakeTable,
     )
@@ -945,8 +947,21 @@ def test_lake_stream_resume_past_expired_offset_names_remedy(spark, tmp_path):
     expire_snapshots(t, keep_last=2)  # v1 reaped; v2, v3 live
 
     reader = _LakeStreamReader(t.root, schema, skip_change_commits=False)
+    # fresh stream: bootstrap = v2's FULL file list (2 append files)
+    # + the v3 increment (1 file) — all three rows exactly once
+    parts = reader.partitions({"version": 0}, {"version": t.current_version()})
+    assert len(parts) == 3
+    import pyarrow as pa
+
+    rows = []
+    for p in parts:
+        for batch in reader.read(p):
+            rows.extend(batch.to_pydict()["id"])
+    assert sorted(rows) == [0, 1, 2]
+
+    # resumed checkpoint at the expired offset: remedial error
     with pytest.raises(ValueError, match="expire_snapshots"):
-        reader.partitions({"version": 0}, {"version": t.current_version()})
+        reader.partitions({"version": 1}, {"version": t.current_version()})
     # a resumed offset inside live history still plans normally
     parts = reader.partitions(
         {"version": t.current_version() - 1}, {"version": t.current_version()}

@@ -280,18 +280,35 @@ def _load_manifest_or_none(path: str) -> dict | None:
 
 # Process-wide parsed-manifest cache. Published manifests are IMMUTABLE
 # by construction (_write_manifest links them complete; no code path
-# rewrites a published v{N}.json — crashed-create reclaim DELETES, and
-# the recreate mints a new inode), so a parse keyed on the file's
-# (realpath, inode, mtime_ns, size) identity can never go stale. At
-# 100 TB a manifest holds ~200k file entries (tens of MB of JSON);
-# without this, EVERY schema/keys/properties access and every commit's
-# head re-read re-parses it. Cached dicts are shared read-only objects —
-# commit paths already build fresh dicts rather than mutating the head
-# (pinned by test_manifest_cache_objects_not_mutated).
+# rewrites a published v{N}.json — the ONE rewrite-at-same-path case,
+# crashed-create v0 reclaim, purges the path from this cache under the
+# commit lock), so a parse keyed on the file's (path, inode, mtime_ns,
+# size) identity can never go stale in-process. At 100 TB a manifest
+# holds ~200k file entries (tens of MB of JSON); without this, EVERY
+# schema/keys/properties access and every commit's head re-read
+# re-parses it. Cached dicts are shared read-only objects — commit
+# paths build fresh dicts rather than mutating the head (re-parse
+# equality pinned by test_manifest_cache_identity_and_invalidation).
+# Residual cross-process window: another process's cache entry for a
+# reclaimed-then-recreated v0 collides only if the kernel reuses the
+# inode AND stamps the same coarse-clock mtime_ns AND the manifest
+# bytes are the same length — a sub-millisecond cross-process create
+# retry; the in-process purge covers the realistic (same-process
+# retry) path.
 _MANIFEST_CACHE: "OrderedDict[tuple, dict]" = _collections.OrderedDict()
 _MANIFEST_CACHE_MAX = 64
 _MANIFEST_CACHE_LOCK = _threading.Lock()
 _MANIFEST_MISSING = object()
+
+
+def _purge_manifest_cache(path: str) -> None:
+    """Drop every cache entry for ``path`` — required before a
+    rewrite-at-same-path (crashed-create v0 reclaim): the freed inode is
+    typically reused immediately, so the stat identity alone cannot be
+    trusted to change across remove+recreate."""
+    with _MANIFEST_CACHE_LOCK:
+        for k in [k for k in _MANIFEST_CACHE if k[0] == path]:
+            del _MANIFEST_CACHE[k]
 
 
 def _load_manifest_cached(path: str):
@@ -310,9 +327,23 @@ def _load_manifest_cached(path: str):
             _MANIFEST_CACHE.move_to_end(key)
             metrics.bump("manifest_cache.hit")
             return m
-    m = _load_manifest_or_none(path)
+    try:
+        m = _load_manifest_or_none(path)
+    except FileNotFoundError:
+        # reaped (expiry) between the stat above and the open: walkers
+        # must see "missing", not crash (manifest() raises as usual)
+        return _MANIFEST_MISSING
     if m is None:  # torn: never cache (expiry may reap it)
         return None
+    # re-stat AFTER the read: if the file changed identity mid-read
+    # (stat-then-read TOCTOU against a reclaim/recreate), serve the
+    # parse but never cache it under the stale key
+    try:
+        st2 = os.stat(path)
+    except OSError:
+        return m
+    if (st2.st_ino, st2.st_mtime_ns, st2.st_size) != key[1:]:
+        return m
     metrics.bump("manifest_cache.miss")
     with _MANIFEST_CACHE_LOCK:
         _MANIFEST_CACHE[key] = m
@@ -404,29 +435,36 @@ class LakeTable:
             | ({"keys_unique": True} if keys else {}),
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
-        # The whole create (reclaim -> manifest write -> pointer swap)
-        # runs under the commit lock: the unlocked read-then-delete
-        # reclaim could reap the v0 of a CONCURRENT creator sitting
-        # between its manifest write and pointer swap, after which that
-        # creator's swap published a v0 written by someone else (round-9
-        # advice, medium). Serialized, the loser simply hits
-        # CommitConflict("v0 already exists") below — create is
-        # first-wins, like the exclusive-create it wraps.
-        with t._commit_lock():
-            # crashed-create recovery: a v0 manifest WITHOUT the pointer
-            # file means an earlier create died between manifest write
-            # and pointer swap — v0 was never committed (nothing can
-            # reference it), and leaving it would brick the root: every
-            # retried create hits CommitConflict("v0 already exists")
-            # while the table stays unreadable (no pointer). Reclaim it.
-            v0_path = os.path.join(t.root, _SNAPSHOT_DIR, "v000000000000.json")
+        t._publish_v0(manifest)
+        return t
+
+    def _publish_v0(self, manifest: dict) -> None:
+        """Publish a table's FIRST snapshot (create / shallow_clone):
+        crashed-create reclaim -> manifest write -> pointer swap, all
+        under the commit lock. The unlocked read-then-delete reclaim
+        could reap the v0 of a CONCURRENT creator sitting between its
+        manifest write and pointer swap, after which that creator's
+        swap published a v0 written by someone else (round-9 advice,
+        medium). Serialized, the loser simply hits CommitConflict("v0
+        already exists") — first-wins, like the exclusive-create it
+        wraps.
+
+        The reclaim itself: a v0 manifest WITHOUT the pointer file
+        means an earlier create died between manifest write and
+        pointer swap — v0 was never committed (nothing can reference
+        it), and leaving it would brick the root (every retry hits
+        CommitConflict while the table stays unreadable). The rewrite
+        at the same path must purge the parse cache: the freed inode
+        is reused, so stat identity alone may not change."""
+        with self._commit_lock():
+            v0_path = os.path.join(self.root, _SNAPSHOT_DIR, "v000000000000.json")
             if os.path.exists(v0_path) and not os.path.exists(
-                os.path.join(t.root, _CURRENT)
+                os.path.join(self.root, _CURRENT)
             ):
                 os.remove(v0_path)
-            t._write_manifest(manifest)
-            t._swap_pointer(0)
-        return t
+                _purge_manifest_cache(v0_path)
+            self._write_manifest(manifest)
+            self._swap_pointer(0)
 
     def shallow_clone(self, dest_root: str) -> "LakeTable":
         """Delta ``SHALLOW CLONE`` / Iceberg ``register_table`` parity:
@@ -492,20 +530,7 @@ class LakeTable:
             },
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
-        # same publish discipline as create(): reclaim of a CRASHED
-        # clone's v0 (manifest written, pointer never swapped — the
-        # root would otherwise brick on CommitConflict forever) plus
-        # manifest write and pointer swap all under the dest commit
-        # lock, so a concurrent clone to the same dest loses cleanly
-        # at the exclusive-create instead of racing the reclaim
-        with dest._commit_lock():
-            v0_path = os.path.join(dest.root, _SNAPSHOT_DIR, "v000000000000.json")
-            if os.path.exists(v0_path) and not os.path.exists(
-                os.path.join(dest.root, _CURRENT)
-            ):
-                os.remove(v0_path)
-            dest._write_manifest(manifest)
-            dest._swap_pointer(0)
+        dest._publish_v0(manifest)  # create()'s publish discipline
         return dest
 
     @classmethod

@@ -318,7 +318,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     # race against in-flight commits — finals are born complete now).
     now_tmp = time.time()
     for n in all_entries:
-        if n in names or ".tmp." not in n:
+        if ".tmp." not in n:  # published manifests never contain .tmp.
             continue
         full = os.path.join(snap_dir, n)
         try:
@@ -376,16 +376,21 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     # snapshot keep working after the intermediate history is expired —
     # the snapshot-log Iceberg retains in table metadata.
     if dropped_lineage and not dry_run:
-        lin_path = os.path.join(table.root, _LINEAGE_FILE)
-        merged: dict = {}
-        if os.path.exists(lin_path):
-            with open(lin_path) as f:
-                merged = json.load(f)
-        merged.update({str(k): v for k, v in dropped_lineage.items()})
-        tmp = f"{lin_path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(merged, f)
-        os.replace(tmp, lin_path)
+        # read-merge-write under the commit lock (two concurrent
+        # expiries must not lose each other's edges); the tmp name is
+        # DETERMINISTIC so a crashed expiry's leftover is simply
+        # overwritten by the next run instead of accumulating
+        with table._commit_lock():
+            lin_path = os.path.join(table.root, _LINEAGE_FILE)
+            merged: dict = {}
+            if os.path.exists(lin_path):
+                with open(lin_path) as f:
+                    merged = json.load(f)
+            merged.update({str(k): v for k, v in dropped_lineage.items()})
+            tmp = f"{lin_path}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f)
+            os.replace(tmp, lin_path)
     for n in to_drop:
         p = os.path.join(snap_dir, n)
         if not dry_run and os.path.exists(p):

@@ -52,20 +52,30 @@ def _read_pointer(root: str) -> int:
         return int(f.read().strip())
 
 
-def _read_manifest(root: str, version: int) -> dict:
+def _read_manifest_or_none(root: str, version: int) -> dict | None:
     try:
         with open(os.path.join(root, "_snapshots", f"v{version:012d}.json")) as f:
             return json.load(f)
     except FileNotFoundError:
-        # a resumed stream whose checkpoint offset predates snapshot
+        return None
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    m = _read_manifest_or_none(root, version)
+    if m is None:
+        # a RESUMED stream whose checkpoint offset predates snapshot
         # expiry cannot replan the missing increments — name the remedy
-        # instead of a bare missing-file error
+        # instead of a bare missing-file error. (A fresh stream never
+        # hits this: partitions() bootstraps from the oldest live
+        # state instead.)
         raise ValueError(
             f"lake_table stream needs snapshot v{version} of {root}, "
             "which has been expired (expire_snapshots ran past this "
             "stream's checkpoint offset) — restart from a fresh "
-            "checkpoint (full re-read) or raise the expiry retention"
-        ) from None
+            "checkpoint (the first batch then re-reads the full table "
+            "state) or raise the expiry retention"
+        )
+    return m
 
 
 class LakeStreamDataSource(DataSource):
@@ -145,13 +155,42 @@ class _LakeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         chain: list[dict] = []
+        bootstrap: dict | None = None
         v: int | None = end["version"]
         while v is not None and v > start["version"]:
-            m = _read_manifest(self._root, v)
+            m = _read_manifest_or_none(self._root, v)
+            if m is None:
+                if start["version"] == 0 and chain:
+                    # FRESH stream (initialOffset) over a table whose
+                    # early history was expired: the per-commit
+                    # increments below the reaped version are gone, so
+                    # the first batch BOOTSTRAPS — the oldest live
+                    # snapshot's full file list stands in for all of
+                    # them (exactly the table state at that version),
+                    # and higher commits stream incrementally as usual.
+                    bootstrap = chain[-1]
+                    break
+                _read_manifest(self._root, v)  # raises the remedial error
             chain.append(m)
             v = m["parent"]
         chain.reverse()
         parts: list[_FilePartition] = []
+        if bootstrap is not None:
+            chain.remove(bootstrap)
+            if bootstrap.get("delete_files"):
+                raise ValueError(
+                    f"lake_table stream bootstrap at v{bootstrap['version']} "
+                    "of a table carrying row-level delete files would "
+                    "resurrect deleted rows on a raw file read — compact "
+                    "(rewrite-deletes) first, or use the batch read"
+                )
+            for fmeta in bootstrap["files"]:
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self._root, fmeta["path"]),
+                        self._arrow_schema,
+                    )
+                )
         for m in chain:
             op = m["summary"].get("operation")
             if op in _MAINTENANCE_OPS:
