@@ -78,6 +78,89 @@ def test_merge_upsert_delete(spark, table):
     assert rows[2]["val"] == 20.0
 
 
+def test_merge_null_op_value_is_not_a_delete(spark, table):
+    """A matched source row whose op_col is NULL (malformed CDC
+    metadata) must behave like the native backend's WHEN MATCHED AND
+    op='delete' — the branch simply doesn't fire and the row UPDATES.
+    The un-coalesced three-valued predicate used to null the keep
+    filter and silently DELETE the matched target row, and drop the
+    row from the fast-path insert too (review round 10)."""
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    src = spark.createDataFrame(
+        [(2, "b", 20.0, None), (4, "d", 4.0, None)],
+        schema="id int, cat string, val double, operation string",
+    )
+    merge_into(table, src, on=["id"], op_col="operation")
+    rows = {r["id"]: r["val"] for r in table.read(spark).collect()}
+    # matched NULL-op row updated (not deleted); unmatched one inserted
+    assert rows == {1: 1.0, 2: 20.0, 4: 4.0}
+
+
+def test_merge_null_key_updates_in_place(spark, tmp_path):
+    """Null-safe end to end: a NULL-key source row must UPDATE the
+    existing NULL-key target row (native ON t.k <=> s.k semantics),
+    not double-insert. The probe semi-join was null-unsafe and the
+    min/max stats pruning ignored NULLs, so the null-key target file
+    went unprobed (review round 10)."""
+    nsch = T.StructType([
+        T.StructField("id", T.IntegerType(), True),
+        T.StructField("cat", T.StringType(), True),
+        T.StructField("val", T.DoubleType(), True),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), nsch, keys=["id"])
+    t.append(spark.createDataFrame([(1, "a", 1.0), (None, "n", 5.0)], nsch))
+    src = spark.createDataFrame(
+        [(None, "n", 50.0, "update"), (1, "a", 10.0, "update")],
+        schema="id int, cat string, val double, operation string",
+    )
+    merge_into(t, src, on=["id"], op_col="operation")
+    rows = sorted(
+        ((r["id"], r["val"]) for r in t.read(spark).collect()),
+        key=lambda x: (x[0] is None, x[0] or 0),
+    )
+    assert rows == [(1, 10.0), (None, 50.0)]
+
+
+def test_merge_update_cols_validated_like_native(spark, table):
+    """A misspelled update_cols entry raises (native-backend parity)
+    instead of silently no-opping the whole matched update."""
+    table.append(_mk(spark, [(1, "a", 1.0)]))
+    src = spark.createDataFrame(
+        [(1, "a", 2.0)], schema="id int, cat string, val double"
+    )
+    with pytest.raises(ValueError, match="update_cols not in table schema"):
+        merge_into(table, src, on=["id"], update_cols=["vall"])
+
+
+def test_merge_empty_source_is_a_no_op(spark, table):
+    """A zero-row source (idle streaming trigger) neither probes the
+    table nor burns a snapshot version; with extra_summary it commits
+    metadata-only; NOT MATCHED BY SOURCE keeps its sync-to-empty
+    semantics."""
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    head = table.current_version()
+    empty = spark.createDataFrame(
+        [], schema="id int, cat string, val double, operation string"
+    )
+    assert merge_into(table, empty, on=["id"], op_col="operation") == head
+    assert table.current_version() == head  # no version burned
+
+    v = merge_into(
+        table, empty.drop("operation"), on=["id"],
+        extra_summary={"batch_id": 7},
+    )
+    assert v == head + 1  # metadata-only commit carries the summary
+    assert table.manifest()["summary"]["batch_id"] == 7
+    assert table.read(spark).count() == 2
+
+    # sync-to-empty still deletes everything
+    merge_into(
+        table, empty.drop("operation"), on=["id"],
+        not_matched_by_source_delete=True,
+    )
+    assert table.read(spark).count() == 0
+
+
 def test_merge_requires_unique_source(spark, table):
     table.append(_mk(spark, [(1, "a", 1.0)]))
     src = spark.createDataFrame(

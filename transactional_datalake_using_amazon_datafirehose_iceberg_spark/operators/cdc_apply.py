@@ -141,26 +141,15 @@ def apply_batch(
         and not stale_guard
         and hasattr(table, "delete_by_keys_mor")
     ):
-        from ..plans.lake_table import Predicate
-        from ..plans.merge import _rangeable_key
+        from ..plans.merge import source_key_stats
 
         deletes = latest.filter(F.col("operation") == "delete")
         # one fused aggregate answers "any deletes?" AND the key range
-        # for manifest pruning (was two separate jobs per micro-batch)
-        range_key = _rangeable_key(deletes, keys)
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        if range_key:
-            aggs += [F.min(range_key).alias("__lo"), F.max(range_key).alias("__hi")]
-        stats = deletes.agg(*aggs).collect()[0]
-        if stats["__n"] > 0:
-            preds = (
-                [
-                    Predicate(range_key, ">=", stats["__lo"]),
-                    Predicate(range_key, "<=", stats["__hi"]),
-                ]
-                if range_key and stats["__lo"] is not None
-                else []
-            )
+        # for manifest pruning (was two separate jobs per micro-batch);
+        # shared with merge_into so the pruning contract (rangeable
+        # dtypes, NULL-key pruning disable) cannot drift
+        preds, n_deletes = source_key_stats(deletes, keys)
+        if n_deletes > 0:
             table.delete_by_keys_mor(
                 typed.sparkSession,
                 deletes.select(*keys),

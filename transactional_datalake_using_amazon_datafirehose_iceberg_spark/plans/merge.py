@@ -222,6 +222,12 @@ def _merge_into_cow(
                     pass  # not a widening: the rewrite's cast handles it
     schema = table.schema
     data_cols = [f.name for f in schema.fields]
+    if update_cols is not None:
+        # same contract as the native backend (iceberg_compat.merge_sql):
+        # a misspelled column must raise, not silently no-op the update
+        unknown = [c for c in update_cols if c not in data_cols]
+        if unknown:
+            raise ValueError(f"update_cols not in table schema: {unknown}")
 
     needed = keys + ([op_col] if op_col else [])
     src = source.select(*dict.fromkeys(data_cols + [c for c in needed if c not in data_cols]))
@@ -233,6 +239,15 @@ def _merge_into_cow(
     key_preds: list[Predicate] = []
     range_key = _rangeable_key(src, keys)
     src_rows: int | None = None  # rides the fused agg; sizes the write
+    # NULL-key flag rides the same fused aggregate: min/max stats ignore
+    # NULLs, so a source batch carrying a NULL range key must disable
+    # stats pruning (a null-key target file would otherwise be skipped
+    # and the null-safe rewrite never sees its row — duplicate insert)
+    null_rk = (
+        F.max(F.when(F.col(range_key).isNull(), 1).otherwise(0)).alias("__nrk")
+        if range_key
+        else None
+    )
     if assume_unique:
         # dedup already guaranteed (D4): plain min/max agg, no groupBy
         # shuffle; composite/unordered keys need no source job at all
@@ -243,32 +258,68 @@ def _merge_into_cow(
                 F.min(range_key).alias("__lo"),
                 F.max(range_key).alias("__hi"),
                 F.count(F.lit(1)).alias("__n"),
+                null_rk,
             ).collect()
             src_rows = stats[0]["__n"]
     else:
         aggs = [F.max("count").alias("__mx"), F.sum("count").alias("__n")]
         if range_key:
-            aggs += [F.min(range_key).alias("__lo"), F.max(range_key).alias("__hi")]
+            aggs += [
+                F.min(range_key).alias("__lo"),
+                F.max(range_key).alias("__hi"),
+                null_rk,
+            ]
         stats = src.groupBy(*keys).count().agg(*aggs).collect()
-        src_rows = stats[0]["__n"]
+        src_rows = stats[0]["__n"] or 0
         if stats[0]["__mx"] is not None and stats[0]["__mx"] > 1:
             raise MergeSourceNotUnique(
                 f"MERGE source has duplicate keys on {keys}; run latest-per-key "
                 "dedup (cdc_apply.collapse_latest_per_key) first"
             )
-    if range_key and stats[0]["__lo"] is not None:
+    stat0 = stats[0].asDict() if hasattr(stats[0], "asDict") else stats[0]
+    if (
+        range_key
+        and stat0["__lo"] is not None
+        and not stat0.get("__nrk")
+    ):
         key_preds = [
-            Predicate(range_key, ">=", stats[0]["__lo"]),
-            Predicate(range_key, "<=", stats[0]["__hi"]),
+            Predicate(range_key, ">=", stat0["__lo"]),
+            Predicate(range_key, "<=", stat0["__hi"]),
         ]
 
+    # ---- empty-batch early exit ------------------------------------------
+    # a zero-row source (idle streaming trigger) must not probe-scan the
+    # table or burn a snapshot version. Exceptions: NOT MATCHED BY SOURCE
+    # clauses give an empty source real semantics (sync-to-empty), and a
+    # caller-provided extra_summary still needs a (metadata-only) commit.
+    if (
+        src_rows == 0
+        and not not_matched_by_source_delete
+        and not not_matched_by_source_update
+    ):
+        if extra_summary is None:
+            return table.current_version()
+        return table.commit(
+            [], operation="merge",
+            extra_summary={"matched_files": 0, **extra_summary},
+        )
+
+    # NULL op value (malformed CDC metadata) must read as "not a
+    # delete", never as three-valued NULL: an un-coalesced NULL gate
+    # silently dropped the row from the fast-path insert filter AND
+    # deleted the matched target row in the rewrite's keep predicate —
+    # while the native backend's WHEN MATCHED AND op='delete' branch
+    # simply doesn't fire (review round 10)
     is_delete = (
-        F.col(op_col) == F.lit(delete_value) if op_col else F.lit(False)
+        F.coalesce(F.col(op_col) == F.lit(delete_value), F.lit(False))
+        if op_col
+        else F.lit(False)
     )
 
     # ---- 2. find touched files (manifest-stats prune + semi join) --------
     # zero candidate files after pruning (empty table, or the source key
     # range misses every file) -> skip the probe job entirely
+    touched_bytes_hint: int | None = None
     if not_matched_by_source_delete or not_matched_by_source_update:
         # a to-be-deleted/updated (not-in-source) row can live in ANY
         # file, even one outside the source key range: every file is
@@ -283,8 +334,10 @@ def _merge_into_cow(
     elif (
         key_preds  # real key-range pruning happened (rangeable key)
         and src_rows  # known NON-EMPTY source (an empty batch must not rewrite)
-        and table._manifest_bytes_of(
-            cand_rel := sorted(table._relpath(p) for p in cand_paths)
+        and (
+            cand_bytes := table._manifest_bytes_of(
+                cand_rel := sorted(table._relpath(p) for p in cand_paths)
+            )
         )
         <= _PROBE_SKIP_BYTES
     ):
@@ -300,15 +353,27 @@ def _merge_into_cow(
         # non-empty source. At scale the candidates of a real merge
         # exceed the byte threshold and the probe earns its keep.
         touched_rel = cand_rel
+        touched_bytes_hint = cand_bytes  # already in hand from the gate
         metrics.bump("merge.probe_skip_small")
     else:
         metrics.bump("merge.probe_job")
         src_keys = src.select(*keys).distinct()
         tgt = table.read(spark, predicates=key_preds, with_file_path=True)
         probe = F.broadcast(src_keys) if broadcast_source else src_keys
+        # NULL-SAFE probe, same as the rewrite join and the native
+        # backend's ON t.k <=> s.k: a plain on=keys semi-join drops a
+        # null-key match, the file goes unprobed, and the source row
+        # double-inserts instead of updating (review round 10). <=> is
+        # still a hash-joinable equi-condition — same plan shape.
+        probe = probe.select(
+            *[F.col(k).alias(f"__p_{k}") for k in keys]
+        )
+        cond = [
+            F.col(k).eqNullSafe(F.col(f"__p_{k}")) for k in keys
+        ]
         touched = [
             r["_file"]
-            for r in tgt.join(probe, on=keys, how="left_semi")
+            for r in tgt.join(probe, on=cond, how="left_semi")
             .select("_file")
             .distinct()
             .collect()
@@ -352,8 +417,13 @@ def _merge_into_cow(
 
     src_present = F.col("s.__src").isNotNull()
     tgt_present = F.col("t.__tgt").isNotNull()
+    # coalesce: NULL op = not a delete (see is_delete above); an
+    # un-coalesced NULL here nulled the keep predicate and the filter
+    # DELETED the matched target row
     src_is_delete = (
-        (F.col(f"s.{op_col}") == F.lit(delete_value)) if op_col else F.lit(False)
+        F.coalesce(F.col(f"s.{op_col}") == F.lit(delete_value), F.lit(False))
+        if op_col
+        else F.lit(False)
     )
     # WHEN MATCHED [AND cond] THEN UPDATE: a matched row failing the
     # condition keeps its target values; inserts (no target row) always
@@ -406,7 +476,11 @@ def _merge_into_cow(
 
     # rewrite volume = the touched files' manifest bytes (exact, already
     # in hand) plus the source's insert contribution (estimated)
-    touched_bytes = table._manifest_bytes_of(touched_rel)
+    touched_bytes = (
+        touched_bytes_hint
+        if touched_bytes_hint is not None
+        else table._manifest_bytes_of(touched_rel)
+    )
     added = table._write_files(
         result, size_hint_bytes=touched_bytes + (src_bytes or 0)
     )
@@ -416,6 +490,34 @@ def _merge_into_cow(
         operation="merge",
         extra_summary={"matched_files": len(touched_rel), **(extra_summary or {})},
     )
+
+
+def source_key_stats(
+    src: DataFrame, keys: list[str]
+) -> tuple[list[Predicate], int]:
+    """ONE fused aggregate over a merge/delete source: row count plus —
+    when the key is single, orderable and NULL-free in this batch — the
+    min/max manifest-pruning predicate pair. Shared by merge_into-style
+    callers (cdc_apply's MOR delete probe) so the pruning contract
+    (rangeable dtypes, NULL-key pruning disable) lives in one place."""
+    range_key = _rangeable_key(src, keys)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if range_key:
+        aggs += [
+            F.min(range_key).alias("__lo"),
+            F.max(range_key).alias("__hi"),
+            F.max(
+                F.when(F.col(range_key).isNull(), 1).otherwise(0)
+            ).alias("__nrk"),
+        ]
+    s = src.agg(*aggs).collect()[0]
+    preds: list[Predicate] = []
+    if range_key and s["__lo"] is not None and not s["__nrk"]:
+        preds = [
+            Predicate(range_key, ">=", s["__lo"]),
+            Predicate(range_key, "<=", s["__hi"]),
+        ]
+    return preds, int(s["__n"])
 
 
 def _rangeable_key(src: DataFrame, keys: list[str]) -> str | None:
