@@ -1496,6 +1496,112 @@ def test_shallow_clone_recovers_from_crash_before_pointer_swap(spark, tmp_path):
         t.shallow_clone(dest_root)
 
 
+def test_commit_rejects_removing_files_already_rewritten(spark, table):
+    """RewriteFiles validation (Iceberg parity): a COW rewrite that lost
+    a race to a concurrent rewrite of the same files must raise
+    CommitConflict, not commit survivors that duplicate the winner's
+    rows and resurrect the rows it meant to drop (review round 10)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+    )
+
+    table.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    doomed = [table._relpath(p) for p in table.file_paths()]
+    # winner: a compaction-style rewrite replaces the file
+    new_meta = table._write_files(table.read(spark))
+    table.commit(new_meta, removed_paths=doomed, operation="compact")
+    # loser: tries to remove the same (now-gone) files
+    with pytest.raises(CommitConflict, match="no longer live"):
+        table.commit(
+            table._write_files(table.read(spark).filter("id = 1")),
+            removed_paths=doomed,
+            operation="delete",
+        )
+
+
+def test_mor_delete_null_key_and_eq_delete_coexistence(spark, tmp_path):
+    """delete_by_keys_mor must hit a NULL-key row (null-safe probe,
+    pruning disabled when the batch carries a NULL key) — matching the
+    COW MERGE semantics — and must not misread pending equality-delete
+    parquets as (file, pos) tuples (review round 10)."""
+    nsch = T.StructType([
+        T.StructField("id", T.IntegerType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    t = LakeTable.create(
+        str(tmp_path / "t"), nsch, keys=["id"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame([(1, 1.0), (None, 5.0), (3, 3.0)], nsch))
+    # a pending equality delete whose parquet has non-(file,pos) columns
+    t.delete_eq([{"id": 3}])
+    t.delete_by_keys_mor(
+        spark, spark.createDataFrame([(None,)], "id int"), ["id"]
+    )
+    rows = [r["id"] for r in t.read(spark).collect()]
+    assert rows == [1]  # NULL-key row deleted; eq-deleted row gone too
+
+
+def test_rename_column_works_after_expiry(spark, tmp_path):
+    """The used-physical-names guard sweeps LIVE snapshots instead of
+    walking the head's parent chain — rename_column used to crash with
+    SnapshotNotFound on the first expired ancestor (review round 10),
+    and the guard still rejects a name recorded in a live rename
+    chain."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    for i in range(4):
+        t.append(_mk(spark, [(i, "x", float(i))]))
+    t.rename_column("val", "amount")
+    expire_snapshots(t, keep_last=1)
+    v = t.rename_column("amount", "price")  # no crash after expiry
+    assert v == t.current_version()
+    with pytest.raises(ValueError, match="used by an earlier schema"):
+        t.rename_column("price", "val")  # former name still guarded
+    assert sorted(r["price"] for r in t.read(spark).collect()) == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_shallow_clone_refuses_pending_mor_deletes(spark, tmp_path):
+    """Borrowed position deletes cannot apply on the clone (source-
+    relative file coordinates never match borrowed paths) — the clone
+    would silently resurrect deleted rows, so shallow_clone refuses and
+    names the remedy (review round 10)."""
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    t.append(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.delete_eq([{"id": 2}])
+    with pytest.raises(ValueError, match="rewrite_deletes"):
+        t.shallow_clone(str(tmp_path / "c"))
+    # after the delete-file rewrite the clone proceeds and reads clean
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        rewrite_delete_files,
+    )
+
+    rewrite_delete_files(spark, t)
+    c = t.shallow_clone(str(tmp_path / "c"))
+    assert sorted(r["id"] for r in c.read(spark).collect()) == [1]
+
+
+def test_version_as_of_timestamp_expired_history_error(spark, tmp_path):
+    """TIMESTAMP AS OF older than live history names expiry in its
+    error instead of a bare missing-version (review round 10)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        SnapshotNotFound,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.maintenance import (
+        expire_snapshots,
+    )
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, keys=["id"])
+    for i in range(3):
+        t.append(_mk(spark, [(i, "x", float(i))]))
+    expire_snapshots(t, keep_last=1)
+    with pytest.raises(SnapshotNotFound, match="expire_snapshots"):
+        t.version_as_of_timestamp("2000-01-01T00:00:00")
+
+
 def test_manifest_cache_identity_and_invalidation(spark, tmp_path):
     """Published manifests are immutable (write-then-link, never
     rewritten), so the process-wide parse cache keyed on (path, inode,

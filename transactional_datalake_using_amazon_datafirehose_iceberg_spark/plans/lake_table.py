@@ -169,9 +169,33 @@ def _bloom_build(values: set) -> dict:
     return {"m": m_bits, "k": _BLOOM_K, "bits": base64.b64encode(bytes(bits)).decode()}
 
 
+# decoded-bitset memo keyed by the base64 payload (CPython caches a
+# str's hash after first use, so repeat lookups are cheap): an IN-list
+# point prune evaluates O(files x values) probes, and re-decoding the
+# same file's up-to-~80 KB bitset per probe dwarfed the scan the prune
+# saves (review round 10). Bounded LRU; shares the manifest-cache lock.
+_BLOOM_BITS_MEMO: "OrderedDict[str, bytes]" = _collections.OrderedDict()
+_BLOOM_BITS_MEMO_MAX = 4096
+
+
+def _bloom_bits(bloom: dict) -> bytes:
+    s = bloom["bits"]
+    with _MANIFEST_CACHE_LOCK:
+        b = _BLOOM_BITS_MEMO.get(s)
+        if b is not None:
+            _BLOOM_BITS_MEMO.move_to_end(s)
+            return b
+    b = base64.b64decode(s)
+    with _MANIFEST_CACHE_LOCK:
+        _BLOOM_BITS_MEMO[s] = b
+        while len(_BLOOM_BITS_MEMO) > _BLOOM_BITS_MEMO_MAX:
+            _BLOOM_BITS_MEMO.popitem(last=False)
+    return b
+
+
 def _bloom_may_contain(bloom: dict, v: Any) -> bool:
     m_bits = bloom["m"]
-    bits = base64.b64decode(bloom["bits"])
+    bits = _bloom_bits(bloom)
     h1, h2 = _bloom_hashes(v)
     for i in range(int(bloom.get("k", _BLOOM_K))):
         b = (h1 + i * h2) % m_bits
@@ -486,6 +510,19 @@ class LakeTable:
         source's ledger would silently drop the first replayed batches
         of a re-pointed stream."""
         cur = self.manifest()
+        if cur.get("delete_files"):
+            # Borrowed merge-on-read deletes cannot apply on the clone:
+            # a position-delete parquet's 'file' column holds SOURCE-
+            # root-relative paths that never match the clone's borrowed
+            # (outside-root) data-file coordinates, so the deleted rows
+            # would silently RESURRECT on the clone while total_rows
+            # still subtracts them. Delta materializes deletion vectors
+            # on CLONE; the equivalent here is one delete-file rewrite.
+            raise ValueError(
+                "shallow_clone of a table with pending merge-on-read "
+                "delete files would resurrect deleted rows on the clone "
+                "— run maintenance.rewrite_deletes (or compact) first"
+            )
         dest = LakeTable(dest_root)
         if os.path.exists(os.path.join(dest.root, _CURRENT)):
             raise ValueError(f"destination already a table: {dest.root}")
@@ -520,7 +557,7 @@ class LakeTable:
                 else {}
             ),
             "files": [_borrow(f) for f in cur["files"]],
-            "delete_files": [_borrow(d) for d in cur.get("delete_files", [])],
+            "delete_files": [],  # pending MOR deletes refuse above
             "summary": {
                 "operation": "shallow-clone",
                 "source_root": self.root,
@@ -1265,6 +1302,30 @@ class LakeTable:
         preserves_key_uniqueness: bool | None = None,
     ) -> int:
         cur = self.manifest()
+        # RewriteFiles validation (Iceberg parity): every file this
+        # commit removes must still be LIVE in the re-read head. A COW
+        # rewrite (delete/update/merge/compact) that lost a race to a
+        # concurrent rewrite of the same files would otherwise commit
+        # silently — its survivors re-append rows the winner already
+        # carried (duplicates) and the rows it meant to drop live on in
+        # the winner's output (resurrection). Raising CommitConflict
+        # sends the caller back to re-plan against the new head, which
+        # is exactly what the optimistic-retry loops do.
+        live_now = {f["path"] for f in cur["files"]}
+        gone = removed - live_now
+        if gone:
+            raise CommitConflict(
+                f"{operation} removes files no longer live at head "
+                f"v{cur['version']} (a concurrent rewrite won): "
+                f"{sorted(gone)[:3]}"
+            )
+        live_dels = {d["path"] for d in cur.get("delete_files", [])}
+        gone_dels = removed_del - live_dels
+        if gone_dels:
+            raise CommitConflict(
+                f"{operation} removes delete files no longer live at "
+                f"head v{cur['version']}: {sorted(gone_dels)[:3]}"
+            )
         kept = [f for f in cur["files"] if f["path"] not in removed]
         files = kept + added
         # validateDataFilesExist: every data file a new position-delete
@@ -2263,13 +2324,23 @@ class LakeTable:
         # may actually hold a doomed row — the point-lookup pruning this
         # delete path exists for
         extra_preds: list[Predicate] = []
+        has_null_key = False
         if len(keys) == 1:
             kvals = [
                 r[0] for r in keys_df.select(keys[0]).distinct().limit(10001).collect()
             ]
-            if 0 < len(kvals) <= 10000:
+            # blooms and min/max stats exclude NULLs: a NULL-key delete
+            # row would prune away the very file holding the NULL-key
+            # target, so ANY null in the batch disables pruning (and the
+            # semi-join below goes null-safe) — the same null contract
+            # as merge_into's probe
+            has_null_key = any(v is None for v in kvals)
+            kvals = [v for v in kvals if v is not None]
+            if 0 < len(kvals) <= 10000 and not has_null_key:
                 extra_preds = [Predicate(keys[0], "in", tuple(kvals))]
-        cand = self.file_paths(predicates=[*(predicates or []), *extra_preds])
+        cand = self.file_paths(
+            predicates=None if has_null_key else [*(predicates or []), *extra_preds]
+        )
         if not cand:
             return self.current_version()
         m = self.manifest()
@@ -2283,15 +2354,28 @@ class LakeTable:
             self._rel_file_col(scan).alias("__file"),
             self._row_index_col(scan).alias("__pos"),
         )
-        dels = m.get("delete_files", [])
+        # position-delete files ONLY: an equality-delete parquet's
+        # columns are the eq key tuple, not (file, pos) — reading it
+        # under this schema is wasted I/O at best and misread positions
+        # at worst (same kind filter as _apply_position_deletes)
+        dels = [
+            d for d in m.get("delete_files", [])
+            if d.get("kind") != "equality"
+        ]
         if dels:
             del_paths = [os.path.join(self.root, d["path"]) for d in dels]
             existing = spark.read.schema("file string, pos long").parquet(*del_paths).select(
                 F.col("file").alias("__file"), F.col("pos").alias("__pos")
             )
             df = df.join(F.broadcast(existing), ["__file", "__pos"], "left_anti")
+        # null-safe semi-join (t.k <=> s.k): a NULL-key delete must hit
+        # the NULL-key row, matching the COW path's MERGE semantics
+        probe = keys_df.select(
+            *[F.col(k).alias(f"__d_{k}") for k in keys]
+        ).distinct()
+        cond = [F.col(k).eqNullSafe(F.col(f"__d_{k}")) for k in keys]
         hits = (
-            df.join(F.broadcast(keys_df.select(*keys).distinct()), on=keys, how="left_semi")
+            df.join(F.broadcast(probe), on=cond, how="left_semi")
             .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
             .orderBy("file", "pos")
         )
@@ -2541,15 +2625,25 @@ class LakeTable:
         if new in names:
             raise ValueError(f"column already exists: {new}")
         renames = {k: list(v) for k, v in cur.get("renames", {}).items()}
+        # sweep every LIVE snapshot (not the head's parent chain): the
+        # chain walk crashed on the first EXPIRED ancestor after
+        # expire_snapshots, bricking rename forever (review round 10).
+        # Live manifests suffice — a file can only be referenced by a
+        # live manifest, and that manifest's schema + rename chain
+        # records every physical name its files may carry; the sweep
+        # also covers branch/rolled-back lineages the chain missed.
         used_physical = set()
-        v: int | None = cur["version"]
-        while v is not None:
-            anc = self.manifest(v)
+        snap_dir = os.path.join(self.root, _SNAPSHOT_DIR)
+        for fname in os.listdir(snap_dir):
+            if not _is_manifest_name(fname):
+                continue
+            anc = _load_manifest_cached(os.path.join(snap_dir, fname))
+            if anc is None or anc is _MANIFEST_MISSING:
+                continue
             anc_schema = T.StructType.fromJson(json.loads(anc["schema"]))
             used_physical.update(f.name for f in anc_schema.fields)
             for formers in anc.get("renames", {}).values():
                 used_physical.update(formers)
-            v = anc["parent"]
         if new in used_physical:
             raise ValueError(
                 f"cannot rename to {new!r}: the name was used by an earlier "
@@ -2594,7 +2688,18 @@ class LakeTable:
         best: int | None = None
         v: int | None = self.current_version()
         while v is not None:
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except SnapshotNotFound:
+                # the walk crossed into EXPIRED history: every older
+                # lineage snapshot is at-or-before an even older ts, so
+                # nothing readable remains — name expiry, not a bare
+                # missing-version error
+                raise SnapshotNotFound(
+                    f"no readable snapshot at or before {ts} on the "
+                    f"current lineage: history at and below v{v} was "
+                    "removed by expire_snapshots"
+                ) from None
             if m.get("created", "") <= ts:
                 best = v
                 break  # ancestry is chronological: first hit is newest
@@ -2641,7 +2746,13 @@ class LakeTable:
                 "operation": "set-cluster-by",
                 "cluster_by": ",".join(cols),
                 "total_rows": sum(f["rows"] for f in cur["files"])
-                - sum(d["rows"] for d in cur.get("delete_files", [])),
+                # position deletes only — equality deletes need a scan
+                # to count matches (same contract as row_count)
+                - sum(
+                    d["rows"]
+                    for d in cur.get("delete_files", [])
+                    if d.get("kind", "position") != "equality"
+                ),
                 **carried,
             },
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
@@ -2712,7 +2823,13 @@ class LakeTable:
             "summary": {
                 **summary,
                 "total_rows": sum(f["rows"] for f in cur["files"])
-                - sum(d["rows"] for d in cur.get("delete_files", [])),
+                # position deletes only — equality deletes need a scan
+                # to count matches (same contract as row_count)
+                - sum(
+                    d["rows"]
+                    for d in cur.get("delete_files", [])
+                    if d.get("kind", "position") != "equality"
+                ),
                 **carried,
             },
             "created": _dt.datetime.now(_dt.timezone.utc).isoformat(),
