@@ -967,3 +967,106 @@ def test_lake_stream_expired_history_bootstrap_and_checkpoint_remedy(spark, tmp_
         {"version": t.current_version() - 1}, {"version": t.current_version()}
     )
     assert len(parts) == 1
+
+
+def test_lake_stream_mor_delete_is_a_change_commit(spark, tmp_path):
+    """A merge-on-read DELETE commit (added=0, removed=0, NEW position-
+    delete file) is a row-level CHANGE: the stream must raise without
+    skipChangeCommits — it used to be misclassified as metadata-only
+    and silently skipped, diverging the stream from the table
+    (review round 10)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _LakeStreamReader,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("val", T.DoubleType(), True),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, keys=["id"])
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], schema))
+    t.delete_by_keys_mor(spark, spark.createDataFrame([(2,)], "id int"), ["id"])
+
+    reader = _LakeStreamReader(t.root, schema, skip_change_commits=False)
+    with pytest.raises(ValueError, match="non-append commit"):
+        reader.partitions({"version": 1}, {"version": t.current_version()})
+    # with the opt-in, the delete commit is skipped whole
+    skip = _LakeStreamReader(t.root, schema, skip_change_commits=True)
+    assert skip.partitions(
+        {"version": 1}, {"version": t.current_version()}
+    ) == []
+
+
+def test_lake_stream_fresh_over_shallow_clone_emits_v0(spark, tmp_path):
+    """A fresh stream over a shallow clone must emit the clone's v0
+    (the full borrowed file set) — the old walk stopped above v0 and
+    the entire cloned dataset silently never streamed (review r10)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _LakeStreamReader,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("val", T.DoubleType(), True),
+    ])
+    t = LakeTable.create(str(tmp_path / "src"), schema, keys=["id"])
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], schema))
+    c = t.shallow_clone(str(tmp_path / "clone"))
+    c.append(spark.createDataFrame([(3, 3.0)], schema))
+
+    reader = _LakeStreamReader(c.root, schema, skip_change_commits=False)
+    parts = reader.partitions(
+        reader.initialOffset(), {"version": c.current_version()}
+    )
+    rows = []
+    for p in parts:
+        for batch in reader.read(p):
+            rows.extend(batch.to_pydict()["id"])
+    assert sorted(rows) == [1, 2, 3]  # borrowed v0 data + the increment
+
+
+def test_lake_stream_read_honors_renames_and_defaults(spark, tmp_path):
+    """Executor reads resolve a file's FORMER physical column names and
+    fill initial defaults for files predating the defaulted column —
+    batch _scan parity; the plain name-match read streamed all-NULL
+    columns for both cases (review round 10)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _LakeStreamReader,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("amount", T.DoubleType(), True),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, keys=["id"])
+    t.append(spark.createDataFrame([(1, 10.0)], schema))
+    t.rename_column("amount", "price")
+    t.add_column("region", T.StringType(), default="emea")
+    t.append(
+        spark.createDataFrame(
+            [(2, 20.0, "apac")], "id int, price double, region string"
+        )
+    )
+
+    cur_schema = t.schema
+    reader = _LakeStreamReader(t.root, cur_schema, skip_change_commits=False)
+    parts = reader.partitions(
+        reader.initialOffset(), {"version": t.current_version()}
+    )
+    got = {}
+    for p in parts:
+        for batch in reader.read(p):
+            d = batch.to_pydict()
+            for i, rid in enumerate(d["id"]):
+                got[rid] = (d["price"][i], d["region"][i])
+    # file 1 physically stores 'amount' and predates 'region'
+    assert got == {1: (10.0, "emea"), 2: (20.0, "apac")}

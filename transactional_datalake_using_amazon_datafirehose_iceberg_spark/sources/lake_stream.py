@@ -43,21 +43,36 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-_APPEND_OPS = {"append", "merge"}
+# create/shallow-clone are append-shaped: v0 carries the initial file
+# set (empty for create, the borrowed snapshot for a clone) and a fresh
+# stream must emit it — the old walk stopped ABOVE v0 and a clone's
+# entire dataset silently never streamed (review round 10)
+_APPEND_OPS = {"append", "merge", "create", "shallow-clone"}
 _MAINTENANCE_OPS = {"compact", "zorder", "rewrite-deletes"}
 
 
 def _read_pointer(root: str) -> int:
-    with open(os.path.join(root, "_current")) as f:
-        return int(f.read().strip())
+    # LakeTable handles both pointer bodies (bare int / JSON ref) and
+    # stays the single place pointer semantics live
+    from ..plans.lake_table import LakeTable
+
+    return LakeTable(root).current_version()
 
 
 def _read_manifest_or_none(root: str, version: int) -> dict | None:
-    try:
-        with open(os.path.join(root, "_snapshots", f"v{version:012d}.json")) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        return None
+    # route through the shared parse cache: torn-manifest detection for
+    # free, and a stream replanning every micro-batch stops re-parsing
+    # the same manifests from disk
+    from ..plans.lake_table import (
+        _MANIFEST_MISSING,
+        _SNAPSHOT_DIR,
+        _load_manifest_cached,
+    )
+
+    m = _load_manifest_cached(
+        os.path.join(root, _SNAPSHOT_DIR, f"v{version:012d}.json")
+    )
+    return None if m is None or m is _MANIFEST_MISSING else m
 
 
 def _read_manifest(root: str, version: int) -> dict:
@@ -133,9 +148,14 @@ class LakeStreamDataSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, arrow_schema):
+    def __init__(self, abs_path: str, arrow_schema,
+                 renames: dict | None = None, fills: dict | None = None):
         self.abs_path = abs_path
         self.arrow_schema = arrow_schema  # pyarrow schemas pickle fine
+        # current logical name -> former physical names (rename chain)
+        self.renames = renames or {}
+        # column -> initial-default value for columns this file predates
+        self.fills = fills or {}
 
 
 class _LakeStreamReader(DataSourceStreamReader):
@@ -148,7 +168,10 @@ class _LakeStreamReader(DataSourceStreamReader):
 
     # -- offsets --------------------------------------------------------
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        # -1, not 0: v0 itself must stream as the first increment — a
+        # shallow clone's v0 carries the full borrowed file set (create
+        # v0 is empty, so the walk floor below 0 costs nothing)
+        return {"version": -1}
 
     def latestOffset(self) -> dict:
         return {"version": _read_pointer(self._root)}
@@ -160,7 +183,7 @@ class _LakeStreamReader(DataSourceStreamReader):
         while v is not None and v > start["version"]:
             m = _read_manifest_or_none(self._root, v)
             if m is None:
-                if start["version"] == 0 and chain:
+                if start["version"] <= 0 and chain:
                     # FRESH stream (initialOffset) over a table whose
                     # early history was expired: the per-commit
                     # increments below the reaped version are gone, so
@@ -175,36 +198,78 @@ class _LakeStreamReader(DataSourceStreamReader):
             v = m["parent"]
         chain.reverse()
         parts: list[_FilePartition] = []
-        if bootstrap is not None:
-            chain.remove(bootstrap)
-            if bootstrap.get("delete_files"):
+        # rename/default resolution rides each partition: the executor
+        # read maps a file's FORMER physical column names to the current
+        # logical schema and fills initial defaults for files stamped
+        # before the defaulted column's add-commit — the batch _scan's
+        # semantics, which a plain name-match read silently turned into
+        # all-NULL columns (review round 10)
+        head = chain[-1] if chain else bootstrap
+        renames = (head or {}).get("renames", {})
+        defaults = (head or {}).get("defaults", {})
+
+        def _mk_part(fmeta: dict) -> _FilePartition:
+            sv = fmeta.get("schema_v", 0)
+            fills = {
+                c: d["value"] for c, d in defaults.items() if sv < d["v"]
+            }
+            return _FilePartition(
+                os.path.join(self._root, fmeta["path"]),
+                self._arrow_schema,
+                renames=renames,
+                fills=fills,
+            )
+
+        def _emit_full(m: dict) -> None:
+            if m.get("delete_files"):
                 raise ValueError(
-                    f"lake_table stream bootstrap at v{bootstrap['version']} "
+                    f"lake_table stream bootstrap at v{m['version']} "
                     "of a table carrying row-level delete files would "
                     "resurrect deleted rows on a raw file read — compact "
                     "(rewrite-deletes) first, or use the batch read"
                 )
-            for fmeta in bootstrap["files"]:
-                parts.append(
-                    _FilePartition(
-                        os.path.join(self._root, fmeta["path"]),
-                        self._arrow_schema,
-                    )
-                )
+            for fmeta in m["files"]:
+                parts.append(_mk_part(fmeta))
+
+        # the diff base below the range: the bootstrap manifest (its
+        # full state was emitted), the in-memory predecessor as the loop
+        # advances, or ONE disk read of the checkpoint-offset manifest
+        # (remedial error if expired). v0 (parent None) diffs against
+        # the empty state, so a clone's borrowed v0 file set streams.
+        if bootstrap is not None:
+            chain.remove(bootstrap)
+            _emit_full(bootstrap)
+            prev = bootstrap
+        elif chain and chain[0]["parent"] is not None:
+            prev = _read_manifest(self._root, chain[0]["parent"])
+        else:
+            prev = {"files": [], "delete_files": []}
         for m in chain:
             op = m["summary"].get("operation")
             if op in _MAINTENANCE_OPS:
-                continue  # row-preserving rewrite: nothing new to stream
+                prev = m  # row-preserving rewrite: nothing new to stream
+                continue
             added = int(m["summary"].get("added_files", 0))
             removed = int(m["summary"].get("removed_files", 0))
-            if op not in _APPEND_OPS and added == 0 and removed == 0:
-                continue  # metadata-only commit (DDL, refs): no rows
-            prev = _read_manifest(self._root, m["parent"])
+            # delete-set change must be computed BEFORE the metadata-only
+            # skip: a merge-on-read DELETE commits added=0/removed=0 plus
+            # a new position-delete file, and skipping it as "metadata
+            # only" silently diverged the stream from the table
+            # (review round 10)
             new_deletes = {d["path"] for d in m.get("delete_files", [])} - {
                 d["path"] for d in prev.get("delete_files", [])
             }
+            if (
+                op not in _APPEND_OPS
+                and added == 0
+                and removed == 0
+                and not new_deletes
+            ):
+                prev = m  # metadata-only commit (DDL, refs): no rows
+                continue
             if op not in _APPEND_OPS or removed or new_deletes:
                 if self._skip_change_commits:
+                    prev = m
                     continue
                 raise ValueError(
                     f"lake_table streaming read hit a non-append commit "
@@ -216,12 +281,8 @@ class _LakeStreamReader(DataSourceStreamReader):
             prev_files = {f["path"] for f in prev["files"]}
             for fmeta in m["files"]:
                 if fmeta["path"] not in prev_files:
-                    parts.append(
-                        _FilePartition(
-                            os.path.join(self._root, fmeta["path"]),
-                            self._arrow_schema,
-                        )
-                    )
+                    parts.append(_mk_part(fmeta))
+            prev = m
         return parts
 
     def read(self, partition: _FilePartition):
@@ -234,13 +295,30 @@ class _LakeStreamReader(DataSourceStreamReader):
         target = partition.arrow_schema
         pf = pq.ParquetFile(partition.abs_path)
         phys = set(pf.schema_arrow.names)
-        cols = [f.name for f in target if f.name in phys]
+        # per current logical column: the physical name in THIS file
+        # (itself, or the first former name from the rename chain)
+        src_of = {}
+        for field in target:
+            for cand in (field.name, *partition.renames.get(field.name, ())):
+                if cand in phys:
+                    src_of[field.name] = cand
+                    break
+        cols = sorted(set(src_of.values()))
         for batch in pf.iter_batches(columns=cols):
             arrays = []
             for field in target:
-                if field.name in phys:
+                src = src_of.get(field.name)
+                if src is not None:
                     arrays.append(
-                        batch.column(cols.index(field.name)).cast(field.type)
+                        batch.column(cols.index(src)).cast(field.type)
+                    )
+                elif field.name in partition.fills:
+                    # initial-default column this file predates: the
+                    # declared default, not NULL (batch _scan parity)
+                    arrays.append(
+                        pa.array(
+                            [partition.fills[field.name]] * batch.num_rows
+                        ).cast(field.type)
                     )
                 else:
                     arrays.append(pa.nulls(batch.num_rows, type=field.type))
@@ -392,7 +470,8 @@ def _stream_txn_ledger(summary: dict) -> dict[str, int]:
 
 def _driver_commit(root: str, staging_rel: str, messages, *,
                    overwrite: bool = False, batch_id: int | None = None,
-                   app_id: str = "default") -> None:
+                   app_id: str = "default",
+                   schema_v: int | None = None) -> None:
     """Driver-side: promote exactly the message-listed files into an
     atomic LakeTable commit (stats collected from footers, metadata
     scale). Streaming replays — a restart re-running the last in-flight
@@ -450,6 +529,18 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
             # mirror the legacy scalar so pre-r7 readers keep working
             extra["stream_sink_batch_id"] = batch_id
     if not names:
+        if overwrite:
+            # overwrite with an empty frame must still EMPTY the table
+            # (Spark overwrite semantics) — the early return silently
+            # kept every old row (review round 10)
+            cur = table.manifest()
+            table.commit(
+                [],
+                removed_paths=[f["path"] for f in cur["files"]],
+                operation="overwrite",
+                extra_summary=extra,
+            )
+            return
         # empty batch: still advance the streaming ledger so a replay
         # of THIS batch id stays a no-op
         if batch_id is not None:
@@ -498,7 +589,9 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
         for m in messages
         if m is not None and m.name and getattr(m, "blooms", None) is not None
     }
-    metas = table._collect_stats(commit_abs, precomputed_blooms=pre)
+    metas = table._collect_stats(
+        commit_abs, schema_v=schema_v, precomputed_blooms=pre
+    )
     if overwrite:
         cur = table.manifest()
         table.commit(
@@ -513,7 +606,11 @@ def _driver_commit(root: str, staging_rel: str, messages, *,
 
 def _driver_abort(root: str, staging_rel: str, messages) -> None:
     for m in messages or []:
-        if m is not None:
+        # same name guard as _driver_commit: an empty partition's
+        # message has name='' and os.remove(<staging dir itself>)
+        # raised IsADirectoryError, crashing the abort path and masking
+        # the original batch failure (review round 10)
+        if m is not None and getattr(m, "name", ""):
             try:
                 os.remove(os.path.join(root, staging_rel, m.name))
             except FileNotFoundError:
@@ -530,6 +627,12 @@ class _LakeBatchWriter(DataSourceArrowWriter):
         os.makedirs(os.path.join(root, self._staging_rel), exist_ok=True)
         from ..plans.lake_table import LakeTable as _LT
 
+        # schema generation the writer's files are ACTUALLY shaped as:
+        # a DDL (add_column with default) landing mid-query must not
+        # stamp these pre-ALTER-shaped files with the post-ALTER
+        # generation, or the defaults read path returns stored NULLs
+        # instead of the declared default (review round 10)
+        self._schema_v = _LT.load(root).manifest().get("schema_v", 0)
         self._w = _ArrowFileWriter(
             root, self._staging_rel, schema.json(),
             bloom_cols=tuple(_LT.load(root).bloom_key_columns()),
@@ -542,7 +645,8 @@ class _LakeBatchWriter(DataSourceArrowWriter):
         import shutil
 
         _driver_commit(
-            self._root, self._staging_rel, messages, overwrite=self._overwrite
+            self._root, self._staging_rel, messages,
+            overwrite=self._overwrite, schema_v=self._schema_v,
         )
         shutil.rmtree(os.path.join(self._root, self._staging_rel), ignore_errors=True)
 
@@ -578,6 +682,9 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(os.path.join(root, self._staging_rel), exist_ok=True)
         from ..plans.lake_table import LakeTable as _LT
 
+        # see _LakeBatchWriter: stamp files with the schema generation
+        # they are shaped as (query start), not the commit-time head
+        self._schema_v = _LT.load(root).manifest().get("schema_v", 0)
         self._w = _ArrowFileWriter(
             root, self._staging_rel, schema.json(),
             bloom_cols=tuple(_LT.load(root).bloom_key_columns()),
@@ -589,7 +696,7 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         _driver_commit(
             self._root, self._staging_rel, messages,
-            batch_id=batchId, app_id=self._app_id,
+            batch_id=batchId, app_id=self._app_id, schema_v=self._schema_v,
         )
 
     def abort(self, messages, batchId: int) -> None:
