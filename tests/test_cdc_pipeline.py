@@ -347,3 +347,151 @@ def test_split_schema_drift_gate(spark):
     # land in drifted (quarantine-able), never vanish from both sides
     assert drifted.count() == 5
     assert clean.count() + drifted.count() == good.count()
+
+
+def test_stale_guard_corrupt_timestamp_still_applies(spark, tmp_path):
+    """Module contract: a record whose metadata timestamp is unparseable
+    (NULL _order_ts) still APPLIES on a stale-guard table — the
+    un-guarded NULL gate used to silently drop its update for existing
+    keys (review round 10)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+
+    sch = T.StructType([
+        T.StructField("trans_id", T.IntegerType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("_order_ts", T.TimestampType()),
+        T.StructField("_order_txn", T.LongType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, keys=["trans_id"])
+    base = spark.createDataFrame(
+        [(1, 10.0, None, None)], sch
+    ).withColumn("_order_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    t.append(base.select(*[f.name for f in sch.fields]))
+
+    typed = spark.createDataFrame(
+        [(1, 99.0, None, None, "update")],
+        "trans_id int, amount double, _order_ts timestamp, _order_txn bigint, operation string",
+    )
+    apply_batch(t, typed)
+    rows = {r["trans_id"]: r["amount"] for r in t.read(spark).collect()}
+    assert rows == {1: 99.0}  # corrupt-ts update applied, not dropped
+
+
+def test_mor_null_operation_upserts_like_cow(spark, tmp_path):
+    """A NULL-operation row on a merge-on-read table upserts exactly
+    like on a copy-on-write table — it used to fall through BOTH the
+    == 'delete' and != 'delete' filters and vanish (review round 10)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+
+    sch = T.StructType([
+        T.StructField("trans_id", T.IntegerType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    outs = {}
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = LakeTable.create(
+            str(tmp_path / mode), sch, keys=["trans_id"],
+            properties={"write.delete.mode": mode},
+        )
+        typed = spark.createDataFrame(
+            [(1, 5.0, "2024-01-01 00:00:00", 1, None),
+             (2, 6.0, "2024-01-01 00:00:00", 2, "delete")],
+            "trans_id int, amount double, ts string, _order_txn bigint, operation string",
+        ).select(
+            "trans_id", "amount",
+            F.to_timestamp("ts").alias("_order_ts"), "_order_txn", "operation",
+        )
+        apply_batch(t, typed)
+        outs[mode] = sorted(
+            (r["trans_id"], r["amount"]) for r in t.read(spark).collect()
+        )
+    assert outs["copy-on-write"] == outs["merge-on-read"] == [(1, 5.0)]
+
+
+def test_collapse_ties_deterministic_across_replays(spark):
+    """Two ops for one key sharing (_order_ts, _order_txn) — one
+    transaction stamping several ops identically — collapse to the SAME
+    winner on every evaluation (content-hash tiebreak): idempotent
+    replay needs determinism (review round 10)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        collapse_latest_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01 00:00:00", 7), (1, 20.0, "2024-01-01 00:00:00", 7)],
+        "trans_id int, amount double, ts string, _order_txn bigint",
+    ).select(
+        "trans_id", "amount",
+        F.to_timestamp("ts").alias("_order_ts"), "_order_txn",
+    )
+    winners = {
+        collapse_latest_per_key(
+            df.repartition(n), ["trans_id"]
+        ).collect()[0]["amount"]
+        for n in (1, 2, 3, 4)
+    }
+    assert len(winners) == 1  # same winner regardless of physical layout
+
+
+def test_quarantine_drifted_shapes_for_dead_letter(spark, tmp_path):
+    """quarantine_drifted turns split_schema_drift's drifted rows into
+    the dead-letter shape (raw + error_type schema-drift + time
+    partitions) — passing drifted straight to to_dead_letter raised
+    UNRESOLVED_COLUMN (review round 10)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_transform import (
+        quarantine_drifted,
+        split_schema_drift,
+    )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    good = spark.createDataFrame(
+        [('{"id": 1, "x": 2}', "insert")], "data string, operation string"
+    )
+    _clean, drifted = split_schema_drift(good, schema)
+    dl = quarantine_drifted(drifted).collect()
+    assert len(dl) == 1
+    assert dl[0]["error_type"] == "schema-drift"
+    import json as _json
+
+    rec = _json.loads(dl[0]["raw"])
+    assert _json.loads(rec["data"]) == {"id": 1, "x": 2}  # replayable
+    assert set(dl[0].asDict()) == {"raw", "error_type", "year", "month", "day", "hour"}
+
+
+def test_decode_base64_invalid_line_survives_with_original(spark):
+    """An invalid-base64 transport line must neither crash the batch
+    (unbase64 threw IllegalArgumentException inside codegen) nor lose
+    the original payload — it passes through intact and dead-letters
+    downstream with raw recoverable (review round 10)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_transform import (
+        decode_base64,
+        transform,
+    )
+
+    df = spark.createDataFrame(
+        [("!!!not base64 at all!!!",), ("eyJub3QiOiAiY2RjIn0=",)],
+        "value string",
+    )
+    decoded = decode_base64(df)
+    vals = sorted(r["value"] for r in decoded.collect())
+    assert vals == ['!!!not base64 at all!!!', '{"not": "cdc"}']
+    good, dead = transform(decoded, "db", "tbl")
+    assert good.count() == 0
+    raws = {r["raw"] for r in dead.collect()}
+    assert "!!!not base64 at all!!!" in raws  # original preserved

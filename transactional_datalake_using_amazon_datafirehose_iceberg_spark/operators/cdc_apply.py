@@ -68,9 +68,15 @@ def collapse_latest_per_key(
     txn DESC NULLS LAST) = 1``. Deterministic: nulls (corrupt
     timestamps) lose to any parseable timestamp; transaction-id breaks
     ties (per-key order is guaranteed upstream only within a partition
-    key — gen_fake_cdc_data.py:76)."""
+    key — gen_fake_cdc_data.py:76). Two records sharing BOTH order
+    columns (one transaction stamping several ops with the same ts and
+    txn-id) fall to a content-hash tiebreak: arbitrary but STABLE, so
+    a replayed batch collapses to the same winner every time — the
+    idempotent-replay contract needs determinism, not a correct order
+    the transport never provided."""
+    content = F.xxhash64(*[F.col(c) for c in df.columns])
     w = Window.partitionBy(*keys).orderBy(
-        *[F.col(c).desc_nulls_last() for c in order_cols]
+        *[F.col(c).desc_nulls_last() for c in order_cols], content.desc()
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -109,56 +115,78 @@ def apply_batch(
     # re-runs the collapse window. A micro-batch is bounded by the
     # delivery buffer (reference: 128 MB / 60 s), so caching it is the
     # standard foreachBatch pattern, not a table-volume cache.
-    latest = collapse_latest_per_key(typed.filter(key_ok), keys).persist()
-    cached = latest
-
-    # Cross-batch out-of-order guard (SURVEY §7.3 hard part 1): when the
-    # table persists the CDC ordering metadata (_order_ts/_order_txn
-    # columns in its schema), every matched apply — update AND delete —
-    # is gated on newer-than-current, so a late-arriving older batch
-    # (a replayed shard, a slow partition) cannot clobber or resurrect
-    # newer row images. Tables without the columns keep the plain apply
-    # (per-key transport ordering is the reference's own guarantee).
-    table_cols = {f.name for f in table.schema.fields}
-    stale_guard = {"_order_ts", "_order_txn"} <= table_cols
-
-    # merge-on-read CDC: route the batch's deletes to a position-delete
-    # file (O(deleted rows) written) instead of a copy-on-write file
-    # rewrite — bounded write amplification for delete-heavy streams
-    # (reference tables run merge-on-read, README.md:307). Upserts still
-    # MERGE copy-on-write. Keys are disjoint (D4 collapsed per key), so
-    # the two commits cannot conflict; the watermark stamps the final one.
-    # NOT taken under the stale guard: a position-delete commit has no
-    # newer-than-current check, so a replayed older batch's delete would
-    # silently remove a newer row image — those deletes go through the
-    # gated MERGE below instead (correctness over write amplification).
-    manifest = table.manifest()
-    props = manifest.get("properties", {})
-    # (hasattr guard: a real-Iceberg backend handles merge-on-read
-    # natively inside MERGE INTO, no position-delete routing needed)
-    if (
-        props.get("write.delete.mode") == "merge-on-read"
-        and not stale_guard
-        and hasattr(table, "delete_by_keys_mor")
-    ):
-        from ..plans.merge import source_key_stats
-
-        deletes = latest.filter(F.col("operation") == "delete")
-        # one fused aggregate answers "any deletes?" AND the key range
-        # for manifest pruning (was two separate jobs per micro-batch);
-        # shared with merge_into so the pruning contract (rangeable
-        # dtypes, NULL-key pruning disable) cannot drift
-        preds, n_deletes = source_key_stats(deletes, keys)
-        if n_deletes > 0:
-            table.delete_by_keys_mor(
-                typed.sparkSession,
-                deletes.select(*keys),
-                keys,
-                predicates=preds,
-            )
-        latest = latest.filter(F.col("operation") != "delete")
-
+    cached = collapse_latest_per_key(typed.filter(key_ok), keys).persist()
     try:
+        latest = cached
+
+        # Cross-batch out-of-order guard (SURVEY §7.3 hard part 1): when
+        # the table persists the CDC ordering metadata (_order_ts/
+        # _order_txn columns in its schema), every matched apply —
+        # update AND delete — is gated on newer-than-current, so a
+        # late-arriving older batch (a replayed shard, a slow partition)
+        # cannot clobber or resurrect newer row images. Tables without
+        # the columns keep the plain apply (per-key transport ordering
+        # is the reference's own guarantee).
+        table_cols = {f.name for f in table.schema.fields}
+        stale_guard = {"_order_ts", "_order_txn"} <= table_cols
+
+        # NULL operation (malformed CDC metadata) is "not a delete" on
+        # every path — merge_into coalesces the same way, so MOR and COW
+        # tables treat the row identically (upsert) instead of the MOR
+        # split dropping it from BOTH sides
+        is_del = F.coalesce(F.col("operation") == "delete", F.lit(False))
+
+        # merge-on-read CDC: route the batch's deletes to a position-
+        # delete file (O(deleted rows) written) instead of a copy-on-
+        # write file rewrite — bounded write amplification for delete-
+        # heavy streams (reference tables run merge-on-read,
+        # README.md:307). Upserts still MERGE copy-on-write. Keys are
+        # disjoint (D4 collapsed per key), so the two commits cannot
+        # conflict; the watermark stamps the final one.
+        # NOT taken under the stale guard: a position-delete commit has
+        # no newer-than-current check, so a replayed older batch's
+        # delete would silently remove a newer row image — those deletes
+        # go through the gated MERGE below instead (correctness over
+        # write amplification).
+        props = table.manifest().get("properties", {})
+        # (hasattr guard: a real-Iceberg backend handles merge-on-read
+        # natively inside MERGE INTO, no position-delete routing needed)
+        if (
+            props.get("write.delete.mode") == "merge-on-read"
+            and not stale_guard
+            and hasattr(table, "delete_by_keys_mor")
+        ):
+            from ..plans.lake_table import CommitConflict
+            from ..plans.merge import source_key_stats
+
+            deletes = latest.filter(is_del)
+            # one fused aggregate answers "any deletes?" AND the key
+            # range for manifest pruning (was two separate jobs per
+            # micro-batch); shared with merge_into so the pruning
+            # contract (rangeable dtypes, NULL-key pruning disable)
+            # cannot drift
+            preds, n_deletes = source_key_stats(deletes, keys)
+            if n_deletes > 0:
+                try:
+                    table.delete_by_keys_mor(
+                        typed.sparkSession,
+                        deletes.select(*keys),
+                        keys,
+                        predicates=preds,
+                    )
+                except CommitConflict:
+                    # a concurrent commit (compaction) moved the head
+                    # between plan and commit: RE-RUN, never blind-retry
+                    # — the (file, pos) tuples were computed against the
+                    # old snapshot (merge_into's one-re-plan shape)
+                    table.delete_by_keys_mor(
+                        typed.sparkSession,
+                        deletes.select(*keys),
+                        keys,
+                        predicates=preds,
+                    )
+            latest = latest.filter(~is_del)
+
         return merge_into(
             table,
             latest if stale_guard else latest.drop("_order_ts", "_order_txn"),
@@ -167,7 +195,11 @@ def apply_batch(
             assume_unique=True,  # D4 just guaranteed it
             extra_summary=extra_summary,
             match_condition=(
-                "t._order_ts IS NULL OR s._order_ts > t._order_ts OR "
+                # s._order_ts IS NULL: a corrupt-timestamp record still
+                # APPLIES (module contract) — an un-guarded NULL gate
+                # silently dropped its update/delete on guard tables
+                "s._order_ts IS NULL OR t._order_ts IS NULL OR "
+                "s._order_ts > t._order_ts OR "
                 "(s._order_ts = t._order_ts AND "
                 "coalesce(s._order_txn, 0) > coalesce(t._order_txn, 0))"
                 if stale_guard
@@ -183,6 +215,7 @@ def apply_routed(
     tables: dict[str, LakeTable],
     good: DataFrame,
     typed_fn=None,
+    dead_letter_table: LakeTable | None = None,
 ) -> dict[str, int]:
     """S7 routed apply: split one transformed micro-batch by its
     ``destination_table`` annotation and MERGE each slice into its own
@@ -191,15 +224,46 @@ def apply_routed(
     ``destination_table_configuration_list``).
 
     ``tables``: destination_table name -> LakeTable.
-    Unknown destinations are ignored (they would be delivery failures ->
-    dead letter in the managed service). Returns {table: version}.
+    ``dead_letter_table``: where slices for UNKNOWN destinations land
+    (error_type ``unroutable-destination`` — the managed service's
+    delivery-failure error prefix). Without one, unknown destinations
+    are counted in the planner metrics (``cdc.unrouted_rows``), never
+    silently invisible. Returns {table: version}.
     """
+    from ..plans import metrics
+
     typed_fn = typed_fn or typed_rows
-    dests = [r["destination_table"] for r in good.select("destination_table").distinct().collect()]
-    versions: dict[str, int] = {}
-    for dest in dests:
-        if dest not in tables:
-            continue
-        slice_df = good.filter(F.col("destination_table") == dest)
-        versions[dest] = apply_batch(tables[dest], typed_fn(slice_df))
-    return versions
+    # groupBy-count, not distinct: same single shuffle, and the per-
+    # destination row counts make unrouted slices observable for free
+    good = good.persist()  # read once per destination, not re-transformed
+    try:
+        dest_counts = {
+            r["destination_table"]: r["n"]
+            for r in good.groupBy("destination_table")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        versions: dict[str, int] = {}
+        unrouted = 0
+        for dest, n in sorted(dest_counts.items(), key=lambda kv: str(kv[0])):
+            if dest not in tables:
+                unrouted += n
+                if dead_letter_table is not None:
+                    from .cdc_transform import to_dead_letter
+
+                    slice_df = good.filter(
+                        F.col("destination_table").eqNullSafe(F.lit(dest))
+                    )
+                    dead = slice_df.select(
+                        F.to_json(F.struct(*slice_df.columns)).alias("raw"),
+                        F.lit("unroutable-destination").alias("error_type"),
+                    )
+                    dead_letter_table.append(to_dead_letter(dead))
+                continue
+            slice_df = good.filter(F.col("destination_table") == dest)
+            versions[dest] = apply_batch(tables[dest], typed_fn(slice_df))
+        if unrouted:
+            metrics.bump("cdc.unrouted_rows", unrouted)
+        return versions
+    finally:
+        good.unpersist()

@@ -52,8 +52,16 @@ DML_OPS = ("insert", "update", "delete")
 
 
 def decode_base64(df: DataFrame, col: str = "value") -> DataFrame:
-    """T1 — base64-wrapped payloads (transformer:18)."""
-    return df.withColumn(col, F.unbase64(F.col(col)).cast("string"))
+    """T1 — base64-wrapped payloads (transformer:18).
+
+    ``try_to_binary(..., 'base64')``, not ``unbase64``: one invalid
+    line made unbase64 throw java.lang.IllegalArgumentException inside
+    codegen and KILL the whole task (review round 10). Invalid base64
+    decodes to NULL and the ORIGINAL line is kept, so the record
+    dead-letters downstream with its raw transport payload intact
+    (T4's recoverability contract) instead of crashing the batch."""
+    decoded = F.try_to_binary(F.col(col), F.lit("base64")).cast("string")
+    return df.withColumn(col, F.coalesce(decoded, F.col(col)))
 
 
 def transform(
@@ -160,7 +168,7 @@ def split_schema_drift(
     destination, README.md:82) or evolve the destination first (DMS
     forwards upstream DDL). This gate makes the policy explicit:
     ``clean`` rows apply as usual; ``drifted`` rows go to the caller's
-    choice of :func:`to_dead_letter` (quarantine, error_type
+    choice of :func:`quarantine_drifted` (dead-letter shape, error_type
     ``schema-drift``) or ``merge_into(..., evolve_schema=True)``
     (evolve — the unknown columns become table columns, earlier rows
     read NULL).
@@ -181,3 +189,22 @@ def split_schema_drift(
     )
     clean = F.coalesce(~has_unknown, F.lit(False))
     return good.filter(clean), good.filter(~clean)
+
+
+def quarantine_drifted(drifted: DataFrame, ts_col=None) -> DataFrame:
+    """Shape :func:`split_schema_drift`'s ``drifted`` rows like the S3
+    error prefix (to_dead_letter parity, error_type ``schema-drift``).
+    Transformed rows carry data/operation/metadata columns, not the
+    raw/error_type pair to_dead_letter selects — passing them there
+    raised UNRESOLVED_COLUMN (review round 10); here the whole
+    transformed record is re-serialized as ``raw``, so the quarantined
+    row is replayable once the destination schema has evolved."""
+    ts = ts_col if ts_col is not None else F.current_timestamp()
+    return drifted.select(
+        F.to_json(F.struct(*drifted.columns)).alias("raw"),
+        F.lit("schema-drift").alias("error_type"),
+        F.year(ts).alias("year"),
+        F.month(ts).alias("month"),
+        F.dayofmonth(ts).alias("day"),
+        F.hour(ts).alias("hour"),
+    )

@@ -41,9 +41,9 @@ from collections import Counter
 PATH_STATS: Counter[str] = Counter()
 
 
-def bump(key: str) -> None:
+def bump(key: str, n: int = 1) -> None:
     """Increment one decision counter (driver-side planner code only)."""
-    PATH_STATS[key] += 1
+    PATH_STATS[key] += n
 
 
 def snapshot() -> dict[str, int]:
