@@ -1070,3 +1070,61 @@ def test_lake_stream_read_honors_renames_and_defaults(spark, tmp_path):
                 got[rid] = (d["price"][i], d["region"][i])
     # file 1 physically stores 'amount' and predates 'region'
     assert got == {1: (10.0, "emea"), 2: (20.0, "apac")}
+
+
+def test_pipeline_fresh_checkpoint_fails_loudly(spark, stream_env, tmp_path):
+    """A fresh checkpoint restarting batch ids at 0 against a table with
+    a committed watermark means an anonymous SECOND query: treating its
+    batches as replays silently drops new data forever — the implicit
+    app raises; an explicit app_id gets its own watermark and applies
+    (review round 10, the data-source sink's txnAppId contract)."""
+    in_dir, table, dl, ckpt = stream_env
+    p1, p2 = write_golden_corpus(str(tmp_path / "gen"))
+    pipe = CdcStreamPipeline(table, "db", "tbl")
+    pipe.process_batch(spark.read.text(p1), 7)
+    assert pipe._last_applied_batch() == 7
+
+    with pytest.raises(ValueError, match="app_id"):
+        pipe.process_batch(spark.read.text(p2), 0)  # fresh checkpoint
+
+    # an explicit app id never collides with the implicit watermark
+    pipe2 = CdcStreamPipeline(table, "db", "tbl", app_id="backfill")
+    v = table.current_version()
+    pipe2.process_batch(spark.read.text(p2), 0)
+    assert table.current_version() > v  # applied, not skipped
+    assert pipe2._last_applied_batch() == 0
+    assert pipe._last_applied_batch() == 7  # implicit watermark intact
+
+
+def test_pipeline_dead_letter_replay_idempotent(spark, stream_env, tmp_path):
+    """A crash between the dead-letter append and the watermark-stamping
+    merge replays the batch: the dl table's own per-app watermark keeps
+    the dead rows from duplicating (review round 10)."""
+    in_dir, table, dl, ckpt = stream_env
+    lines = [
+        ("this is not json",),
+        ('{"data": {"trans_id": 1, "customer_id": "c", "event": "e", '
+         '"sku": "s", "amount": 2, "device": "pc", '
+         '"trans_datetime": "2023-01-16T06:00:00Z"}, '
+         '"metadata": {"timestamp": "2023-01-16T06:00:00.000001Z", '
+         '"record-type": "data", "operation": "insert", '
+         '"partition-key-type": "primary-key", "schema-name": "db", '
+         '"table-name": "tbl", "transaction-id": 1}}',),
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    pipe = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl)
+    pipe.process_batch(df, 0)
+    assert dl.read(spark).count() == 1
+
+    # simulate the crash window: dl committed, main watermark NOT —
+    # replaying the batch must not append the dead row again
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.streaming.pipeline as pl
+
+    orig = pl.CdcStreamPipeline._last_applied_batch
+    try:
+        pl.CdcStreamPipeline._last_applied_batch = lambda self: -1
+        pipe.process_batch(df, 0)  # full replay
+    finally:
+        pl.CdcStreamPipeline._last_applied_batch = orig
+    assert dl.read(spark).count() == 1  # no duplicate dead rows
+    assert table.read(spark).count() == 1  # merge replay idempotent too

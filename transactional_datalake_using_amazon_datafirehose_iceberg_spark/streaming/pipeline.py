@@ -34,16 +34,38 @@ class CdcStreamPipeline:
         destination_database: str,
         destination_table: str,
         dead_letter_table: LakeTable | None = None,
+        app_id: str = "default",
     ):
         self.table = table
         self.db = destination_database
         self.tbl = destination_table
         self.dead_letter_table = dead_letter_table
+        # per-app watermark scoping (the data-source sink's txnAppId
+        # contract): a second pipeline or a FRESH checkpoint restarting
+        # batch ids at 0 must not collide with this pipeline's watermark
+        self.app_id = app_id
+        if dead_letter_table is None:
+            import warnings
+
+            warnings.warn(
+                "CdcStreamPipeline without a dead_letter_table: malformed "
+                "records will be dropped unobserved (the reference lands "
+                "them in the S3 error prefix) — pass dead_letter_table "
+                "to retain them",
+                stacklevel=2,
+            )
 
     # -- exactly-once bookkeeping ------------------------------------------
+    @staticmethod
+    def _ledger_hwm(table: LakeTable, app_id: str) -> int:
+        s = table.manifest()["summary"]
+        hwm = s.get("stream_sink_txn", {}).get(app_id)
+        if hwm is None and app_id == "default":
+            hwm = s.get("stream_batch_id")  # pre-ledger tables
+        return int(hwm) if hwm is not None else -1
+
     def _last_applied_batch(self) -> int:
-        m = self.table.manifest()
-        return int(m["summary"].get("stream_batch_id", -1))
+        return self._ledger_hwm(self.table, self.app_id)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body. Skips batches at or below the applied
@@ -63,31 +85,69 @@ class CdcStreamPipeline:
         otherwise re-read the source three times — 3x read amplification
         per delivery buffer at scale (observed via the delivery log:
         numInputRows was 3x the batch size before caching)."""
-        if batch_id <= self._last_applied_batch():
+        hwm = self._last_applied_batch()
+        if self.app_id == "default" and 0 <= batch_id < hwm:
+            # anonymous pipelines share the implicit app: a far-regressed
+            # batch id means a FRESH checkpoint restarted ids at 0, and
+            # treating its batches as replays would silently drop new
+            # data forever (review round 10) — the data-source sink's
+            # txnAppId contract, applied here
+            raise ValueError(
+                f"CdcStreamPipeline: batch {batch_id} is below the "
+                f"implicit app's committed watermark {hwm}. A restarted "
+                "query replays at most its last batch; a far-regressed id "
+                "means a NEW checkpoint is writing anonymously to this "
+                "table. Give each independent pipeline its own "
+                "app_id=... (per-app watermarks never collide)."
+            )
+        if batch_id <= hwm:
             return
         batch_df = batch_df.cache()
         try:
             good, dead = transform(batch_df, self.db, self.tbl)
             if self.dead_letter_table is not None:
-                # unconditional append: LakeTable.append skips the commit
-                # when the write lands zero rows, so the clean-batch case
-                # costs one (empty) write action instead of a separate
-                # probe job per micro-batch
-                self.dead_letter_table.append(to_dead_letter(dead))
+                # dead-letter idempotency: the dl append commits BEFORE
+                # the watermark-stamping merge, so a crash in between
+                # replays the batch and used to append the same dead
+                # rows again — the dl table keeps its OWN per-app
+                # watermark; an empty dl write commits nothing and needs
+                # no stamp (replaying zero rows is trivially idempotent)
+                dl = self.dead_letter_table
+                if batch_id > self._ledger_hwm(dl, self.app_id):
+                    metas = dl._write_files(to_dead_letter(dead))
+                    if metas:
+                        dl.commit(
+                            metas,
+                            operation="append",
+                            extra_summary={
+                                "stream_sink_txn": {self.app_id: batch_id}
+                            },
+                        )
             typed = typed_rows(good)
-            apply_batch(
-                self.table, typed, extra_summary={"stream_batch_id": batch_id}
-            )
+            extra = {"stream_sink_txn": {self.app_id: batch_id}}
+            if self.app_id == "default":
+                # legacy scalar kept for pre-ledger readers
+                extra["stream_batch_id"] = batch_id
+            apply_batch(self.table, typed, extra_summary=extra)
             # merge-on-read upkeep: fold accumulated position-delete
             # files back into data once past the reference's
             # optimize_rewrite_delete_file_threshold (README.md:307)
+            from ..plans.lake_table import CommitConflict
             from ..plans.maintenance import (
                 rewrite_delete_files,
                 should_rewrite_deletes,
             )
 
             if should_rewrite_deletes(self.table):
-                rewrite_delete_files(batch_df.sparkSession, self.table)
+                try:
+                    rewrite_delete_files(batch_df.sparkSession, self.table)
+                except CommitConflict:
+                    # optional upkeep lost a race to a concurrent
+                    # maintenance commit: skip — the threshold check
+                    # re-triggers it on the next batch; killing the
+                    # query for upkeep would trade availability for
+                    # nothing (the batch's data already committed)
+                    pass
         finally:
             batch_df.unpersist()
 
@@ -261,9 +321,21 @@ def enrich_with_dimension(
 
 
 def stateful_dedup(events_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Stateful streaming dedup by event_id within the watermark horizon
-    (replay idempotency, D1)."""
-    return _with_event_time(events_stream).withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Stateful streaming dedup by (event_id, ts) within the watermark
+    horizon (replay idempotency, D1 — transport retries replay the SAME
+    event bytes, so the event time rides along unchanged).
+
+    The event-time column MUST be part of the dedup key: Spark only
+    evicts dropDuplicates state when the watermark column is among the
+    keys, so dedup on event_id alone held every id ever seen in the
+    state store forever — unbounded growth on an unbounded id space
+    (review round 10). For close-together duplicates whose key space is
+    unbounded, use :func:`stateful_dedup_within_watermark` instead."""
+    return (
+        _with_event_time(events_stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id", "ts"])
+    )
 
 
 def stateful_dedup_within_watermark(
