@@ -14,6 +14,7 @@ from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.as
 )
 from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (
     char_shingles,
+    connected_components,
     exact_dedup,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -715,3 +716,34 @@ def test_compression_ratio_pins_zlib_and_orders_redundancy(spark):
         assert got[doc_id]["n_bytes_raw"] == len(raw)
         assert got[doc_id]["ratio_pm"] == z * 1000 // max(len(raw), 1)
     assert got[1]["ratio_pm"] < got[2]["ratio_pm"]
+
+
+def test_connected_components_drops_null_endpoint_edges(spark):
+    """A NULL endpoint names no entity: such edges are dropped uniformly
+    before either path — the distributed label joins silently lost
+    NULL-keyed edges and split components that routed through them
+    (review round 10); both paths now agree by construction."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 9), (8, 9)], "doc_a int, doc_b int"
+    )
+    for cap in (0, 100):  # 0 forces the distributed path
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, driver_max_edges=cap or None
+            ).collect()
+            if cap or True
+        }
+        assert got == {1: 1, 2: 1, 8: 8, 9: 8}, cap
+
+
+def test_exact_dedup_plan_uses_partial_aggregation(spark):
+    """exact_dedup is a groupBy+semi-join (map-side partial aggregation;
+    only cols+id shuffle), not a full-row window shuffle."""
+    df = spark.createDataFrame(
+        [(3, "aa"), (1, "aa"), (2, "bb")], "doc_id int, text string"
+    )
+    out = exact_dedup(df, ["text"], "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -23,13 +23,15 @@ from pyspark.sql import functions as F
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row per distinct ``cols`` — deterministically the
     min ``id_col`` (dropDuplicates keeps an arbitrary row; a deterministic
-    keeper is required for oracle parity and reproducible pipelines)."""
-    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    keeper is required for oracle parity and reproducible pipelines).
+
+    groupBy + semi-join, NOT a window: the aggregate gets MAP-SIDE
+    partial aggregation (duplicates collapse before the shuffle, and
+    only ``cols`` + id shuffle, not full rows), while Window+row_number
+    shuffled every full row of the corpus with no combiner — the wrong
+    shape at the module's stated 100 TB posture (review round 10)."""
+    keeps = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keeps.select(id_col), on=id_col, how="left_semi")
 
 
 def char_shingles(
@@ -39,15 +41,15 @@ def char_shingles(
     Implemented JVM-side: sequence -> transform(substring) -> explode.
     Repartitions first so a single-file input doesn't serialize the
     explode on one core."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = _shuffle_partitions(df.sparkSession)
     df = df.repartition(n_part, F.col(id_col))
     return (
         df.select(
             F.col(id_col),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-                    f" i -> substring(lower({text_col}), i, {k}))"
+                    f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1)),"
+                    f" i -> substring(lower(`{text_col}`), i, {k}))"
                 )
             ).alias("sh"),
         )
@@ -70,8 +72,24 @@ def minhash_signature(shingled: DataFrame, id_col: str, num_hashes: int = 8) -> 
 _HEX = "0123456789abcdef"
 
 
+def _shuffle_partitions(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, surviving non-numeric
+    values like 'auto' (AQE-managed sessions)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def slot_hex_digits(slot: int, num_slots: int = 8) -> tuple[str, ...]:
-    """Hex first-chars owned by a signature slot (16 digits / num_slots)."""
+    """Hex first-chars owned by a signature slot (16 digits / num_slots).
+    ``num_slots`` must divide 16: a non-divisor leaves hex digits owned
+    by no slot (silent quality loss), and >16 gives every slot ZERO
+    digits — all K minhashes densify to one effective hash."""
+    if num_slots < 1 or 16 % num_slots != 0:
+        raise ValueError(
+            f"num_hashes must divide 16 (1,2,4,8,16), got {num_slots}"
+        )
     per = 16 // num_slots
     return tuple(_HEX[slot * per : (slot + 1) * per])
 
@@ -98,13 +116,13 @@ def minhash_signature_mapside(
     the input is already many files; shuffling id+text is trivial next
     to the hash work)."""
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = _shuffle_partitions(spark)
     # stride-2 shingling halves the hash work; k=12 chars still overlap
     # by 10 so near-dup recall is essentially unchanged (candidates are
     # verified by exact stride-1 Jaccard downstream anyway)
     hashes = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1), {stride}),"
-        f" i -> md5(substring(lower({text_col}), i, {k})))"
+        f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1), {stride}),"
+        f" i -> md5(substring(lower(`{text_col}`), i, {k})))"
     )
     hashed = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col), hashes.alias("__h")
@@ -137,10 +155,21 @@ def lsh_candidate_pairs(
     in any real crawl — would emit O(n²) clique pairs on ONE shuffle
     partition. Buckets above the bound are instead STAR-collapsed:
     every member pairs with the bucket's min-id hub, O(n) pairs,
-    deterministic, and the dup cluster stays connected (downstream
-    connected-components / keep-one collapse sees the same clusters).
-    Docs in a >max_bucket bucket are near-certain dup-cluster members
-    by definition, so pairwise verify adds nothing there."""
+    deterministic, and WITHIN the collapsed graph the bucket stays one
+    component.
+
+    Bounded-recall caveat (by design): downstream Jaccard VERIFICATION
+    judges star pairs against the hub only. A hot bucket that mixes
+    several true dup groups (a short band collision needs just
+    rows_per_band matching minhashes) keeps only the hub's own group —
+    the other groups' intra-pairs were collapsed away and their hub
+    edges fail verification, so they reconnect only through OTHER
+    bands' (usually smaller) buckets. That is the standard LSH
+    recall/size trade at crawl scale: raise ``max_bucket`` or add bands
+    to buy recall; an unbounded clique is never the answer (the oracle
+    for the declared specs computes the unbounded clique, which stays
+    equivalent while fixture buckets fit the cap — pinned by
+    tests/test_lsh_bounds.py)."""
     stacked = signatures.select(
         F.col(id_col),
         F.explode(
@@ -212,17 +241,32 @@ def jaccard_verify(
     # and the intersection join, and it is O(pairs) small by construction
     # (the LSH star-collapse bounds bucket fan-out)
     candidates = candidates.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    cand_docs = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
+    cand_docs = _cand_docs(candidates, id_col)
     # candidate-volume shingles feed THREE consumers (sizes, both sides
     # of the intersection join); materialize once or each consumer
     # re-runs the explode+distinct AND its upstream corpus scan
     sh_c = shingled.join(F.broadcast(cand_docs), id_col, "left_semi").localCheckpoint(
         eager=True
     )
+    return _jaccard_on_restricted(sh_c, candidates, id_col, threshold)
+
+
+def _cand_docs(candidates: DataFrame, id_col: str) -> DataFrame:
+    return (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+
+
+def _jaccard_on_restricted(
+    sh_c: DataFrame, candidates: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Core verify over ALREADY candidate-restricted, materialized
+    shingles and a materialized pair list — shared by jaccard_verify
+    and jaccard_verify_docs so neither re-checkpoints or re-restricts
+    what the other prepared (review round 10: the _docs entry paid a
+    second candidates checkpoint job plus a no-op semi-join per query)."""
     sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n"))
     s1 = sh_c.select(F.col(id_col).alias("doc_a"), "sh")
     s2 = sh_c.select(F.col(id_col).alias("doc_b"), "sh")
@@ -264,15 +308,12 @@ def jaccard_verify_docs(
     verify stage — scan, explode, distinct, intersection — moves
     candidate-volume bytes only."""
     candidates = candidates.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    cand_docs = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
+    cand_docs = _cand_docs(candidates, id_col)
     docs_c = docs.join(F.broadcast(cand_docs), id_col, "left_semi")
-    return jaccard_verify(
-        char_shingles(docs_c, text_col, id_col, k), candidates, id_col, threshold
-    )
+    # shingles are candidate-restricted by construction here: skip the
+    # core's semi-join and feed it the one materialized relation
+    sh_c = char_shingles(docs_c, text_col, id_col, k).localCheckpoint(eager=True)
+    return _jaccard_on_restricted(sh_c, candidates, id_col, threshold)
 
 
 _CC_DRIVER_MAX_EDGES = 200_000
@@ -432,7 +473,15 @@ def _connected_components(
     # branches reference it, so an unmaterialized upstream (the whole
     # LSH+Jaccard verify pipeline in the curation flow) would execute
     # twice just to build the edge relation
-    pairs = pairs.select(col_a, col_b).localCheckpoint(eager=True)
+    # a NULL endpoint names no entity: such edges are DROPPED uniformly
+    # before either path (the distributed label joins silently lose
+    # NULL-keyed edges anyway — review round 10 — which used to split
+    # components that routed through the old driver-path defer)
+    pairs = (
+        pairs.select(col_a, col_b)
+        .filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .localCheckpoint(eager=True)
+    )
     pairs_id = _ckpt_id(pairs)
     if driver_max_edges is None:
         driver_max_edges = _CC_DRIVER_MAX_EDGES
@@ -445,16 +494,12 @@ def _connected_components(
         and pairs.count() <= driver_max_edges
     ):
         edges = [(r[col_a], r[col_b]) for r in pairs.collect()]
-        # a NULL endpoint has no well-defined component membership —
-        # defer those graphs to the distributed path so both paths stay
-        # behavior-identical (the property test pins this)
-        if not any(a is None or b is None for a, b in edges):
-            lbl = _union_find_min_label(edges)
-            _unpersist(pairs_id)  # collected; blocks are dead
-            return pairs.sparkSession.createDataFrame(
-                sorted(lbl.items()),
-                f"id {dtypes[col_a]}, cluster_id {dtypes[col_a]}",
-            )
+        lbl = _union_find_min_label(edges)
+        _unpersist(pairs_id)  # collected; blocks are dead
+        return pairs.sparkSession.createDataFrame(
+            sorted(lbl.items()),
+            f"id {dtypes[col_a]}, cluster_id {dtypes[col_a]}",
+        )
     sym = (
         pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
         .unionByName(pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
@@ -470,6 +515,21 @@ def _connected_components(
         .localCheckpoint(eager=True)
     )
     prev_id = _ckpt_id(labels)  # the label generation rounds supersede
+    try:
+        return _propagate(
+            sym, labels, max_iter, _ckpt_id, _unpersist, prev_id
+        )
+    finally:
+        # happy path: _propagate released superseded generations and the
+        # final generation leaves with the caller. Failure path (a
+        # round's checkpoint job dies): release whatever is still pinned
+        # so the documented GC-tail pressure never outlives the error.
+        _unpersist(sym_id)
+
+
+def _propagate(sym, labels, max_iter, _ckpt_id, _unpersist, prev_id):
+    from pyspark.sql import Observation
+
     for rnd in range(max_iter):
         # (1) each node offers its label to every neighbor; the node's
         # own previous label rides along (as __old) so convergence is a
@@ -510,8 +570,7 @@ def _connected_components(
         if (obs.get["changed"] or 0) == 0:
             break
     # only the final label generation leaves the function; the edge
-    # relation's blocks are dead once iteration stops
-    _unpersist(sym_id)
+    # relation's blocks are released by the caller's finally
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
@@ -519,10 +578,17 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens. Bit j = sign of the sum of
     per-token parities of hex digit j of md5(token). Hex-digit parity is
     expressed as an IN-list so the same logic runs on the oracle."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
+    toks = (
+        df.select(
+            F.col(id_col),
+            # \s+ and an empty-token filter: the old single-space split
+            # treated 'foo\nbar' as ONE token and let repeated spaces
+            # inject empty tokens whose parity biased every bit sum
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.md5(F.col("tok")))
+    )
     bit_sums = toks.groupBy(id_col).agg(
         *[
             F.sum(

@@ -418,7 +418,11 @@ def _simhash_oracle() -> str:
     bits = " || ".join(f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
     return f"""
 WITH toks AS (
-  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents
+  -- whitespace-regex split + empty-token drop, mirroring simhash16
+  SELECT doc_id, md5(tok) AS h FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
 ), sums AS (
   SELECT doc_id,
     {sums}
