@@ -32,12 +32,26 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(
+    return F.sqrt(_dot(a, a))
+
+
+def _l2sq_rounded(a, b):
+    """Squared L2 distance, rounded to 6 dp BEFORE any argmin — the one
+    determinism contract shared by the kmeans trainer, the ivf assigner
+    it feeds, and the pq encoder (a precision change desynchronizing
+    them would silently flip cell assignments between trained and
+    assigned paths)."""
+    return F.round(
         F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
+        ),
+        6,
     )
 
 
@@ -116,19 +130,7 @@ def kmeans_fit(
         cent_df = spark.createDataFrame([(cents,)], "__cents array<array<double>>")
 
         def d2(c):
-            return F.round(
-                F.aggregate(
-                    F.zip_with(
-                        c,
-                        F.col(vec_col),
-                        lambda x, y: (x.cast("double") - y.cast("double"))
-                        * (x.cast("double") - y.cast("double")),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
+            return _l2sq_rounded(c, F.col(vec_col))
 
         assigned = (
             emb.crossJoin(F.broadcast(cent_df))
@@ -147,6 +149,15 @@ def kmeans_fit(
         new = [list(c) for c in cents]  # empty cells keep previous value
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
+            if r["__cell"] is None:
+                # a NULL element inside an embedding nulls every
+                # distance -> argmin NULL: name the data problem instead
+                # of a driver-side TypeError mid-training
+                raise ValueError(
+                    "kmeans_fit: some rows produced no cell assignment "
+                    f"(embedding with NULL elements or dim != {dim}) — "
+                    "clean or filter the input vectors first"
+                )
             by_cell.setdefault(r["__cell"] - 1, {})[r["__pos"]] = r["__m"]
         for ci, comp in by_cell.items():
             new[ci] = [round(float(comp[p]), 6) for p in range(dim)]
@@ -171,8 +182,9 @@ def ivf_topk(
     ``nprobe`` nearest cells, and exact cosine ranks only the candidates
     in probed cells.
 
-    Centroids default to the ``n_centroids`` lowest-id vectors — a
-    deterministic stand-in for k-means training; pass
+    Centroids default to the ``n_centroids`` lowest-id vectors (the
+    same deterministic seed kmeans_fit initializes from, id-contiguity
+    NOT assumed); pass
     ``centroids=kmeans_fit(emb)`` for a trained quantizer (everything
     downstream is unchanged).
     The centroid table is metadata-scale; it is shipped to executors as
@@ -198,13 +210,20 @@ def ivf_topk(
         cent_data = [[float(v) for v in c] for c in centroids]
         n_centroids = len(cent_data)
     else:
+        # the n_centroids LOWEST-ID vectors (same deterministic stand-in
+        # as kmeans_fit's init): orderBy+limit, not id < n — ids are not
+        # guaranteed contiguous from 0, and a short/empty centroid set
+        # used to silently return wrong or empty results (NULL argmin
+        # cells, phantom probed cells) instead of erroring
         cent_rows = (
-            emb.filter(F.col(id_col) < n_centroids)
-            .select(id_col, vec_col)
-            .orderBy(id_col)
-            .collect()  # metadata-scale: centroids only, never the corpus
+            emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
         )
         cent_data = [[float(v) for v in r[vec_col]] for r in cent_rows]
+        if len(cent_data) < n_centroids:
+            raise ValueError(
+                f"ivf_topk: need at least n_centroids={n_centroids} "
+                f"vectors for the default quantizer, got {len(cent_data)}"
+            )
     cent_df = emb.sparkSession.createDataFrame(
         [(cent_data,)], "__cents array<array<double>>"
     )
