@@ -13,9 +13,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _count_occurrences(col, needle: str):
-    """# occurrences of needle via length arithmetic (portable)."""
-    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+def _count_word(col, word: str):
+    """Exact whitespace-token occurrence count. The earlier
+    replace-based length arithmetic undercounted ADJACENT occurrences
+    ('the the' counted once: the shared delimiter space is consumed by
+    the first non-overlapping match) — and the skew propagated into
+    every lang-id score (review round 10)."""
+    return F.size(
+        F.filter(F.split(F.lower(col), " "), lambda x: x == F.lit(word))
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -25,44 +31,47 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     n_tokens = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
     return df.select(
         F.col(id_col),
-        F.col("lang"),
+        # lang rides through when the frame carries it (the documents
+        # fixture does); frames without it keep the parameterized API
+        *([F.col("lang")] if "lang" in df.columns else []),
         F.length(t).cast("bigint").alias("n_chars_q"),
         n_tokens.cast("bigint").alias("n_tokens"),
         F.round(
             F.length(F.replace(t, F.lit(" "), F.lit(""))) * 1.0 / n_tokens, 4
         ).cast("double").alias("avg_tok_len"),
-        _count_occurrences(F.concat(F.lit(" "), F.lower(t), F.lit(" ")), " the ")
-        .cast("bigint")
-        .alias("n_the"),
+        _count_word(t, "the").cast("bigint").alias("n_the"),
         F.when((F.length(t) >= 50) & (n_tokens >= 10), 1).otherwise(0).alias("quality_ok"),
     )
 
 
 # language -> marker words for the n-gram/stopword scoring heuristic
 _LANG_MARKERS = {
-    "en": (" the ", " and "),
-    "es": (" el ", " la "),
-    "de": (" der ", " und "),
-    "fr": (" le ", " et "),
+    "en": ("the", "and"),
+    "es": ("el", "la"),
+    "de": ("der", "und"),
+    "fr": ("le", "et"),
 }
 
 
 def lang_id_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word scoring language ID. Deterministic argmax with a
     fixed preference order on ties (en > es > de > fr)."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     scored = df.select(
         F.col(id_col),
         F.col("lang").alias("actual_lang"),
         *[
-            sum(_count_occurrences(padded, m) for m in markers)
+            sum(_count_word(F.col(text_col), m) for m in markers)
             .cast("bigint")
             .alias(f"c_{lang}")
             for lang, markers in _LANG_MARKERS.items()
         ],
     )
     pred = (
-        F.when(
+        # NULL text -> NULL prediction: with NULL counts every WHEN
+        # condition is NULL and the otherwise() used to confidently
+        # predict 'fr' for a document with no text (review round 10)
+        F.when(F.col("c_en").isNull(), F.lit(None).cast("string"))
+        .when(
             (F.col("c_en") >= F.col("c_es"))
             & (F.col("c_en") >= F.col("c_de"))
             & (F.col("c_en") >= F.col("c_fr")),
@@ -125,16 +134,22 @@ def rolling_hashes(
     oracle (``ord``/``list_reduce``) folds char-for-char identically;
     mod keeps every intermediate < 2^35, exact in int64 on both engines.
     """
-    t = text_col
+    t = f"`{text_col}`"  # backtick: names with spaces/keywords must parse
+    # explicit empty-text guard: sequence(1, 0) DESCENDS in Spark, so an
+    # empty doc folded over the spurious [1, 0] index list and landed on
+    # 0 only because ascii('') happens to be 0 (the same hazard
+    # repetition_metrics guards; the oracle guards it with CASE n=0)
     poly = (
+        f"CASE WHEN length({t}) = 0 THEN 0L ELSE "
         f"aggregate(transform(sequence(1, length({t})), i -> ascii(substring({t}, i, 1))), "
-        f"0L, (acc, c) -> (acc * {base} + c) % {mod})"
+        f"0L, (acc, c) -> (acc * {base} + c) % {mod}) END"
     )
     win = (
+        f"CASE WHEN length({t}) = 0 THEN 0L ELSE "
         f"array_min(transform(sequence(1, greatest(length({t}) - {window - 1}, 1)), "
         f"i -> aggregate(transform(sequence(i, least(i + {window - 1}, length({t}))), "
         f"j -> ascii(substring({t}, j, 1))), "
-        f"0L, (acc, c) -> (acc * {base} + c) % {mod})))"
+        f"0L, (acc, c) -> (acc * {base} + c) % {mod}))) END"
     )
     return df.select(
         F.col(id_col),
@@ -178,7 +193,6 @@ def repetition_metrics(
     bigrams of signal (on a 4-bigram doc even all-distinct text has a
     25% modal fraction — too little evidence to call repetition).
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
     # count of the modal element of an array, map-side: for each distinct
     # value, count its occurrences; take the max (NULL-safe for len-0)
     def _mode_count(arr):
@@ -189,16 +203,24 @@ def repetition_metrics(
             )
         )
 
+    # hoist the token array into ONE projection (the grams() rationale):
+    # building bigrams straight off split(lower(text)) re-tokenized the
+    # document once per transform element — O(tokens x length) per row
+    # (review round 10). The hoisted column tokenizes once.
+    toks = F.col("__toks")
+    with_toks = df.withColumn(
+        "__toks", F.split(F.lower(F.col(text_col)), " ")
+    )
     # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a
     # single-token doc must short-circuit to an empty array instead of
     # indexing out of bounds (ANSI mode errors, not NULLs)
     bigrams = F.expr(
-        f"CASE WHEN size(split(lower({text_col}), ' ')) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size(split(lower({text_col}), ' ')) - 1),"
-        f" i -> concat(element_at(split(lower({text_col}), ' '), i), ' ',"
-        f"            element_at(split(lower({text_col}), ' '), i + 1))) END"
+        "CASE WHEN size(__toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(__toks) - 1),"
+        " i -> concat(element_at(__toks, i), ' ',"
+        "            element_at(__toks, i + 1))) END"
     )
-    out = df.select(
+    out = with_toks.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
@@ -226,10 +248,13 @@ def ngram_overlap_vs_benchmark(
     n: int = 3,
 ) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / PaLM §C): for every
-    corpus document, the number of its distinct word-n-grams that also
-    occur anywhere in the benchmark set, plus its distinct n-gram total.
-    Downstream filters drop documents whose overlap exceeds a threshold
-    before training, so eval numbers stay honest.
+    corpus document OF AT LEAST ``n`` TOKENS, the number of its distinct
+    word-n-grams that also occur anywhere in the benchmark set, plus its
+    distinct n-gram total. Documents too short to form one n-gram carry
+    no contamination signal and are EXCLUDED from the output (pinned by
+    tests) — a downstream join must left-join and treat absent as
+    not-contaminated. Downstream filters drop documents whose overlap
+    exceeds a threshold before training, so eval numbers stay honest.
 
     Scale shape: the benchmark n-gram set is eval-suite sized (metadata
     scale next to a 100 TB corpus) — distinct-aggregated, then BROADCAST
@@ -316,7 +341,9 @@ def rare_token_fraction(
         )
         .withColumn(
             "rare_pct",
-            F.floor(F.col("n_rare") * 100 / F.col("n_tokens")).cast("int"),
+            # integer `div`, not floor(double /): exact at any magnitude
+            # (the bigram_fluency / compression_ratio fixed-point rule)
+            F.expr("n_rare * 100 div n_tokens").cast("int"),
         )
     )
 
@@ -399,10 +426,20 @@ def bigram_fluency(
     # released), call ``release_checkpoints(result)``. The bench's
     # persistent-RDD diff sweep does this implicitly.
     out._sg_checkpoints = (bigrams, pair_c)
+    # the attribute dies on ANY DataFrame transformation (.orderBy etc.
+    # returns a fresh object) — review round 10: the registry fallback
+    # lets release_checkpoints(None) free everything this module pinned
+    # even when the caller only holds a derived frame
+    _LIVE_CHECKPOINTS.extend((bigrams, pair_c))
     return out
 
 
-def release_checkpoints(df: DataFrame) -> None:
+# checkpointed frames pinned by operators in this module and not yet
+# released (see release_checkpoints)
+_LIVE_CHECKPOINTS: list[DataFrame] = []
+
+
+def release_checkpoints(df: DataFrame | None = None) -> None:
     """Release localCheckpoint blocks an operator pinned for its result.
 
     Operators that materialize shared subtrees (``bigram_fluency``)
@@ -412,13 +449,27 @@ def release_checkpoints(df: DataFrame) -> None:
     afterwards — a localCheckpoint truncates lineage, so its blocks
     cannot be recomputed. No-op for results without attachments.
 
+    The attachment does NOT survive DataFrame transformations (each
+    returns a fresh object), so ``release_checkpoints(None)`` releases
+    EVERYTHING this module still has pinned — the right call at a
+    session drain point when only derived frames are in hand.
+
     Implementation note: ``DataFrame.unpersist()`` only drops
     cacheManager entries, NOT the RDD blocks backing a localCheckpoint
     — each attachment's LogicalRDD id is read off its own analyzed
     plan and unpersisted at the RDD layer (the connected_components
     pattern; never a persistent-RDD-set diff, which could destroy a
     concurrent job's blocks)."""
-    cps = getattr(df, "_sg_checkpoints", ())
+    if df is None:
+        cps = tuple(_LIVE_CHECKPOINTS)
+        _LIVE_CHECKPOINTS.clear()
+    else:
+        cps = getattr(df, "_sg_checkpoints", ())
+        for c in cps:
+            try:
+                _LIVE_CHECKPOINTS.remove(c)
+            except ValueError:
+                pass
     if not cps:
         return
     from .dedup import _quiet_truncated_lineage_warns

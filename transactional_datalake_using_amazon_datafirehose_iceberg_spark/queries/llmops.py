@@ -801,8 +801,8 @@ SELECT doc_id, lang,
        CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
        CAST(ROUND(LENGTH(REPLACE(text, ' ', '')) * 1.0 /
             (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS DOUBLE) AS avg_tok_len,
-       CAST((LENGTH(CONCAT(' ', lower(text), ' '))
-             - LENGTH(REPLACE(CONCAT(' ', lower(text), ' '), ' the ', ''))) / 5 AS BIGINT) AS n_the,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+                            x -> x = 'the')) AS BIGINT) AS n_the,
        CASE WHEN LENGTH(text) >= 50
              AND (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 10
             THEN 1 ELSE 0 END AS quality_ok
@@ -813,12 +813,12 @@ ORDER BY doc_id
 
 
 def _langid_oracle() -> str:
-    markers = {"en": (" the ", " and "), "es": (" el ", " la "),
-               "de": (" der ", " und "), "fr": (" le ", " et ")}
+    markers = {"en": ("the", "and"), "es": ("el", "la"),
+               "de": ("der", "und"), "fr": ("le", "et")}
     cols = []
     for lang, ms in markers.items():
         terms = " + ".join(
-            f"(LENGTH(t) - LENGTH(REPLACE(t, '{m}', ''))) / {len(m)}" for m in ms
+            f"len(list_filter(toks, x -> x = '{m}'))" for m in ms
         )
         cols.append(f"CAST({terms} AS BIGINT) AS c_{lang}")
     cols_sql = ",\n       ".join(cols)
@@ -826,10 +826,12 @@ def _langid_oracle() -> str:
 WITH c AS (
   SELECT doc_id, lang AS actual_lang,
        {cols_sql}
-  FROM (SELECT doc_id, lang, CONCAT(' ', lower(text), ' ') AS t FROM documents) x
+  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        FROM documents) x
 )
 SELECT doc_id, actual_lang, c_en, c_es, c_de, c_fr,
-       CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+       CASE WHEN c_en IS NULL THEN NULL
+            WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
             WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
             WHEN c_de >= c_fr THEN 'de'
             ELSE 'fr' END AS predicted_lang
