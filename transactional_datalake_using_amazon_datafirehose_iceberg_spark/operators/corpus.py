@@ -10,6 +10,14 @@ Reference scope note: the reference pipeline ends at queryable Iceberg
 tables (README.md:292-309); these operators cover the downstream
 training-data preparation a consumer of those tables runs, per the
 engine's LLM-pipeline charter (SURVEY.md §2 north-star tier).
+
+Tokenization contract: SINGLE-SPACE splits, repo-wide (this module,
+text.py token budgeting, the fingerprints/tfidf oracles) — the fixtures
+are single-space-normalized and every oracle mirrors the same split.
+Corpora with tab/newline/multi-space runs must be whitespace-normalized
+upstream, or phantom empty tokens inflate counts and glue
+newline-separated words (the same class simhash16 fixed for its own
+bucketing, where normalization could change quietly).
 """
 
 from __future__ import annotations
@@ -46,7 +54,12 @@ def pack_concat_chunks(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    toks = F.size(F.split(F.col(text_col), " "))
+    # NULL text = zero tokens, explicitly: an un-guarded size(split())
+    # returned NULL, the window SUM silently skipped the row, and the
+    # doc emitted NULL pack bounds a packed-dataset writer trips over
+    toks = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.col(text_col), " ")))
     return (
         docs.select(
             F.col(id_col),
@@ -87,17 +100,26 @@ def duplicated_ngram_spans(
     token count, total token count, and an integer-arithmetic
     ``dup_frac_pct`` (exact on both engines).
 
-    Scale shape: the distributed-n-gram-hash variant of the suffix-array
+    Scale shape: the distributed n-gram variant of the suffix-array
     algorithm (the standard Spark formulation). Two corpus-volume
     shuffles, both linear and partial-aggregation friendly: (1) the gram
     occurrence count, (2) the join of duplicated grams back onto their
-    positions. Span merging is a gaps-and-islands window partitioned by
+    positions. Both shuffles carry the RAW gram strings — exactness over
+    shuffle width (the oracle compares gram-for-gram); at 100 TB, keying
+    on md5(gram) instead trades a collision epsilon for ~3x narrower
+    shuffles, a one-line change at both count and join. Span merging is a gaps-and-islands window partitioned by
     document — never wider than one document's matches. The duplicated
     gram set stays distributed (no driver collect, no broadcast of
     corpus-volume state).
     """
     toked = docs.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__toks")
+        F.col(id_col),
+        # NULL text = zero tokens (defined output row: 0 spans, 0 dup
+        # tokens, 0 n_tokens, 0 pct — not NULLs a downstream filter
+        # silently drops)
+        F.when(F.col(text_col).isNull(), F.array().cast("array<string>"))
+        .otherwise(F.split(F.lower(F.col(text_col)), " "))
+        .alias("__toks"),
     )
     # (doc, pos, gram) with pos 0-based; docs shorter than n emit none
     grams = toked.select(
@@ -162,7 +184,11 @@ def duplicated_ngram_spans(
         )
         .withColumn(
             "dup_frac_pct",
-            F.floor(F.col("dup_tokens") * 100 / F.col("n_tokens")).cast("int"),
+            # greatest(n, 1): a zero-token (NULL-text) doc is 0% dup,
+            # not an ANSI DIVIDE_BY_ZERO that kills the job
+            F.floor(
+                F.col("dup_tokens") * 100 / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).cast("int"),
         )
     )
 
@@ -225,7 +251,15 @@ def temperature_mixture_sample(
         "__rk", F.row_number().over(w)
     )
     return (
-        ranked.join(F.broadcast(quota), domain_col)
+        # null-safe: a NULL-domain group is a real group (it contributed
+        # to the totals and holds its own quota) — a plain equi-join
+        # dropped its documents entirely while still consuming mixture
+        # quota, deflating the global kept fraction (review round 10)
+        ranked.join(
+            F.broadcast(quota),
+            on=[ranked[domain_col].eqNullSafe(quota[domain_col])],
+        )
+        .drop(quota[domain_col])
         .withColumn("kept", (F.col("__rk") <= F.col("__keep")).cast("int"))
         .groupBy(domain_col)
         .agg(
