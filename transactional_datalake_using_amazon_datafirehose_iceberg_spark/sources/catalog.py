@@ -34,10 +34,17 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(sf_dir), name)
     df = _TABLE_CACHE.get(key)
     if df is not None:
         return df
+    # evict entries of other (stopped) sessions: a session-churning
+    # process otherwise accumulates DataFrames pinning dead sessions'
+    # plans forever (one live session at a time is this cache's world)
+    stale = [k for k in _TABLE_CACHE if k[0] != app]
+    for k in stale:
+        del _TABLE_CACHE[k]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -62,5 +69,7 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     # createOrReplaceTempView on a cached plan is a local catalog op —
     # always re-run it (cheap) so a view another caller dropped or
     # replaced comes back; only the schema load is cached.
-    for name in tables or FIXTURE_TABLES:
+    # `is not None`, not truthiness: an explicitly EMPTY list means
+    # "register nothing", not "register everything"
+    for name in (tables if tables is not None else FIXTURE_TABLES):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

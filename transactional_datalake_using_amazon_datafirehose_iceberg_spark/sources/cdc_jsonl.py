@@ -23,7 +23,6 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..schemas import CDC_ENVELOPE_RAW
 
 _EVENTS = ["visit", "view", "cart", "list", "like", "purchase"]
 _DEVICES = ["pc", "mobile", "tablet"]
@@ -102,14 +101,16 @@ def write_routed_corpus(out_path: str,
     tables plus a table no destination is configured for — the
     multi-table routed-apply shape of the reference's Firehose Iceberg
     destination (destination_table_configuration_list,
-    firehose_to_iceberg.py:109-116). Fully deterministic (explicit
-    amounts, no rng): per table with key offset o — 6 inserts
+    firehose_to_iceberg.py:109-116). Deterministic (seeded rng for
+    incidental fields, explicit amounts; rng draws are order-dependent
+    so row order is part of the fixture contract): per table with key
+    offset o — 6 inserts
     (amount = 10*(k-o)), an update of o+2 to 999, a delete of o+3 —
     leaving 5 live rows summing 1159. The unknown-table envelopes must
     be ignored by routing (the managed service would dead-letter that
     delivery)."""
     rng = random.Random(7)
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     txn = _BASE_TXN + 2_000_000
     with open(out_path, "w") as f:
         for t_i, (table, off) in enumerate(zip(tables, (0, 100))):
@@ -182,7 +183,7 @@ def write_demo_rate_corpus(
     so a latency bench can measure 'one buffer applied within the trigger
     interval'. Distinct keys: every record MERGEs as an insert."""
     rng = random.Random(seed)
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     txn = _BASE_TXN + 1_000_000
     with open(out_path, "w") as f:
         for i in range(n_records):
@@ -205,7 +206,7 @@ def read_cdc_stream(spark: SparkSession, path: str, max_files_per_trigger: int |
     """File-stream equivalent of the Kinesis consume (S5); each discovered
     file ≈ one delivery buffer flush (S6)."""
     reader = spark.readStream
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.text(path)
 
@@ -238,7 +239,7 @@ def read_cdc_kafka_stream(
         # data would break the exactly-once replay contract
         .option("failOnDataLoss", "true")
     )
-    if max_offsets_per_trigger:
+    if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return kafka_frames_to_envelopes(reader.load())
 
@@ -258,5 +259,13 @@ def kafka_frames_to_envelopes(frames: DataFrame) -> DataFrame:
     file transport. DMS publishes the envelope JSON as the record value
     with the primary key as the message key (the reference's Kinesis
     equivalent: PartitionKey=trans_id, gen_fake_cdc_data.py:76), so only
-    the value is parsed; per-key ordering rides on the partition."""
-    return frames.selectExpr("CAST(value AS STRING) AS value")
+    the value is parsed; per-key ordering rides on the partition.
+
+    Tombstones (NULL value — log compaction deletes) are FILTERED here:
+    projected to a NULL string they would dead-letter downstream with
+    raw=NULL, an undiagnosable row whose identifying key/offset were
+    already projected away; DMS never publishes tombstones, so dropping
+    them at the transport boundary is the faithful mapping."""
+    return frames.filter("value IS NOT NULL").selectExpr(
+        "CAST(value AS STRING) AS value"
+    )
