@@ -238,6 +238,19 @@ _HEADLINE = [
     "sql_execute_immediate_variables",
     "lake_shallow_clone_divergence",
     "cdc_schema_drift_policy",
+    # round-11 declarations (the full former staged lane)
+    "agg_bitmap_distinct",
+    "agg_mode_median",
+    "window_distinct_running",
+    "events_transition_matrix",
+    "subq_not_in_null_semantics",
+    "scalar_xpath_funcs",
+    "asof_join_forward_nearest",
+    "maintenance_expire_dry_run_audit",
+    "dedup_url_canonicalize",
+    "agg_grouping_id_cube",
+    "join_interval_overlap_binned",
+    "events_anomaly_zscore_daily",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

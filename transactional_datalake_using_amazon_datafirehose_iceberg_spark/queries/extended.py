@@ -4843,4 +4843,30 @@ ORDER BY event_type, day
 ))
 
 
-SPECS_NEXT = list(_STAGED_R11)
+# Round-11 declaration: the full 12-spec staged lane. Window math
+# (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r10): 12
+# never-green + the 19-spec r6-stale cohort + the r7-stale cohort fill
+# the driver's 50-spec sampling prefix; r7 greens that slip stay within
+# the 5-round staleness bound.
+_DECLARE_R11 = {
+    "agg_bitmap_distinct",
+    "agg_mode_median",
+    "window_distinct_running",
+    "events_transition_matrix",
+    "subq_not_in_null_semantics",
+    "scalar_xpath_funcs",
+    "asof_join_forward_nearest",
+    "maintenance_expire_dry_run_audit",
+    "dedup_url_canonicalize",
+    "agg_grouping_id_cube",
+    "join_interval_overlap_binned",
+    "events_anomaly_zscore_daily",
+}
+SPECS.extend(s for s in _STAGED_R11 if s.name in _DECLARE_R11)
+assert not [s for s in _STAGED_R11 if s.name not in _DECLARE_R11], (
+    "round-11 staged lane fully declared in r11"
+)
+
+
+# Next-round staging lane (r12): empty until new specs are staged.
+SPECS_NEXT = [s for s in _STAGED_R11 if s.name not in _DECLARE_R11]

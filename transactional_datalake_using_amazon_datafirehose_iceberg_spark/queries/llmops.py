@@ -416,7 +416,7 @@ def _simhash_oracle() -> str:
         for j in range(16)
     )
     bits = " || ".join(f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
-    return f"""
+    return rf"""
 WITH toks AS (
   -- whitespace-regex split + empty-token drop, mirroring simhash16
   SELECT doc_id, md5(tok) AS h FROM (

@@ -254,6 +254,34 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "udf_grouped_agg_pandas", "udf_pandas_quality_score",
         "udtf_first_tokens",
     }),
+    # CORRECTNESS_r10: 50/50 sampled green — the 9 round-10 declarations
+    # plus the r5/r6-stale cohort that fit the window.
+    10: frozenset({
+        "add_column_default_lifecycle", "agg_collect_sorted",
+        "agg_correlation", "array_posexplode_map_values", "array_set_ops",
+        "asof_join_tolerance_bounded", "cdc_schema_drift_policy",
+        "dedup_cluster_components", "dedup_exact_substring_spans",
+        "dpp_partitioned_scan_proof", "events_gap_fill_interpolate",
+        "join_anti_not_exists", "join_broadcast_dims",
+        "join_full_outer_months", "join_left_outer_agg", "join_right_outer",
+        "join_semi_exists", "json_tuple_schema_of",
+        "lake_shallow_clone_divergence", "maintenance_expire_snapshots",
+        "merge_not_matched_by_source", "merge_not_matched_update_stale",
+        "meta_partitions_inspect", "multimodal_audio_window_energy",
+        "multimodal_frame_boundary_sizes", "pack_sequences_concat_chunk",
+        "pivot_multi_agg", "rename_column_lifecycle", "row_lineage_lifecycle",
+        "sample_temperature_mixture", "scalar_date_arith",
+        "scalar_string_extras", "scan_prune_stats_proof",
+        "similarity_mine_triplets", "source_csv_orc_roundtrip",
+        "split_train_holdout", "sql_execute_immediate_variables",
+        "sql_lateral_column_alias", "sql_named_parameters",
+        "streaming_chained_aggregations", "streaming_lake_table_sink",
+        "streaming_lake_table_source", "text_rare_token_fraction",
+        "udf_arrow_optimized", "udf_map_in_arrow",
+        "udtf_analyze_dynamic_schema", "unpivot_stack",
+        "wap_cherry_pick_publish", "widen_column_lifecycle",
+        "window_lead_range_frame",
+    }),
 }
 
 
