@@ -384,6 +384,63 @@ def test_stale_guard_corrupt_timestamp_still_applies(spark, tmp_path):
     assert rows == {1: 99.0}  # corrupt-ts update applied, not dropped
 
 
+def test_stale_guard_corrupt_timestamp_replay_blocked_by_txn(spark, tmp_path):
+    """A corrupt-ts record is NOT a free pass: when the monotonic txn id
+    proves the record older than the target row image, the stale guard
+    blocks it — a replayed older batch whose timestamps failed to parse
+    must not clobber (or delete) newer data (round-10 advice: the NULL
+    gate was fail-open for exactly the records replays produce)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+
+    sch = T.StructType([
+        T.StructField("trans_id", T.IntegerType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("_order_ts", T.TimestampType()),
+        T.StructField("_order_txn", T.LongType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, keys=["trans_id"])
+    base = spark.createDataFrame([(1, 10.0, None, 7)], sch).withColumn(
+        "_order_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    t.append(base.select(*[f.name for f in sch.fields]))
+
+    # replayed batch: unparseable ts (NULL) but txn 3 < target's txn 7
+    stale_update = spark.createDataFrame(
+        [(1, 99.0, None, 3, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, stale_update)
+    rows = {r["trans_id"]: r["amount"] for r in t.read(spark).collect()}
+    assert rows == {1: 10.0}, "stale corrupt-ts update clobbered newer data"
+
+    # same staleness evidence must also block the delete branch
+    stale_delete = spark.createDataFrame(
+        [(1, 99.0, None, 3, "delete")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, stale_delete)
+    assert t.read(spark).count() == 1, "stale corrupt-ts delete removed a newer row"
+
+    # a NEWER corrupt-ts record (txn 9 > 7) still applies (contract)
+    fresh = spark.createDataFrame(
+        [(1, 55.0, None, 9, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, fresh)
+    rows = {r["trans_id"]: r["amount"] for r in t.read(spark).collect()}
+    assert rows == {1: 55.0}
+
+
 def test_mor_null_operation_upserts_like_cow(spark, tmp_path):
     """A NULL-operation row on a merge-on-read table upserts exactly
     like on a copy-on-write table — it used to fall through BOTH the

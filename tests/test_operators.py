@@ -161,6 +161,30 @@ def test_exact_dedup_keeps_min_id(spark):
     assert sorted((r["doc_id"], r["text"]) for r in out) == [(1, "aa"), (2, "bb")]
 
 
+def test_exact_dedup_null_ids_never_lose_content(spark):
+    """A NULL id loses to any non-null id, but a group whose EVERY id
+    is NULL must still keep one row — dedup reduces duplicates, it
+    never loses content (round-10 advice: min() ignores NULLs and the
+    equi-semi-join dropped such groups entirely). Group cols that are
+    themselves NULL form a group too (null-safe anti-join)."""
+    df = spark.createDataFrame(
+        [
+            (1, "aa"), (2, "aa"),  # normal group: keep min id 1
+            (None, "aa"),           # NULL dup of a keyed group: dropped
+            (None, "bb"), (None, "bb"),  # all-NULL-id group: keep ONE
+            (5, "cc"),
+            (None, None), (None, None),  # NULL group key, all-NULL ids
+        ],
+        "doc_id int, text string",
+    )
+    out = exact_dedup(df, ["text"], "doc_id").collect()
+    got = sorted(
+        ((r["doc_id"] if r["doc_id"] is not None else -1), r["text"] or "")
+        for r in out
+    )
+    assert got == [(-1, ""), (-1, "bb"), (1, "aa"), (5, "cc")]
+
+
 def test_minhash_identical_docs_always_candidates(spark):
     df = spark.createDataFrame(
         [
@@ -688,7 +712,42 @@ def test_bigram_fluency_release_hook_frees_checkpoints(spark):
     release_checkpoints(res)
     after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     assert after - before == set(), "release must free both checkpoints"
-    release_checkpoints(docs)  # no attachments: must be a silent no-op
+    release_checkpoints(docs)  # no attachments + empty registry: silent no-op
+
+
+def test_release_checkpoints_warns_on_derived_frame(spark):
+    """Calling release_checkpoints on a DERIVED frame (attachment lost
+    on transformation) releases nothing — it must warn while pins
+    remain, and release_checkpoints(None) must then drain the registry
+    without holding DataFrame references (round-10 advice)."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators import (
+        text as text_mod,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.text import (
+        bigram_fluency,
+        release_checkpoints,
+    )
+
+    release_checkpoints(None)  # clean slate
+    jsc = spark.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    docs = spark.createDataFrame(
+        [(i, "the dog ran to the dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    res = bigram_fluency(docs)
+    assert res.count() == 4
+    derived = res.orderBy("doc_id")  # attachment does not survive this
+    with _pytest.warns(UserWarning, match="DERIVED"):
+        release_checkpoints(derived)
+    # the registry stores (session, rdd-id) pairs, never DataFrames
+    assert all(isinstance(rid, int) for _, rid in text_mod._LIVE_CHECKPOINTS)
+    release_checkpoints(None)
+    assert text_mod._LIVE_CHECKPOINTS == []
+    after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    assert after - before == set(), "drain must free the pinned blocks"
 
 
 def test_compression_ratio_pins_zlib_and_orders_redundancy(spark):

@@ -73,7 +73,7 @@ def test_cdc_stream_batch_id_skip(spark, stream_env, tmp_path):
     in_dir, table, dl, ckpt = stream_env
     p1, _ = write_golden_corpus(str(tmp_path / "gen"))
     shutil.copy(p1, in_dir)
-    pipe = CdcStreamPipeline(table, "db", "tbl")
+    pipe = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl)
     q = pipe.start(spark, in_dir, ckpt, available_now=True)
     q.awaitTermination(120)
     v = table.current_version()
@@ -90,7 +90,7 @@ def test_batch_id_committed_atomically_with_data(spark, stream_env, tmp_path):
     would corrupt the current snapshot."""
     in_dir, table, dl, ckpt = stream_env
     p1, _ = write_golden_corpus(str(tmp_path / "gen"))
-    pipe = CdcStreamPipeline(table, "db", "tbl")
+    pipe = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl)
     df = spark.read.text(p1)
     pipe.process_batch(df, 7)
     m = table.manifest()
@@ -111,7 +111,7 @@ def test_batch_id_survives_maintenance_and_dml(spark, stream_env, tmp_path):
 
     in_dir, table, dl, ckpt = stream_env
     p1, _ = write_golden_corpus(str(tmp_path / "gen"))
-    pipe = CdcStreamPipeline(table, "db", "tbl")
+    pipe = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl)
     pipe.process_batch(spark.read.text(p1), 3)
     assert pipe._last_applied_batch() == 3
 
@@ -149,7 +149,7 @@ def test_pipeline_custom_source_transport(spark, stream_env, tmp_path):
     shutil.copy(p1, in_dir)
     shutil.copy(p2, in_dir)
     src = read_cdc_stream(spark, in_dir, max_files_per_trigger=1)
-    pipe = CdcStreamPipeline(table, "db", "tbl")
+    pipe = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl)
     q = pipe.start(spark, None, ckpt, available_now=True, source=src)
     q.awaitTermination(120)
     assert table.read(spark).count() == 12
@@ -1080,7 +1080,7 @@ def test_pipeline_fresh_checkpoint_fails_loudly(spark, stream_env, tmp_path):
     (review round 10, the data-source sink's txnAppId contract)."""
     in_dir, table, dl, ckpt = stream_env
     p1, p2 = write_golden_corpus(str(tmp_path / "gen"))
-    pipe = CdcStreamPipeline(table, "db", "tbl")
+    pipe = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl)
     pipe.process_batch(spark.read.text(p1), 7)
     assert pipe._last_applied_batch() == 7
 
@@ -1088,7 +1088,7 @@ def test_pipeline_fresh_checkpoint_fails_loudly(spark, stream_env, tmp_path):
         pipe.process_batch(spark.read.text(p2), 0)  # fresh checkpoint
 
     # an explicit app id never collides with the implicit watermark
-    pipe2 = CdcStreamPipeline(table, "db", "tbl", app_id="backfill")
+    pipe2 = CdcStreamPipeline(table, "db", "tbl", dead_letter_table=dl, app_id="backfill")
     v = table.current_version()
     pipe2.process_batch(spark.read.text(p2), 0)
     assert table.current_version() > v  # applied, not skipped
@@ -1128,3 +1128,53 @@ def test_pipeline_dead_letter_replay_idempotent(spark, stream_env, tmp_path):
         pl.CdcStreamPipeline._last_applied_batch = orig
     assert dl.read(spark).count() == 1  # no duplicate dead rows
     assert table.read(spark).count() == 1  # merge replay idempotent too
+
+
+def test_shared_dead_letter_table_scoped_per_pipeline(spark, tmp_path):
+    """Two pipelines feeding DIFFERENT main tables may share one
+    dead-letter table under the implicit app_id (their main-table
+    watermarks never collide, so the fresh-checkpoint guard is silent).
+    The dl watermark must be scoped per pipeline: with an app_id-only
+    key, whichever pipeline ran at the lower batch id silently skipped
+    its dl appends — dropping exactly the malformed records the table
+    exists to retain (round-10 advice)."""
+    t1 = LakeTable.create(
+        str(tmp_path / "t1"), RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    t2 = LakeTable.create(
+        str(tmp_path / "t2"), RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    dl = LakeTable.create(str(tmp_path / "shared_dead"), DEAD_LETTER)
+    bad1 = spark.createDataFrame([("broken from pipe1",)], "value string")
+    bad2 = spark.createDataFrame([("broken from pipe2",)], "value string")
+
+    p1 = CdcStreamPipeline(t1, "db", "tbl_a", dead_letter_table=dl)
+    p2 = CdcStreamPipeline(t2, "db", "tbl_b", dead_letter_table=dl)
+    # pipe1 is far ahead (batch 9); pipe2 starts fresh at batch 0
+    p1.process_batch(bad1, 9)
+    assert dl.read(spark).count() == 1
+    p2.process_batch(bad2, 0)
+    rows = {r.raw for r in dl.read(spark).collect()}
+    assert rows == {"broken from pipe1", "broken from pipe2"}, (
+        "pipe2's dead rows were skipped by pipe1's watermark"
+    )
+    # each pipeline's OWN replay is still idempotent on the shared table
+    p1.process_batch(bad1, 9)
+    p2.process_batch(bad2, 0)
+    assert dl.read(spark).count() == 2
+
+
+def test_pipeline_without_dead_letter_warns(spark, tmp_path):
+    """No dead_letter_table means malformed records vanish unobserved —
+    the reference always has an error prefix (firehose_to_iceberg.py:
+    97,118), so the lossy configuration must warn loudly. Every other
+    call site in the repo passes a dl table; this pin is the only
+    intentional bare construction."""
+    table = LakeTable.create(
+        str(tmp_path / "t"), RETAIL_TRANS,
+        keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
+    )
+    with pytest.warns(UserWarning, match="dead_letter_table"):
+        CdcStreamPipeline(table, "db", "tbl")

@@ -195,10 +195,18 @@ def apply_batch(
             assume_unique=True,  # D4 just guaranteed it
             extra_summary=extra_summary,
             match_condition=(
-                # s._order_ts IS NULL: a corrupt-timestamp record still
-                # APPLIES (module contract) — an un-guarded NULL gate
-                # silently dropped its update/delete on guard tables
-                "s._order_ts IS NULL OR t._order_ts IS NULL OR "
+                # Corrupt-timestamp source (s._order_ts IS NULL): still
+                # APPLIES unless the monotonic txn id proves it stale —
+                # an unconditional NULL apply was fail-open for exactly
+                # the records most likely to appear in replays (a
+                # replayed older batch whose timestamps failed to parse
+                # would clobber newer row images; round-10 advice),
+                # while an un-guarded NULL gate silently dropped fresh
+                # corrupt-ts updates (round-10 review). >= keeps the
+                # no-evidence case (both txn ids NULL) applying.
+                "(s._order_ts IS NULL AND "
+                "coalesce(s._order_txn, 0) >= coalesce(t._order_txn, 0)) OR "
+                "t._order_ts IS NULL OR "
                 "s._order_ts > t._order_ts OR "
                 "(s._order_ts = t._order_ts AND "
                 "coalesce(s._order_txn, 0) > coalesce(t._order_txn, 0))"

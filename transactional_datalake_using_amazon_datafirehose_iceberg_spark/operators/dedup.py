@@ -29,9 +29,29 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     partial aggregation (duplicates collapse before the shuffle, and
     only ``cols`` + id shuffle, not full rows), while Window+row_number
     shuffled every full row of the corpus with no combiner — the wrong
-    shape at the module's stated 100 TB posture (review round 10)."""
+    shape at the module's stated 100 TB posture (review round 10).
+
+    NULL ids: ``min`` ignores NULLs and the equi-semi-join drops
+    NULL-id rows, so a NULL id never wins over a non-null one — but a
+    group whose EVERY id is NULL must still keep one row (dedup reduces
+    duplicates, it never loses content — round-10 advice). Those groups
+    are restored by the null branch below; with no deterministic id to
+    rank them, the keeper among such rows is arbitrary."""
     keeps = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keeps.select(id_col), on=id_col, how="left_semi")
+    kept = df.join(
+        keeps.where(F.col(id_col).isNotNull()).select(id_col),
+        on=id_col,
+        how="left_semi",
+    )
+    # all-NULL-id groups: anti-join the NULL-id rows against groups
+    # that DO have a non-null keeper (null-safe on the group cols, which
+    # may themselves be NULL), then keep one representative per group
+    null_rows = df.where(F.col(id_col).isNull()).dropDuplicates(cols)
+    on = [null_rows[c].eqNullSafe(keeps[c]) for c in cols]
+    null_kept = null_rows.join(
+        keeps.where(F.col(id_col).isNotNull()), on=on, how="left_anti"
+    )
+    return kept.unionByName(null_kept)
 
 
 def char_shingles(

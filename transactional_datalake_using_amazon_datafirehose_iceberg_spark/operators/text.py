@@ -9,7 +9,7 @@ single map stage at any scale (no shuffle except final aggregation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -430,13 +430,31 @@ def bigram_fluency(
     # returns a fresh object) — review round 10: the registry fallback
     # lets release_checkpoints(None) free everything this module pinned
     # even when the caller only holds a derived frame
-    _LIVE_CHECKPOINTS.extend((bigrams, pair_c))
+    _register_checkpoints(bigrams, pair_c)
     return out
 
 
-# checkpointed frames pinned by operators in this module and not yet
-# released (see release_checkpoints)
-_LIVE_CHECKPOINTS: list[DataFrame] = []
+# (session, checkpoint RDD id) pairs pinned by operators in this module
+# and not yet released (see release_checkpoints). Ids, not DataFrames:
+# the registry must not itself pin the Python objects (round-10
+# advice: module-global strong references grew without bound in long
+# sessions), and an id is all the RDD-layer unpersist needs.
+_LIVE_CHECKPOINTS: list[tuple[SparkSession, int]] = []
+
+
+def _checkpoint_rdd_id(df: DataFrame) -> int:
+    """LogicalRDD id of an (eager) localCheckpoint result — the handle
+    the RDD-layer unpersist needs (DataFrame.unpersist only clears
+    cacheManager entries, never localCheckpoint blocks)."""
+    return int(df._jdf.queryExecution().analyzed().rdd().id())
+
+
+def _register_checkpoints(*cps: DataFrame) -> None:
+    for c in cps:
+        try:
+            _LIVE_CHECKPOINTS.append((c.sparkSession, _checkpoint_rdd_id(c)))
+        except Exception:
+            pass  # registry is a fallback; the attachment still works
 
 
 def release_checkpoints(df: DataFrame | None = None) -> None:
@@ -460,27 +478,44 @@ def release_checkpoints(df: DataFrame | None = None) -> None:
     plan and unpersisted at the RDD layer (the connected_components
     pattern; never a persistent-RDD-set diff, which could destroy a
     concurrent job's blocks)."""
+    targets: list[tuple[SparkSession, int]]
     if df is None:
-        cps = tuple(_LIVE_CHECKPOINTS)
+        targets = list(_LIVE_CHECKPOINTS)
         _LIVE_CHECKPOINTS.clear()
     else:
         cps = getattr(df, "_sg_checkpoints", ())
+        if not cps and _LIVE_CHECKPOINTS:
+            import warnings
+
+            warnings.warn(
+                "release_checkpoints: this DataFrame carries no "
+                "checkpoint attachments (the attribute dies on any "
+                "transformation — you are likely holding a DERIVED "
+                f"frame) while {len(_LIVE_CHECKPOINTS)} checkpoint(s) "
+                "remain pinned. Pass the operator's ORIGINAL result, or "
+                "release_checkpoints(None) at a session drain point.",
+                stacklevel=2,
+            )
+        targets = []
         for c in cps:
             try:
-                _LIVE_CHECKPOINTS.remove(c)
-            except ValueError:
+                targets.append((c.sparkSession, _checkpoint_rdd_id(c)))
+            except Exception:
                 pass
-    if not cps:
+        live = {(id(s), rid) for s, rid in targets}
+        _LIVE_CHECKPOINTS[:] = [
+            (s, rid) for s, rid in _LIVE_CHECKPOINTS
+            if (id(s), rid) not in live
+        ]
+    if not targets:
         return
     from .dedup import _quiet_truncated_lineage_warns
 
-    restore = _quiet_truncated_lineage_warns(cps[0].sparkSession)
+    restore = _quiet_truncated_lineage_warns(targets[0][0])
     try:
-        for c in cps:
+        for session, rid in targets:
             try:
-                jsc = c.sparkSession.sparkContext._jsc
-                rid = int(c._jdf.queryExecution().analyzed().rdd().id())
-                m = jsc.getPersistentRDDs()
+                m = session.sparkContext._jsc.getPersistentRDDs()
                 if m.containsKey(rid):
                     m.get(rid).unpersist(False)
             except Exception:

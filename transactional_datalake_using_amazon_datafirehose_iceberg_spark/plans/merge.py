@@ -334,12 +334,15 @@ def _merge_into_cow(
     elif (
         key_preds  # real key-range pruning happened (rangeable key)
         and src_rows  # known NON-EMPTY source (an empty batch must not rewrite)
+        # computed eagerly, not inside the `and` chain: a truthiness
+        # walrus would silently turn the gate into `0 < bytes <= T`,
+        # sending zero-byte candidate sets to a pointless probe job
         and (
             cand_bytes := table._manifest_bytes_of(
                 cand_rel := sorted(table._relpath(p) for p in cand_paths)
             )
-        )
-        <= _PROBE_SKIP_BYTES
+        ) is not None
+        and cand_bytes <= _PROBE_SKIP_BYTES
     ):
         # the probe job exists to shrink the rewrite to files that truly
         # hold matching keys — but it SCANS every candidate to find out.

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 from ..operators.cdc_apply import apply_batch, typed_rows
 from ..operators.cdc_transform import transform
 from ..plans.lake_table import LakeTable
-from ..schemas import RETAIL_TRANS, RETAIL_TRANS_KEYS, RETAIL_TRANS_PARTITION
+from ..schemas import (
+    DEAD_LETTER,
+    RETAIL_TRANS,
+    RETAIL_TRANS_KEYS,
+    RETAIL_TRANS_PARTITION,
+)
 from ..sources.cdc_jsonl import golden_corpora, read_cdc_batch, write_golden_corpus
 from .base import QuerySpec
 
@@ -184,7 +189,10 @@ def _streaming_pipeline_build(spark, sf):
         keys=RETAIL_TRANS_KEYS,
         cluster_by=RETAIL_TRANS_PARTITION,
     )
-    q = CdcStreamPipeline(table, _DB, _TBL).start(
+    # the reference ALWAYS has an error prefix (firehose_to_iceberg.py:
+    # 97,118) — a dead-letter table is the spec default, not an option
+    dl = LakeTable.create(os.path.join(workdir, "dead_letter"), DEAD_LETTER)
+    q = CdcStreamPipeline(table, _DB, _TBL, dead_letter_table=dl).start(
         spark,
         in_dir,
         os.path.join(workdir, "ckpt"),

@@ -67,6 +67,21 @@ class CdcStreamPipeline:
     def _last_applied_batch(self) -> int:
         return self._ledger_hwm(self.table, self.app_id)
 
+    @property
+    def _dl_app_id(self) -> str:
+        """Dead-letter ledger key: app_id scoped by DESTINATION table.
+
+        Two pipelines feeding different main tables may share one
+        dead_letter_table under the same (often implicit ``default``)
+        app_id; the main-table fresh-checkpoint guard never fires for
+        them because their main watermarks are independent. A dl
+        watermark keyed by app_id alone would then silently skip dl
+        appends for whichever pipeline runs at a lower batch id —
+        dropping exactly the malformed records the table exists to
+        retain (round-10 advice). Scoping by destination identity makes
+        the ledgers per-pipeline, like the main table's."""
+        return f"{self.app_id}@{self.db}.{self.tbl}"
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body. Skips batches at or below the applied
         high-watermark (idempotent under checkpoint replay).
@@ -113,14 +128,21 @@ class CdcStreamPipeline:
                 # watermark; an empty dl write commits nothing and needs
                 # no stamp (replaying zero rows is trivially idempotent)
                 dl = self.dead_letter_table
-                if batch_id > self._ledger_hwm(dl, self.app_id):
+                # Only the scoped key is consulted: honoring a
+                # pre-scoping unscoped watermark would re-import the
+                # shared-dl-table collision (another pipeline's frozen
+                # high legacy value silently skipping this one's
+                # appends). Worst case of ignoring it is one duplicate
+                # dl append if a crash-replay straddles the upgrade —
+                # duplicated observability rows, never lost ones.
+                if batch_id > self._ledger_hwm(dl, self._dl_app_id):
                     metas = dl._write_files(to_dead_letter(dead))
                     if metas:
                         dl.commit(
                             metas,
                             operation="append",
                             extra_summary={
-                                "stream_sink_txn": {self.app_id: batch_id}
+                                "stream_sink_txn": {self._dl_app_id: batch_id}
                             },
                         )
             typed = typed_rows(good)
