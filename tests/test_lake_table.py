@@ -1653,6 +1653,53 @@ def test_manifest_cache_identity_and_invalidation(spark, tmp_path):
             assert t.manifest(v) == _json.load(f)
 
 
+def test_manifest_cache_content_probe_defeats_stat_identity_reuse(tmp_path):
+    """The cache key carries content evidence (first+last 16 bytes),
+    and _publish_v0 stamps a random publish_token as the manifest's
+    LAST key — inside the probed tail. A reclaimed-then-recreated v0
+    therefore cannot serve the dead creator's parse even when inode,
+    mtime_ns, and size all repeat (the cross-process residual window;
+    round-10 advice: structural, not probabilistic)."""
+    import json as _json
+    import os as _os
+
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table as lt
+
+    root = str(tmp_path / "t")
+    t1 = LakeTable.create(root, SCHEMA, keys=["id"])
+    p = os.path.join(root, lt._SNAPSHOT_DIR, "v000000000000.json")
+    st = _os.stat(p)
+    old = lt._load_manifest_cached(p)
+    tok1 = old["publish_token"]
+    assert tok1 and tok1[-8:].encode() in lt._content_probe(p, st.st_size), (
+        "publish_token must land inside the probed tail bytes"
+    )
+
+    # crash pre-swap, then a SECOND process recreates: simulate the
+    # pathological stat-identity reuse by copying the fresh v0 over the
+    # old one's stat identity (same path/inode after reclaim is the
+    # realistic kernel behavior; mtime_ns forced equal here)
+    _os.remove(os.path.join(root, lt._CURRENT))
+    # another process would have its own empty cache; simulate by NOT
+    # purging ours (the in-process purge is what create() does locally)
+    t2 = LakeTable.create(root, SCHEMA, keys=["id"])
+    _os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    with open(p) as f:
+        tok2 = _json.load(f)["publish_token"]
+    assert tok2 != tok1  # distinct publishes always differ in content
+    st2 = _os.stat(p)
+    if st2.st_ino == st.st_ino and st2.st_size == st.st_size:
+        # full pathological identity achieved: the probe alone must
+        # force a fresh parse
+        assert lt._load_manifest_cached(p)["publish_token"] == tok2, (
+            "stale cache entry served despite changed content"
+        )
+    else:
+        # inode/size did not repeat on this filesystem — the stat key
+        # already differs; still assert the fresh parse is served
+        assert lt._load_manifest_cached(p)["publish_token"] == tok2
+
+
 def test_manifest_write_atomic_and_tmp_invisible(spark, tmp_path):
     """_write_manifest publishes via write-tmp + os.link (round-9
     advice, high): a manifest at its FINAL name is born complete, so

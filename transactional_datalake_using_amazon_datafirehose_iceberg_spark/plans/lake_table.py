@@ -313,12 +313,13 @@ def _load_manifest_or_none(path: str) -> dict | None:
 # re-parses it. Cached dicts are shared read-only objects — commit
 # paths build fresh dicts rather than mutating the head (re-parse
 # equality pinned by test_manifest_cache_identity_and_invalidation).
-# Residual cross-process window: another process's cache entry for a
-# reclaimed-then-recreated v0 collides only if the kernel reuses the
-# inode AND stamps the same coarse-clock mtime_ns AND the manifest
-# bytes are the same length — a sub-millisecond cross-process create
-# retry; the in-process purge covers the realistic (same-process
-# retry) path.
+# Cross-process safety: the key also carries a 32-byte content probe
+# (first+last 16 bytes, two preads — microseconds vs the multi-ms JSON
+# parse it saves), so a reclaimed-then-recreated v0 in ANOTHER process
+# can never collide on stat identity alone — the recreated manifest's
+# header (version/uuid/timestamp live in the first bytes) differs, so
+# the key differs structurally (round-10 advice closing the
+# inode+mtime_ns+size reuse window).
 _MANIFEST_CACHE: "OrderedDict[tuple, dict]" = _collections.OrderedDict()
 _MANIFEST_CACHE_MAX = 64
 _MANIFEST_CACHE_LOCK = _threading.Lock()
@@ -335,6 +336,20 @@ def _purge_manifest_cache(path: str) -> None:
             del _MANIFEST_CACHE[k]
 
 
+def _content_probe(path: str, size: int) -> bytes:
+    """First+last 16 bytes of the file — cheap content evidence for the
+    cache key (a manifest's header carries version/uuid/timestamp, so
+    distinct manifests differ here even at equal stat identity)."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+        if size > 16:
+            f.seek(max(size - 16, 16))
+            tail = f.read(16)
+        else:
+            tail = b""
+    return head + tail
+
+
 def _load_manifest_cached(path: str):
     """Cached manifest load: the parsed dict, ``None`` for a torn file,
     ``_MANIFEST_MISSING`` if the file does not exist."""
@@ -342,9 +357,10 @@ def _load_manifest_cached(path: str):
 
     try:
         st = os.stat(path)
+        probe = _content_probe(path, st.st_size)
     except OSError:
         return _MANIFEST_MISSING
-    key = (path, st.st_ino, st.st_mtime_ns, st.st_size)
+    key = (path, st.st_ino, st.st_mtime_ns, st.st_size, probe)
     with _MANIFEST_CACHE_LOCK:
         m = _MANIFEST_CACHE.get(key)
         if m is not None:
@@ -359,14 +375,16 @@ def _load_manifest_cached(path: str):
         return _MANIFEST_MISSING
     if m is None:  # torn: never cache (expiry may reap it)
         return None
-    # re-stat AFTER the read: if the file changed identity mid-read
-    # (stat-then-read TOCTOU against a reclaim/recreate), serve the
-    # parse but never cache it under the stale key
+    # re-stat AND re-probe AFTER the read: if the file changed identity
+    # or content mid-read (stat-then-read TOCTOU against a
+    # reclaim/recreate), serve the parse but never cache it under the
+    # stale key
     try:
         st2 = os.stat(path)
+        probe2 = _content_probe(path, st2.st_size)
     except OSError:
         return m
-    if (st2.st_ino, st2.st_mtime_ns, st2.st_size) != key[1:]:
+    if (st2.st_ino, st2.st_mtime_ns, st2.st_size, probe2) != key[1:]:
         return m
     metrics.bump("manifest_cache.miss")
     with _MANIFEST_CACHE_LOCK:
@@ -479,7 +497,16 @@ class LakeTable:
         it), and leaving it would brick the root (every retry hits
         CommitConflict while the table stays unreadable). The rewrite
         at the same path must purge the parse cache: the freed inode
-        is reused, so stat identity alone may not change."""
+        is reused, so stat identity alone may not change.
+
+        ``publish_token`` (random, serialized LAST so it lands in the
+        parse cache's tail content probe): v0 is the ONE manifest ever
+        rewritten at the same path, so distinct publishes must differ
+        inside the probed bytes — this makes a cross-process stale
+        cache hit on a reclaimed-then-recreated v0 structurally
+        impossible even if inode, mtime_ns, and size all repeat
+        (round-10 advice)."""
+        manifest = {**manifest, "publish_token": uuid.uuid4().hex}
         with self._commit_lock():
             v0_path = os.path.join(self.root, _SNAPSHOT_DIR, "v000000000000.json")
             if os.path.exists(v0_path) and not os.path.exists(
