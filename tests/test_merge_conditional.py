@@ -103,6 +103,42 @@ def test_scd2_delta_closes_open_rows_across_batches(spark):
     assert rows2[103]["is_current"] == 1 and rows2[103]["valid_to"] is None
 
 
+def test_scd2_delta_replayed_batch_is_empty_delta(spark):
+    """At-least-once delivery replays batches: a re-delivered batch
+    whose versions are at or below the key's open row must produce an
+    EMPTY delta — it used to close the open row with valid_to EARLIER
+    than its valid_from and resurrect the old version as is_current=1
+    (review round 11). A partially-stale batch applies only its
+    genuinely-new versions."""
+    batch1 = spark.createDataFrame(
+        [(1, 101, "2024-01-01 00:00:00", "v1"), (1, 102, "2024-01-02 00:00:00", "v2")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d1 = scd2_delta(None, batch1, ["k"], "ts", "seq")
+    open_rows = d1.filter(F.col("is_current") == 1)
+
+    # exact replay of batch1: nothing is newer than the open v2 row
+    replay = scd2_delta(open_rows, batch1, ["k"], "ts", "seq")
+    assert replay.count() == 0, (
+        "replayed batch corrupted history instead of yielding an empty delta"
+    )
+
+    # partially stale: 102 replays (dropped), 103 is new (applies)
+    mixed = spark.createDataFrame(
+        [(1, 102, "2024-01-02 00:00:00", "v2"),
+         (1, 103, "2024-01-05 00:00:00", "v3")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d2 = scd2_delta(open_rows, mixed, ["k"], "ts", "seq")
+    rows = {r["seq"]: r for r in d2.collect()}
+    assert set(rows) == {102, 103}
+    # 102 appears only as the CLOSED open row (valid interval intact)
+    assert rows[102]["is_current"] == 0
+    assert str(rows[102]["valid_from"]) == "2024-01-02 00:00:00"
+    assert str(rows[102]["valid_to"]) == "2024-01-05 00:00:00"
+    assert rows[103]["is_current"] == 1 and rows[103]["valid_to"] is None
+
+
 def test_scd2_delta_untouched_keys_left_alone(spark):
     hist = spark.createDataFrame(
         [(7, 700, "2024-01-01 00:00:00", "keep")],

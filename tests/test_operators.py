@@ -362,6 +362,100 @@ def test_multimodal_plumbing_roundtrip(spark, tmp_path):
     assert all(r["frame_idx"] == 0 for r in frames)
 
 
+def test_multimodal_null_payloads_in_contract(spark):
+    """NULL text -> NULL payload (encode(NULL)=NULL): every decoder
+    takes it in stride instead of crashing the stage (review round 11,
+    matching the sibling text/corpus NULL contract). Per-doc operators
+    emit NULL metrics; frame/window exploders emit zero rows; and
+    frame_sample survives n_frames=0 or NULL (the 0..-1 sequence used
+    to abort the whole job)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_window_energy,
+        decode_features,
+        frame_sample,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    mm = attach_binary_payload(docs)
+
+    dec = {r["doc_id"]: r for r in decode_features(mm).collect()}
+    assert set(dec) == {1, 2, 3}  # per-doc cardinality holds
+    assert dec[2]["width"] is None and dec[2]["n_frames"] is None
+    assert dec[3]["n_bytes"] == 0 and dec[3]["width"] == 1
+
+    # n_frames NULL (doc 2) -> zero frames, no crash; and an explicit
+    # n_frames=0 row must also emit nothing
+    frames = frame_sample(decode_features(mm)).collect()
+    assert {r["doc_id"] for r in frames} == {1, 3}
+    zero = spark.createDataFrame(
+        [(9, 4, 4, 0)], "doc_id long, width int, height int, n_frames int"
+    )
+    assert frame_sample(zero).count() == 0
+
+    assert {r["doc_id"] for r in sample_frames(mm).collect()} == {1}
+    assert {r["doc_id"] for r in audio_window_energy(mm).collect()} == {1}
+    rz = {r["doc_id"]: r for r in resize_images(mm).collect()}
+    assert set(rz) == {1, 2, 3}
+    assert rz[2]["content_md5"] is None and rz[2]["n_bytes"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scale"):
+        resize_images(mm, scale=0)
+    with _pytest.raises(ValueError, match="every_n"):
+        frame_sample(zero, every_n=0)
+
+
+def test_salted_join_guards_and_spread(spark):
+    """salted_join: (a) matches the plain inner/left joins exactly,
+    (b) REJECTS right/full outer (right-side replication would emit one
+    null-extended row per unmatched right COPY — empirically 3 rows
+    became 9), and (c) spreads byte-identical hot-key rows over
+    multiple salts (the whole-row hash gave them all one salt)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.skew import (
+        _row_spread_salt,
+        salted_join,
+        salted_sum,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "x")] * 50 + [(2, "y"), (3, "z")], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (4, "r4")], "k long, rv string"
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = salted_join(left, right, on=["k"], how=how, n_salts=8)
+        want = left.join(right, on=["k"], how=how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"salted {how} join diverged from the plain join"
+
+    import pytest as _pytest
+
+    for bad in ("right", "full", "outer", "right_outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salt-safe"):
+            salted_join(left, right, on=["k"], how=bad)
+
+    # identical hot-key rows spread across salts (>1 distinct salt over
+    # 50 byte-identical rows; the old whole-row hash gave exactly 1)
+    n_salts = left.repartition(4).withColumn(
+        "__salt", _row_spread_salt(8)
+    ).select("__salt").distinct().count()
+    assert n_salts > 1
+
+    # salted_sum equals the plain aggregation even when the hot key's
+    # value is CONSTANT (the value-hash salt had zero spread there)
+    df = spark.createDataFrame([(1, 10)] * 40 + [(2, 5)], "k long, v long")
+    got = {r["k"]: (r["sum_v"], r["cnt"]) for r in salted_sum(df, ["k"], "v").collect()}
+    assert got == {1: (400, 40), 2: (5, 1)}
+
+
 def test_connected_components_semantics(spark):
     from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (
         connected_components,

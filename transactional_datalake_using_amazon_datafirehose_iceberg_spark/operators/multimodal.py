@@ -49,13 +49,20 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+def _fake_decode(payload: bytes | None) -> tuple[int | None, int | None, int | None]:
     """DETERMINISTIC FAKE decoder (no codec libs in this container).
 
     A real implementation would be e.g. PIL.Image.open(BytesIO(payload)).
     The fake derives dimensions from the byte length so results are
     stable and oracle-checkable.
-    """
+
+    NULL payload contract (review round 11, matching the sibling text/
+    corpus operators over the same documents table): an absent payload
+    decodes to NULL dimensions — never a crash. attach_binary_payload
+    yields NULL payload for NULL text, so every decoder must take NULL
+    in stride."""
+    if payload is None:
+        return (None, None, None)
     n = len(payload)
     return (n % 64 + 1, (n * 7) % 64 + 1, 1)
 
@@ -65,7 +72,7 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(_fake_decode)
+            dims = pdf["payload"].map(_fake_decode, na_action=None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -82,10 +89,22 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
 
 def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: explode a frame
-    index per row (real decoders would emit actual frames)."""
+    index per row (real decoders would emit actual frames).
+
+    ``n_frames <= 0`` or NULL (an empty or undecodable payload — the
+    schema permits both, and a real codec emits 0 for corrupt input)
+    yields ZERO frames for that row instead of crashing the whole job
+    on an illegal 0..-1 sequence (review round 11)."""
+    if every_n < 1:
+        raise ValueError(f"frame_sample: every_n must be >= 1, got {every_n}")
     return decoded.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+        F.explode(
+            F.when(
+                F.col("n_frames") > 0,
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+            )  # otherwise NULL: explode drops the row (zero frames)
+        ).alias("frame_idx"),
         "width",
         "height",
     )
@@ -119,6 +138,8 @@ def sample_frames(
                 "doc_id": [], "frame_idx": [], "offset": [], "frame_len": []
             }
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload: an absent stream has no frames
                 b = bytes(payload)
                 n_frames = (len(b) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, every_n):
@@ -161,10 +182,25 @@ def resize_images(
     Swapping the fake for PIL changes one expression."""
     import hashlib
 
+    if scale < 1:
+        raise ValueError(
+            f"resize_images: scale must be >= 1, got {scale} — 0 would "
+            "crash inside the Arrow batch (zero slice step) and a "
+            "negative value silently reverses the buffer"
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {k.name: [] for k in RESIZED_SCHEMA.fields}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload: metadata row with NULL metrics (the
+                    # per-doc cardinality contract holds; nothing to hash)
+                    out["doc_id"].append(did)
+                    for k in ("width", "height", "new_width", "new_height",
+                              "n_bytes", "content_md5"):
+                        out[k].append(None)
+                    continue
                 b = bytes(payload)
                 w, h, _ = _fake_decode(b)
                 rb = b[::scale]
@@ -209,6 +245,8 @@ def audio_window_energy(multimodal: DataFrame, window: int = 64) -> DataFrame:
         for pdf in it:
             out: dict[str, list] = {k.name: [] for k in AUDIO_WINDOW_SCHEMA.fields}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload: an absent stream has no windows
                 a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
                 for w_i in range(0, len(a), window):
                     chunk = a[w_i : w_i + window]

@@ -43,7 +43,46 @@ def scd2_delta(
     Returns rows to MERGE by ``keys + [seq_col]``: the batch rows with
     their validity chained by a per-key window, plus the previously-open
     rows closed at the batch's first version per key.
+
+    Replay/stale guard (review round 11): a re-delivered or
+    late-arriving batch whose versions are not strictly newer than the
+    key's open row — at-least-once delivery makes this routine — used
+    to close the open row with ``valid_to`` EARLIER than its
+    ``valid_from`` (an inverted interval) and resurrect the old version
+    as ``is_current = 1``. Batch rows with ``(ts, seq)`` at or below
+    the open row's are already in history and are dropped before
+    chaining; an exact replay therefore produces an EMPTY delta.
+    NULL-``ts`` rows keep flowing (the cdc_apply corrupt-timestamp
+    contract), as do rows for keys with a NULL ``valid_from``.
     """
+    if open_rows is not None:
+        # restrict to the batch's keys FIRST (batch-bounded, so both
+        # broadcasts below stay metadata-scale even when the caller
+        # hands the dimension's full open-row set)
+        cur = (
+            open_rows.join(
+                F.broadcast(batch.select(*keys).distinct()),
+                on=keys,
+                how="left_semi",
+            )
+            .select(
+                *keys,
+                F.col("valid_from").alias("__cur_ts"),
+                F.col(seq_col).alias("__cur_seq"),
+            )
+        )
+        batch = (
+            batch.join(F.broadcast(cur), on=keys, how="left")
+            .where(
+                F.col("__cur_ts").isNull()
+                | F.col(ts_col).isNull()
+                | (
+                    F.struct(F.col(ts_col), F.col(seq_col))
+                    > F.struct(F.col("__cur_ts"), F.col("__cur_seq"))
+                )
+            )
+            .drop("__cur_ts", "__cur_seq")
+        )
     w = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
     new_rows = (
         batch.withColumn("valid_from", F.col(ts_col))
