@@ -900,3 +900,34 @@ def test_exact_dedup_plan_uses_partial_aggregation(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_udfs_null_inputs_in_contract(spark):
+    """quality_score_udf scores NULL text as NULL (len(set(None)) used
+    to TypeError the whole job), and weighted_avg_price_udaf skips
+    NULL pairs like a SQL aggregate (NaN->int64 silently produced
+    INT64_MIN, corrupting the average) — review round 11."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.functions.udfs import (
+        quality_score_udf,
+        weighted_avg_price_udaf,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "id long, text string"
+    )
+    rows = {r["id"]: r["s"] for r in docs.select(
+        "id", quality_score_udf(F.col("text")).alias("s")
+    ).collect()}
+    assert rows[2] is None
+    assert rows[1] is not None
+
+    pr = spark.createDataFrame(
+        [("g", 10.0, 2.0), ("g", None, 3.0), ("g", 20.0, None), ("g", 20.0, 2.0)],
+        "k string, ep double, qty double",
+    )
+    got = pr.groupBy("k").agg(
+        weighted_avg_price_udaf("ep", "qty").alias("w")
+    ).collect()[0]["w"]
+    # only the two complete pairs count: (10*2 + 20*2) / 4 = 15.0
+    assert got == 15.0

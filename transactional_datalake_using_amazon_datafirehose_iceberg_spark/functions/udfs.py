@@ -19,15 +19,22 @@ def quality_score_udf(text: pd.Series) -> pd.Series:
     """Vectorized scalar pandas UDF: a toy quality score =
     trunc6(unique_token_ratio * min(1, chars/200)). Truncation (floor),
     not round: numpy rounds half-even while SQL rounds half-away, so
-    floor is the only bitwise-portable 6-dp normalization."""
+    floor is the only bitwise-portable 6-dp normalization.
+
+    NULL text scores NULL (review round 11: len(set(None)) raised
+    TypeError, failing the whole job on one NULL row — the sibling
+    text/corpus operators over the same documents table all take NULL
+    in-contract, and this UDF is SQL-registered for arbitrary use)."""
     import numpy as np
 
     toks = text.str.split(" ")
     n = toks.str.len().clip(lower=1)
-    uniq = toks.map(lambda t: len(set(t)))
+    uniq = toks.map(lambda t: len(set(t)), na_action="ignore")
     chars = text.str.len()
     raw = (uniq / n) * (chars / 200.0).clip(upper=1.0)
-    return np.floor(raw * 1_000_000) / 1_000_000
+    # plain float64, not a nullable extension dtype: under Arrow the
+    # str accessors return Int64/Float64 whose NA makes np.floor raise
+    return np.floor(raw.astype("float64") * 1_000_000) / 1_000_000
 
 
 @F.pandas_udf(T.DoubleType())
@@ -40,11 +47,16 @@ def weighted_avg_price_udaf(ep: pd.Series, qty: pd.Series) -> float:
     2-decimal, so cents*quantity sums are exact int64 on BOTH engines —
     summation ORDER cannot change the result (double summation would
     differ between pandas pairwise sum and SQL sequential sum). One
-    final double division, floor-normalized to 4 dp."""
+    final double division, floor-normalized to 4 dp.
+
+    NULL/NaN pairs are skipped, matching SQL aggregate semantics
+    (review round 11: NaN.astype(int64) silently produced INT64_MIN,
+    corrupting the average with no error)."""
     import numpy as np
 
-    cents = np.round(ep.to_numpy() * 100).astype("int64")
-    q = np.round(qty.to_numpy()).astype("int64")
+    ok = ep.notna().to_numpy() & qty.notna().to_numpy()
+    cents = np.round(ep.to_numpy()[ok] * 100).astype("int64")
+    q = np.round(qty.to_numpy()[ok]).astype("int64")
     num = int((cents * q).sum())
     den = int(q.sum()) * 100
     if den == 0:

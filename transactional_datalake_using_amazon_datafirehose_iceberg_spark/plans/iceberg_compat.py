@@ -126,11 +126,16 @@ class IcebergTable:
         """Minimal manifest shim (properties + summary) for callers that
         branch on table properties (e.g. write.delete.mode).
 
-        The streaming exactly-once watermark (``stream_batch_id``) is
-        persisted as a TABLE PROPERTY on this backend (``sql_merge``
-        stamps it after the MERGE), so it is surfaced into ``summary``
-        here — ``CdcStreamPipeline._last_applied_batch`` reads
-        ``summary["stream_batch_id"]`` identically on both backends."""
+        The streaming exactly-once watermarks are persisted as TABLE
+        PROPERTIES on this backend (``sql_merge`` stamps them after the
+        MERGE), so they are surfaced into ``summary`` here: the legacy
+        scalar ``stream_batch_id`` AND the per-app ``stream_sink_txn``
+        ledger (JSON-encoded property; review round 11 — without the
+        ledger, ``CdcStreamPipeline._ledger_hwm`` read hwm=-1 forever
+        for any non-default app_id and checkpoint replays re-applied
+        stale batches on the native backend)."""
+        import json as _json
+
         props = {
             r["key"]: r["value"]
             for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
@@ -139,6 +144,13 @@ class IcebergTable:
         summary = dict(snaps[-1].get("summary", {})) if snaps else {}
         if "stream_batch_id" in props:
             summary.setdefault("stream_batch_id", props["stream_batch_id"])
+        if "stream_sink_txn" in props:
+            try:
+                summary.setdefault(
+                    "stream_sink_txn", _json.loads(props["stream_sink_txn"])
+                )
+            except (ValueError, TypeError):
+                pass  # unreadable ledger property: fall back to scalar
         return {
             "version": snaps[-1]["version"] if snaps else 0,
             "properties": props,
@@ -162,9 +174,14 @@ class IcebergTable:
         return snaps[-1]["version"] if snaps else 0
 
     def snapshots(self) -> list[dict]:
+        # snapshot_id tie-break (review round 11): committed_at has
+        # millisecond granularity, so two commits in one millisecond
+        # made current_version()/manifest() flip between calls —
+        # arbitrary-but-deterministic beats nondeterministic for a
+        # value callers record for time travel
         rows = self.spark.sql(
             f"SELECT snapshot_id, operation, summary FROM {self.identifier}.snapshots"
-            " ORDER BY committed_at"
+            " ORDER BY committed_at, snapshot_id"
         ).collect()
         return [
             {"version": r["snapshot_id"], "operation": r["operation"], "summary": dict(r["summary"] or {})}
@@ -256,7 +273,10 @@ class IcebergTable:
         keys = on or self._keys
         if not keys:
             raise ValueError("sql_merge requires key columns (table.keys or on=)")
-        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        # backtick-quote every identifier (review round 11): create()/
+        # evolve_sql() already quote, so a column legal on the DDL path
+        # (reserved word, dash) must not break the generated MERGE
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
         cols = list(data_cols) if data_cols is not None else [
             f.name for f in self.schema.fields
         ]
@@ -264,17 +284,23 @@ class IcebergTable:
         unknown = [c for c in upd_cols if c not in cols]
         if unknown:
             raise ValueError(f"update_cols not in table schema: {unknown}")
-        set_clause = ", ".join(f"t.{c} = s.{c}" for c in upd_cols)
-        ins_cols = ", ".join(cols)
-        ins_vals = ", ".join(f"s.{c}" for c in cols)
+        set_clause = ", ".join(f"t.`{c}` = s.`{c}`" for c in upd_cols)
+        ins_cols = ", ".join(f"`{c}`" for c in cols)
+        ins_vals = ", ".join(f"s.`{c}`" for c in cols)
         gate = f" AND ({match_condition})" if match_condition else ""
         delete_gate = gate if condition_gates_delete else ""
         delete_clause = (
-            f"WHEN MATCHED AND s.{op_col} = '{delete_value}'{delete_gate} THEN DELETE "
+            f"WHEN MATCHED AND s.`{op_col}` = '{delete_value}'{delete_gate} THEN DELETE "
             if op_col
             else ""
         )
-        insert_guard = f" AND s.{op_col} <> '{delete_value}'" if op_col else ""
+        # null-safe inequality (review round 11): a NULL op (malformed
+        # CDC metadata) is "not a delete" on every path — plain <> made
+        # the NOT MATCHED clause skip NULL-op rows under three-valued
+        # logic, silently losing inserts the COW backend performs
+        insert_guard = (
+            f" AND NOT (s.`{op_col}` <=> '{delete_value}')" if op_col else ""
+        )
         if not_matched_by_source_update and not_matched_by_source_delete:
             raise ValueError(
                 "not_matched_by_source_update and not_matched_by_source_"
@@ -296,7 +322,7 @@ class IcebergTable:
                     f"not_matched_by_source_update cannot assign key columns: {in_keys}"
                 )
             assigns = ", ".join(
-                f"t.{c} = {e}"
+                f"t.`{c}` = {e}"
                 for c, e in sorted(not_matched_by_source_update.items())
             )
             nmbs = f" WHEN NOT MATCHED BY SOURCE THEN UPDATE SET {assigns}"
@@ -386,8 +412,48 @@ class IcebergTable:
         finally:
             self.spark.catalog.dropTempView(self._SRC_VIEW)
         if extra_summary:
-            kv = ", ".join(
-                f"'{k}'='{v}'" for k, v in extra_summary.items()
-            )
-            self.spark.sql(f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ({kv})")
+            self._stamp_properties(extra_summary)
         return self.current_version()
+
+    def _stamp_properties(self, extra_summary: dict) -> None:
+        """Persist watermark metadata as table properties.
+
+        Dict values (the per-app ``stream_sink_txn`` ledger) are merged
+        per key against the live property (max wins — the
+        ``_commit_once`` discipline) and JSON-encoded; naive f-string
+        interpolation of a dict produced unparseable SQL whose failure
+        AFTER the MERGE crashed the stream, and on restart the
+        unstamped batch re-merged and crashed again — a permanent wedge
+        (review round 11). All values are escaped for the SQL string
+        literal."""
+        import json as _json
+
+        live: dict[str, str] | None = None
+        parts = []
+        for k, v in extra_summary.items():
+            if isinstance(v, dict):
+                if live is None:
+                    live = {
+                        r["key"]: r["value"]
+                        for r in self.spark.sql(
+                            f"SHOW TBLPROPERTIES {self.identifier}"
+                        ).collect()
+                    }
+                merged = {}
+                if k in live:
+                    try:
+                        merged = dict(_json.loads(live[k]))
+                    except (ValueError, TypeError):
+                        merged = {}
+                for app, bid in v.items():
+                    prev = merged.get(app)
+                    merged[app] = (
+                        max(int(prev), int(bid)) if prev is not None else int(bid)
+                    )
+                v = _json.dumps(merged, sort_keys=True)
+            sv = str(v).replace("'", "''")
+            sk = str(k).replace("'", "''")
+            parts.append(f"'{sk}'='{sv}'")
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ({', '.join(parts)})"
+        )

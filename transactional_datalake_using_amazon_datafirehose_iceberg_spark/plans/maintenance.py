@@ -88,21 +88,52 @@ def compact(
     # materialize into the rewritten files so they survive compaction)
     df = t.read_files(spark, victim_abs, with_row_ids=t.row_lineage)
     cb = t.cluster_by
-    if cb:
-        df = df.repartition(n_out, *cb).sortWithinPartitions(*cb)
-    else:
-        df = df.coalesce(n_out)
     import uuid
 
-    commit_dir = os.path.join(t.root, "data", uuid.uuid4().hex[:16])
-    t._conform(df).write.mode("errorifexists").parquet(commit_dir)
+    from pyspark.sql import functions as F
+
+    commit_dir = os.path.join(t.root, _DATA_DIR, uuid.uuid4().hex[:16])
+    if cb:
+        # RANGE partitioning, not hash (review round 11): compaction
+        # exists to restore tight per-file min/max on the cluster
+        # columns, and a hash repartition scatters adjacent keys so
+        # every output file spans ~the whole key domain — defeating the
+        # manifest pruning clustering pays for. Same discipline as
+        # LakeTable._write_files, including the AQE-coalesce suspension
+        # (merging range partitions would re-widen file stats).
+        out = t._conform(
+            df.repartitionByRange(n_out, *[F.col(c) for c in cb])
+            .sortWithinPartitions(*cb)
+        )
+        prev = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            out.write.mode("errorifexists").parquet(commit_dir)
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", prev
+            )
+    else:
+        t._conform(df.coalesce(n_out)).write.mode("errorifexists").parquet(
+            commit_dir
+        )
     added = t._collect_stats(commit_dir)
-    # commit() prunes delete entries made dangling by removed_paths, so
-    # victims' folded-in deletes disappear with them automatically
+    # commit() prunes position-delete entries made dangling by
+    # removed_paths, so victims' folded-in deletes disappear with them
+    # automatically. Equality deletes carry no refs: after a FULL
+    # rewrite every surviving file outranks them (new seq), so their
+    # entries are provably inert — drop them explicitly or every later
+    # read pays their anti-join for zero effect (review round 11).
+    removed_delete_paths = (
+        [d["path"] for d in m.get("delete_files", [])] if not binpack else ()
+    )
     return t.commit(
         added,
         removed_paths=victim_paths,
         operation="compact",
+        removed_delete_paths=removed_delete_paths,
     )
 
 
@@ -202,11 +233,17 @@ def zorder_by(
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
     added = table._collect_stats(commit_dir)
+    # full rewrite: every surviving file has a new (higher) seq, so all
+    # pending delete entries are inert afterwards — position deletes are
+    # pruned as ref-dangling by commit(), equality deletes (no refs)
+    # must be dropped explicitly or every later read pays their
+    # anti-join for zero effect (review round 11)
     return table.commit(
         added,
         removed_paths=[f["path"] for f in m["files"]],
         operation="zorder",
         extra_summary={"zorder_by": ",".join(cols)},
+        removed_delete_paths=[d["path"] for d in m.get("delete_files", [])],
     )
 
 
@@ -333,7 +370,11 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     # pin until the branch moves (Iceberg ref-retention semantics).
     pinned = {table.current_version()}
     pinned.update(r["version"] for r in table.refs().values())
-    newest = set(names[-keep_last:]) if len(names) > keep_last else set(names)
+    # max(len-keep_last, 0) start index, never a bare -keep_last slice:
+    # keep_last=0 means "keep only pinned" — names[-0:] would silently
+    # keep EVERYTHING, the opposite of the requested retention
+    # (review round 11)
+    newest = set(names[max(len(names) - keep_last, 0):])
     keep_names = {n for n in names if n in newest or int(n[1:13]) in pinned}
     to_drop = [n for n in names if n not in keep_names]
     to_keep = sorted(keep_names)
