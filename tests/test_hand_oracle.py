@@ -1,0 +1,330 @@
+"""Hand-computed oracle audit (round-10 verdict item 3).
+
+The driver's correctness gate compares the Spark operator against the
+spec's DuckDB oracle — a bug SHARED by operator and oracle is invisible
+to it (r10's adjacent-word undercount was exactly this class). These
+tests close that hole for the most intricate shared-SQL specs: a tiny
+fixture small enough to compute BY HAND, the full expected output
+derived in comments from first principles, and BOTH engines checked
+against the hand result (spark == hand AND duckdb(oracle) == hand).
+
+Fixture mechanics: each test writes its own miniature sf-dir (every
+fixture table present — empty but schema-correct for the unused ones —
+so ``QuerySpec.run_spark``'s ``register_views`` works unchanged), then
+runs the REAL spec build and the REAL oracle SQL against it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries import (
+    QUERY_SPECS,
+)
+
+_SRC_SF = "/root/testdata/sf0.001"
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _mk_sf(tmp_path, **hand_tables) -> str:
+    """Write a miniature sf-dir: hand tables as given, everything else
+    an EMPTY table with the real fixture schema."""
+    d = str(tmp_path / "sf_hand")
+    os.makedirs(d, exist_ok=True)
+    for t in _TABLES:
+        p = os.path.join(d, f"{t}.parquet")
+        if t in hand_tables:
+            pq.write_table(hand_tables[t], p)
+        else:
+            schema = pq.read_schema(os.path.join(_SRC_SF, f"{t}.parquet"))
+            pq.write_table(schema.empty_table(), p)
+    return d
+
+
+def _events(rows):
+    """rows: (event_id, ts, user_id, event_type, value)"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def _documents(rows):
+    """rows: (doc_id, text, source)"""
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def _run_both(spark, name, sf_dir):
+    """(spark rows, duckdb rows) as lists of plain tuples, column order
+    normalized to the SPARK result's column order for both engines."""
+    spec = QUERY_SPECS[name]
+    sdf = spec.run_spark(spark, sf_dir)
+    cols = sdf.columns
+    spark_rows = [tuple(r[c] for c in cols) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    res = con.execute(spec.oracle_text())
+    ora_cols = [d[0] for d in res.description]
+    ora_rows = [
+        tuple(dict(zip(ora_cols, r))[c] for c in cols) for r in res.fetchall()
+    ]
+    con.close()
+    return spark_rows, ora_rows
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_hand_gap_fill_interpolate(spark, tmp_path):
+    """Derivation (integer milli-units, FLOOR over double division):
+
+    user 1: obs 00:30 v=1.0, 00:45 v=2.0 -> hour 00 avg floor((1000+2000)/2)=1500
+            obs 03:15 v=4.5 -> hour 03 = 4500
+      grid 00..03; gaps 01,02 between (1500@00, 4500@03), slope +3000/3h:
+        h01: 1500 + floor(3000*1/3) = 2500 ; h02: 1500 + floor(3000*2/3) = 3500
+    user 2 (NEGATIVE slope, the floor-vs-truncate trap): obs 00:10 v=5.0
+            -> hour 00 = 5000 ; obs 02:20 v=1.999 -> hour 02 = 1999
+      gap 01 between (5000@00, 1999@02): 5000 + floor(-3001*1/2)
+        = 5000 + floor(-1500.5) = 5000 - 1501 = 3499
+      (integer `div`/truncation would give 3500 — both engines must floor)
+    """
+    d = _mk_sf(tmp_path, events=_events([
+        (1, _ts("2024-01-01T00:30:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-01T00:45:00"), 1, "view", 2.0),
+        (3, _ts("2024-01-01T03:15:00"), 1, "view", 4.5),
+        (4, _ts("2024-01-01T00:10:00"), 2, "view", 5.0),
+        (5, _ts("2024-01-01T02:20:00"), 2, "view", 1.999),
+    ]))
+    hand = [
+        (1, _ts("2024-01-01T00:00:00"), 1500, 0),
+        (1, _ts("2024-01-01T01:00:00"), 2500, 1),
+        (1, _ts("2024-01-01T02:00:00"), 3500, 1),
+        (1, _ts("2024-01-01T03:00:00"), 4500, 0),
+        (2, _ts("2024-01-01T00:00:00"), 5000, 0),
+        (2, _ts("2024-01-01T01:00:00"), 3499, 1),
+        (2, _ts("2024-01-01T02:00:00"), 1999, 0),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_gap_fill_interpolate", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_funnel_stages(spark, tmp_path):
+    """view -> first click strictly after -> first purchase strictly
+    after that; per-user firsts, then global counts/sums.
+
+    u1: view@10 click@20 purchase@30      -> vt=10 ct=20 pt=30
+    u2: click@8 view@10 purchase@20       -> vt=10, click was BEFORE the
+        view so ct=NULL, purchase can't follow a NULL click -> pt=NULL
+    u3: click@5 purchase@6 (no view)      -> all NULL
+    u4: view@0 click@10 purchase@5 purchase@15
+        -> vt=0 ct=10; purchase@5 precedes the click, pt=15
+    n_view=3 (u1,u2,u4); n_click=2 (u1,u4); n_purchase=2 (u1,u4)
+    view_to_click = (20-10)+(10-0) = 20 s
+    click_to_purchase = (30-20)+(15-10) = 15 s
+    """
+    base = _ts("2024-03-01T00:00:00")
+    sec = lambda s: base + dt.timedelta(seconds=s)
+    d = _mk_sf(tmp_path, events=_events([
+        (1, sec(10), 1, "view", 0.0), (2, sec(20), 1, "click", 0.0),
+        (3, sec(30), 1, "purchase", 0.0),
+        (4, sec(8), 2, "click", 0.0), (5, sec(10), 2, "view", 0.0),
+        (6, sec(20), 2, "purchase", 0.0),
+        (7, sec(5), 3, "click", 0.0), (8, sec(6), 3, "purchase", 0.0),
+        (9, sec(0), 4, "view", 0.0), (10, sec(10), 4, "click", 0.0),
+        (11, sec(5), 4, "purchase", 0.0), (12, sec(15), 4, "purchase", 0.0),
+    ]))
+    hand = [(3, 2, 2, 20, 15)]
+    got_spark, got_ora = _run_both(spark, "events_funnel_stages", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_duplicated_spans(spark, tmp_path):
+    """Word-8-gram duplicate spans, islands merged per doc.
+
+    doc0 'a..h x y z w' (12 toks): only gram [a..h] (pos 0) repeats
+         (docs 1,3) -> span (0,7): 1 span, 8 toks, floor(800/12)=66%
+    doc1 'a..h' (8): its single gram repeats -> (0,7): 8/8 = 100%
+    doc2 'p q r' (3): under 8 tokens -> no grams -> 0,0,0
+    doc3 'a..h i' (9): hits (0,7) [a..h] and (1,8) [b..i] OVERLAP ->
+         merged island (0,8): 1 span, 9 toks, 100%
+    doc4 'b..i' (8): gram [b..i] repeats (doc3) -> (0,7): 100%
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (0, "a b c d e f g h x y z w", "s"),
+        (1, "a b c d e f g h", "s"),
+        (2, "p q r", "s"),
+        (3, "a b c d e f g h i", "s"),
+        (4, "b c d e f g h i", "s"),
+    ]))
+    hand = [
+        (0, 12, 1, 8, 66),
+        (1, 8, 1, 8, 100),
+        (2, 3, 0, 0, 0),
+        (3, 9, 1, 9, 100),
+        (4, 8, 1, 8, 100),
+    ]
+    got_spark, got_ora = _run_both(spark, "dedup_exact_substring_spans", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_temperature_mixture(spark, tmp_path):
+    """T=2 mixture, target 40%: quota_d = ceil(round(0.40 * total *
+    sqrt(n_d) / sum_sqrt, 9)).
+
+    sources: webA n=4, webB n=1 -> total=5, sum_sqrt = 2+1 = 3
+    quota_A = ceil(40*5*2/300)  = ceil(1.333...) = 2 -> kept 2/4 = 50%
+    quota_B = ceil(40*5*1/300)  = ceil(0.666...) = 1 -> kept 1/1 = 100%
+    (which docs fill the quota depends on the md5 order; the REPORTED
+    counts do not)
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (0, "t zero", "webA"), (1, "t one", "webA"),
+        (2, "t two", "webA"), (3, "t three", "webA"),
+        (4, "t four", "webB"),
+    ]))
+    hand = [("webA", 4, 2, 50), ("webB", 1, 1, 100)]
+    got_spark, got_ora = _run_both(spark, "sample_temperature_mixture", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_bigram_fluency(spark, tmp_path):
+    """Corpus-wide bigram counts; per-bigram score floor(1e6 * c(prev,
+    tok) / (c(prev) + V)); per-doc mean (floor) and min. V = distinct
+    continuation token over the PAIR table.
+
+    doc0 'a b a b': bigrams (a,b),(b,a),(a,b) ; doc1 'a b': (a,b)
+    pair counts: (a,b)=3, (b,a)=1 ; prev counts: a=3, b=1
+    V = |{a, b}| = 2
+    score(a,b) = floor(3e6 / (3+2)) = 600000
+    score(b,a) = floor(1e6 / (1+2)) = 333333
+    doc0: n=3, mean=floor((600000+333333+600000)/3)=511111, min=333333
+    doc1: n=1, mean=600000, min=600000
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (0, "a b a b", "s"),
+        (1, "a b", "s"),
+    ]))
+    hand = [(0, 3, 511111, 333333), (1, 1, 600000, 600000)]
+    got_spark, got_ora = _run_both(spark, "text_bigram_fluency", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_pack_sequences(spark, tmp_path):
+    """Concat-and-chunk, budget 64, per-source shard in doc_id order.
+
+    shard s: n_tokens 50, 30, 64, 1 -> cum_before 0, 50, 80, 144
+      doc0: packs floor(0/64)=0 .. floor(49/64)=0   -> 1 span
+      doc1: floor(50/64)=0 .. floor(79/64)=1        -> 2
+      doc2: floor(80/64)=1 .. floor(143/64)=2       -> 2
+      doc3: floor(144/64)=2 .. floor(144/64)=2      -> 1
+    shard t: doc4 64 toks: 0 .. floor(63/64)=0      -> 1
+    """
+    w = lambda n: " ".join(f"x{i}" for i in range(n))
+    d = _mk_sf(tmp_path, documents=_documents([
+        (0, w(50), "s"), (1, w(30), "s"), (2, w(64), "s"),
+        (3, w(1), "s"), (4, w(64), "t"),
+    ]))
+    hand = [
+        (0, "s", 50, 0, 0, 0, 1),
+        (1, "s", 30, 50, 0, 1, 2),
+        (2, "s", 64, 80, 1, 2, 2),
+        (3, "s", 1, 144, 2, 2, 1),
+        (4, "t", 64, 0, 0, 0, 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "pack_sequences_concat_chunk", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_rare_token_fraction(spark, tmp_path):
+    """Rarity = corpus-wide occurrence count <= 2, share of OCCURRENCES.
+
+    doc0 'a a a b', doc1 'a c' -> counts a=4, b=1, c=1 ; rare = {b, c}
+    doc0: 4 tokens, 1 rare -> floor(100/4) = 25%
+    doc1: 2 tokens, 1 rare -> 50%
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (0, "a a a b", "s"),
+        (1, "a c", "s"),
+    ]))
+    hand = [(0, 4, 1, 25), (1, 2, 1, 50)]
+    got_spark, got_ora = _run_both(spark, "text_rare_token_fraction", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_retention_cohorts(spark, tmp_path):
+    """Monday-week cohorts by first event; (cohort, offset) distinct
+    actives. 2024-01-01 is a Monday.
+
+    u1: events Mon 01-01 and Wed 01-10 -> cohort 01-01, offsets 0 and 1
+    u2: single event Wed 01-03         -> cohort 01-01, offset 0
+    cells: (01-01, 0) -> {u1,u2} = 2 ; (01-01, 1) -> {u1} = 1
+    """
+    d = _mk_sf(tmp_path, events=_events([
+        (1, _ts("2024-01-01T10:00:00"), 1, "view", 0.0),
+        (2, _ts("2024-01-10T10:00:00"), 1, "view", 0.0),
+        (3, _ts("2024-01-03T10:00:00"), 2, "view", 0.0),
+    ]))
+    hand = [
+        (dt.date(2024, 1, 1), 0, 2),
+        (dt.date(2024, 1, 1), 1, 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_retention_cohorts", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_decontaminate_ngram_overlap(spark, tmp_path):
+    """3-gram overlap vs the benchmark partition (doc_id < 20);
+    contaminated iff overlap >= 5% of the doc's distinct grams.
+
+    bench doc5 'q w e r t' -> grams {q w e, w e r, e r t}
+    corp doc20 'q w e r a b c' -> 5 distinct grams, 2 in bench
+        -> 2*20=40 >= 5 -> contaminated 1
+    corp doc21 'm n o p q' -> 3 grams, 0 overlap -> 0
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (5, "q w e r t", "s"),
+        (20, "q w e r a b c", "s"),
+        (21, "m n o p q", "s"),
+    ]))
+    hand = [(20, 5, 2, 1), (21, 3, 0, 0)]
+    got_spark, got_ora = _run_both(spark, "decontaminate_ngram_overlap", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
