@@ -328,3 +328,66 @@ def test_hand_decontaminate_ngram_overlap(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "decontaminate_ngram_overlap", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_pack_sequences_null_text(spark, tmp_path):
+    """NULL-text docs are ZERO-token stream positions (round-10 NULL
+    contract) with writer-safe bounds: pack_last = pack_first (where
+    the first token WOULD land) and n_packs_spanned = 0 — never -1 or
+    inverted ranges (review round 11), and the oracle moves in
+    lockstep.
+
+    shard s: doc0 NULL (cum 0 -> packs 0..0 span 0),
+             doc1 64 toks (cum 0 -> packs 0..0 span 1),
+             doc2 NULL at the pack boundary (cum 64 -> packs 1..1
+             span 0; the old last-token formula gave 1..0 inverted),
+             doc3 10 toks (cum 64 -> packs 1..1 span 1)
+    """
+    w = lambda n: " ".join(f"x{i}" for i in range(n))
+    d = _mk_sf(tmp_path, documents=_documents([
+        (0, None, "s"), (1, w(64), "s"), (2, None, "s"), (3, w(10), "s"),
+    ]))
+    hand = [
+        (0, "s", 0, 0, 0, 0, 0),
+        (1, "s", 64, 0, 0, 0, 1),
+        (2, "s", 0, 64, 1, 1, 0),
+        (3, "s", 10, 64, 1, 1, 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "pack_sequences_concat_chunk", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_temperature_mixture_null_domain(spark, tmp_path):
+    """A NULL-domain group is a real group on BOTH engines (engine:
+    eqNullSafe; oracle: IS NOT DISTINCT FROM — review round 11, the
+    plain USING join dropped it while it still consumed quota).
+
+    webA n=4, NULL n=1 -> total 5, sum_sqrt 3
+    quota_A = ceil(1.333) = 2 -> 2/4 = 50% ; quota_NULL = ceil(0.667)
+    = 1 -> 1/1 = 100%
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (0, "t a", "webA"), (1, "t b", "webA"),
+        (2, "t c", "webA"), (3, "t d", "webA"),
+        (4, "t e", None),
+    ]))
+    hand = [(None, 1, 1, 100), ("webA", 4, 2, 50)]
+    got_spark, got_ora = _run_both(spark, "sample_temperature_mixture", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_duplicated_spans_null_text(spark, tmp_path):
+    """NULL text = zero tokens, 0 spans, 0% — a defined row on both
+    engines (the oracle previously emitted NULL n_tokens and a NULL
+    dup_frac_pct for it — review round 11)."""
+    d = _mk_sf(tmp_path, documents=_documents([
+        (0, None, "s"),
+        (1, "a b c d e f g h", "s"),
+        (2, "a b c d e f g h", "s"),
+    ]))
+    hand = [(0, 0, 0, 0, 0), (1, 8, 1, 8, 100), (2, 8, 1, 8, 100)]
+    got_spark, got_ora = _run_both(spark, "dedup_exact_substring_spans", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

@@ -73,12 +73,26 @@ def pack_concat_chunks(
             "n_tokens",
             "cum_before",
             F.floor(F.col("cum_before") / budget).cast("bigint").alias("pack_first"),
-            F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / budget)
+            # zero-token doc: the last-token formula gave cum_before - 1
+            # (-1 at stream start; inverted bounds at pack boundaries —
+            # review round 11). Its "position" is where its first token
+            # WOULD land: pack_last = pack_first, spans = 0 below.
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / budget),
+            )
+            .otherwise(F.floor(F.col("cum_before") / budget))
             .cast("bigint")
             .alias("pack_last"),
         )
         .withColumn(
-            "n_packs_spanned", (F.col("pack_last") - F.col("pack_first") + 1).cast("int")
+            "n_packs_spanned",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("pack_last") - F.col("pack_first") + 1,
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
         )
     )
 

@@ -1742,8 +1742,12 @@ _add(QuerySpec(
     ),
     oracle="""
 WITH t AS (
+  -- NULL text = zero tokens (the engine's round-10 NULL contract —
+  -- the oracle moves in lockstep, review round 11)
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CASE WHEN text IS NULL THEN 0
+              ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+         END AS n_tokens
   FROM documents
 ),
 c AS (
@@ -1755,9 +1759,15 @@ c AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
        CAST(cum_before AS BIGINT) AS cum_before,
        CAST(FLOOR(cum_before / 64.0) AS BIGINT) AS pack_first,
-       CAST(FLOOR((cum_before + n_tokens - 1) / 64.0) AS BIGINT) AS pack_last,
-       CAST(FLOOR((cum_before + n_tokens - 1) / 64.0)
-            - FLOOR(cum_before / 64.0) + 1 AS INTEGER) AS n_packs_spanned
+       -- zero-token doc: pack_last = pack_first, spans = 0 (not the
+       -- -1 / inverted bounds of the last-token formula)
+       CAST(CASE WHEN n_tokens > 0
+                 THEN FLOOR((cum_before + n_tokens - 1) / 64.0)
+                 ELSE FLOOR(cum_before / 64.0) END AS BIGINT) AS pack_last,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN FLOOR((cum_before + n_tokens - 1) / 64.0)
+                      - FLOOR(cum_before / 64.0) + 1
+                 ELSE 0 END AS INTEGER) AS n_packs_spanned
 FROM c
 ORDER BY doc_id
 """,
@@ -1809,10 +1819,13 @@ pd AS (
   FROM isl GROUP BY doc_id
 )
 SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
-       CAST(len(tk) AS BIGINT) AS n_tokens,
+       -- NULL text = zero tokens, 0% dup (the engine's NULL contract;
+       -- greatest(.,1) mirrors its divide-by-zero guard — review r11)
+       CAST(COALESCE(len(tk), 0) AS BIGINT) AS n_tokens,
        CAST(COALESCE(pd.n_dup_spans, 0) AS INTEGER) AS n_dup_spans,
        CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-       CAST(FLOOR(COALESCE(pd.dup_tokens, 0) * 100 / len(tk)) AS INTEGER)
+       CAST(FLOOR(COALESCE(pd.dup_tokens, 0) * 100
+                  / GREATEST(COALESCE(len(tk), 0), 1)) AS INTEGER)
          AS dup_frac_pct
 FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
 ORDER BY doc_id
@@ -1853,9 +1866,11 @@ SELECT r.source AS source,
        CAST(SUM(CASE WHEN rk <= keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(FLOOR(SUM(CASE WHEN rk <= keep THEN 1 ELSE 0 END) * 100
                   / COUNT(*)) AS INTEGER) AS kept_pct
-FROM r JOIN q USING (source)
+-- null-safe: a NULL-domain group is a real group, like the engine's
+-- eqNullSafe join (review round 11 — plain USING dropped it)
+FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source
 GROUP BY r.source
-ORDER BY source
+ORDER BY source NULLS FIRST
 """,
 ))
 

@@ -22,27 +22,39 @@ from ..schemas import FIXTURE_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (applicationId, sf_dir, table) -> DataFrame. Loading a fixture table
-# costs a file listing + parquet footer read (~0.1 s each, ~1 s for the
-# set — over half the measured per-query floor when every query
-# re-registered all views). DataFrames are lazy plans: caching one
-# caches only the resolved SCHEMA, every action still re-scans data, so
-# this is safe for immutable fixture paths. Keyed by applicationId so a
-# new session (driver harness builds its own) never sees another
-# session's plans.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# ((applicationId, session identity), sf_dir, table) -> DataFrame.
+# Loading a fixture table costs a file listing + parquet footer read
+# (~0.1 s each, ~1 s for the set — over half the measured per-query
+# floor when every query re-registered all views). DataFrames are lazy
+# plans: caching one caches only the resolved SCHEMA, every action
+# still re-scans data, so this is safe for immutable fixture paths.
+# Keyed by applicationId AND the SparkSession's own identity: sibling
+# sessions from spark.newSession() share one applicationId, and a
+# DataFrame bound to session A registered via createOrReplaceTempView
+# lands in A's catalog — session B would get TABLE_OR_VIEW_NOT_FOUND
+# (review round 11; applicationId alone only separated restarted apps).
+_TABLE_CACHE: dict[tuple[tuple[str, "SparkSession"], str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> tuple[str, "SparkSession"]:
+    # the session OBJECT (identity-hashed), not id(spark): holding the
+    # reference prevents a GC'd sibling's address being reused and
+    # aliasing a stale entry; the miss-path eviction below bounds the
+    # pinning to one live session's entries
+    return (spark.sparkContext.applicationId, spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    key = (app, os.path.abspath(sf_dir), name)
+    sess = _session_key(spark)
+    key = (sess, os.path.abspath(sf_dir), name)
     df = _TABLE_CACHE.get(key)
     if df is not None:
         return df
-    # evict entries of other (stopped) sessions: a session-churning
-    # process otherwise accumulates DataFrames pinning dead sessions'
-    # plans forever (one live session at a time is this cache's world)
-    stale = [k for k in _TABLE_CACHE if k[0] != app]
+    # evict entries of other (stopped or sibling) sessions: a session-
+    # churning process otherwise accumulates DataFrames pinning dead
+    # sessions' plans forever (one live session at a time is this
+    # cache's world)
+    stale = [k for k in _TABLE_CACHE if k[0] != sess]
     for k in stale:
         del _TABLE_CACHE[k]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
