@@ -278,6 +278,34 @@ def _read_sentinel() -> float:
         return -1.0
 
 
+def _prewarm_fixture_cache(sf_dir: str) -> dict:
+    """Pull every fixture parquet through the page cache before the
+    timed section (round-10 verdict item 4): two rounds of records were
+    polluted by a host cold-read pathology (read sentinel 38-290 MB/s
+    vs the 650-690 warm band) that measured the host, not the engine.
+    The PRE sentinel above still captures the cold evidence; this warm
+    pass plus the warm re-probe it returns make the timed queries
+    host-independent and the warm/cold gap explicit in the record."""
+    import pyarrow.parquet as pq
+
+    t0 = time.perf_counter()
+    total_mb = 0.0
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                p = os.path.join(sf_dir, name)
+                total_mb += os.path.getsize(p) / 1e6
+                pq.read_table(p)
+    except Exception as exc:
+        return {"error": f"{type(exc).__name__}: {exc}"}
+    warm_sec = round(time.perf_counter() - t0, 3)
+    return {
+        "prewarmed_mb": round(total_mb, 1),
+        "prewarm_sec": warm_sec,
+        "warm_read_mb_s": _read_sentinel(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -292,6 +320,9 @@ def main() -> None:
 
     sentinel_pre = contention_sentinel(spark)
     print(f"# contention sentinel (pre): {sentinel_pre}", file=sys.stderr)
+    prewarm = _prewarm_fixture_cache(sf_dir)
+    sentinel_pre["prewarm"] = prewarm
+    print(f"# fixture prewarm: {prewarm}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -367,6 +398,12 @@ def main() -> None:
         "merge_not_matched_update_stale",
         "events_gap_fill_interpolate",
         "asof_join_tolerance_bounded",
+        # round-11 declarations (the three with real data movement:
+        # bitmap exact-distinct agg, binned interval self-join,
+        # running-distinct window)
+        "agg_bitmap_distinct",
+        "join_interval_overlap_binned",
+        "window_distinct_running",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:

@@ -47,10 +47,13 @@ def asof_join(
     ``tolerance``: maximum allowed time distance in SECONDS (pandas
     ``merge_asof(tolerance=...)`` / kdb ``wj`` semantics): a match
     farther than ``tolerance`` from ``left_ts`` is discarded (NULLs),
-    not attached. Computed on second-truncated timestamps (``unix_
-    timestamp`` both sides), so engines agree exactly. Same single
-    shuffle — the matched right timestamp rides the window carry and
-    the bound is one post-filter expression, no extra join."""
+    not attached. Distances are MICROSECOND-exact (``unix_micros``,
+    integer arithmetic — review round 11: second-truncated distances
+    made sub-second ``nearest`` gaps tie to 0-vs-0 and always resolve
+    backward, and quantized the tolerance boundary; DuckDB's
+    ``epoch_us`` gives the identical integer). Same single shuffle —
+    the matched right timestamp rides the window carry and the bound
+    is one post-filter expression, no extra join."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     l_cols = left.columns
@@ -106,12 +109,8 @@ def asof_join(
         matched = _carry(descending=True)
     else:  # nearest: both scans over the SAME key shuffle, pick per row
         back, fwd = _carry(descending=False), _carry(descending=True)
-        back_age = F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(
-            back["__mts"]
-        )
-        fwd_age = F.unix_timestamp(fwd["__mts"]) - F.unix_timestamp(
-            F.col("__ts")
-        )
+        back_age = F.unix_micros(F.col("__ts")) - F.unix_micros(back["__mts"])
+        fwd_age = F.unix_micros(fwd["__mts"]) - F.unix_micros(F.col("__ts"))
         matched = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)
@@ -126,15 +125,15 @@ def asof_join(
         *[c for c in l_cols if c not in on and c != left_ts],
         matched.alias("__match"),
     )
-    # time distance from the matched row, nonnegative in every direction
-    age = F.abs(
-        F.unix_timestamp(F.col("__ts"))
-        - F.unix_timestamp(F.col("__match.__mts"))
+    # time distance from the matched row, nonnegative in every
+    # direction; integer microseconds (exact on both engines)
+    age_us = F.abs(
+        F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match.__mts"))
     )
     within = (
         F.col("__match").isNotNull()
         if tolerance is None
-        else age <= F.lit(float(tolerance))
+        else age_us <= F.lit(int(round(float(tolerance) * 1_000_000)))
     )
     out = carried.filter(F.col("__side") == 1).select(
         *on,

@@ -3721,18 +3721,20 @@ _STAGED_R10.append(QuerySpec(
         "attaches the latest prior click per user ONLY if it is at most "
         "30 minutes old — the matched right timestamp rides the same "
         "single-shuffle window carry and the bound is one post-filter "
-        "expression (second-truncated on both engines). Oracle: DuckDB "
-        "native ASOF LEFT JOIN with a date_diff gate.",
+        "expression (microsecond-exact on both engines: unix_micros vs "
+        "epoch_us — review round 11 replaced the second-truncated "
+        "distance, which quantized the boundary). Oracle: DuckDB "
+        "native ASOF LEFT JOIN with an epoch_us gate.",
     tags=("join", "asof"),
     build=_asof_tolerance_build,
     oracle="""
 SELECT CAST(p.event_id AS BIGINT) AS event_id,
        CAST(p.user_id AS BIGINT) AS user_id,
        CAST(CASE WHEN c.ts IS NOT NULL
-                  AND date_diff('second', c.ts, p.ts) <= 1800
+                  AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800 * 1000000
                  THEN ROUND(c.value * 100, 0) END AS BIGINT) AS click_cents,
        CAST(CASE WHEN c.ts IS NOT NULL
-                  AND date_diff('second', c.ts, p.ts) <= 1800
+                  AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800 * 1000000
                  THEN 1 ELSE 0 END AS INTEGER) AS matched
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
