@@ -72,3 +72,18 @@ class QuerySpec:
         if callable(o):
             o = o()
         return o
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp with process-exit cleanup: spec builds materialize lake
+    tables/checkpoints under /tmp, and every driver round leaked dozens
+    of them for the host to accumulate (review round 11). atexit, not
+    eager removal — the returned DataFrames lazily re-read these paths
+    until the session ends."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d

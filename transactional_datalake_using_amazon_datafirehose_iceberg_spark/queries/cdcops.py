@@ -9,9 +9,7 @@ row-counted."""
 
 from __future__ import annotations
 
-import json
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -25,7 +23,7 @@ from ..schemas import (
     RETAIL_TRANS_PARTITION,
 )
 from ..sources.cdc_jsonl import golden_corpora, read_cdc_batch, write_golden_corpus
-from .base import QuerySpec
+from .base import QuerySpec, scratch_dir
 
 _DB, _TBL = "cdc_iceberg_demo_db", "retail_trans_iceberg"
 
@@ -72,7 +70,7 @@ ORDER BY trans_id
 
 
 def _replay_build(spark, sf):
-    workdir = tempfile.mkdtemp(prefix="cdc_replay_")
+    workdir = scratch_dir("cdc_replay_")
     p1, p2 = write_golden_corpus(os.path.join(workdir, "in"))
     table = LakeTable.create(
         os.path.join(workdir, "retail"),
@@ -95,7 +93,7 @@ def _incremental_mv_build(spark, sf):
     changed-file rows only (changelog contract) and the view update is a
     keyed outer join on the view's (small) group domain — table volume
     is never re-scanned."""
-    workdir = tempfile.mkdtemp(prefix="mv_")
+    workdir = scratch_dir("mv_")
     p1, p2 = write_golden_corpus(os.path.join(workdir, "in"))
     table = LakeTable.create(
         os.path.join(workdir, "retail"),
@@ -174,13 +172,13 @@ def _streaming_pipeline_build(spark, sf):
     foreachBatch(transform → dead-letter → latest-per-key → MERGE) with
     checkpointing — replayed to completion with availableNow. Both
     corpora arrive in ONE delivery buffer, so the intra-batch
-    latest-per-key collapse (D4) must converge the 28-envelope history
+    latest-per-key collapse (D4) must converge the 23-envelope history
     to the same 12 live rows the sequential batch replay produces
     (Firehose contract: a buffer holding a key's whole history applies
     cleanly, firehose_to_iceberg.py:100-116)."""
     from ..streaming.pipeline import CdcStreamPipeline
 
-    workdir = tempfile.mkdtemp(prefix="scdc_")
+    workdir = scratch_dir("scdc_")
     in_dir = os.path.join(workdir, "in")
     write_golden_corpus(in_dir)
     table = LakeTable.create(
@@ -216,7 +214,7 @@ def _pydatasource_build(spark, sf):
     spark.dataSource.register(CdcEnvelopeDataSource)
     raw = spark.read.format("cdc_envelopes").load()
     table = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="pyds_"), "retail"),
+        os.path.join(scratch_dir("pyds_"), "retail"),
         RETAIL_TRANS,
         keys=RETAIL_TRANS_KEYS,
         cluster_by=RETAIL_TRANS_PARTITION,

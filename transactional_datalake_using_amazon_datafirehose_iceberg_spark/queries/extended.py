@@ -4,7 +4,6 @@ lifecycle, time travel — each still oracle-checked."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -19,7 +18,7 @@ from ..operators.cdc_transform import to_dead_letter, transform
 from ..plans.lake_table import LakeTable
 from ..schemas import RETAIL_TRANS, RETAIL_TRANS_KEYS, RETAIL_TRANS_PARTITION
 from ..sources.cdc_jsonl import read_cdc_batch, write_golden_corpus
-from .base import QuerySpec
+from .base import QuerySpec, scratch_dir
 
 _SPECS: list[QuerySpec] = []
 
@@ -85,7 +84,7 @@ def _compact_binpack_build(spark, sf):
     from ..plans.maintenance import compact
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="binpack_"), "t"),
+        os.path.join(scratch_dir("binpack_"), "t"),
         T.StructType([
             T.StructField("k", T.LongType()),
             T.StructField("grp", T.StringType()),
@@ -266,7 +265,7 @@ ORDER BY raw
 
 def _runbook_dml_build(spark, sf):
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="runbook_"), "retail"),
+        os.path.join(scratch_dir("runbook_"), "retail"),
         RETAIL_TRANS, keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
     )
     t.append(spark.sql("""
@@ -301,7 +300,7 @@ ORDER BY trans_id
 
 
 def _time_travel_build(spark, sf):
-    workdir = tempfile.mkdtemp(prefix="tt_")
+    workdir = scratch_dir("tt_")
     p1, p2 = write_golden_corpus(os.path.join(workdir, "in"))
     t = LakeTable.create(
         os.path.join(workdir, "retail"), RETAIL_TRANS,
@@ -331,7 +330,7 @@ ORDER BY version
 
 
 def _changelog_build(spark, sf):
-    workdir = tempfile.mkdtemp(prefix="cl_")
+    workdir = scratch_dir("cl_")
     p1, p2 = write_golden_corpus(os.path.join(workdir, "in"))
     t = LakeTable.create(
         os.path.join(workdir, "retail"), RETAIL_TRANS,
@@ -382,7 +381,7 @@ def _wap_build(spark, sf):
     fast_forward parity; reference contract: Iceberg table_type,
     README.md:292-309)."""
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="wap_"), "retail"),
+        os.path.join(scratch_dir("wap_"), "retail"),
         RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
     )
     t.append(spark.sql("""
@@ -448,7 +447,7 @@ def _schema_evo_build(spark, sf):
     schema evolution): old files read back with NULLs for added columns,
     dropped columns vanish from reads without a rewrite."""
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="evo_"), "retail"),
+        os.path.join(scratch_dir("evo_"), "retail"),
         RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
     )
     t.append(spark.sql("""
@@ -495,7 +494,7 @@ def _meta_tables_build(spark, sf):
     / ``.history`` / ``.refs`` / ``.files``) — all manifest-scale, no
     data file opened."""
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="meta_"), "retail"),
+        os.path.join(scratch_dir("meta_"), "retail"),
         RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
     )
     t.append(spark.sql("""
@@ -549,7 +548,7 @@ def _merge_evolve_build(spark, sf):
     from ..plans.merge import merge_into
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="evom_"), "retail"),
+        os.path.join(scratch_dir("evom_"), "retail"),
         RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
     )
     b1 = spark.sql("""
@@ -599,7 +598,7 @@ def _catalog_ddl_build(spark, sf):
     (reference README.md:284-309; Glue-catalog analogue)."""
     from ..plans.catalog import LakeCatalog
 
-    cat = LakeCatalog(os.path.join(tempfile.mkdtemp(prefix="cat_"), "wh"))
+    cat = LakeCatalog(os.path.join(scratch_dir("cat_"), "wh"))
     cat.create_database("cdc_iceberg_demo_db")               # Q1
     t = cat.create_table(                                    # Q2
         "cdc_iceberg_demo_db", "retail_trans_iceberg",
@@ -689,7 +688,7 @@ def _zorder_build(spark, sf):
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="zo_"), "li"),
+        os.path.join(scratch_dir("zo_"), "li"),
         T.StructType(
             [
                 T.StructField("l_orderkey", T.LongType()),
@@ -790,7 +789,7 @@ def _streaming_window_build(spark, sf, slide=None):
     from ..streaming.pipeline import windowed_event_counts
 
     ev = load_table(spark, sf, "events")
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_src_"), "events")
+    src = os.path.join(scratch_dir("stream_src_"), "events")
     ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
@@ -842,7 +841,7 @@ def _streaming_session_build(spark, sf):
     from ..streaming.pipeline import sessionized_event_counts
 
     ev = load_table(spark, sf, "events")
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_sess_"), "events")
+    src = os.path.join(scratch_dir("stream_sess_"), "events")
     ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
@@ -926,7 +925,7 @@ def _streaming_interval_join_build(spark, sf):
     from ..streaming.pipeline import interval_join_purchase_click
 
     ev = load_table(spark, sf, "events")
-    base = tempfile.mkdtemp(prefix="stream_ij_")
+    base = scratch_dir("stream_ij_")
     p_src, c_src = os.path.join(base, "purchases"), os.path.join(base, "clicks")
     ev.filter(F.col("event_type") == "purchase").write.parquet(p_src)
     ev.filter(F.col("event_type") == "click").write.parquet(c_src)
@@ -993,7 +992,7 @@ def _streaming_outer_join_build(spark, sf):
     from ..streaming.pipeline import interval_join_purchase_click
 
     ev = load_table(spark, sf, "events")
-    base = tempfile.mkdtemp(prefix="stream_loj_")
+    base = scratch_dir("stream_loj_")
     p_src, c_src = os.path.join(base, "purchases"), os.path.join(base, "clicks")
     ev.filter(F.col("event_type") == "purchase").write.parquet(p_src)
     ev.filter(F.col("event_type") == "click").write.parquet(c_src)
@@ -1067,7 +1066,7 @@ def _bucketed_join_build(spark, sf):
     import uuid
 
     db = f"bkt_{uuid.uuid4().hex[:8]}"
-    wh = tempfile.mkdtemp(prefix="bktwh_")
+    wh = scratch_dir("bktwh_")
     spark.sql(f"CREATE DATABASE {db}")
     (
         spark.table("lineitem").write.bucketBy(8, "l_orderkey")
@@ -1124,9 +1123,9 @@ def _delivery_log_build(spark, sf):
     from ..streaming.monitor import DeliveryLogListener
 
     ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_log_"), "events")
+    src = os.path.join(scratch_dir("stream_log_"), "events")
     ev.write.parquet(src)
-    log_path = os.path.join(tempfile.mkdtemp(prefix="dlog_"), "delivery.jsonl")
+    log_path = os.path.join(scratch_dir("dlog_"), "delivery.jsonl")
     listener = DeliveryLogListener(log_path)
     spark.streams.addListener(listener)
     name = f"stream_log_{uuid.uuid4().hex[:8]}"
@@ -1193,7 +1192,7 @@ def _stream_static_build(spark, sf):
     dim = spark.table("customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_dim_"), "events")
+    src = os.path.join(scratch_dir("stream_dim_"), "events")
     ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     name = f"stream_dim_{uuid.uuid4().hex[:8]}"
@@ -1271,7 +1270,7 @@ def _late_drop_build(spark, sf):
     )
     recent_b = ev.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
     old = ev.filter(F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_late_"), "events")
+    src = os.path.join(scratch_dir("stream_late_"), "events")
     # file order = arrival order: two recent batches advance the
     # watermark, then the old half arrives late beyond the 2 h bound.
     # (The watermark computed from a batch becomes the FILTER for the
@@ -1358,7 +1357,7 @@ def _equality_delete_build(spark, sf):
     from ..plans.maintenance import rewrite_delete_files
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="eqdel_"), "retail"),
+        os.path.join(scratch_dir("eqdel_"), "retail"),
         RETAIL_TRANS, keys=RETAIL_TRANS_KEYS,
     )
     t.append(spark.sql("""
@@ -1441,7 +1440,7 @@ def _streaming_running_counts_build(spark, sf):
         .filter(F.col("user_id") < 40)
         .select("event_id", "user_id")
     )
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_rc_"), "events")
+    src = os.path.join(scratch_dir("stream_rc_"), "events")
     ev.write.parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     name = f"stream_rc_{uuid.uuid4().hex[:8]}"
@@ -1514,7 +1513,7 @@ def _scd2_build(spark, sf):
         T.StructField("is_current", T.IntegerType()),
     ])
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim"),
+        os.path.join(scratch_dir("scd2_"), "dim"),
         schema,
         keys=["user_id", "version_id"],
     )
@@ -1585,7 +1584,7 @@ def _merge_conditional_build(spark, sf):
 
     base = spark.table("orders").filter(F.col("o_orderkey") < 2000)
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="condmerge_"), "orders"),
+        os.path.join(scratch_dir("condmerge_"), "orders"),
         base.schema,
         keys=["o_orderkey"],
     )
@@ -1691,7 +1690,7 @@ def _streaming_dedup_build(spark, sf):
     from ..streaming.pipeline import stateful_dedup
 
     ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_dd_"), "events")
+    src = os.path.join(scratch_dir("stream_dd_"), "events")
     ev.write.parquet(src)
     ev.write.mode("append").parquet(src)  # exact duplicate of every row
     stream = spark.readStream.schema(ev.schema).parquet(src)
@@ -1723,7 +1722,7 @@ def _streaming_dedup_within_build(spark, sf):
     from ..streaming.pipeline import stateful_dedup_within_watermark
 
     ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_ddw_"), "events")
+    src = os.path.join(scratch_dir("stream_ddw_"), "events")
     ev.write.parquet(src)
     ev.write.mode("append").parquet(src)  # exact duplicate of every row
     stream = spark.readStream.schema(ev.schema).parquet(src)
@@ -1799,7 +1798,7 @@ def _merge_nmbs_build(spark, sf):
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="nmbs_"), "orders"),
+        os.path.join(scratch_dir("nmbs_"), "orders"),
         base.schema,
         keys=["o_orderkey"],
     )
@@ -1855,7 +1854,7 @@ def _rename_column_build(spark, sf):
         .select("c_custkey", "c_name", "c_acctbal")
     )
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="rename_"), "cust"),
+        os.path.join(scratch_dir("rename_"), "cust"),
         base.schema,
         keys=["c_custkey"],
     )
@@ -1914,7 +1913,7 @@ def _widen_column_build(spark, sf):
         )
     )
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="widen_"), "cust"),
+        os.path.join(scratch_dir("widen_"), "cust"),
         base.schema,
         keys=["c_custkey"],
     )
@@ -1972,7 +1971,7 @@ def _lake_stream_build(spark, sf):
     from ..sources.lake_stream import LakeStreamDataSource
 
     spark.dataSource.register(LakeStreamDataSource)
-    workdir = tempfile.mkdtemp(prefix="lstream_")
+    workdir = scratch_dir("lstream_")
     base = spark.table("customer").select("c_custkey", "c_name", "c_acctbal")
     t = LakeTable.create(
         os.path.join(workdir, "cust"), base.schema, keys=["c_custkey"]
@@ -2034,7 +2033,7 @@ def _expire_snapshots_build(spark, sf):
     from ..plans.maintenance import expire_snapshots
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="expire_"), "retail"),
+        os.path.join(scratch_dir("expire_"), "retail"),
         RETAIL_TRANS, keys=RETAIL_TRANS_KEYS, cluster_by=RETAIL_TRANS_PARTITION,
     )
     t.append(spark.sql("""
@@ -2117,7 +2116,7 @@ def _chained_stream_agg_build(spark, sf):
     from ..sources.catalog import load_table
 
     ev = load_table(spark, sf, "events")
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_chain_"), "events")
+    src = os.path.join(scratch_dir("stream_chain_"), "events")
     ev.coalesce(4).write.parquet(os.path.join(src, "b1"))
     spark.sql(
         "SELECT CAST(9999999 AS BIGINT) AS event_id,"
@@ -2203,7 +2202,7 @@ def _scan_prune_proof_build(spark, sf):
     from ..plans.lake_table import Predicate
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="prune_"), "t"),
+        os.path.join(scratch_dir("prune_"), "t"),
         T.StructType([
             T.StructField("k", T.LongType()),
             T.StructField("day", T.StringType()),
@@ -2269,7 +2268,7 @@ def _default_column_build(spark, sf):
     from ..plans.maintenance import compact
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="coldef_"), "t"),
+        os.path.join(scratch_dir("coldef_"), "t"),
         T.StructType([
             T.StructField("k", T.LongType()),
             T.StructField("v", T.StringType()),
@@ -2325,7 +2324,7 @@ def _row_lineage_build(spark, sf):
     from ..plans.merge import merge_into
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="lineage_"), "t"),
+        os.path.join(scratch_dir("lineage_"), "t"),
         T.StructType([
             T.StructField("k", T.LongType()),
             T.StructField("v", T.StringType()),
@@ -2388,7 +2387,7 @@ def _lake_sink_build(spark, sf):
     from ..sources.lake_stream import LakeStreamDataSource
 
     spark.dataSource.register(LakeStreamDataSource)
-    d = tempfile.mkdtemp(prefix="lake_sink_")
+    d = scratch_dir("lake_sink_")
     root = os.path.join(d, "t")
     src = os.path.join(d, "src")
     ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
@@ -2541,7 +2540,7 @@ def _csv_orc_roundtrip_build(spark, sf):
     aggregated; both formats must agree with the parquet fixture."""
     from ..sources.catalog import load_table
 
-    base = tempfile.mkdtemp(prefix="fmt_rt_")
+    base = scratch_dir("fmt_rt_")
     ev = load_table(spark, sf, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -2696,7 +2695,7 @@ def _cherry_pick_build(spark, sf):
     branch commit lands on a head that has advanced past the branch
     base — fast_forward refuses, cherry_pick re-applies the one delta."""
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="cherry_"), "t"),
+        os.path.join(scratch_dir("cherry_"), "t"),
         T.StructType([
             T.StructField("k", T.LongType()),
             T.StructField("v", T.StringType()),
@@ -2748,7 +2747,7 @@ def _merge_widen_build(spark, sf):
     from ..plans.merge import merge_into
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="mwiden_"), "t"),
+        os.path.join(scratch_dir("mwiden_"), "t"),
         T.StructType([
             T.StructField("trans_id", T.IntegerType()),
             T.StructField("qty", T.IntegerType()),
@@ -2797,7 +2796,7 @@ def _skip_change_commits_build(spark, sf):
     from ..sources.lake_stream import LakeStreamDataSource
 
     spark.dataSource.register(LakeStreamDataSource)
-    workdir = tempfile.mkdtemp(prefix="lskip_")
+    workdir = scratch_dir("lskip_")
     base = spark.table("customer").select("c_custkey", "c_name", "c_acctbal")
     t = LakeTable.create(
         os.path.join(workdir, "cust"), base.schema, keys=["c_custkey"]
@@ -2866,7 +2865,7 @@ def _sink_txn_build(spark, sf):
     from ..sources.lake_stream import LakeStreamDataSource
 
     spark.dataSource.register(LakeStreamDataSource)
-    workdir = tempfile.mkdtemp(prefix="sinktxn_")
+    workdir = scratch_dir("sinktxn_")
     base = spark.table("customer").select("c_custkey", "c_acctbal")
     t = LakeTable.create(
         os.path.join(workdir, "cust"), base.schema, keys=["c_custkey"]
@@ -2916,7 +2915,7 @@ def _partition_evolution_build(spark, sf):
     from ..plans.lake_table import Predicate
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="pevo_"), "cust"),
+        os.path.join(scratch_dir("pevo_"), "cust"),
         T.StructType([
             T.StructField("c_custkey", T.LongType()),
             T.StructField("c_nationkey", T.LongType()),
@@ -2965,7 +2964,7 @@ def _xml_roundtrip_build(spark, sf):
     parquet fixture aggregate."""
     from ..sources.catalog import load_table
 
-    base = tempfile.mkdtemp(prefix="xml_rt_")
+    base = scratch_dir("xml_rt_")
     ev = load_table(spark, sf, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -3009,7 +3008,7 @@ def _routed_fanout_build(spark, sf):
     from ..operators.cdc_apply import apply_routed
     from ..sources.cdc_jsonl import write_routed_corpus
 
-    workdir = tempfile.mkdtemp(prefix="routed_")
+    workdir = scratch_dir("routed_")
     corpus = write_routed_corpus(os.path.join(workdir, "routed.jsonl"))
     tables = {
         name: LakeTable.create(
@@ -3049,7 +3048,7 @@ def _pit_asof_build(spark, sf):
     from ..operators.asof import asof_join
 
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="pit_"), "bal"),
+        os.path.join(scratch_dir("pit_"), "bal"),
         T.StructType([
             T.StructField("k", T.LongType()),
             T.StructField("cents", T.LongType()),
@@ -3140,7 +3139,7 @@ def _dead_letter_replay_build(spark, sf):
     from ..sources.cdc_jsonl import _envelope, _mk_row, read_cdc_batch
 
     rng = _random.Random(5)
-    workdir = tempfile.mkdtemp(prefix="dlq_replay_")
+    workdir = scratch_dir("dlq_replay_")
     lines = []
     for k in range(1, 9):  # 8 inserts, amount 10*k
         lines.append(_json.dumps(_envelope(
@@ -3486,7 +3485,7 @@ def _nmbs_update_build(spark, sf):
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="nmbsu_"), "orders"),
+        os.path.join(scratch_dir("nmbsu_"), "orders"),
         base.schema,
         keys=["o_orderkey"],
     )
@@ -3751,7 +3750,7 @@ def _dpp_build(spark, sf):
     # prunes. Written once per build into a temp dir (sf-scale write;
     # the INTERESTING part is the read-side plan).
     ev = load_table(spark, sf, "events")
-    root = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "events_part")
+    root = os.path.join(scratch_dir("dpp_"), "events_part")
     ev.select(
         "user_id", "event_id", "value", "event_type"
     ).write.partitionBy("event_type").parquet(root)
@@ -3863,7 +3862,7 @@ def _meta_partitions_build(spark, sf):
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
     t = LakeTable.create(
-        os.path.join(tempfile.mkdtemp(prefix="metap_"), "orders"),
+        os.path.join(scratch_dir("metap_"), "orders"),
         base.schema,
         keys=["o_orderkey"],
         cluster_by=["o_orderstatus"],
@@ -3959,7 +3958,7 @@ def _shallow_clone_build(spark, sf):
         "o_orderkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
-    root = tempfile.mkdtemp(prefix="clone_")
+    root = scratch_dir("clone_")
     src = LakeTable.create(
         os.path.join(root, "src"), base.schema, keys=["o_orderkey"]
     )
@@ -4045,7 +4044,7 @@ def _schema_drift_build(spark, sf):
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
-    root = tempfile.mkdtemp(prefix="drift_")
+    root = scratch_dir("drift_")
     tq = LakeTable.create(os.path.join(root, "q"), schema, keys=["o_orderkey"])
     te = LakeTable.create(os.path.join(root, "e"), schema, keys=["o_orderkey"])
     tq.append(seed)
@@ -4528,7 +4527,7 @@ def _expire_dry_run_audit_build(spark, sf):
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
-    root = tempfile.mkdtemp(prefix="audit_")
+    root = scratch_dir("audit_")
     t = LakeTable.create(os.path.join(root, "t"), schema, keys=["o_orderkey"])
     t.append(src.filter(F.col("o_orderkey") < 400))
     t.append(src.filter((F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 800)))
