@@ -456,7 +456,6 @@ def _schema_evo_build(spark, sf):
         (2, 'c2', 'visit', 'SKU2', 1, 'mobile', TIMESTAMP '2023-01-16 06:01:00')
       AS t(trans_id, customer_id, event, sku, amount, device, trans_datetime)
     """))
-    from pyspark.sql import types as T
 
     t.add_column("coupon", T.StringType())       # metadata-only
     t.drop_column("device")                      # metadata-only, no rewrite
@@ -918,23 +917,26 @@ def _state_partitions(spark, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _streaming_interval_join_build(spark, sf):
+def _interval_join_common(spark, sf, how, prefix, with_value):
+    """Shared harness for the inner/left-outer stream-stream interval
+    join specs (one parameterized site instead of hand-synced ~35-line
+    twins — review round 11)."""
     import uuid
 
     from ..sources.catalog import load_table
     from ..streaming.pipeline import interval_join_purchase_click
 
     ev = load_table(spark, sf, "events")
-    base = scratch_dir("stream_ij_")
+    base = scratch_dir(prefix)
     p_src, c_src = os.path.join(base, "purchases"), os.path.join(base, "clicks")
     ev.filter(F.col("event_type") == "purchase").write.parquet(p_src)
     ev.filter(F.col("event_type") == "click").write.parquet(c_src)
     purchases = spark.readStream.schema(ev.schema).parquet(p_src)
     clicks = spark.readStream.schema(ev.schema).parquet(c_src)
-    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark):
         q = (
-            interval_join_purchase_click(purchases, clicks)
+            interval_join_purchase_click(purchases, clicks, how=how)
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
@@ -942,19 +944,24 @@ def _streaming_interval_join_build(spark, sf):
         )
         q.processAllAvailable()
         q.stop()
-    return (
-        spark.table(name)
-        .select(
-            "user_id",
-            "purchase_id",
-            "click_id",
-            (
-                (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
-                / F.lit(1_000_000)
-            ).cast("bigint").alias("lag_sec"),
-            F.round("purchase_value", 2).cast("double").alias("purchase_value"),
+    cols = [
+        F.col("user_id"),
+        F.col("purchase_id"),
+        F.col("click_id"),
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1_000_000)
+        ).cast("bigint").alias("lag_sec"),
+    ]
+    if with_value:
+        cols.append(
+            F.round("purchase_value", 2).cast("double").alias("purchase_value")
         )
-        .orderBy("purchase_id", "click_id")
+    return spark.table(name).select(*cols).orderBy("purchase_id", "click_id")
+
+
+def _streaming_interval_join_build(spark, sf):
+    return _interval_join_common(
+        spark, sf, how="inner", prefix="stream_ij_", with_value=True
     )
 
 
@@ -986,41 +993,8 @@ ORDER BY purchase_id, click_id
 
 
 def _streaming_outer_join_build(spark, sf):
-    import uuid
-
-    from ..sources.catalog import load_table
-    from ..streaming.pipeline import interval_join_purchase_click
-
-    ev = load_table(spark, sf, "events")
-    base = scratch_dir("stream_loj_")
-    p_src, c_src = os.path.join(base, "purchases"), os.path.join(base, "clicks")
-    ev.filter(F.col("event_type") == "purchase").write.parquet(p_src)
-    ev.filter(F.col("event_type") == "click").write.parquet(c_src)
-    purchases = spark.readStream.schema(ev.schema).parquet(p_src)
-    clicks = spark.readStream.schema(ev.schema).parquet(c_src)
-    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
-        q = (
-            interval_join_purchase_click(purchases, clicks, how="left_outer")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-    return (
-        spark.table(name)
-        .select(
-            "user_id",
-            "purchase_id",
-            "click_id",
-            (
-                (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
-                / F.lit(1_000_000)
-            ).cast("bigint").alias("lag_sec"),
-        )
-        .orderBy("purchase_id", "click_id")
+    return _interval_join_common(
+        spark, sf, how="left_outer", prefix="stream_loj_", with_value=False
     )
 
 
@@ -1079,20 +1053,29 @@ def _bucketed_join_build(spark, sf):
         .saveAsTable(f"{db}.orders_b")
     )
     # broadcast disabled so the join proves the co-located (shuffle-free)
-    # path; tests/test_bucketed_join.py asserts the zero-Exchange plan
+    # path; tests/test_bucketed_join.py asserts the zero-Exchange plan.
+    # The join must MATERIALIZE (localCheckpoint) while the conf is
+    # disabled — returning the lazy plan and restoring the threshold in
+    # `finally` meant the actual execution planned under the DEFAULT
+    # threshold and broadcast-joined the small side, silently skipping
+    # the co-located path the spec exists to prove (review round 11).
+    # Eager execution also lets the uuid database drop here instead of
+    # leaking a bkt_*.db directory into spark-warehouse every round.
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        return spark.sql(f"""
+        out = spark.sql(f"""
           SELECT o_orderpriority, COUNT(*) AS n,
                  CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
                    AS revenue
           FROM {db}.lineitem_b JOIN {db}.orders_b ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority
           ORDER BY o_orderpriority
-        """)
+        """).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    return out
 
 
 _add(QuerySpec(
@@ -1138,16 +1121,25 @@ def _delivery_log_build(spark, sf):
             .queryName(name)
             .start()
         )
+        qid = str(q.id)
         q.processAllAvailable()
         q.stop()
         # listener events are delivered asynchronously: wait (bounded)
-        # for the terminated record to land in the log
+        # for THIS query's terminated record. The listener is
+        # session-global, so the log may interleave late events from
+        # other streaming specs in the same session — every record is
+        # filtered by query id or the totals undercount/inflate and the
+        # wait can break on a foreign termination (review round 11).
         deadline = _time.time() + 15
         records = []
         while _time.time() < deadline:
             if os.path.exists(log_path):
                 with open(log_path) as f:
-                    records = [_json.loads(line) for line in f]
+                    records = [
+                        r
+                        for r in (_json.loads(line) for line in f)
+                        if r.get("id") == qid
+                    ]
                 if any(r["event"] == "terminated" for r in records):
                     break
             _time.sleep(0.2)
@@ -1683,20 +1675,23 @@ ORDER BY o_orderkey
 # ---------------------------------------------------------------------------
 
 
-def _streaming_dedup_build(spark, sf):
+def _streaming_dedup_common(spark, sf, dedup_fn, prefix):
+    """Shared harness for the two stateful-dedup specs (one
+    parameterized site instead of hand-synced twins — review round 11):
+    a doubled source replayed through ``dedup_fn`` must aggregate to
+    the batch result over the original rows."""
     import uuid
 
     from ..sources.catalog import load_table
-    from ..streaming.pipeline import stateful_dedup
 
     ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
-    src = os.path.join(scratch_dir("stream_dd_"), "events")
+    src = os.path.join(scratch_dir(prefix), "events")
     ev.write.parquet(src)
     ev.write.mode("append").parquet(src)  # exact duplicate of every row
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
     q = (
-        stateful_dedup(stream)
+        dedup_fn(stream)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
@@ -1713,37 +1708,19 @@ def _streaming_dedup_build(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+def _streaming_dedup_build(spark, sf):
+    from ..streaming.pipeline import stateful_dedup
+
+    return _streaming_dedup_common(spark, sf, stateful_dedup, "stream_dd_")
 
 
 def _streaming_dedup_within_build(spark, sf):
-    import uuid
-
-    from ..sources.catalog import load_table
     from ..streaming.pipeline import stateful_dedup_within_watermark
 
-    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
-    src = os.path.join(scratch_dir("stream_ddw_"), "events")
-    ev.write.parquet(src)
-    ev.write.mode("append").parquet(src)  # exact duplicate of every row
-    stream = spark.readStream.schema(ev.schema).parquet(src)
-    name = f"stream_ddw_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_dedup_within_watermark(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).cast("double").alias("total"),
-        )
-        .orderBy("event_type")
+    return _streaming_dedup_common(
+        spark, sf, stateful_dedup_within_watermark, "stream_ddw_"
     )
 
 
@@ -2462,7 +2439,13 @@ def _udtf_analyze_build(spark, sf):
             )
 
         def eval(self, text: str, n: int):
-            toks = (text or "").split(" ")
+            # NULL text is in-contract on documents (repo-wide round-11
+            # contract): all-NULL tokens, matching string_split(NULL) —
+            # the old `text or ""` coercion emitted tok0 = '' instead
+            if text is None:
+                yield (None,) * n
+                return
+            toks = text.split(" ")
             yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 
     spark.udtf.register("lead_tokens", LeadTokens)
@@ -3135,7 +3118,6 @@ def _dead_letter_replay_build(spark, sf):
 
     from ..operators.cdc_apply import apply_batch, typed_rows
     from ..operators.cdc_transform import to_dead_letter, transform
-    from ..schemas import RETAIL_TRANS, RETAIL_TRANS_KEYS
     from ..sources.cdc_jsonl import _envelope, _mk_row, read_cdc_batch
 
     rng = _random.Random(5)
@@ -3691,8 +3673,14 @@ def _asof_tolerance_build(spark, sf):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
+    # collapse to one click per (user, ts): equal-timestamp arbitration
+    # differs between the window carry and DuckDB's ASOF JOIN, so a
+    # same-microsecond click pair would flake the spec (review round
+    # 11 — the forward/nearest sibling already does this)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("click_value"))
     )
     out = asof_join(
         purchases,
@@ -3736,7 +3724,8 @@ SELECT CAST(p.event_id AS BIGINT) AS event_id,
                   AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800 * 1000000
                  THEN 1 ELSE 0 END AS INTEGER) AS matched
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, MIN(value) AS value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts) c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 ORDER BY event_id
 """,
@@ -3831,6 +3820,21 @@ _STAGED_R10.append(QuerySpec(
             # count(lit(1)), not count("*"): star is invalid inside a
             # pivot aggregate (INVALID_USAGE_OF_STAR_OR_REGEX)
             F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        # Spark pivot yields NULL for an empty cell even under count,
+        # while the oracle's COUNT(CASE) yields 0 — coalesce the count
+        # cells so a fixture where some combo is absent cannot diverge
+        # (review round 11; all 15 combos exist today, which masked it)
+        .select(
+            "o_orderpriority",
+            *[
+                c
+                for s in ("F", "O", "P")
+                for c in (
+                    F.col(f"{s}_cents"),
+                    F.coalesce(f"{s}_n", F.lit(0)).cast("bigint").alias(f"{s}_n"),
+                )
+            ],
         )
         .orderBy("o_orderpriority")
     ),
@@ -3973,11 +3977,10 @@ def _shallow_clone_build(spark, sf):
         )
     )
     merge_into(clone, delta)
-    import os as _os
 
     clone_own_parquet = any(
         f.endswith(".parquet")
-        for _d, _s, fs in _os.walk(_os.path.join(clone.root, "data"))
+        for _d, _s, fs in os.walk(os.path.join(clone.root, "data"))
         for f in fs
     )
 
