@@ -622,3 +622,60 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     bits = [F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
     return bit_sums.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    threshold_pct: int = 80,
+    max_doc_freq: int = 32,
+) -> DataFrame:
+    """Asymmetric containment near-dup: C(A -> B) = |sh(A) n sh(B)| /
+    |sh(A)| — the subset-duplicate signal MinHash-LSH is structurally
+    blind to (a small doc fully contained in a big one has high
+    containment but LOW Jaccard, so Jaccard-banded buckets rarely pair
+    them; Broder's containment formulation). Emits (inner, outer,
+    containment_pct) for every ordered pair with containment >=
+    ``threshold_pct``.
+
+    Scale shape: candidates come from a self-join on the shingle value
+    — corpus-linear as long as shingle doc-frequency is bounded, so
+    shingles appearing in more than ``max_doc_freq`` documents are
+    dropped FIRST (the standard stop-shingle cap: a boilerplate shingle
+    shared by thousands of docs contributes quadratic pairs and no
+    containment evidence — for a shingle that common, intersection
+    counts are dominated by rarer shingles anyway). The cap trades
+    recall on documents consisting ONLY of ultra-common shingles for a
+    pairs-scale (never n^2) shuffle, like the LSH hot-bucket collapse.
+    Both the frequency filter and the pair aggregation are map-side
+    combinable; sizes join is doc-count scale.
+    """
+    freq_ok = (
+        shingled.groupBy("sh")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("sh")
+    )
+    sh = shingled.join(freq_ok, "sh")
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("inner_doc"), "sh")
+    b = sh.select(F.col(id_col).alias("outer_doc"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("inner_doc") != F.col("outer_doc"))
+        .groupBy("inner_doc", "outer_doc")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("inner_doc"), F.col("n").alias("na"))
+    return (
+        inter.join(na, "inner_doc")
+        # integer-exact threshold: i*100 >= pct*|A| (no double ratio)
+        .filter(F.col("i") * 100 >= F.lit(int(threshold_pct)) * F.col("na"))
+        .select(
+            "inner_doc",
+            "outer_doc",
+            F.floor(F.col("i") * 100 / F.col("na")).cast("int").alias(
+                "containment_pct"
+            ),
+        )
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -4872,5 +4873,427 @@ assert not [s for s in _STAGED_R11 if s.name not in _DECLARE_R11], (
 )
 
 
-# Next-round staging lane (r12): empty until new specs are staged.
-SPECS_NEXT = [s for s in _STAGED_R11 if s.name not in _DECLARE_R11]
+# ---------------------------------------------------------------------------
+# Round-12 staging lane: built and oracle-rehearsed this round, declared
+# next round as the sampling window rotates (window math in the r11
+# commit: up to 18 new specs fit alongside the 32-spec r7-stale cohort).
+# ---------------------------------------------------------------------------
+_STAGED_R12: list[QuerySpec] = []
+
+
+def _streak_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    days = (
+        load_table(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    streaks = (
+        days.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__grp", F.expr("date_sub(d, __rk)"))
+        .groupBy("user_id", "__grp")
+        .agg(F.count("*").alias("len"), F.min("d").alias("start"))
+    )
+    # per-user stats as windows over the (tiny) streak relation — no
+    # self-join, no ambiguous-lineage predicates
+    w2 = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("longest_streak", F.max("len").over(w2))
+        .withColumn("n_streaks", F.count("*").over(w2))
+        .filter(F.col("len") == F.col("longest_streak"))
+        .groupBy("user_id", "longest_streak", "n_streaks")
+        .agg(F.min("start").alias("longest_start"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("longest_streak").cast("bigint").alias("longest_streak"),
+            F.col("n_streaks").cast("bigint").alias("n_streaks"),
+            "longest_start",
+        )
+        .orderBy("user_id")
+    )
+
+
+_STAGED_R12.append(QuerySpec(
+    name="events_streak_longest_daily",
+    doc="Longest consecutive-day activity streak per user — the "
+        "canonical gaps-and-islands analytic (island key = day minus "
+        "dense day-rank). Distinct (user, day) pairs collapse first "
+        "(map-side), the island window is one user-keyed shuffle, and "
+        "streak stats are day-count scale. Ties on length resolve to "
+        "the EARLIEST streak start on both engines.",
+    tags=("events", "window", "islands"),
+    build=_streak_build,
+    oracle="""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM days
+),
+st AS (SELECT user_id, grp, COUNT(*) AS len, MIN(d) AS start
+       FROM isl GROUP BY user_id, grp),
+mx AS (SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+       FROM st GROUP BY user_id)
+SELECT CAST(m.user_id AS BIGINT) AS user_id,
+       CAST(m.longest_streak AS BIGINT) AS longest_streak,
+       CAST(m.n_streaks AS BIGINT) AS n_streaks,
+       MIN(s.start) AS longest_start
+FROM mx m JOIN st s ON s.user_id = m.user_id AND s.len = m.longest_streak
+GROUP BY m.user_id, m.longest_streak, m.n_streaks
+ORDER BY user_id
+""",
+))
+
+
+def _peak_concurrency_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf, "events").select("event_type", "ts")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    # default RANGE frame: all boundary rows sharing (t, delta) peer
+    # into one cumulative value on BOTH engines; delta=-1 sorts before
+    # +1 at equal t, so back-to-back intervals ([a,b) half-open) never
+    # double-count at the touch point
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    run = starts.unionByName(ends).withColumn("c", F.sum("delta").over(w))
+    return (
+        run.groupBy("event_type")
+        .agg(
+            F.max("c").cast("bigint").alias("peak_concurrent"),
+            (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STAGED_R12.append(QuerySpec(
+    name="events_peak_concurrency",
+    doc="Peak concurrent sessions per event type (each event opens a "
+        "30-minute interval): the +1/-1 boundary-sweep formulation — "
+        "union of starts and ends, one running sum per type, max. "
+        "O(2n) rows, one keyed shuffle, no interval self-join; ends "
+        "sort before starts at equal timestamps so half-open intervals "
+        "never double-count.",
+    tags=("events", "window", "interval"),
+    build=_peak_concurrency_build,
+    oracle="""
+WITH b AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+),
+r AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS c
+  FROM b
+)
+SELECT event_type,
+       CAST(MAX(c) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM r GROUP BY event_type ORDER BY event_type
+""",
+))
+
+
+def _matryoshka_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    k = 8
+    emb = load_table(spark, sf, "embeddings")
+    v = F.slice("embedding", 1, k)
+    # sequential left fold on the sliced array: the SAME double
+    # summation order as DuckDB's list_sum over the slice, so the norm
+    # is bit-identical (never a shuffled SUM)
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(sq)
+    return (
+        emb.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            F.when(
+                norm > 0,
+                F.floor(v.getItem(0).cast("double") / norm * 1_000_000),
+            ).cast("bigint").alias("dim0_unit_ppm"),
+            F.floor(norm * 1_000_000).cast("bigint").alias("norm_ppm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_STAGED_R12.append(QuerySpec(
+    name="embedding_truncate_renormalize",
+    doc="Matryoshka-style embedding truncation (Kusupati et al. 2022): "
+        "keep the first 8 dims and L2-renormalize — the standard "
+        "cheap-retrieval trick for MRL-trained embeddings. Pure map "
+        "stage (array slice + sequential fold for the norm — same "
+        "summation order as the oracle's list_sum, so the doubles are "
+        "bit-identical); reported fixed-point (floor ppm).",
+    tags=("llm", "embedding"),
+    build=_matryoshka_build,
+    oracle="""
+WITH t AS (
+  SELECT vec_id, label, embedding[1:8] AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM t
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS INTEGER) AS label,
+       CAST(CASE WHEN nrm > 0
+                 THEN FLOOR(CAST(v[1] AS DOUBLE) / nrm * 1000000) END
+            AS BIGINT) AS dim0_unit_ppm,
+       CAST(FLOOR(nrm * 1000000) AS BIGINT) AS norm_ppm
+FROM n ORDER BY vec_id
+""",
+))
+
+
+def _shot_boundaries_build(spark, sf):
+    from ..operators.multimodal import attach_binary_payload, audio_window_energy
+
+    docs = spark.table("documents")
+    frames = audio_window_energy(attach_binary_payload(docs), window=64)
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    flagged = frames.withColumn(
+        "__prev", F.lag("energy").over(w)
+    ).withColumn(
+        "__cut",
+        (
+            F.col("__prev").isNotNull()
+            & (F.abs(F.col("energy") - F.col("__prev")) > 400)
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum("__cut").cast("bigint").alias("n_boundaries"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STAGED_R12.append(QuerySpec(
+    name="multimodal_shot_boundaries",
+    doc="Video-style shot-boundary detection plumbing: per-frame "
+        "energy (the deterministic fake decode over payload bytes, "
+        "reusing the audio window extractor) with a cut flagged where "
+        "adjacent frame energy jumps by more than a threshold — the "
+        "frame-delta pattern real shot detectors use, with the codec "
+        "faked and the Spark shape (Arrow batch extract -> one "
+        "doc-keyed window -> per-doc rollup) real. Oracle re-derives "
+        "per-byte energies with ascii().",
+    tags=("llm", "multimodal"),
+    build=_shot_boundaries_build,
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+         ascii(substring(text, CAST(u.i AS INTEGER), 1)) AS s
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+),
+fr AS (
+  SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS win_idx,
+         SUM(s * s) // COUNT(*) AS energy
+  FROM pos GROUP BY doc_id, (i - 1) // 64
+),
+fl AS (
+  SELECT doc_id, energy,
+         LAG(energy) OVER (PARTITION BY doc_id ORDER BY win_idx) AS pe
+  FROM fr
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN pe IS NOT NULL AND abs(energy - pe) > 400
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries
+FROM fl GROUP BY doc_id ORDER BY doc_id
+""",
+))
+
+
+def _pareto_build(spark, sf):
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    # ranking is CUSTOMER-count scale (not order volume); the global
+    # window is the honest shape for an exact Pareto cut — at 100 TB
+    # you would pre-aggregate per customer exactly like this first,
+    # and |customers| << |orders|
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    w_all = Window.partitionBy()
+    run = per.withColumn("rc", F.sum("cents").over(w)).withColumn(
+        "tot", F.sum("cents").over(w_all)
+    )
+    cls = (
+        F.when(F.col("rc") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("rc") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        run.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_STAGED_R12.append(QuerySpec(
+    name="orders_pareto_abc_class",
+    doc="Pareto / ABC revenue classification: customers ranked by "
+        "revenue desc (orderkey tiebreak), running share of total, "
+        "class A within the first 80%, B to 95%, C after — entirely "
+        "integer-cents arithmetic (rc*100 <= tot*80), so the cut is "
+        "exact on both engines, never a double share.",
+    tags=("agg", "window", "analytics"),
+    build=_pareto_build,
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+run AS (
+  SELECT o_custkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS rc,
+         SUM(cents) OVER () AS tot
+  FROM per
+)
+SELECT CASE WHEN rc * 100 <= tot * 80 THEN 'A'
+            WHEN rc * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM run GROUP BY 1 ORDER BY abc_class
+""",
+))
+
+
+def _rolling_distinct_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    du = (
+        load_table(spark, sf, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    observed = du.select("d").distinct()
+    # contribution explode, not a range join: each (day, user) feeds
+    # the 7 report days it is visible to — bounded fan-out 7, plain
+    # equi-join/aggregation shapes (a BETWEEN join would plan as a
+    # range join and risk the nested-loop path)
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("rd"),
+    )
+    return (
+        contrib.join(observed.withColumnRenamed("d", "rd"), "rd", "left_semi")
+        .groupBy("rd")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+        .select(F.col("rd").alias("report_day"), "active_users_7d")
+        .orderBy("report_day")
+    )
+
+
+_STAGED_R12.append(QuerySpec(
+    name="events_rolling_distinct_users_7d",
+    doc="Rolling 7-day distinct active users per observed day — the "
+        "DAU/WAU staple that a window frame cannot express (no "
+        "COUNT(DISTINCT) over frames): each distinct (day, user) "
+        "explodes into the <=7 report days it is visible to (bounded "
+        "fan-out), then one exact distinct aggregation per report day; "
+        "report days restricted to observed days by a semi-join. All "
+        "equi shapes — no range join, no per-day rescan.",
+    tags=("events", "window", "distinct"),
+    build=_rolling_distinct_build,
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+obs AS (SELECT DISTINCT d FROM du),
+contrib AS (
+  SELECT user_id, d + CAST(u.i AS INTEGER) AS rd
+  FROM du, UNNEST(range(0, 7)) AS u(i)
+)
+SELECT c.rd AS report_day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+FROM contrib c JOIN obs ON obs.d = c.rd
+GROUP BY c.rd ORDER BY report_day
+""",
+))
+
+
+def _containment_build(spark, sf):
+    from ..operators.dedup import char_shingles, containment_pairs
+
+    sh = char_shingles(spark.table("documents"), "text", "doc_id", k=12)
+    return (
+        containment_pairs(sh, "doc_id", threshold_pct=80)
+        .select(
+            F.col("inner_doc").cast("bigint").alias("inner_doc"),
+            F.col("outer_doc").cast("bigint").alias("outer_doc"),
+            "containment_pct",
+        )
+        .orderBy("inner_doc", "outer_doc")
+    )
+
+
+_STAGED_R12.append(QuerySpec(
+    name="dedup_containment_asymmetric",
+    doc="Asymmetric shingle containment (Broder): |sh(A) n sh(B)| / "
+        "|sh(A)| >= 80% flags documents CONTAINED in another — the "
+        "subset-duplicate class Jaccard-banded LSH is structurally "
+        "blind to (a quote fully inside a longer page has high "
+        "containment, low Jaccard). Candidates from a doc-frequency-"
+        "capped shingle self-join (stop-shingle cap keeps the shuffle "
+        "pairs-scale); integer-exact threshold.",
+    tags=("llm", "dedup"),
+    build=_containment_build,
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         substring(lower(text), CAST(u.i AS INTEGER), 12) AS s
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 11, 1) + 1)) AS u(i)
+),
+ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 32),
+shc AS (SELECT doc_id, s FROM sh JOIN ok USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, COUNT(*) AS i
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(inner_doc AS BIGINT) AS inner_doc,
+       CAST(outer_doc AS BIGINT) AS outer_doc,
+       CAST(FLOOR(i * 100 / n) AS INTEGER) AS containment_pct
+FROM inter JOIN sizes ON sizes.doc_id = inter.inner_doc
+WHERE i * 100 >= 80 * n
+ORDER BY inner_doc, outer_doc
+""",
+))
+
+
+SPECS_NEXT = [s for s in _STAGED_R11 if s.name not in _DECLARE_R11] + list(
+    _STAGED_R12
+)
