@@ -806,7 +806,10 @@ def test_bigram_fluency_release_hook_frees_checkpoints(spark):
     release_checkpoints(res)
     after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     assert after - before == set(), "release must free both checkpoints"
-    release_checkpoints(docs)  # no attachments + empty registry: silent no-op
+    # no attachments + empty registry: silent no-op (drain first — other
+    # suite tests may have left registry entries, which would warn)
+    release_checkpoints(None)
+    release_checkpoints(docs)
 
 
 def test_release_checkpoints_warns_on_derived_frame(spark):
