@@ -1516,13 +1516,21 @@ def _scd2_build(spark, sf):
         ("2024-01-21", "2024-02-01"),
     ]
     for lo, hi in bounds:
+        # persist the micro-batch for the delta's lifetime (the
+        # cdc_apply foreachBatch pattern): scd2_delta's replay guard,
+        # chain window, and close-join each traverse it, and the MERGE
+        # adds two more passes — unpersisted, every consumer re-ran the
+        # scan+filter+guard join (bench: ~2 s over three batches)
         b = ev.filter(
             (F.col("ts") >= F.lit(lo).cast("timestamp"))
             & (F.col("ts") < F.lit(hi).cast("timestamp"))
-        )
-        open_rows = t.read(spark).filter(F.col("is_current") == 1)
-        delta = scd2_delta(open_rows, b, ["user_id"], "ts", "version_id")
-        merge_into(t, delta, assume_unique=True)
+        ).persist()
+        try:
+            open_rows = t.read(spark).filter(F.col("is_current") == 1)
+            delta = scd2_delta(open_rows, b, ["user_id"], "ts", "version_id")
+            merge_into(t, delta, assume_unique=True)
+        finally:
+            b.unpersist()
     return (
         t.read(spark)
         .select(
