@@ -73,3 +73,66 @@ def test_routed_apply_two_tables(spark, tmp_path):
     # unknown destination ignored silently
     good_c, _ = transform(df.limit(1), "db", "nowhere")
     assert apply_routed({"retail_a": t_a}, good_c) == {}
+
+
+def test_catalog_rejects_escaping_identifiers(tmp_path):
+    """db/table names with separators or '..' would create — or DROP —
+    paths outside the warehouse root (review round 11); dirty-but-
+    contained names (leading space, the transformer-fidelity case)
+    stay legal."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.catalog import (
+        LakeCatalog,
+    )
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    sch = T.StructType([T.StructField("id", T.IntegerType())])
+    for bad_db, bad_tbl in (("..", "t"), ("db", ".."), ("a/b", "t"),
+                            ("db", "x/y"), ("", "t"), ("db", "")):
+        with _pytest.raises(ValueError, match="identifier"):
+            cat.create_table(bad_db, bad_tbl, sch)
+        with _pytest.raises(ValueError, match="identifier"):
+            cat.drop_table(bad_db, bad_tbl)
+    # dirty-but-contained is fine
+    t = cat.create_table("db", " retail_trans", sch)
+    assert cat.tables("db") == [" retail_trans"]
+
+
+def test_catalog_create_if_not_exists_survives_create_race(tmp_path, monkeypatch):
+    """exists-then-create is not atomic: when a concurrent creator wins
+    the exclusive v0 publish, IF NOT EXISTS must return the winner's
+    table, not raise CommitConflict (review round 11)."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    import transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.catalog as catmod
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.catalog import (
+        LakeCatalog,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        CommitConflict,
+        LakeTable,
+    )
+
+    cat = LakeCatalog(str(tmp_path / "wh"))
+    sch = T.StructType([T.StructField("id", T.IntegerType())])
+    real_create = LakeTable.create.__func__
+
+    calls = {"n": 0}
+
+    def racing_create(cls, root, schema, **kw):
+        # simulate the interleaving: another process creates the table
+        # between our exists() check and our create()
+        calls["n"] += 1
+        real_create(cls, root, schema, **kw)
+        raise CommitConflict("snapshot v0 already exists")
+
+    monkeypatch.setattr(
+        LakeTable, "create", classmethod(racing_create)
+    )
+    t = cat.create_table("db", "t", sch)  # must NOT raise
+    assert calls["n"] == 1
+    monkeypatch.undo()
+    assert cat.tables("db") == ["t"]

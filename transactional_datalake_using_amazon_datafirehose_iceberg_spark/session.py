@@ -30,12 +30,25 @@ def get_spark(
     """Build (or fetch) the engine's SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
-    all cores). All configs can be overridden via ``extra_conf``.
+    all cores). Runtime configs can be overridden via ``extra_conf``;
+    NOTE Spark applies only runtime-modifiable configs when a session
+    already exists in the process — a pre-existing session keeps its
+    master, ``spark.jars``, and driver memory (a warning is emitted so
+    a silently-ignored Iceberg jar or memory bump is visible).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = os.cpu_count() or 8 if cpus == "*" else max(int(cpus), 4)
+        # derive from the RESOLVED master, not the env: an explicit
+        # master='local[2]' on a 64-core host must not over-shard every
+        # shuffle 32x (AQE coalescing masks most paths, but clustered
+        # writes suspend it); non-numeric env values fall back to all
+        # cores instead of a bare ValueError (review round 11)
+        m = master[master.find("[") + 1 : master.rfind("]")] if "[" in master else ""
+        if m.isdigit():
+            shuffle_partitions = max(int(m), 4)
+        else:
+            shuffle_partitions = os.cpu_count() or 8
 
     builder = (
         SparkSession.builder.master(master)
@@ -81,6 +94,24 @@ def get_spark(
         builder = builder.config("spark.jars", os.environ["SPARK_GRAFT_ICEBERG_JAR"])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # creation-time configs (master, jars, driver memory) silently do
+    # NOT apply to an already-running session — warn instead of letting
+    # the Iceberg jar or a memory bump vanish without a trace
+    active = SparkSession.getActiveSession()
+    if active is not None and (
+        os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+        or os.environ.get("SPARK_DRIVER_MEMORY")
+    ):
+        import warnings
+
+        warnings.warn(
+            "get_spark: a SparkSession already exists in this process; "
+            "creation-time settings (spark.jars from "
+            "SPARK_GRAFT_ICEBERG_JAR, driver memory from "
+            "SPARK_DRIVER_MEMORY, master) cannot be applied to it — "
+            "stop the existing session first if they must take effect",
+            stacklevel=2,
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # NOTE: the expected truncated-lineage WARNs from

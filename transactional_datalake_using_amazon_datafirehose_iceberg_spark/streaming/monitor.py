@@ -24,13 +24,30 @@ class DeliveryLogListener(StreamingQueryListener):
         os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
         self._lock = threading.Lock()
 
+    @staticmethod
+    def _finite(v):
+        """Non-finite rates -> None: Spark reports NaN rows/sec on every
+        query's FIRST progress event (no previous trigger) and json.dumps
+        would emit a bare NaN token — not RFC JSON, rejected by strict
+        JSONL readers incl. DuckDB read_json (review round 11)."""
+        import math
+
+        return None if isinstance(v, float) and not math.isfinite(v) else v
+
     def _write(self, record: dict) -> None:
+        record = {k: self._finite(v) for k, v in record.items()}
         with self._lock:
             with open(self.log_path, "a") as f:
-                f.write(json.dumps(record) + "\n")
+                f.write(json.dumps(record, allow_nan=False) + "\n")
 
     def onQueryStarted(self, event) -> None:
-        self._write({"event": "started", "id": str(event.id), "name": event.name})
+        # runId distinguishes checkpoint RESTARTS of the same query (id
+        # is stable across restarts; id-filtered consumers would
+        # double-count replayed batches without it — review round 11)
+        self._write({
+            "event": "started", "id": str(event.id),
+            "runId": str(event.runId), "name": event.name,
+        })
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
@@ -38,6 +55,7 @@ class DeliveryLogListener(StreamingQueryListener):
             {
                 "event": "progress",
                 "id": str(p.id),
+                "runId": str(p.runId),
                 "batchId": p.batchId,
                 "numInputRows": p.numInputRows,
                 "inputRowsPerSecond": p.inputRowsPerSecond,
@@ -52,6 +70,7 @@ class DeliveryLogListener(StreamingQueryListener):
             {
                 "event": "terminated",
                 "id": str(event.id),
+                "runId": str(event.runId),
                 "exception": event.exception,
             }
         )
