@@ -391,3 +391,107 @@ def test_hand_duplicated_spans_null_text(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "dedup_exact_substring_spans", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def _orders(rows):
+    """rows: (o_orderkey, o_custkey, o_orderstatus)"""
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_hand_not_in_null_semantics(spark, tmp_path):
+    """ANSI tri-state: ONE NULL in the NOT IN list -> zero rows; NOT
+    EXISTS ignores it; filtering the NULL restores the complement.
+
+    customers 1..5; orders custkeys {2:'O', 3:'F', 7:'P'} — the 'P' row
+    becomes NULL in the CASE list.
+    1_not_in_with_null: 0 ; 2_not_exists: {1,4,5} = 3 ;
+    3_not_in_null_filtered: custkeys not in {2,3,7} = 3
+    """
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    d = _mk_sf(
+        tmp_path,
+        customer=cust,
+        orders=_orders([(10, 2, "O"), (11, 3, "F"), (12, 7, "P")]),
+    )
+    hand = [
+        ("1_not_in_with_null", 0),
+        ("2_not_exists", 3),
+        ("3_not_in_null_filtered", 3),
+    ]
+    got_spark, got_ora = _run_both(spark, "subq_not_in_null_semantics", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_bitmap_distinct(spark, tmp_path):
+    """Bitmap exact-distinct across bucket boundaries and the 1-based
+    bit-position shift: custkey 0 AND 1 both present must count as TWO
+    (an unshifted bitmap_bit_position collides them), and ids straddling
+    the 32k bucket boundary exercise the outer OR-merge.
+
+    status O custkeys {0, 1, 32767, 32768, 100000, 100000dup} -> 5
+    status F custkeys {5} -> 1
+    """
+    d = _mk_sf(tmp_path, orders=_orders([
+        (1, 0, "O"), (2, 1, "O"), (3, 32767, "O"), (4, 32768, "O"),
+        (5, 100000, "O"), (6, 100000, "O"), (7, 5, "F"),
+    ]))
+    hand = [("F", 1), ("O", 5)]
+    got_spark, got_ora = _run_both(spark, "agg_bitmap_distinct", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_transition_matrix(spark, tmp_path):
+    """lead() journeys with a same-timestamp event_id tiebreak.
+
+    u1: a@1 -> b@2 -> a@3   : transitions (a,b), (b,a)
+    u2: b@1 -> b@2          : (b,b)
+    u3: x and y at the SAME ts, event_ids 10 < 11 -> (x,y)
+    per-source totals: a=1, b=2, x=1
+    """
+    base = _ts("2024-05-01T00:00:00")
+    m = lambda k: base + dt.timedelta(minutes=k)
+    d = _mk_sf(tmp_path, events=_events([
+        (1, m(1), 1, "a", 0.0), (2, m(2), 1, "b", 0.0), (3, m(3), 1, "a", 0.0),
+        (4, m(1), 2, "b", 0.0), (5, m(2), 2, "b", 0.0),
+        (10, m(5), 3, "x", 0.0), (11, m(5), 3, "y", 0.0),
+    ]))
+    hand = [
+        ("a", "b", 1, 10000),
+        ("b", "a", 1, 5000),
+        ("b", "b", 1, 5000),
+        ("x", "y", 1, 10000),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_transition_matrix", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_window_distinct_running(spark, tmp_path):
+    """Running distinct = running sum of first-day new users.
+
+    type 'a': day1 {u1,u2}, day2 {u2,u3}, day3 {u1}
+    cum distinct: d1=2, d2=3 (u3 new), d3=3 (u1 seen)
+    """
+    d0 = _ts("2024-06-01T10:00:00")
+    day = lambda n: d0 + dt.timedelta(days=n)
+    d = _mk_sf(tmp_path, events=_events([
+        (1, day(0), 1, "a", 0.0), (2, day(0), 2, "a", 0.0),
+        (3, day(1), 2, "a", 0.0), (4, day(1), 3, "a", 0.0),
+        (5, day(2), 1, "a", 0.0),
+    ]))
+    hand = [
+        ("a", dt.date(2024, 6, 1), 2),
+        ("a", dt.date(2024, 6, 2), 3),
+        ("a", dt.date(2024, 6, 3), 3),
+    ]
+    got_spark, got_ora = _run_both(spark, "window_distinct_running", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

@@ -4181,18 +4181,24 @@ _STAGED_R11.append(QuerySpec(
         "bitmap_bucket_number / bitmap_bit_position / "
         "bitmap_construct_agg / bitmap_or_agg / bitmap_count): the "
         "inner GROUP BY builds one 4 KB bitmap per (group, 32k-id "
-        "bucket) with full map-side partial aggregation, the outer ORs "
-        "buckets per group — the Delta/BigQuery pattern that replaces "
-        "a COUNT(DISTINCT) expand-shuffle of raw ids with fixed-size "
-        "mergeable state, the exact-count sibling of sketch_hll_union. "
-        "Oracle recomputes with plain COUNT(DISTINCT).",
+        "bucket) with full map-side partial aggregation, the outer "
+        "SUMs the per-bucket exact counts — the Delta/BigQuery pattern "
+        "that replaces a COUNT(DISTINCT) expand-shuffle of raw ids "
+        "with fixed-size mergeable state, the exact-count sibling of "
+        "sketch_hll_union. NEVER bitmap_or_agg across buckets: "
+        "positions are bucket-RELATIVE, so ORing different buckets "
+        "collides ids 32768 apart (caught by the hand-oracle fixture "
+        "with bucket-straddling ids — invisible at driver SF where "
+        "every custkey fits bucket 1). Oracle recomputes with plain "
+        "COUNT(DISTINCT).",
     tags=("agg", "scale", "sketch"),
     build=lambda spark, sf: spark.sql("""
 SELECT o_orderstatus,
-       bitmap_count(bitmap_or_agg(b)) AS exact_distinct_custkeys
+       CAST(SUM(bitmap_count(b)) AS BIGINT) AS exact_distinct_custkeys
 FROM (
   -- bitmap_bit_position is 1-based (id 0 collides with id 1), so the
-  -- key space shifts by +1 before bucketing
+  -- key space shifts by +1 before bucketing; buckets are disjoint id
+  -- ranges, so per-bucket exact counts SUM to the group's distinct
   SELECT o_orderstatus,
          bitmap_construct_agg(bitmap_bit_position(o_custkey + 1)) AS b
   FROM orders
