@@ -495,3 +495,59 @@ def test_hand_window_distinct_running(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "window_distinct_running", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_anomaly_zscore_daily(spark, tmp_path):
+    """Integer z-score algebra: (7x-sum)^2*6 > 28*(7*sumsq-sum^2),
+    flagged only with a full 7-day history.
+
+    type 'a': 2 events/day for 7 days (windows with zero variance and
+    x == mean -> never anomalous; short-history days never flag), then
+    day 8 with 9 events: window [2,2,2,2,2,2,9] -> sum=21, sumsq=105,
+    (63-21)^2*6 = 10584 > 28*(735-441) = 8232 -> anomaly.
+    """
+    d0 = _ts("2024-07-01T12:00:00")
+    rows = []
+    eid = 0
+    for day in range(7):
+        for k in range(2):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(days=day, minutes=k), 1, "a", 0.0))
+    for k in range(9):
+        eid += 1
+        rows.append((eid, d0 + dt.timedelta(days=7, minutes=k), 1, "a", 0.0))
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [("a", dt.date(2024, 7, 1 + i), 2, 0) for i in range(7)]
+    hand.append(("a", dt.date(2024, 7, 8), 9, 1))
+    got_spark, got_ora = _run_both(spark, "events_anomaly_zscore_daily", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_interval_overlap_binned(spark, tmp_path):
+    """Binned interval join == plain range predicate, incl. the
+    half-open touch boundary.
+
+    duration = (1 + floor(value) % 29) * 360 s from the second-truncated
+    start. user 1:
+      P1 [0, 360)      (value 0)
+      E1 [100, 460)    -> P1xE1 overlap [100,360) = 260 s
+      E2 [360, 720)    -> TOUCHES P1 at 360: half-open, NO pair
+      P2 [400, 1120)   (value 1 -> 720 s) -> P2xE1 [400,460) = 60 s,
+                          P2xE2 [400,720) = 320 s
+    user 2: a lone error -> no output row.
+    totals user 1: n=3, seconds=640, first purchase id 1
+    """
+    base = _ts("2024-08-01T00:00:00")
+    s = lambda k: base + dt.timedelta(seconds=k)
+    d = _mk_sf(tmp_path, events=_events([
+        (1, s(0), 1, "purchase", 0.0),
+        (2, s(100), 1, "error", 0.0),
+        (3, s(360), 1, "error", 0.0),
+        (4, s(400), 1, "purchase", 1.0),
+        (5, s(50), 2, "error", 0.0),
+    ]))
+    hand = [(1, 3, 640, 1)]
+    got_spark, got_ora = _run_both(spark, "join_interval_overlap_binned", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
