@@ -551,3 +551,42 @@ def test_hand_interval_overlap_binned(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "join_interval_overlap_binned", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_repetition_fingerprints_decode_null_text(spark, tmp_path):
+    """The three llmops specs whose oracles had drifted from the
+    NULL-text contract (review round 11): repetition emits a (NULL
+    metrics, keep=0) row instead of vanishing; fingerprints yield a
+    NULL fp_bag group (absent content has no fingerprint — it must NOT
+    merge with EMPTY text's md5('')); decode reports NULL n_frames.
+
+    docs: 1 NULL text, 2 '' (empty), 3 'a a a a b' (repetitious:
+    distinct 2*10=20 < 5*3=15? no: 20 >= 15 -> first test passes;
+    bigrams: [aa,aa,aa,ab] n=4 <10 -> keep=1), 4 'a' (keep=1).
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (1, None, "s"), (2, "", "s"), (3, "a a a a b", "s"), (4, "a", "s"),
+    ]))
+    # repetition: (doc, n_tokens, distinct, top_tok, n_bigrams, top_bg, keep)
+    hand_rep = [
+        (1, None, None, None, None, None, 0),
+        (2, 1, 1, 1, 0, 0, 1),      # ''.split -> ['']
+        (3, 5, 2, 4, 4, 3, 1),
+        (4, 1, 1, 1, 0, 0, 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_repetition_filters", d)
+    assert got_spark == hand_rep, "SPARK diverges from the hand derivation"
+    assert got_ora == hand_rep, "ORACLE diverges from the hand derivation"
+
+    got_spark, got_ora = _run_both(spark, "text_fingerprints", d)
+    # groups: NULL fp_bag (doc 1), md5('') (doc 2), md5('a') (doc 4),
+    # md5('a a a a b') (doc 3) — NULL text and empty text are SEPARATE
+    assert len(got_spark) == 4 and got_spark[0][0] is None, got_spark
+    assert got_spark[0][1:] == (1, 1, 0)  # NULL group: fp_exact NULL too
+    assert got_spark == got_ora
+
+    got_spark, got_ora = _run_both(spark, "multimodal_decode_features", d)
+    by_id = {r[0]: r for r in got_spark}
+    assert by_id[1][5] is None, "NULL payload must decode to NULL n_frames"
+    assert by_id[2][5] == 1 and by_id[3][5] == 1
+    assert got_spark == got_ora

@@ -166,7 +166,15 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(
         F.col(id_col),
         F.md5(lowered).alias("fp_exact"),
-        F.md5(F.concat_ws(" ", F.sort_array(F.split(lowered, " ")))).alias("fp_bag"),
+        # NULL text fingerprints NULL like fp_exact — concat_ws never
+        # returns NULL, so an unguarded fp_bag was md5('') and silently
+        # merged NULL-text docs with EMPTY-text docs in downstream
+        # grouping (review round 11; absent content has no fingerprint)
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.md5(F.concat_ws(" ", F.sort_array(F.split(lowered, " "))))
+        )
+        .alias("fp_bag"),
     )
 
 
@@ -220,17 +228,25 @@ def repetition_metrics(
         " i -> concat(element_at(__toks, i), ' ',"
         "            element_at(__toks, i + 1))) END"
     )
+    # NULL text = uniformly NULL metrics and keep = 0 (absent content
+    # has no assessable quality — never "keep"). The unguarded version
+    # mixed NULLs with coalesced zeros and a NULL keep (review round 11)
+    null_text = F.col(text_col).isNull()
     out = with_toks.select(
         F.col(id_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
-        F.coalesce(_mode_count(toks), F.lit(0)).cast("bigint").alias("top_token_n"),
+        F.when(null_text, F.lit(None))
+        .otherwise(F.coalesce(_mode_count(toks), F.lit(0)))
+        .cast("bigint").alias("top_token_n"),
         F.size(bigrams).cast("bigint").alias("n_bigrams"),
-        F.coalesce(_mode_count(bigrams), F.lit(0)).cast("bigint").alias("top_bigram_n"),
+        F.when(null_text, F.lit(None))
+        .otherwise(F.coalesce(_mode_count(bigrams), F.lit(0)))
+        .cast("bigint").alias("top_bigram_n"),
     )
     return out.withColumn(
         "keep",
-        (
+        F.when(F.col("n_tokens").isNull(), F.lit(False)).otherwise(
             (F.col("distinct_tokens") * 10 >= F.col("n_tokens") * 3)
             & (
                 (F.col("n_bigrams") < 10)

@@ -171,8 +171,6 @@ ORDER BY doc_a, doc_b
 
 
 def _components_build(spark, sf):
-    from pyspark.sql import Window
-
     pairs = D.jaccard_verify_docs(
         spark.table("documents"),
         D.lsh_candidate_pairs(
@@ -694,8 +692,6 @@ def _embedding_neardup_build(spark, sf, max_bucket=256):
     (e.g. near-zero embeddings all hashing to one pattern) would emit
     O(n²) pairs on one shuffle partition; such buckets are star-collapsed
     to their min-id hub — O(n) pairs, cluster connectivity preserved."""
-    from pyspark.sql import Window
-
     from ..operators.similarity import _dot, sign_bucket, with_norm
 
     base = with_norm(spark.table("embeddings")).withColumn(
@@ -871,7 +867,9 @@ WITH fp AS (
 )
 SELECT fp_bag, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS first_doc,
        CAST(COUNT(DISTINCT fp_exact) AS BIGINT) AS n_exact_variants
-FROM fp GROUP BY fp_bag ORDER BY fp_bag
+-- NULLS FIRST: the engine now fingerprints NULL text as a NULL group
+-- (Spark ASC default); DuckDB defaults NULLS LAST
+FROM fp GROUP BY fp_bag ORDER BY fp_bag NULLS FIRST
 """,
 ))
 
@@ -1080,7 +1078,10 @@ SELECT doc_id, 'image' AS modality,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
        CAST((octet_length(encode(text)) * 7) % 64 + 1 AS INTEGER) AS height,
-       CAST(1 AS INTEGER) AS n_frames
+       -- NULL payload decodes to NULL dims (round-11 contract), so the
+       -- frame count is NULL too, never an unconditional 1
+       CAST(CASE WHEN text IS NULL THEN NULL ELSE 1 END AS INTEGER)
+         AS n_frames
 FROM documents
 ORDER BY doc_id
 """,
@@ -1197,8 +1198,21 @@ def _asof_build(spark, sf):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_event_id"), F.col("value").alias("click_value")
+    # one click per (user, ts), deterministically the min event_id with
+    # its value: equal-ts arbitration is unspecified in both the window
+    # carry and DuckDB's ASOF JOIN, so a same-microsecond click pair
+    # would flake the parity (review round 11; the tolerance and
+    # forward/nearest siblings collapse the same way)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min(F.struct("event_id", "value")).alias("__c"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("__c.event_id").alias("click_event_id"),
+            F.col("__c.value").alias("click_value"),
+        )
     )
     out = asof_join(
         purchases,
@@ -1228,7 +1242,14 @@ SELECT p.event_id, p.user_id,
        CAST(c.event_id AS BIGINT) AS click_event_id,
        CAST(ROUND(c.value, 2) AS DOUBLE) AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  -- same deterministic (user, ts) collapse as the engine: the min
+  -- event_id's row (event_id is globally unique, so min_by is exact)
+  SELECT user_id, ts,
+         MIN(event_id) AS event_id,
+         min_by(value, event_id) AS value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 ORDER BY p.event_id
 """,
@@ -1347,8 +1368,6 @@ ORDER BY vec_id
 
 
 def _tfidf_build(spark, sf):
-    from pyspark.sql import Window
-
     docs = spark.table("documents").filter(F.col("doc_id") < 100)
     tokens = (
         docs.select(
@@ -1477,8 +1496,6 @@ ORDER BY lang
 
 
 def _balanced_sample_build(spark, sf):
-    from pyspark.sql import Window
-
     docs = spark.table("documents")
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
@@ -1567,20 +1584,28 @@ topb AS (
   SELECT doc_id, MAX(c) AS top_bigram_n
   FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id
 )
-SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+-- FROM documents, not tot: a NULL-text doc has no toks rows and would
+-- silently vanish while the engine emits its (NULL metrics, keep=0)
+-- row — the repo-wide NULL-text contract (review round 11)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(t.n_tokens AS BIGINT) AS n_tokens,
        CAST(t.distinct_tokens AS BIGINT) AS distinct_tokens,
        CAST(topt.top_token_n AS BIGINT) AS top_token_n,
-       CAST(COALESCE(bgt.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       CAST(COALESCE(topb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
-       CAST(t.distinct_tokens * 10 >= t.n_tokens * 3
+       CAST(CASE WHEN d.text IS NULL THEN NULL
+                 ELSE COALESCE(bgt.n_bigrams, 0) END AS BIGINT) AS n_bigrams,
+       CAST(CASE WHEN d.text IS NULL THEN NULL
+                 ELSE COALESCE(topb.top_bigram_n, 0) END AS BIGINT)
+         AS top_bigram_n,
+       CAST(CASE WHEN d.text IS NULL THEN 0
+                 ELSE CAST(t.distinct_tokens * 10 >= t.n_tokens * 3
             AND (COALESCE(bgt.n_bigrams, 0) < 10
                  OR COALESCE(topb.top_bigram_n, 0) * 5 <= COALESCE(bgt.n_bigrams, 0))
-            AS INTEGER) AS keep
-FROM tot t
-JOIN topt ON topt.doc_id = t.doc_id
-LEFT JOIN bgt ON bgt.doc_id = t.doc_id
-LEFT JOIN topb ON topb.doc_id = t.doc_id
+            AS INTEGER) END AS INTEGER) AS keep
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN topt ON topt.doc_id = d.doc_id
+LEFT JOIN bgt ON bgt.doc_id = d.doc_id
+LEFT JOIN topb ON topb.doc_id = d.doc_id
 ORDER BY doc_id
 """,
 ))
