@@ -23,12 +23,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
+def dot_product(a, b):
+    """Sequential-fold double dot product over two array columns —
+    public: the embedding near-dup spec composes it too (a sequential
+    fold keeps the summation order engine-portable)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+_dot = dot_product  # internal alias, original spelling
 
 
 def _norm(a):

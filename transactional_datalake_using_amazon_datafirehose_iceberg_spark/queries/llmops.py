@@ -692,7 +692,7 @@ def _embedding_neardup_build(spark, sf, max_bucket=256):
     (e.g. near-zero embeddings all hashing to one pattern) would emit
     O(n²) pairs on one shuffle partition; such buckets are star-collapsed
     to their min-id hub — O(n) pairs, cluster connectivity preserved."""
-    from ..operators.similarity import _dot, sign_bucket, with_norm
+    from ..operators.similarity import dot_product, sign_bucket, with_norm
 
     base = with_norm(spark.table("embeddings")).withColumn(
         "__bucket", sign_bucket("embedding", 8)
@@ -734,7 +734,7 @@ def _embedding_neardup_build(spark, sf, max_bucket=256):
     )
     return (
         pairs.withColumn(
-            "sim", F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+            "sim", F.round(dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
         )
         .filter(F.col("sim") >= 0.4)
         .select("id_a", "id_b", F.col("sim").cast("double").alias("sim"))
