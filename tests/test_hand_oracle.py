@@ -82,7 +82,13 @@ def _documents(rows):
 def _run_both(spark, name, sf_dir):
     """(spark rows, duckdb rows) as lists of plain tuples, column order
     normalized to the SPARK result's column order for both engines."""
-    spec = QUERY_SPECS[name]
+    spec = QUERY_SPECS.get(name)
+    if spec is None:  # staged (not yet declared) lane specs
+        from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.extended import (
+            SPECS_NEXT,
+        )
+
+        spec = next(s for s in SPECS_NEXT if s.name == name)
     sdf = spec.run_spark(spark, sf_dir)
     cols = sdf.columns
     spark_rows = [tuple(r[c] for c in cols) for r in sdf.collect()]
@@ -590,3 +596,45 @@ def test_hand_repetition_fingerprints_decode_null_text(spark, tmp_path):
     assert by_id[1][5] is None, "NULL payload must decode to NULL n_frames"
     assert by_id[2][5] == 1 and by_id[3][5] == 1
     assert got_spark == got_ora
+
+
+def test_hand_containment_asymmetric(spark, tmp_path):
+    """Broder containment over 12-char shingles, 80% threshold.
+
+    B = 'abcdefghijklmnopqrstuvwxyz' (15 shingles)
+    A = 'abcdefghijklmnop' (5 shingles, ALL in B)  -> A in B: 100%
+    D = 'abcdefghijklmnoq' (5 shingles, 4 shared with A and B)
+        -> D in A: 80%, D in B: 80%, A in D: 80% (exact boundary)
+    B in anything: 5/15 or 4/15 -> never
+    C = reversed alphabet: no shared shingles, no pairs
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (1, "abcdefghijklmnop", "s"),
+        (2, "abcdefghijklmnopqrstuvwxyz", "s"),
+        (3, "abcdefghijklmnoq", "s"),
+        (4, "zyxwvutsrqponmlkjihgfedcba", "s"),
+    ]))
+    hand = [(1, 2, 100), (1, 3, 80), (3, 1, 80), (3, 2, 80)]
+    got_spark, got_ora = _run_both(spark, "dedup_containment_asymmetric", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_peak_concurrency(spark, tmp_path):
+    """+1/-1 sweep over 30-min intervals, half-open at the touch point.
+
+    type 'a': starts 0, 10, 50 min -> [0,30) [10,40) [50,80):
+      running 1,2,1,0,1,0 -> peak 2, n=3
+    type 'b': starts 0 and EXACTLY 30 min -> [0,30) [30,60) touch:
+      the end's -1 sorts before the start's +1 at t=30 -> peak 1, n=2
+    """
+    base = _ts("2024-09-01T00:00:00")
+    m = lambda k: base + dt.timedelta(minutes=k)
+    d = _mk_sf(tmp_path, events=_events([
+        (1, m(0), 1, "a", 0.0), (2, m(10), 1, "a", 0.0), (3, m(50), 1, "a", 0.0),
+        (4, m(0), 2, "b", 0.0), (5, m(30), 2, "b", 0.0),
+    ]))
+    hand = [("a", 2, 3), ("b", 1, 2)]
+    got_spark, got_ora = _run_both(spark, "events_peak_concurrency", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
