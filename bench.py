@@ -404,6 +404,12 @@ def main() -> None:
         "agg_bitmap_distinct",
         "join_interval_overlap_binned",
         "window_distinct_running",
+        # round-12 declarations (the three with real data movement:
+        # doc-frequency-capped containment shingle join, 7-day
+        # contribution-exploded rolling distinct, Pareto running cut)
+        "dedup_containment_asymmetric",
+        "events_rolling_distinct_users_7d",
+        "orders_pareto_abc_class",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:

@@ -251,6 +251,14 @@ _HEADLINE = [
     "agg_grouping_id_cube",
     "join_interval_overlap_binned",
     "events_anomaly_zscore_daily",
+    # round-12 declarations (the full former staged lane)
+    "events_streak_longest_daily",
+    "events_peak_concurrency",
+    "embedding_truncate_renormalize",
+    "multimodal_shot_boundaries",
+    "orders_pareto_abc_class",
+    "events_rolling_distinct_users_7d",
+    "dedup_containment_asymmetric",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the

@@ -5308,6 +5308,33 @@ ORDER BY inner_doc, outer_doc
 ))
 
 
-SPECS_NEXT = [s for s in _STAGED_R11 if s.name not in _DECLARE_R11] + list(
-    _STAGED_R12
+# Round-12 declaration: the full 7-spec staged lane. Window math
+# (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r11): 7
+# never-green + the 32-spec r7-or-older stale cohort + 11 r8-stale fill
+# the driver's 50-spec sampling prefix; displaced r8 greens re-check in
+# r13, inside the 5-round staleness bound.
+_DECLARE_R12 = {
+    "events_streak_longest_daily",
+    "events_peak_concurrency",
+    "embedding_truncate_renormalize",
+    "multimodal_shot_boundaries",
+    "orders_pareto_abc_class",
+    "events_rolling_distinct_users_7d",
+    "dedup_containment_asymmetric",
+}
+SPECS.extend(s for s in _STAGED_R12 if s.name in _DECLARE_R12)
+assert not [s for s in _STAGED_R12 if s.name not in _DECLARE_R12], (
+    "round-12 staged lane fully declared in r12"
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 staging lane: built and oracle-rehearsed this round, declared
+# next round as the sampling window rotates.
+# ---------------------------------------------------------------------------
+_STAGED_R13: list[QuerySpec] = []
+
+
+SPECS_NEXT = [s for s in _STAGED_R12 if s.name not in _DECLARE_R12] + list(
+    _STAGED_R13
 )

@@ -282,6 +282,32 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "wap_cherry_pick_publish", "widen_column_lifecycle",
         "window_lead_range_frame",
     }),
+    # CORRECTNESS_r11: 50/50 sampled green — the 12 round-11 declarations
+    # plus the r6/r7-stale cohort that fit the window.
+    11: frozenset({
+        "agg_bitmap_distinct", "agg_bitwise", "agg_boolean_every_any",
+        "agg_exact_percentiles", "agg_grouping_id_cube", "agg_mode_median",
+        "agg_string_concat", "array_posexplode_outer",
+        "asof_join_forward_nearest", "catalog_ddl_lifecycle",
+        "changelog_incremental_read", "dedup_url_canonicalize",
+        "events_anomaly_zscore_daily", "events_funnel_stages",
+        "events_retention_cohorts", "events_transition_matrix",
+        "join_cross_grid", "join_interval_overlap_binned",
+        "join_lateral_topn", "join_null_safe_eq", "join_range_bands",
+        "maintenance_expire_dry_run_audit", "maintenance_zorder_cluster",
+        "map_zip_with_rollup", "merge_evolve_widening",
+        "merge_schema_evolution", "metadata_tables_inspect",
+        "pipeline_curate_corpus", "scalar_bit_funcs", "scalar_collation_ci",
+        "scalar_csv_funcs", "scalar_mask_format_funcs",
+        "scalar_pad_overlay_funcs", "scalar_sequence_slice_funcs",
+        "scalar_xpath_funcs", "schema_evolution_add_drop",
+        "similarity_ann_pq", "sort_limit_offset", "sql_pipe_syntax",
+        "streaming_skip_change_commits", "streaming_static_enrich",
+        "subq_not_in_null_semantics", "text_bigram_fluency",
+        "text_redact_scrub", "text_top_ngrams_per_lang", "text_url_parse",
+        "wap_branch_publish", "window_distinct_running",
+        "window_nth_cume_dist", "window_ntile_buckets",
+    }),
 }
 
 
