@@ -441,6 +441,101 @@ def test_stale_guard_corrupt_timestamp_replay_blocked_by_txn(spark, tmp_path):
     assert rows == {1: 55.0}
 
 
+def _stale_guard_table(spark, tmp_path, target_txn):
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+
+    sch = T.StructType([
+        T.StructField("trans_id", T.IntegerType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("_order_ts", T.TimestampType()),
+        T.StructField("_order_txn", T.LongType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, keys=["trans_id"])
+    base = spark.createDataFrame([(1, 10.0, None, target_txn)], sch).withColumn(
+        "_order_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    t.append(base.select(*[f.name for f in sch.fields]))
+    return t
+
+
+def test_stale_guard_null_txn_is_no_evidence_and_applies(spark, tmp_path):
+    """A record whose ts AND txn both failed to parse carries NO
+    staleness evidence; when the target row carries a txn id the old
+    coalesce(s._order_txn, 0) >= t._order_txn gate silently dropped it
+    (0 >= 7 is false) — round-11 advice: absence of a txn id is not
+    proof of staleness, and the module contract says corrupt-timestamp
+    records still APPLY (absent a dead-letter route)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+
+    t = _stale_guard_table(spark, tmp_path, target_txn=7)
+    no_evidence = spark.createDataFrame(
+        [(1, 99.0, None, None, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, no_evidence)
+    rows = {r["trans_id"]: r["amount"] for r in t.read(spark).collect()}
+    assert rows == {1: 99.0}, "no-evidence corrupt record silently dropped"
+
+
+def test_stale_guard_no_evidence_routes_to_dead_letter(spark, tmp_path):
+    """With a dead-letter table wired, a no-evidence record (both
+    _order_ts and _order_txn NULL) lands there instead of being applied
+    on a guess — the reference's S3 error-prefix move
+    (firehose_to_iceberg.py:97). Records with ANY ordering evidence
+    still go through the gated MERGE, not the dead-letter table."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
+        DEAD_LETTER,
+    )
+
+    t = _stale_guard_table(spark, tmp_path, target_txn=7)
+    dl = LakeTable.create(str(tmp_path / "dead"), DEAD_LETTER)
+
+    # no-evidence replay: neither applied nor dropped — dead-lettered
+    no_evidence = spark.createDataFrame(
+        [(1, 99.0, None, None, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, no_evidence, dead_letter_table=dl)
+    rows = {r["trans_id"]: r["amount"] for r in t.read(spark).collect()}
+    assert rows == {1: 10.0}, "no-evidence record applied despite dl route"
+    dead = dl.read(spark).collect()
+    assert len(dead) == 1
+    assert dead[0]["error_type"] == "no-ordering-evidence"
+    assert '"trans_id":1' in dead[0]["raw"].replace(" ", "")
+
+    # evidence-bearing corrupt-ts records keep the MERGE path: stale txn
+    # blocked by the gate, fresh txn applied — dl stays at one row
+    stale = spark.createDataFrame(
+        [(1, 88.0, None, 3, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, stale, dead_letter_table=dl)
+    fresh = spark.createDataFrame(
+        [(1, 55.0, None, 9, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, fresh, dead_letter_table=dl)
+    rows = {r["trans_id"]: r["amount"] for r in t.read(spark).collect()}
+    assert rows == {1: 55.0}
+    assert dl.read(spark).count() == 1, "evidence-bearing record dead-lettered"
+
+
 def test_mor_null_operation_upserts_like_cow(spark, tmp_path):
     """A NULL-operation row on a merge-on-read table upserts exactly
     like on a copy-on-write table — it used to fall through BOTH the

@@ -48,3 +48,33 @@ def test_protobuf_skip_is_environment_conditional():
         import pytest
 
         pytest.xfail("protobuf now present: the streaming skip should have become a pass")
+
+
+def test_get_spark_warns_only_on_actual_conf_mismatch(spark, monkeypatch):
+    """The pre-existing-session warning must fire only when the resulting
+    session's conf actually differs from the requested creation-time
+    settings — it used to fire on EVERY get_spark call after the first
+    whenever the env vars were set, even when the active session was
+    created with those exact values (round-11 advice)."""
+    import warnings
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.session import (
+        get_spark,
+    )
+
+    # matching value: no warning (context conf = creation-time truth)
+    current_mem = spark.sparkContext.getConf().get("spark.driver.memory", None)
+    if current_mem:
+        monkeypatch.setenv("SPARK_DRIVER_MEMORY", current_mem)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = get_spark()
+        assert got is spark
+
+    # differing value: warns, names the setting
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "123g")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        get_spark()
+    msgs = [str(w.message) for w in rec]
+    assert any("spark.driver.memory" in m and "123g" in m for m in msgs), msgs

@@ -91,6 +91,33 @@ def _tbl():
     return IcebergTable(None, "lakehouse.db.retail_trans", keys=["trans_id"])
 
 
+def test_sql_str_literal_round_trips_through_spark_parser(spark):
+    """Property values embedded in ALTER TABLE ... SET TBLPROPERTIES go
+    through Spark's string-literal parser: backslashes (json.dumps
+    escapes for an app_id containing a quote or backslash) must survive
+    verbatim or the stored stream_sink_txn ledger no longer round-trips
+    json.loads and replay protection silently degrades to hwm=-1
+    (round-11 advice)."""
+    import json
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.iceberg_compat import (
+        _sql_str_literal,
+    )
+
+    for raw in [
+        json.dumps({'app"quote': 3, "back\\slash": 7}, sort_keys=True),
+        "plain",
+        "it's quoted",
+        "trailing backslash\\",
+        '\\" mixed \\\\ escapes \'',
+    ]:
+        got = spark.sql(f"SELECT '{_sql_str_literal(raw)}' AS v").collect()[0]["v"]
+        assert got == raw, (raw, got)
+    ledger = json.dumps({'a"b\\c': 9}, sort_keys=True)
+    parsed = spark.sql(f"SELECT '{_sql_str_literal(ledger)}' AS v").collect()[0]["v"]
+    assert json.loads(parsed) == {'a"b\\c': 9}
+
+
 def test_merge_sql_plain_upsert():
     sql = _tbl().merge_sql(data_cols=COLS)
     assert "WHEN MATCHED THEN UPDATE SET " in sql

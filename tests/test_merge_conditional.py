@@ -139,6 +139,40 @@ def test_scd2_delta_replayed_batch_is_empty_delta(spark):
     assert rows[103]["is_current"] == 1 and rows[103]["valid_to"] is None
 
 
+def test_scd2_delta_null_seq_on_ts_tie_flows_through(spark):
+    """A batch row tying the open row's timestamp with an unparsed
+    (NULL) sequence id carries no staleness proof — the old
+    struct(ts, seq) > struct(...) guard evaluated to NULL on the tie
+    and `where` silently dropped it as if stale (round-11 advice). It
+    must flow through; a row with a ts strictly BELOW the open row's
+    stays provably stale even when its seq is NULL."""
+    batch1 = spark.createDataFrame(
+        [(1, 101, "2024-01-02 00:00:00", "v1")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    open_rows = scd2_delta(None, batch1, ["k"], "ts", "seq").filter(
+        F.col("is_current") == 1
+    )
+
+    # ts tie with the open row, NULL seq: applies (flows through)
+    tied = spark.createDataFrame(
+        [(1, None, "2024-01-02 00:00:00", "v2")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = scd2_delta(open_rows, tied, ["k"], "ts", "seq")
+    rows = [r for r in d.collect() if r["payload"] == "v2"]
+    assert rows and rows[0]["is_current"] == 1, (
+        "NULL-seq row on a ts tie silently dropped as stale"
+    )
+
+    # strictly older ts, NULL seq: provably stale by ts alone — dropped
+    older = spark.createDataFrame(
+        [(1, None, "2024-01-01 00:00:00", "v0")],
+        "k long, seq long, ts string, payload string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert scd2_delta(open_rows, older, ["k"], "ts", "seq").count() == 0
+
+
 def test_scd2_delta_untouched_keys_left_alone(spark):
     hist = spark.createDataFrame(
         [(7, 700, "2024-01-01 00:00:00", "keep")],

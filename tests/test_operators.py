@@ -455,6 +455,33 @@ def test_salted_join_guards_and_spread(spark):
     got = {r["k"]: (r["sum_v"], r["cnt"]) for r in salted_sum(df, ["k"], "v").collect()}
     assert got == {1: (400, 40), 2: (5, 1)}
 
+    # salt_cols opt-in (nondeterministic-input sources, round-11
+    # advice): content salt is recompute-stable AND still spreads when
+    # the named column varies within the hot key
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.skew import (
+        _content_salt,
+    )
+
+    varied = spark.createDataFrame(
+        [(1, i) for i in range(40)] + [(2, 5)], "k long, v long"
+    )
+    got2 = {
+        r["k"]: (r["sum_v"], r["cnt"])
+        for r in salted_sum(varied, ["k"], "v", salt_cols=["v"]).collect()
+    }
+    assert got2 == {1: (sum(range(40)), 40), 2: (5, 1)}
+    spread = (
+        varied.withColumn("__salt", _content_salt(["v"], 8))
+        .filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+    got3 = salted_join(left, right, on=["k"], how="inner", salt_cols=["lv"])
+    want3 = left.join(right, on=["k"], how="inner")
+    assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, want3.collect()))
+
 
 def test_connected_components_semantics(spark):
     from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (

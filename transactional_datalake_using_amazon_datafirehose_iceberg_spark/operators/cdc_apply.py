@@ -90,8 +90,22 @@ def apply_batch(
     typed: DataFrame,
     keys: list[str] | None = None,
     extra_summary: dict | None = None,
+    dead_letter_table: LakeTable | None = None,
 ) -> int:
     """D1–D5: collapse then MERGE; returns the committed snapshot version.
+
+    ``dead_letter_table``: under the cross-batch stale guard, a record
+    with NO ordering evidence at all (both ``_order_ts`` and
+    ``_order_txn`` failed to parse) can be proven neither fresh nor
+    stale. With a dead-letter table those rows land there
+    (``error_type='no-ordering-evidence'`` — the reference's S3
+    error-prefix move, firehose_to_iceberg.py:97) instead of being
+    applied or dropped on a guess; without one they APPLY (the module's
+    corrupt-timestamp contract is fail-open, and a silent drop hides
+    data loss). On a crash between the dl append and the watermark-
+    stamping MERGE a replay can duplicate dl rows — duplicated
+    observability rows, never lost table rows (same trade the streaming
+    pipeline's dl path documents).
 
     ``extra_summary`` lands inside the atomic manifest commit — the
     streaming pipeline uses it to stamp ``stream_batch_id`` with the
@@ -129,6 +143,27 @@ def apply_batch(
         # is the reference's own guarantee).
         table_cols = {f.name for f in table.schema.fields}
         stale_guard = {"_order_ts", "_order_txn"} <= table_cols
+
+        # No-ordering-evidence route (round-11 advice): both order
+        # columns NULL means the guard cannot rank this record against
+        # the current row image — neither apply-on-a-guess nor a silent
+        # drop is honest. Route the residue to the dead-letter table
+        # when one is wired. The isEmpty probe is one in-memory scan of
+        # the persisted micro-batch (common case: zero rows, no write).
+        no_evidence = F.col("_order_ts").isNull() & F.col("_order_txn").isNull()
+        if stale_guard and dead_letter_table is not None:
+            no_ev = latest.filter(no_evidence)
+            if not no_ev.isEmpty():
+                from .cdc_transform import to_dead_letter
+
+                dead_rows = no_ev.select(
+                    F.to_json(F.struct(*no_ev.columns)).alias("raw"),
+                    F.lit("no-ordering-evidence").alias("error_type"),
+                )
+                metas = dead_letter_table._write_files(to_dead_letter(dead_rows))
+                if metas:
+                    dead_letter_table.commit(metas, operation="append")
+                latest = latest.filter(~no_evidence)
 
         # NULL operation (malformed CDC metadata) is "not a delete" on
         # every path — merge_into coalesces the same way, so MOR and COW
@@ -202,10 +237,15 @@ def apply_batch(
                 # replayed older batch whose timestamps failed to parse
                 # would clobber newer row images; round-10 advice),
                 # while an un-guarded NULL gate silently dropped fresh
-                # corrupt-ts updates (round-10 review). >= keeps the
-                # no-evidence case (both txn ids NULL) applying.
+                # corrupt-ts updates (round-10 review). A NULL source
+                # txn id is NO evidence of staleness — such records
+                # apply (or were already routed to the dead-letter table
+                # above); the old coalesce(s,0) >= t form silently
+                # dropped them whenever the target carried any txn id
+                # (round-11 advice).
                 "(s._order_ts IS NULL AND "
-                "coalesce(s._order_txn, 0) >= coalesce(t._order_txn, 0)) OR "
+                "(s._order_txn IS NULL OR "
+                "s._order_txn >= coalesce(t._order_txn, 0))) OR "
                 "t._order_ts IS NULL OR "
                 "s._order_ts > t._order_ts OR "
                 "(s._order_ts = t._order_ts AND "
@@ -269,7 +309,11 @@ def apply_routed(
                     dead_letter_table.append(to_dead_letter(dead))
                 continue
             slice_df = good.filter(F.col("destination_table") == dest)
-            versions[dest] = apply_batch(tables[dest], typed_fn(slice_df))
+            versions[dest] = apply_batch(
+                tables[dest],
+                typed_fn(slice_df),
+                dead_letter_table=dead_letter_table,
+            )
         if unrouted:
             metrics.bump("cdc.unrouted_rows", unrouted)
         return versions

@@ -6,6 +6,17 @@ tool when a hot key is known a priori (the reference's analogue: DMS
 partitions the stream by primary key, so one hot key serializes a queue
 — dms_aurora_mysql_to_kinesis.py:123-141). Results are exactly equal to
 the unsalted operation — pinned by the oracle-checked spec.
+
+Salt determinism: the default position-derived salt (see
+``_row_spread_salt``) spreads even byte-identical rows but is only
+stable under task recompute when the INPUT's partitioning and row order
+are deterministic (a parquet/lake scan, a cached frame). Feeding it the
+direct output of a shuffle whose order can vary across recomputes (the
+SPARK-23207 repartition class) risks double-counted/lost rows after a
+shuffle-fetch failure. For such sources pass ``salt_cols`` — a
+content-hash salt over the named columns, deterministic under any
+recompute (spread then depends on those columns varying within the hot
+key).
 """
 
 from __future__ import annotations
@@ -33,13 +44,22 @@ def _row_spread_salt(n_salts: int):
     shape) a single salt, leaving the skew unmitigated, and failed at
     plan time on MapType columns (F.hash does not support maps).
     monotonically_increasing_id is position-derived, so the salt is
-    stable under task recompute for a deterministic input order —
-    nondeterministic salts can duplicate/lose rows on shuffle-fetch
-    failure (the SPARK-23207 repartition class)."""
+    stable under task recompute ONLY for a deterministic input
+    partitioning and order — see the module docstring for the
+    precondition and the ``salt_cols`` content-hash opt-in."""
     return F.pmod(
         F.hash(F.spark_partition_id(), F.monotonically_increasing_id()),
         F.lit(n_salts),
     )
+
+
+def _content_salt(salt_cols: list[str], n_salts: int):
+    """Content-hash salt: a pure function of the named columns, stable
+    under ANY recompute (the pre-round-11 whole-row form, now scoped to
+    caller-named columns so MapType payloads stay out of F.hash's
+    domain). Spread requires the named columns to vary within a hot
+    key — e.g. an event id or timestamp, not the hot key itself."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
 
 
 def salted_join(
@@ -48,6 +68,7 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     n_salts: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where the LEFT side's hot keys are spread over
     ``n_salts`` shuffle partitions; the RIGHT side is replicated x
@@ -58,6 +79,10 @@ def salted_join(
     ``_SALT_SAFE_JOINS``): replication changes the multiplicity of the
     right side, so right/full outer variants would emit one
     null-extended row per unmatched right COPY instead of per row.
+
+    ``salt_cols``: opt-in content-hash salt over the named LEFT columns
+    for inputs whose recompute order is not deterministic (module
+    docstring); default is the position-derived spread salt.
     """
     if how.lower().replace("_", "") not in {
         j.replace("_", "") for j in _SALT_SAFE_JOINS
@@ -69,7 +94,12 @@ def salted_join(
             "right rows. Swap the inputs or use a plain join with "
             "AQE skew handling."
         )
-    l = left.withColumn("__salt", _row_spread_salt(n_salts))
+    salt = (
+        _content_salt(salt_cols, n_salts)
+        if salt_cols
+        else _row_spread_salt(n_salts)
+    )
+    l = left.withColumn("__salt", salt)
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -81,18 +111,26 @@ def salted_sum(
     keys: list[str],
     value_col: str,
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys: partial sum per
     (key, salt) then final sum per key. (Spark's hash aggregate already
     does map-side partial aggregation; explicit salting additionally
     splits a hot key across REDUCERS, which partial agg cannot.)
 
-    The salt spreads by row position, not by value: hashing the VALUE
-    gave zero reducer spread for the canonical skew workload — a hot
-    key with a constant value (counting via sum(1)) salted every row
-    identically, serializing the hot key on one reducer anyway
-    (review round 11)."""
-    salted = df.withColumn("__salt", _row_spread_salt(n_salts))
+    The default salt spreads by row position, not by value: hashing the
+    VALUE gave zero reducer spread for the canonical skew workload — a
+    hot key with a constant value (counting via sum(1)) salted every row
+    identically, serializing the hot key on one reducer anyway (review
+    round 11). Position salts require a deterministic input (module
+    docstring); pass ``salt_cols`` for a recompute-stable content salt
+    when the input is a nondeterministic shuffle output."""
+    salt = (
+        _content_salt(salt_cols, n_salts)
+        if salt_cols
+        else _row_spread_salt(n_salts)
+    )
+    salted = df.withColumn("__salt", salt)
     partial = salted.groupBy(*keys, "__salt").agg(
         F.sum(value_col).alias("__psum"), F.count("*").alias("__pcnt")
     )

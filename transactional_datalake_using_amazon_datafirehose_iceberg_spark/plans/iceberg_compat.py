@@ -41,6 +41,17 @@ _ICEBERG_WIDENINGS = frozenset(
 )
 
 
+def _sql_str_literal(s: str) -> str:
+    """Escape a value for embedding in a Spark SQL single-quoted string
+    literal. Backslashes FIRST: Spark's parser treats ``\\`` as an
+    escape, so a json.dumps-escaped value (an app_id containing a quote
+    or backslash) would otherwise be consumed and the stored
+    ``stream_sink_txn`` ledger would no longer round-trip json.loads —
+    the read path then silently fell back to hwm=-1, degrading replay
+    protection for that app (round-11 advice)."""
+    return str(s).replace("\\", "\\\\").replace("'", "''")
+
+
 def _is_widening(old_s: str, new_s: str) -> bool:
     """True iff real Iceberg accepts ``ALTER COLUMN ... TYPE old -> new``.
     Decimal widens only on a precision increase at equal scale."""
@@ -451,8 +462,8 @@ class IcebergTable:
                         max(int(prev), int(bid)) if prev is not None else int(bid)
                     )
                 v = _json.dumps(merged, sort_keys=True)
-            sv = str(v).replace("'", "''")
-            sk = str(k).replace("'", "''")
+            sv = _sql_str_literal(v)
+            sk = _sql_str_literal(k)
             parts.append(f"'{sk}'='{sv}'")
         self.spark.sql(
             f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ({', '.join(parts)})"

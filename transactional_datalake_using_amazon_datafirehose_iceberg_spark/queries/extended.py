@@ -1527,8 +1527,18 @@ def _scd2_build(spark, sf):
         ).persist()
         try:
             open_rows = t.read(spark).filter(F.col("is_current") == 1)
-            delta = scd2_delta(open_rows, b, ["user_id"], "ts", "version_id")
-            merge_into(t, delta, assume_unique=True)
+            # persist the DELTA too: merge_into evaluates its source in
+            # up to three jobs (fused stats, probe, rewrite) and each
+            # re-ran the replay-guard join + chain window + close-join
+            # against the history (bench r11: the guard's per-pass
+            # broadcast builds cost ~1.6 s over three batches at sf0.1)
+            delta = scd2_delta(
+                open_rows, b, ["user_id"], "ts", "version_id"
+            ).persist()
+            try:
+                merge_into(t, delta, assume_unique=True)
+            finally:
+                delta.unpersist()
         finally:
             b.unpersist()
     return (

@@ -94,25 +94,40 @@ def get_spark(
         builder = builder.config("spark.jars", os.environ["SPARK_GRAFT_ICEBERG_JAR"])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    # creation-time configs (master, jars, driver memory) silently do
-    # NOT apply to an already-running session — warn instead of letting
-    # the Iceberg jar or a memory bump vanish without a trace
-    active = SparkSession.getActiveSession()
-    if active is not None and (
-        os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
-        or os.environ.get("SPARK_DRIVER_MEMORY")
-    ):
+    spark = builder.getOrCreate()
+    # creation-time configs (jars, driver memory) silently do NOT apply
+    # to an already-running session. Warn only when the session
+    # getOrCreate actually RETURNED carries a different value than was
+    # requested — the old any-active-session check fired on every call
+    # after the first even when that session was created by get_spark
+    # with these exact settings, and the thread-local getActiveSession
+    # missed a default-but-inactive session entirely (round-11 advice).
+    wanted: dict[str, str] = {}
+    if os.environ.get("SPARK_GRAFT_ICEBERG_JAR"):
+        wanted["spark.jars"] = os.environ["SPARK_GRAFT_ICEBERG_JAR"]
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        wanted["spark.driver.memory"] = os.environ["SPARK_DRIVER_MEMORY"]
+    # read the CONTEXT conf, not session.conf: getOrCreate copies the
+    # builder's options onto an existing session's runtime conf, so the
+    # session conf always "matches" even when the JVM was created with
+    # different static settings — only the SparkContext conf holds the
+    # values that actually applied at creation
+    cc = spark.sparkContext.getConf()
+    mismatched = []
+    for k, v in wanted.items():
+        got = cc.get(k, None)
+        if got != v:
+            mismatched.append(f"{k}={v!r} (active session has {got!r})")
+    if mismatched:
         import warnings
 
         warnings.warn(
-            "get_spark: a SparkSession already exists in this process; "
-            "creation-time settings (spark.jars from "
-            "SPARK_GRAFT_ICEBERG_JAR, driver memory from "
-            "SPARK_DRIVER_MEMORY, master) cannot be applied to it — "
-            "stop the existing session first if they must take effect",
+            "get_spark: a SparkSession already exists in this process "
+            "and its creation-time settings differ from the requested "
+            "ones — " + "; ".join(mismatched) + ". Stop the existing "
+            "session first if they must take effect",
             stacklevel=2,
         )
-    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # NOTE: the expected truncated-lineage WARNs from
     # connected_components' checkpoint-generation unpersists are

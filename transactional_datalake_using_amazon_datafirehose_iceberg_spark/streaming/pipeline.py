@@ -150,7 +150,12 @@ class CdcStreamPipeline:
             if self.app_id == "default":
                 # legacy scalar kept for pre-ledger readers
                 extra["stream_batch_id"] = batch_id
-            apply_batch(self.table, typed, extra_summary=extra)
+            apply_batch(
+                self.table,
+                typed,
+                extra_summary=extra,
+                dead_letter_table=self.dead_letter_table,
+            )
             # merge-on-read upkeep: fold accumulated position-delete
             # files back into data once past the reference's
             # optimize_rewrite_delete_file_threshold (README.md:307)
