@@ -638,3 +638,143 @@ def test_hand_peak_concurrency(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "events_peak_concurrency", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_streak_longest_daily(spark, tmp_path):
+    """Gaps-and-islands streaks with a same-day duplicate and an
+    equal-length tie.
+
+    u1 days: Jan 1 (x2 events), 2, 3 | 5 | 10, 11
+      -> streaks len 3 (start Jan1), 1 (Jan5), 2 (Jan10):
+         longest 3, n_streaks 3, longest_start Jan1
+    u2 days: Jan 1, 2 | 5, 6 -> two len-2 streaks: tie resolves to the
+      EARLIEST start -> (2, 2, 2, Jan1)
+    u3: Jan 7 only (duplicated event) -> (1, 1, Jan7)
+    """
+    D = lambda day: _ts(f"2024-01-{day:02d}T12:00:00")
+    d = _mk_sf(tmp_path, events=_events([
+        (1, D(1), 1, "v", 0.0), (2, D(1), 1, "v", 0.0), (3, D(2), 1, "v", 0.0),
+        (4, D(3), 1, "v", 0.0), (5, D(5), 1, "v", 0.0), (6, D(10), 1, "v", 0.0),
+        (7, D(11), 1, "v", 0.0),
+        (8, D(1), 2, "v", 0.0), (9, D(2), 2, "v", 0.0),
+        (10, D(5), 2, "v", 0.0), (11, D(6), 2, "v", 0.0),
+        (12, D(7), 3, "v", 0.0), (13, D(7), 3, "v", 0.0),
+    ]))
+    hand = [
+        (1, 3, 3, dt.date(2024, 1, 1)),
+        (2, 2, 2, dt.date(2024, 1, 1)),
+        (3, 1, 1, dt.date(2024, 1, 7)),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_streak_longest_daily", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_rolling_distinct_users_7d(spark, tmp_path):
+    """7-day rolling distinct actives, report days = observed days only.
+
+    (day, user) actives: Jan1 {u1 (x2 events), u2}, Jan5 {u1},
+    Jan9 {u3, u4}.
+    Jan1 window [Dec26..Jan1]: {u1, u2} -> 2
+    Jan5 window [Dec30..Jan5]: Jan1 {u1,u2} + Jan5 {u1} -> {u1,u2} -> 2
+    Jan9 window [Jan3..Jan9]: Jan5 {u1} + Jan9 {u3,u4} -> 3
+    (Jan2..4, 6..8 are NOT report days — no events observed there.)
+    """
+    D = lambda day: _ts(f"2024-01-{day:02d}T08:00:00")
+    d = _mk_sf(tmp_path, events=_events([
+        (1, D(1), 1, "v", 0.0), (2, D(1), 1, "v", 0.0), (3, D(1), 2, "v", 0.0),
+        (4, D(5), 1, "v", 0.0),
+        (5, D(9), 3, "v", 0.0), (6, D(9), 4, "v", 0.0),
+    ]))
+    hand = [
+        (dt.date(2024, 1, 1), 2),
+        (dt.date(2024, 1, 5), 2),
+        (dt.date(2024, 1, 9), 3),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_rolling_distinct_users_7d", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_pareto_abc_class(spark, tmp_path):
+    """Integer-cents ABC cut at EXACT boundaries, equal-revenue tie.
+
+    per-customer cents: c1=800, c2=150 (two orders), c4=150, c3=50;
+    total=1150. Ranked desc (custkey tiebreak): c1 rc=800, c2 rc=950,
+    c4 rc=1100, c3 rc=1150.
+    A: rc*100 <= 1150*80 = 92000 -> c1 (80000) only.
+    B: rc*100 <= 1150*95 = 109250 -> c2 (95000).
+    C: c4 (110000), c3 (115000).
+    """
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([1, 2, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([8.00, 1.00, 0.50, 0.50, 1.50], pa.float64()),
+    })
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [("A", 1, 800), ("B", 1, 150), ("C", 2, 200)]
+    got_spark, got_ora = _run_both(spark, "orders_pareto_abc_class", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def _embeddings(rows):
+    """rows: (vec_id, embedding: list[float] | None, label)"""
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
+def test_hand_matryoshka_truncate(spark, tmp_path):
+    """First-8-dim truncation + L2 renorm, exact-in-float32 values.
+
+    v1 = [3,4,0,0,0,0,0,0,99]: 9th dim ignored; norm sqrt(25)=5
+         -> dim0 = floor(3/5 * 1e6) = 600000, norm_ppm = 5000000
+    v2 = [0,0,0]: norm 0 -> dim0 NULL (zero-vector guard), norm_ppm 0
+    v3 = [1]: shorter than 8 dims -> slice is [1]; 1000000 / 1000000
+    v4 = [0.5]*4: norm sqrt(1)=1 -> 500000 / 1000000
+    v5 = NULL embedding: NULL / NULL (flows, never crashes)
+    """
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (1, [3.0, 4.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 99.0], 0),
+        (2, [0.0, 0.0, 0.0], 1),
+        (3, [1.0], 0),
+        (4, [0.5, 0.5, 0.5, 0.5], 1),
+        (5, None, 0),
+    ]))
+    hand = [
+        (1, 0, 600000, 5000000),
+        (2, 1, None, 0),
+        (3, 0, 1000000, 1000000),
+        (4, 1, 500000, 1000000),
+        (5, 0, None, None),
+    ]
+    got_spark, got_ora = _run_both(spark, "embedding_truncate_renormalize", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_shot_boundaries(spark, tmp_path):
+    """Frame-energy deltas over the utf-8 payload bytes, window=64,
+    cut iff |delta| > 400 (STRICT).
+
+    doc1 = 'a'*64+'b'*64+'z'*64: energies 97^2=9409, 98^2=9604,
+      122^2=14884 -> deltas 195 (no), 5280 (cut) -> 3 frames, 1 cut
+    doc2 = 'a'*100: frames of 64 and 36 samples, both energy 9409 -> 0
+    doc3 = 'c'*64+'e'*64: 9801 vs 10201 -> delta EXACTLY 400 -> no cut
+    doc4 = 'hi': one partial frame (104^2+105^2)//2 = 10920 -> 1 frame
+    doc5 = NULL text: no payload -> no windows -> absent from output
+    """
+    d = _mk_sf(tmp_path, documents=_documents([
+        (1, "a" * 64 + "b" * 64 + "z" * 64, "s"),
+        (2, "a" * 100, "s"),
+        (3, "c" * 64 + "e" * 64, "s"),
+        (4, "hi", "s"),
+        (5, None, "s"),
+    ]))
+    hand = [(1, 3, 1), (2, 2, 0), (3, 2, 0), (4, 1, 0)]
+    got_spark, got_ora = _run_both(spark, "multimodal_shot_boundaries", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
