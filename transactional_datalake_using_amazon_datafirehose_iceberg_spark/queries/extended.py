@@ -1484,6 +1484,12 @@ def _scd2_build(spark, sf):
     from ..plans.merge import merge_into
     from ..sources.catalog import load_table
 
+    # ONE events scan for all three micro-batches: the per-batch ts
+    # filters below carve the persisted frame instead of re-reading the
+    # parquet per batch (the scan dominated the spec at sf0.1 — the
+    # guard/merge work is key-count scale, the scan is event-volume
+    # scale). In a real stream each micro-batch arrives pre-bounded;
+    # this mirrors that shape.
     ev = (
         load_table(spark, sf, "events")
         .filter(F.col("user_id") < 40)
@@ -1494,6 +1500,7 @@ def _scd2_build(spark, sf):
             "event_type",
             "value",
         )
+        .persist()
     )
     schema = T.StructType([
         T.StructField("user_id", T.LongType()),
@@ -1541,6 +1548,7 @@ def _scd2_build(spark, sf):
                 delta.unpersist()
         finally:
             b.unpersist()
+    ev.unpersist()
     return (
         t.read(spark)
         .select(
