@@ -947,9 +947,10 @@ def test_lake_stream_expired_history_bootstrap_and_checkpoint_remedy(spark, tmp_
     expire_snapshots(t, keep_last=2)  # v1 reaped; v2, v3 live
 
     reader = _LakeStreamReader(t.root, schema, skip_change_commits=False)
-    # fresh stream: bootstrap = v2's FULL file list (2 append files)
-    # + the v3 increment (1 file) — all three rows exactly once
-    parts = reader.partitions({"version": 0}, {"version": t.current_version()})
+    # fresh stream (initialOffset -1): bootstrap = v2's FULL file list
+    # (2 append files) + the v3 increment (1 file) — all three rows
+    # exactly once
+    parts = reader.partitions({"version": -1}, {"version": t.current_version()})
     assert len(parts) == 3
     import pyarrow as pa
 
@@ -959,9 +960,14 @@ def test_lake_stream_expired_history_bootstrap_and_checkpoint_remedy(spark, tmp_
             rows.extend(batch.to_pydict()["id"])
     assert sorted(rows) == [0, 1, 2]
 
-    # resumed checkpoint at the expired offset: remedial error
+    # resumed checkpoint at the expired offset: remedial error — and
+    # offset 0 is a RESUMED checkpoint too (the first trigger ran at
+    # v0), NOT a fresh stream: bootstrapping it would re-emit already-
+    # streamed rows downstream (review round 12)
     with pytest.raises(ValueError, match="expire_snapshots"):
         reader.partitions({"version": 1}, {"version": t.current_version()})
+    with pytest.raises(ValueError, match="expire_snapshots"):
+        reader.partitions({"version": 0}, {"version": t.current_version()})
     # a resumed offset inside live history still plans normally
     parts = reader.partitions(
         {"version": t.current_version() - 1}, {"version": t.current_version()}
@@ -1178,3 +1184,143 @@ def test_pipeline_without_dead_letter_warns(spark, tmp_path):
     )
     with pytest.warns(UserWarning, match="dead_letter_table"):
         CdcStreamPipeline(table, "db", "tbl")
+
+
+def test_lake_table_sink_complete_mode_truncates_each_batch(spark, tmp_path):
+    """outputMode('complete') passes overwrite=True to the stream
+    writer: each micro-batch REPLACES the table with the full aggregate
+    state. The flag used to be dropped, silently appending every
+    re-emitted aggregate row (review round 12)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        LakeStreamDataSource,
+    )
+
+    spark.dataSource.register(LakeStreamDataSource)
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        root,
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]),
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.sql("SELECT CAST(id % 2 AS LONG) k FROM range(10)").coalesce(
+        1
+    ).write.parquet(src + "/b1")
+
+    def run():
+        q = (
+            spark.readStream.schema("k LONG").parquet(src + "/*")
+            .groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+            .writeStream.format("lake_table")
+            .option("path", root)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got = {r["k"]: r["cnt"] for r in t.read(spark).collect()}
+    assert got == {0: 5, 1: 5}
+    spark.sql("SELECT CAST(0 AS LONG) k FROM range(3)").coalesce(
+        1
+    ).write.parquet(src + "/b2")
+    run()
+    rows = t.read(spark).collect()
+    assert len(rows) == 2, "complete mode appended instead of truncating"
+    assert {r["k"]: r["cnt"] for r in rows} == {0: 8, 1: 5}
+    assert t.manifest()["summary"]["operation"] == "overwrite"
+
+
+def test_lake_stream_cherry_pick_append_streams_not_raises(spark, tmp_path):
+    """An append-shaped cherry-pick (the WAP publish path for a
+    diverged branch) streams its rows like any append — it used to be
+    misclassified as a change commit: crash without skipChangeCommits,
+    silent row loss with it (review round 12)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _LakeStreamReader,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1, "base")], schema))
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.append(spark.createDataFrame([(2, "staged")], schema))
+    staged_v = b.current_version()
+    t.append(spark.createDataFrame([(3, "mainline")], schema))  # diverge
+    v_ckpt = t.current_version()
+    t.cherry_pick(staged_v)
+
+    reader = _LakeStreamReader(t.root, schema, skip_change_commits=False)
+    parts = reader.partitions(
+        {"version": v_ckpt}, {"version": t.current_version()}
+    )
+    rows = []
+    for p in parts:
+        for batch in reader.read(p):
+            rows.extend(zip(batch.to_pydict()["k"], batch.to_pydict()["v"]))
+    assert rows == [(2, "staged")], "published rows lost or duplicated"
+
+
+def test_lake_stream_mid_stream_rename_keeps_column_values(spark, tmp_path):
+    """A rename committed MID-STREAM: the reader's schema is pinned at
+    query start (old name), later files carry the new physical name —
+    the values must keep flowing under the query-start name instead of
+    silently streaming all-NULL (review round 12)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        _LakeStreamReader,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1, 5.0)], schema))
+    reader = _LakeStreamReader(t.root, schema, skip_change_commits=False)
+    v_ckpt = t.current_version()
+    t.rename_column("amount", "amt")  # metadata-only commit
+    t.append(
+        spark.createDataFrame(
+            [(2, 9.5)],
+            T.StructType([
+                T.StructField("k", T.LongType()),
+                T.StructField("amt", T.DoubleType()),
+            ]),
+        )
+    )
+    parts = reader.partitions(
+        {"version": v_ckpt}, {"version": t.current_version()}
+    )
+    rows = []
+    for p in parts:
+        for batch in reader.read(p):
+            rows.extend(
+                zip(batch.to_pydict()["k"], batch.to_pydict()["amount"])
+            )
+    assert rows == [(2, 9.5)], "post-rename file streamed NULLs"
+
+
+def test_lake_table_datasource_missing_path_friendly_error(spark):
+    """With an explicit .schema(...) the schema() guard never runs; a
+    missing path option must still raise the remedial ValueError, not a
+    bare KeyError (review round 12)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.sources.lake_stream import (
+        LakeStreamDataSource,
+    )
+
+    sch = T.StructType([T.StructField("k", T.LongType())])
+    ds = LakeStreamDataSource(options={})
+    with pytest.raises(ValueError, match=r"\.option\('path'"):
+        ds.streamReader(sch)
+    with pytest.raises(ValueError, match=r"\.option\('path'"):
+        ds.writer(sch, False)
+    with pytest.raises(ValueError, match=r"\.option\('path'"):
+        ds.streamWriter(sch, False)

@@ -47,7 +47,12 @@ from pyspark.sql.datasource import (
 # set (empty for create, the borrowed snapshot for a clone) and a fresh
 # stream must emit it — the old walk stopped ABOVE v0 and a clone's
 # entire dataset silently never streamed (review round 10)
-_APPEND_OPS = {"append", "merge", "create", "shallow-clone"}
+# cherry-pick: the WAP publish path replays an append-shaped branch
+# commit onto main — classifying it as a change commit crashed the
+# stream on audited-and-published rows (or, with skipChangeCommits,
+# silently dropped them). The removed/new_deletes checks below still
+# catch a genuinely row-changing pick (review round 12).
+_APPEND_OPS = {"append", "merge", "create", "shallow-clone", "cherry-pick"}
 _MAINTENANCE_OPS = {"compact", "zorder", "rewrite-deletes"}
 
 
@@ -107,9 +112,20 @@ class LakeStreamDataSource(DataSource):
         m = _read_manifest(root, _read_pointer(root))
         return T.StructType.fromJson(json.loads(m["schema"]))
 
+    def _path(self, side: str) -> str:
+        # friendly error on BOTH sides: with an explicit .schema(...)
+        # the schema()/_table_schema() guards never run, and a missing
+        # path surfaced as a bare KeyError (review round 12)
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                f"lake_table {side} requires .option('path', <table root>)"
+            )
+        return root
+
     def streamReader(self, schema) -> "DataSourceStreamReader":
         return _LakeStreamReader(
-            self.options["path"],
+            self._path("source"),
             schema,
             skip_change_commits=str(
                 self.options.get("skipChangeCommits", "false")
@@ -119,9 +135,7 @@ class LakeStreamDataSource(DataSource):
 
     # -- write side (df.write / df.writeStream .format("lake_table")) --
     def _table_schema(self) -> T.StructType:
-        root = self.options.get("path")
-        if not root:
-            raise ValueError("lake_table sink requires .option('path', <table root>)")
+        root = self._path("sink")
         m = _read_manifest(root, _read_pointer(root))
         return T.StructType.fromJson(json.loads(m["schema"]))
 
@@ -129,21 +143,23 @@ class LakeStreamDataSource(DataSource):
         # conform to the TABLE schema, not the incoming frame's: a
         # frame missing a table column fails loudly at the first batch
         return _LakeBatchWriter(
-            self.options["path"], self._table_schema(), overwrite
+            self._path("sink"), self._table_schema(), overwrite
         )
 
     def streamWriter(self, schema, overwrite: bool):
         # txnAppId (Delta-style): distinct streaming queries appending
         # to one table must carry distinct app ids so their batch-id
-        # watermarks never collide (option keys reach us lowercased by
-        # some runtimes — accept either spelling)
-        app_id = (
-            self.options.get("txnAppId")
-            or self.options.get("txnappid")
-            or "default"
-        )
+        # watermarks never collide. (Spark 4 delivers options as a
+        # CaseInsensitiveDict, so one spelling suffices.) ``overwrite``
+        # is the runtime's truncate signal (complete output mode):
+        # dropping it silently APPENDED every re-emitted aggregate
+        # (review round 12).
+        app_id = self.options.get("txnAppId") or "default"
         return _LakeStreamWriter(
-            self.options["path"], self._table_schema(), app_id=app_id
+            self._path("sink"),
+            self._table_schema(),
+            app_id=app_id,
+            overwrite=overwrite,
         )
 
 
@@ -183,7 +199,12 @@ class _LakeStreamReader(DataSourceStreamReader):
         while v is not None and v > start["version"]:
             m = _read_manifest_or_none(self._root, v)
             if m is None:
-                if start["version"] <= 0 and chain:
+                # STRICTLY < 0: offset 0 is a legitimate committed
+                # checkpoint (the first trigger ran at table head v0 —
+                # a clone's v0 carries the full borrowed file set), and
+                # bootstrapping a RESUMED stream would re-emit the whole
+                # already-streamed state downstream (review round 12)
+                if start["version"] < 0 and chain:
                     # FRESH stream (initialOffset) over a table whose
                     # early history was expired: the per-commit
                     # increments below the reaped version are gone, so
@@ -207,6 +228,22 @@ class _LakeStreamReader(DataSourceStreamReader):
         head = chain[-1] if chain else bootstrap
         renames = (head or {}).get("renames", {})
         defaults = (head or {}).get("defaults", {})
+        # The reader's target schema is pinned at QUERY START, but the
+        # manifest's rename chain is keyed by the CURRENT name — a
+        # rename committed mid-stream left the query-start name without
+        # an entry, so post-rename files (physical name = new name)
+        # resolved to all-NULL silently (review round 12). Re-key each
+        # chain under every name in it: whichever generation the query
+        # started at, its physical candidates are the other names.
+        eff_renames = dict(renames)
+        for cur_name, formers in renames.items():
+            chain_names = [cur_name, *formers]
+            for former in formers:
+                eff_renames.setdefault(
+                    former,
+                    tuple(n for n in chain_names if n != former),
+                )
+        renames = eff_renames
 
         def _mk_part(fmeta: dict) -> _FilePartition:
             sv = fmeta.get("schema_v", 0)
@@ -617,33 +654,41 @@ def _driver_abort(root: str, staging_rel: str, messages) -> None:
                 pass
 
 
+def _init_writer_state(writer, root: str, schema: T.StructType,
+                       staging_rel: str) -> None:
+    """Shared writer wiring (ONE LakeTable.load): staging dir, the
+    schema generation the files are ACTUALLY shaped as — a DDL
+    (add_column with default) landing mid-query must not stamp these
+    pre-ALTER-shaped files with the post-ALTER generation, or the
+    defaults read path returns stored NULLs instead of the declared
+    default (review round 10) — and the task-side Arrow file writer."""
+    from ..plans.lake_table import LakeTable as _LT
+
+    writer._root = root
+    writer._staging_rel = staging_rel
+    os.makedirs(os.path.join(root, staging_rel), exist_ok=True)
+    t = _LT.load(root)
+    writer._schema_v = t.manifest().get("schema_v", 0)
+    writer._w = _ArrowFileWriter(
+        root, staging_rel, schema.json(),
+        bloom_cols=tuple(t.bloom_key_columns()),
+    )
+
+
 class _LakeBatchWriter(DataSourceArrowWriter):
     def __init__(self, root: str, schema: T.StructType, overwrite: bool):
         import uuid as _uuid
 
-        self._root = root
         self._overwrite = overwrite
-        self._staging_rel = os.path.join("data", f"_staging-{_uuid.uuid4().hex[:12]}")
-        os.makedirs(os.path.join(root, self._staging_rel), exist_ok=True)
-        from ..plans.lake_table import LakeTable as _LT
-
-        # schema generation the writer's files are ACTUALLY shaped as:
-        # a DDL (add_column with default) landing mid-query must not
-        # stamp these pre-ALTER-shaped files with the post-ALTER
-        # generation, or the defaults read path returns stored NULLs
-        # instead of the declared default (review round 10)
-        self._schema_v = _LT.load(root).manifest().get("schema_v", 0)
-        self._w = _ArrowFileWriter(
-            root, self._staging_rel, schema.json(),
-            bloom_cols=tuple(_LT.load(root).bloom_key_columns()),
+        _init_writer_state(
+            self, root, schema,
+            os.path.join("data", f"_staging-{_uuid.uuid4().hex[:12]}"),
         )
 
     def write(self, iterator):
         return self._w.write(iterator)
 
     def commit(self, messages):
-        import shutil
-
         _driver_commit(
             self._root, self._staging_rel, messages,
             overwrite=self._overwrite, schema_v=self._schema_v,
@@ -651,8 +696,6 @@ class _LakeBatchWriter(DataSourceArrowWriter):
         shutil.rmtree(os.path.join(self._root, self._staging_rel), ignore_errors=True)
 
     def abort(self, messages):
-        import shutil
-
         shutil.rmtree(os.path.join(self._root, self._staging_rel), ignore_errors=True)
 
 
@@ -662,7 +705,8 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
     one atomic LakeTable commit per micro-batch, exactly-once via the
     stream_sink_batch_id summary ledger."""
 
-    def __init__(self, root: str, schema: T.StructType, app_id: str = "default"):
+    def __init__(self, root: str, schema: T.StructType,
+                 app_id: str = "default", overwrite: bool = False):
         # DETERMINISTIC staging path: the streaming runtime constructs
         # separate writer instances for the executor-serialization and
         # the commit sides, so a per-instance uuid would strand the
@@ -671,23 +715,19 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
         # task attempts apart within one.
         import hashlib as _hashlib
 
-        self._root = root
         self._app_id = app_id
+        # complete/truncate output mode: each micro-batch REPLACES the
+        # table (the runtime's overwrite flag — dropped, it silently
+        # appended every re-emitted aggregate; review round 12)
+        self._overwrite = overwrite
         suffix = (
             ""
             if app_id == "default"
             else "-" + _hashlib.md5(app_id.encode()).hexdigest()[:8]
         )
-        self._staging_rel = os.path.join("data", f"_staging-stream{suffix}")
-        os.makedirs(os.path.join(root, self._staging_rel), exist_ok=True)
-        from ..plans.lake_table import LakeTable as _LT
-
-        # see _LakeBatchWriter: stamp files with the schema generation
-        # they are shaped as (query start), not the commit-time head
-        self._schema_v = _LT.load(root).manifest().get("schema_v", 0)
-        self._w = _ArrowFileWriter(
-            root, self._staging_rel, schema.json(),
-            bloom_cols=tuple(_LT.load(root).bloom_key_columns()),
+        _init_writer_state(
+            self, root, schema,
+            os.path.join("data", f"_staging-stream{suffix}"),
         )
 
     def write(self, iterator):
@@ -696,7 +736,8 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         _driver_commit(
             self._root, self._staging_rel, messages,
-            batch_id=batchId, app_id=self._app_id, schema_v=self._schema_v,
+            batch_id=batchId, app_id=self._app_id,
+            overwrite=self._overwrite, schema_v=self._schema_v,
         )
 
     def abort(self, messages, batchId: int) -> None:
