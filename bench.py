@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -55,8 +56,6 @@ def bench_streaming_ingest(spark, trigger_seconds: int = 60, n_records: int = 60
     the real Structured Streaming pipeline with a processingTime trigger
     over one buffer of demo-rate inserts and reports the non-empty
     batch's triggerExecution wall time from the query progress."""
-    import tempfile
-
     from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
         LakeTable,
     )
@@ -73,7 +72,11 @@ def bench_streaming_ingest(spark, trigger_seconds: int = 60, n_records: int = 60
         CdcStreamPipeline,
     )
 
-    d = tempfile.mkdtemp(prefix="bench_stream_")
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.base import (
+        scratch_dir,
+    )
+
+    d = scratch_dir("bench_stream_")
     in_dir = os.path.join(d, "in")
     write_demo_rate_corpus(os.path.join(in_dir, "buffer0.jsonl"), n_records)
     table = LakeTable.create(
@@ -121,8 +124,6 @@ def bench_cow_vs_mor_deletes(
     the worst case copy-on-write has to rewrite the whole table per
     batch). Reports bytes written by the delete traffic, delete wall
     time, and the MOR read path before/after rewrite_delete_files."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
@@ -148,7 +149,11 @@ def bench_cow_vs_mor_deletes(
             (F.col("id") * 7 % 9973).cast("double").alias("val"),
         )
     )
-    d = tempfile.mkdtemp(prefix="bench_mor_")
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.base import (
+        scratch_dir,
+    )
+
+    d = scratch_dir("bench_mor_")
     out: dict = {"rows": n_rows, "delete_batches": n_batches, "delete_pct": 30}
     for mode in ("copy-on-write", "merge-on-read"):
         t = LakeTable.create(
@@ -170,14 +175,23 @@ def bench_cow_vs_mor_deletes(
         t0 = time.perf_counter()
         n_after = t.read(spark).count()
         stats["read_sec"] = round(time.perf_counter() - t0, 3)
-        assert n_after == n_rows - n_batches * (n_rows // 20), n_after
+        # plain comparisons, never asserts: under python -O an assert
+        # is stripped, silently deleting both the correctness check AND
+        # the timed read it wrapped (review round 12)
+        want = n_rows - n_batches * (n_rows // 20)
+        if n_after != want:
+            raise RuntimeError(f"{mode}: {n_after} rows after deletes, want {want}")
         if mode == "merge-on-read":
             t0 = time.perf_counter()
             rewrite_delete_files(spark, t)
             stats["rewrite_delete_files_sec"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            assert t.read(spark).count() == n_after
+            n_rewritten = t.read(spark).count()
             stats["read_sec_after_rewrite"] = round(time.perf_counter() - t0, 3)
+            if n_rewritten != n_after:
+                raise RuntimeError(
+                    f"rewrite changed row count: {n_rewritten} != {n_after}"
+                )
         out[mode] = stats
     cow_b = out["copy-on-write"]["bytes_written_by_deletes"]
     mor_b = out["merge-on-read"]["bytes_written_by_deletes"]
@@ -200,7 +214,11 @@ def _release_query_blocks(spark, before_ids: set) -> None:
         m = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in {int(k) for k in m.keySet().toArray()} - before_ids:
             if m.containsKey(rid):
-                m.get(rid).unpersist(False)
+                # BLOCKING: async removal let run 1's corpus-scale
+                # blocks still occupy the heap when run 2's timer
+                # started, re-admitting the GC-noise pattern this sweep
+                # exists to kill (review round 12)
+                m.get(rid).unpersist(True)
     except Exception:
         pass  # hygiene only — never fail the bench over it
 
@@ -286,11 +304,11 @@ def _prewarm_fixture_cache(sf_dir: str) -> dict:
     The PRE sentinel above still captures the cold evidence; this warm
     pass plus the warm re-probe it returns make the timed queries
     host-independent and the warm/cold gap explicit in the record."""
-    import pyarrow.parquet as pq
-
     t0 = time.perf_counter()
     total_mb = 0.0
     try:
+        import pyarrow.parquet as pq
+
         for name in sorted(os.listdir(sf_dir)):
             if name.endswith(".parquet"):
                 p = os.path.join(sf_dir, name)
@@ -313,10 +331,13 @@ def main() -> None:
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+        # non-numeric CPUS (e.g. '*'): let get_spark derive the shuffle
+        # fan-out from the resolved master instead of forcing 32
+        shuffle_partitions=int(cpus) if cpus.isdigit() else None,
     )
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    m = re.search(r"sf(\d+(?:\.\d+)?)$", sf_dir.rstrip("/"))
+    sf = m.group(1) if m else sf_dir.rstrip("/").split("sf")[-1]
 
     sentinel_pre = contention_sentinel(spark)
     print(f"# contention sentinel (pre): {sentinel_pre}", file=sys.stderr)
@@ -328,6 +349,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         spec = QUERY_SPECS.get(name)
         if spec is None:
+            # LOUD: a renamed/removed spec silently vanishing from the
+            # headline total reads as a perf win round-over-round
+            # (review round 12)
+            print(f"# {name}: MISSING from registry — skipped", file=sys.stderr)
             continue
         pids0 = _persistent_ids(spark)
         try:
@@ -413,6 +438,7 @@ def main() -> None:
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:
+            print(f"# extra {name}: MISSING from registry — skipped", file=sys.stderr)
             continue
         pids0 = _persistent_ids(spark)
         try:
@@ -436,8 +462,13 @@ def main() -> None:
             # outlier without a clean re-run
             extras_load[name] = round(os.getloadavg()[0], 2)
             gc_now = _gc_millis(spark)
-            extras_gc_ms[name] = gc_now - gc_prev if gc_now >= 0 else -1
-            gc_prev = gc_now
+            # only a VALID probe pair yields a delta; a failed probe
+            # (-1) must not become the next query's baseline or the
+            # next delta absorbs the JVM's whole cumulative GC time
+            # (review round 12)
+            extras_gc_ms[name] = (
+                gc_now - gc_prev if gc_now >= 0 and gc_prev >= 0 else -1
+            )
             print(
                 f"# extra {name}: {extras[name]:.3f}s ({n} rows, "
                 f"load1m {extras_load[name]}, gc_ms {extras_gc_ms[name]})",
@@ -446,6 +477,11 @@ def main() -> None:
         except Exception as exc:
             print(f"# extra {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
         finally:
+            # advance the GC baseline on success AND failure so a
+            # failed spec's warm-up GC is never charged to its neighbor
+            gc_now = _gc_millis(spark)
+            if gc_now >= 0:
+                gc_prev = gc_now
             _release_query_blocks(spark, pids0)
 
     try:

@@ -32,6 +32,12 @@ Keys currently emitted:
 - ``bloom.fallback_inprocess``— distributed build FAILED and fell back
                                  (also logged to stderr; a persistently
                                  nonzero count is a bug signal)
+- ``manifest_cache.hit`` / ``manifest_cache.miss``
+                              — process-wide immutable-manifest LRU
+                                 (``lake_table._load_manifest_cached``)
+- ``cdc.unrouted_rows``       — routed-apply rows whose destination
+                                 table is unknown (counted even when a
+                                 dead-letter table absorbs them)
 """
 
 from __future__ import annotations

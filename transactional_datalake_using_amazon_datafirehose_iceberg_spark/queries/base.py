@@ -69,6 +69,16 @@ class QuerySpec:
         if self.no_oracle:
             return None
         o = self.oracle if self.oracle is not None else self.sql
+        if o is None:
+            # LOUD, not None: a build-only spec that forgot its oracle
+            # would otherwise silently skip the driver's correctness
+            # check while looking covered — the silent-rot class the
+            # registry ledger assertions guard against (review round 12).
+            # Genuinely non-SQL-expressible specs must say so.
+            raise ValueError(
+                f"{self.name}: no oracle SQL — set oracle=/sql=, or mark "
+                "no_oracle=True for a genuinely non-SQL-expressible spec"
+            )
         if callable(o):
             o = o()
         return o
