@@ -260,3 +260,139 @@ def test_full_rewrites_drop_inert_equality_deletes(spark, tmp_path):
             f"{op}: inert equality-delete entries survived the full rewrite"
         )
         assert sorted(map(tuple, t.read(spark).collect())) == rows_before
+
+
+def _mini_table(spark, tmp_path, n_commits=4):
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema)
+    for i in range(n_commits):
+        t.append(spark.createDataFrame([(i, float(i))], schema))
+    return t
+
+
+def test_transient_oserror_aborts_expiry_instead_of_orphaning(
+    spark, tmp_path, monkeypatch
+):
+    """A transient OSError (EMFILE/EACCES/EIO) while reading a LIVE
+    manifest must PROPAGATE out of referenced_files — mapping it to
+    'missing' made the orphan sweep treat that snapshot's data files as
+    unreferenced and DELETE them (review round 12, data loss)."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        lake_table as lt,
+    )
+
+    t = _mini_table(spark, tmp_path)
+    lt._purge_manifest_cache  # module sanity
+    # clear the cache so referenced_files actually re-reads from disk
+    with lt._MANIFEST_CACHE_LOCK:
+        lt._MANIFEST_CACHE.clear()
+
+    real_probe = lt._content_probe
+    calls = {"n": 0}
+
+    def flaky_probe(path, size):
+        # each uncached load probes twice (pre-stat + post-read TOCTOU
+        # re-probe; the latter legitimately swallows OSError since the
+        # parse is already in hand) — call 3 is the SECOND manifest's
+        # first probe, the one whose failure must abort the walk
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise PermissionError(13, "transient EACCES", path)
+        return real_probe(path, size)
+
+    monkeypatch.setattr(lt, "_content_probe", flaky_probe)
+    with _pytest.raises(PermissionError):
+        t.referenced_files()
+    monkeypatch.setattr(lt, "_content_probe", real_probe)
+    # table intact: every data file still present and readable
+    assert t.read(spark).count() == 4
+
+
+def test_rollback_to_expired_version_raises_not_bricks(spark, tmp_path):
+    """rollback_to must verify the target manifest still exists: the
+    lineage tombstones answer is_ancestor across EXPIRED history, so an
+    unchecked swap pointed the head at a reaped manifest and bricked
+    the table (review round 12)."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        SnapshotNotFound,
+    )
+
+    t = _mini_table(spark, tmp_path, n_commits=5)
+    expire_snapshots(t, keep_last=2)
+    cur = t.current_version()
+    with _pytest.raises(SnapshotNotFound):
+        t.rollback_to(2)
+    # pointer untouched; table still fully readable
+    assert t.current_version() == cur
+    assert t.read(spark).count() == 5
+
+
+def test_version_as_of_timestamp_crosses_expired_to_pinned(spark, tmp_path):
+    """TIMESTAMP AS OF descends through expiry's lineage tombstones to
+    a LIVE tag-pinned older ancestor — it used to raise as soon as the
+    walk hit the first reaped manifest even though a readable snapshot
+    satisfied the timestamp (review round 12)."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        SnapshotNotFound,
+    )
+
+    t = _mini_table(spark, tmp_path, n_commits=5)
+    pinned_v = 2
+    t.create_tag("audit", pinned_v)
+    ts_pinned = t.manifest(pinned_v)["created"]
+    expire_snapshots(t, keep_last=1)  # v3, v4 reaped; v2 tag-pinned
+    assert t.version_as_of_timestamp(ts_pinned) == pinned_v
+    # a timestamp OLDER than every readable snapshot still raises, and
+    # the remedial message names expiry
+    with _pytest.raises(SnapshotNotFound, match="expire_snapshots"):
+        t.version_as_of_timestamp("1970-01-01T00:00:00")
+
+
+def test_resolve_ref_torn_file_raises_snapshot_not_found(spark, tmp_path):
+    """A torn legacy ref file (pre-atomic-creation crash artifact) must
+    surface as SnapshotNotFound with a remedy, not a raw
+    JSONDecodeError (review round 12)."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        SnapshotNotFound,
+    )
+
+    t = _mini_table(spark, tmp_path, n_commits=1)
+    os.makedirs(os.path.join(t.root, "refs"), exist_ok=True)
+    with open(os.path.join(t.root, "refs", "torn.json"), "w") as f:
+        f.write('{"type": "tag", "ver')  # crashed mid-write
+    with _pytest.raises(SnapshotNotFound, match="torn"):
+        t.resolve_ref("torn")
+
+
+def test_expiry_sweeps_pointer_and_ref_tmp_leftovers(spark, tmp_path):
+    """Crashed _swap_pointer / _create_ref leftovers (_current.tmp.*,
+    refs/*.json.tmp.*) are age-swept by expire_snapshots like the
+    snapshot-dir tmps — nothing else ever removed them
+    (review round 12)."""
+    t = _mini_table(spark, tmp_path, n_commits=2)
+    os.makedirs(os.path.join(t.root, "refs"), exist_ok=True)
+    stale_ptr = os.path.join(t.root, "_current.tmp.deadbeef")
+    stale_ref = os.path.join(t.root, "refs", "r.json.tmp.deadbeef")
+    fresh_ptr = os.path.join(t.root, "_current.tmp.cafef00d")
+    for p in (stale_ptr, stale_ref, fresh_ptr):
+        with open(p, "w") as f:
+            f.write("x")
+    old = __import__("time").time() - 100_000
+    os.utime(stale_ptr, (old, old))
+    os.utime(stale_ref, (old, old))
+    expire_snapshots(t, keep_last=10)
+    assert not os.path.exists(stale_ptr), "aged pointer tmp survived"
+    assert not os.path.exists(stale_ref), "aged ref tmp survived"
+    assert os.path.exists(fresh_ptr), "young tmp reaped (live-writer race)"
+    os.remove(fresh_ptr)

@@ -321,7 +321,17 @@ def _load_manifest_or_none(path: str) -> dict | None:
 # the key differs structurally (round-10 advice closing the
 # inode+mtime_ns+size reuse window).
 _MANIFEST_CACHE: "OrderedDict[tuple, dict]" = _collections.OrderedDict()
-_MANIFEST_CACHE_MAX = 64
+# Bounded by COUNT and by BYTES (sum of manifest file sizes; the parsed
+# dicts are a small multiple of that): a count-only bound of 64 let 64
+# hundred-MB-scale manifests pin GBs of driver heap at 100 TB, while a
+# long snapshots()/referenced_files() walk over a >64-snapshot table
+# evicted the hot head manifest every time (review round 12). Entries
+# over the per-entry cap are served uncached — at that size the parse
+# is milliseconds against a multi-second scan anyway.
+_MANIFEST_CACHE_MAX = 256
+_MANIFEST_CACHE_MAX_BYTES = 64 << 20
+_MANIFEST_CACHE_ENTRY_MAX_BYTES = 16 << 20
+_MANIFEST_CACHE_BYTES = 0  # guarded by _MANIFEST_CACHE_LOCK
 _MANIFEST_CACHE_LOCK = _threading.Lock()
 _MANIFEST_MISSING = object()
 
@@ -331,9 +341,11 @@ def _purge_manifest_cache(path: str) -> None:
     rewrite-at-same-path (crashed-create v0 reclaim): the freed inode is
     typically reused immediately, so the stat identity alone cannot be
     trusted to change across remove+recreate."""
+    global _MANIFEST_CACHE_BYTES
     with _MANIFEST_CACHE_LOCK:
         for k in [k for k in _MANIFEST_CACHE if k[0] == path]:
             del _MANIFEST_CACHE[k]
+            _MANIFEST_CACHE_BYTES -= k[3]
 
 
 def _content_probe(path: str, size: int) -> bytes:
@@ -358,7 +370,12 @@ def _load_manifest_cached(path: str):
     try:
         st = os.stat(path)
         probe = _content_probe(path, st.st_size)
-    except OSError:
+    except FileNotFoundError:
+        # ONLY a missing file is "missing". Any other OSError (EMFILE,
+        # EACCES, EIO...) must PROPAGATE: referenced_files() treats a
+        # missing manifest as contributing no files, so mapping a
+        # transient fd-pressure error to MISSING let the orphan sweep
+        # delete a live snapshot's data (review round 12).
         return _MANIFEST_MISSING
     key = (path, st.st_ino, st.st_mtime_ns, st.st_size, probe)
     with _MANIFEST_CACHE_LOCK:
@@ -387,11 +404,20 @@ def _load_manifest_cached(path: str):
     if (st2.st_ino, st2.st_mtime_ns, st2.st_size, probe2) != key[1:]:
         return m
     metrics.bump("manifest_cache.miss")
+    if st.st_size > _MANIFEST_CACHE_ENTRY_MAX_BYTES:
+        return m  # serve uncached: one entry must not own the budget
+    global _MANIFEST_CACHE_BYTES
     with _MANIFEST_CACHE_LOCK:
+        if key not in _MANIFEST_CACHE:
+            _MANIFEST_CACHE_BYTES += key[3]
         _MANIFEST_CACHE[key] = m
         _MANIFEST_CACHE.move_to_end(key)
-        while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
-            _MANIFEST_CACHE.popitem(last=False)
+        while _MANIFEST_CACHE and (
+            len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX
+            or _MANIFEST_CACHE_BYTES > _MANIFEST_CACHE_MAX_BYTES
+        ):
+            old_key, _ = _MANIFEST_CACHE.popitem(last=False)
+            _MANIFEST_CACHE_BYTES -= old_key[3]
     return m
 
 
@@ -2714,14 +2740,24 @@ class LakeTable:
         comparison is chronological). Driver-side metadata walk."""
         best: int | None = None
         v: int | None = self.current_version()
+        lineage: dict[int, int | None] | None = None
+        crossed_expired = False
         while v is not None:
             try:
                 m = self.manifest(v)
             except SnapshotNotFound:
-                # the walk crossed into EXPIRED history: every older
-                # lineage snapshot is at-or-before an even older ts, so
-                # nothing readable remains — name expiry, not a bare
-                # missing-version error
+                # EXPIRED intermediate: descend through the lineage
+                # tombstones (same fallback meta_history/is_ancestor
+                # use) — a LIVE tag-pinned older ancestor below the
+                # expired stretch can still satisfy the timestamp
+                # (review round 12). An expired version itself can
+                # never be `best`: its manifest is unreadable.
+                if lineage is None:
+                    lineage = self._lineage_map()
+                if v in lineage:
+                    crossed_expired = True
+                    v = lineage[v]
+                    continue
                 raise SnapshotNotFound(
                     f"no readable snapshot at or before {ts} on the "
                     f"current lineage: history at and below v{v} was "
@@ -2734,6 +2770,11 @@ class LakeTable:
         if best is None:
             raise SnapshotNotFound(
                 f"no snapshot at or before {ts} on the current lineage"
+                + (
+                    " (older history was removed by expire_snapshots)"
+                    if crossed_expired
+                    else ""
+                )
             )
         return best
 
@@ -2893,6 +2934,15 @@ class LakeTable:
         return out
 
     def _create_ref(self, name: str, kind: str, version: int | None) -> int:
+        # under the commit lock: expire_snapshots computes its pinned
+        # ref set and removes manifests while holding it, so an
+        # unlocked create could pass the existence check, lose the
+        # race, and leave a ref permanently dangling at a reaped
+        # snapshot (review round 12)
+        with self._commit_lock():
+            return self._create_ref_locked(name, kind, version)
+
+    def _create_ref_locked(self, name: str, kind: str, version: int | None) -> int:
         v = self.current_version() if version is None else version
         self.manifest(v)  # must exist
         os.makedirs(os.path.join(self.root, _REFS_DIR), exist_ok=True)
@@ -2932,8 +2982,17 @@ class LakeTable:
         p = self._ref_file(name)
         if not os.path.exists(p):
             raise SnapshotNotFound(f"no such ref: {name}")
-        with open(p) as f:
-            return int(json.load(f)["version"])
+        # tolerate a torn legacy ref file the same way refs() does —
+        # SnapshotNotFound with a remedy, not a raw JSONDecodeError
+        # (creation is write-then-link now, so only pre-fix artifacts
+        # or external copies can be torn; review round 12)
+        r = _load_manifest_or_none(p)
+        if r is None:
+            raise SnapshotNotFound(
+                f"ref {name!r} is torn (crashed pre-atomic-creation "
+                "write) — drop_ref() it and recreate"
+            )
+        return int(r["version"])
 
     def branch(self, name: str) -> "LakeTable":
         """A writable handle on a branch: every append/MERGE/DML through
@@ -3114,6 +3173,13 @@ class LakeTable:
                 raise SnapshotNotFound(
                     f"v{version} is not an ancestor of current v{cur}"
                 )
+            # ancestry alone is not enough: the lineage tombstones
+            # deliberately answer is_ancestor across EXPIRED history, so
+            # rolling back to a reaped version would swap the pointer to
+            # a manifest that no longer exists — bricking the head until
+            # manual pointer surgery (review round 12). The manifest
+            # read names expiry in its remedial error.
+            self.manifest(version)
             self._swap_pointer(version)
             return version
 

@@ -29,6 +29,7 @@ from .lake_table import (
     LakeTable,
     _DATA_DIR,
     _LINEAGE_FILE,
+    _REFS_DIR,
     _SNAPSHOT_DIR,
     _is_manifest_name,
     _load_manifest_or_none,
@@ -354,88 +355,112 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
     # an enormous safety margin (this replaces the old torn-final reap's
     # race against in-flight commits — finals are born complete now).
     now_tmp = time.time()
-    for n in all_entries:
-        if ".tmp." not in n:  # published manifests never contain .tmp.
-            continue
-        full = os.path.join(snap_dir, n)
-        try:
-            if now_tmp - os.path.getmtime(full) > staging_retention_s:
-                if not dry_run:
-                    os.remove(full)
-        except FileNotFoundError:
-            pass
+    # same age-sweep for crashed _swap_pointer tmps at the table root
+    # and _create_ref tmps under refs/ — nothing else ever removed them
+    # (review round 12). Published names never contain ".tmp.".
+    refs_dir = os.path.join(table.root, _REFS_DIR)
+    tmp_sites = [
+        (snap_dir, all_entries),
+        (table.root, [n for n in os.listdir(table.root)
+                      if os.path.isfile(os.path.join(table.root, n))]),
+        (refs_dir, os.listdir(refs_dir) if os.path.isdir(refs_dir) else []),
+    ]
+    for d, entries in tmp_sites:
+        for n in entries:
+            if ".tmp." not in n:
+                continue
+            full = os.path.join(d, n)
+            try:
+                if now_tmp - os.path.getmtime(full) > staging_retention_s:
+                    if not dry_run:
+                        os.remove(full)
+            except FileNotFoundError:
+                pass
     # Pinned versions survive regardless of age: the current pointer
     # (which after a rollback may be OLDER than the newest keep_last
     # manifests) and every named ref — tags pin forever, branch heads
     # pin until the branch moves (Iceberg ref-retention semantics).
-    pinned = {table.current_version()}
-    pinned.update(r["version"] for r in table.refs().values())
-    # max(len-keep_last, 0) start index, never a bare -keep_last slice:
-    # keep_last=0 means "keep only pinned" — names[-0:] would silently
-    # keep EVERYTHING, the opposite of the requested retention
-    # (review round 11)
-    newest = set(names[max(len(names) - keep_last, 0):])
-    keep_names = {n for n in names if n in newest or int(n[1:13]) in pinned}
-    to_drop = [n for n in names if n not in keep_names]
-    to_keep = sorted(keep_names)
-    # NB: no early return when nothing is left to expire — the orphan
-    # sweep must still run (a re-run after a crashed expiry has the
-    # manifests already gone but the files still present)
-    keep_refs: set[str] = set()
-    for n in to_keep:
-        km = _load_manifest_or_none(os.path.join(snap_dir, n))
-        if km is None:
-            # a torn manifest landed inside the newest keep_last window
-            # by filename — necessarily a LEGACY artifact (or external
-            # copy): _write_manifest publishes via os.link, so a live
-            # writer can never be mid-write at the final name, and
-            # reaping here cannot race an in-flight commit. It was never
-            # committed (it cannot be pinned: the pointer swap follows a
-            # COMPLETED write), so reap it like any expired version; its
-            # data files fall to the orphan sweep
-            if not dry_run:
-                os.remove(os.path.join(snap_dir, n))
-            continue
-        keep_refs.update(fm["path"] for fm in km["files"])
-        keep_refs.update(fm["path"] for fm in km.get("delete_files", []))
-    drop_refs: set[str] = set()
-    dropped_lineage: dict[int, int | None] = {}
-    for n in to_drop:
-        p = os.path.join(snap_dir, n)
-        dm = _load_manifest_or_none(p)
-        if dm is None:  # torn: no refs to collect, just remove
-            if not dry_run:
-                os.remove(p)
-            continue
-        dropped_lineage[int(dm["version"])] = dm.get("parent")
-        drop_refs.update(fm["path"] for fm in dm["files"])
-        drop_refs.update(fm["path"] for fm in dm.get("delete_files", []))
-    # Tombstone the dropped snapshots' (version -> parent) edges BEFORE
-    # any manifest is removed (crash-safe order: lineage is recorded
-    # before it is lost). is_ancestor falls back to this map, so
-    # rollback / fast-forward ancestry checks against a tag-pinned
-    # snapshot keep working after the intermediate history is expired —
-    # the snapshot-log Iceberg retains in table metadata.
-    if dropped_lineage and not dry_run:
-        # read-merge-write under the commit lock (two concurrent
-        # expiries must not lose each other's edges); the tmp name is
-        # DETERMINISTIC so a crashed expiry's leftover is simply
-        # overwritten by the next run instead of accumulating
-        with table._commit_lock():
-            lin_path = os.path.join(table.root, _LINEAGE_FILE)
-            merged: dict = {}
-            if os.path.exists(lin_path):
-                with open(lin_path) as f:
-                    merged = json.load(f)
-            merged.update({str(k): v for k, v in dropped_lineage.items()})
-            tmp = f"{lin_path}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(merged, f)
-            os.replace(tmp, lin_path)
-    for n in to_drop:
-        p = os.path.join(snap_dir, n)
-        if not dry_run and os.path.exists(p):
-            os.remove(p)  # manifest first: version becomes unreachable
+    # The pinned-set computation THROUGH manifest removal holds the
+    # commit lock (reentrant; the lineage write inside re-enters):
+    # _create_ref takes the same lock, so a tag created concurrently
+    # can no longer pass its existence check after this ref listing and
+    # end up dangling at a reaped snapshot (review round 12). The
+    # data-file/orphan sweeps below run unlocked — they only touch
+    # files no surviving manifest references. Dry runs touch nothing
+    # and stay lockless.
+    from contextlib import ExitStack
+
+    with ExitStack() as _expiry_lock:
+        if not dry_run:
+            _expiry_lock.enter_context(table._commit_lock())
+        pinned = {table.current_version()}
+        pinned.update(r["version"] for r in table.refs().values())
+        # max(len-keep_last, 0) start index, never a bare -keep_last slice:
+        # keep_last=0 means "keep only pinned" — names[-0:] would silently
+        # keep EVERYTHING, the opposite of the requested retention
+        # (review round 11)
+        newest = set(names[max(len(names) - keep_last, 0):])
+        keep_names = {n for n in names if n in newest or int(n[1:13]) in pinned}
+        to_drop = [n for n in names if n not in keep_names]
+        to_keep = sorted(keep_names)
+        # NB: no early return when nothing is left to expire — the orphan
+        # sweep must still run (a re-run after a crashed expiry has the
+        # manifests already gone but the files still present)
+        keep_refs: set[str] = set()
+        for n in to_keep:
+            km = _load_manifest_or_none(os.path.join(snap_dir, n))
+            if km is None:
+                # a torn manifest landed inside the newest keep_last window
+                # by filename — necessarily a LEGACY artifact (or external
+                # copy): _write_manifest publishes via os.link, so a live
+                # writer can never be mid-write at the final name, and
+                # reaping here cannot race an in-flight commit. It was never
+                # committed (it cannot be pinned: the pointer swap follows a
+                # COMPLETED write), so reap it like any expired version; its
+                # data files fall to the orphan sweep
+                if not dry_run:
+                    os.remove(os.path.join(snap_dir, n))
+                continue
+            keep_refs.update(fm["path"] for fm in km["files"])
+            keep_refs.update(fm["path"] for fm in km.get("delete_files", []))
+        drop_refs: set[str] = set()
+        dropped_lineage: dict[int, int | None] = {}
+        for n in to_drop:
+            p = os.path.join(snap_dir, n)
+            dm = _load_manifest_or_none(p)
+            if dm is None:  # torn: no refs to collect, just remove
+                if not dry_run:
+                    os.remove(p)
+                continue
+            dropped_lineage[int(dm["version"])] = dm.get("parent")
+            drop_refs.update(fm["path"] for fm in dm["files"])
+            drop_refs.update(fm["path"] for fm in dm.get("delete_files", []))
+        # Tombstone the dropped snapshots' (version -> parent) edges BEFORE
+        # any manifest is removed (crash-safe order: lineage is recorded
+        # before it is lost). is_ancestor falls back to this map, so
+        # rollback / fast-forward ancestry checks against a tag-pinned
+        # snapshot keep working after the intermediate history is expired —
+        # the snapshot-log Iceberg retains in table metadata.
+        if dropped_lineage and not dry_run:
+            # read-merge-write under the commit lock (two concurrent
+            # expiries must not lose each other's edges); the tmp name is
+            # DETERMINISTIC so a crashed expiry's leftover is simply
+            # overwritten by the next run instead of accumulating
+            with table._commit_lock():
+                lin_path = os.path.join(table.root, _LINEAGE_FILE)
+                merged: dict = {}
+                if os.path.exists(lin_path):
+                    with open(lin_path) as f:
+                        merged = json.load(f)
+                merged.update({str(k): v for k, v in dropped_lineage.items()})
+                tmp = f"{lin_path}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(merged, f)
+                os.replace(tmp, lin_path)
+        for n in to_drop:
+            p = os.path.join(snap_dir, n)
+            if not dry_run and os.path.exists(p):
+                os.remove(p)  # manifest first: version becomes unreachable
     removed_files = 0
     counted_drop_paths: set[str] = set()
     root_real = os.path.realpath(table.root)
