@@ -5353,6 +5353,637 @@ assert not [s for s in _STAGED_R12 if s.name not in _DECLARE_R12], (
 _STAGED_R13: list[QuerySpec] = []
 
 
+def _rfm_build(spark, sf):
+    o = spark.table("orders")
+    # global max order date: a driver-side scalar inlined as a literal
+    # (a 1-row cross join would plan as BNLJ; the collect is one value)
+    gmax = o.agg(F.max(F.to_date("o_orderdate")).alias("g")).collect()[0]["g"]
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(gmax), F.max(F.to_date("o_orderdate"))).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    # global ntile windows are CUSTOMER-count scale (orders pre-
+    # aggregated above) — the same honest shape as the Pareto cut;
+    # custkey tiebreak makes every quartile assignment deterministic
+    r = Window.orderBy("recency_days", "o_custkey")
+    fw = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    mw = Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+    seg = per.select(
+        F.ntile(4).over(r).cast("int").alias("r_score"),
+        F.ntile(4).over(fw).cast("int").alias("f_score"),
+        F.ntile(4).over(mw).cast("int").alias("m_score"),
+        "monetary_cents",
+    )
+    return (
+        seg.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="orders_rfm_segmentation",
+    doc="RFM (recency/frequency/monetary) customer segmentation — the "
+        "classic CRM analytic: per-customer metrics in one orders "
+        "aggregation, deterministic quartile scores via ntile(4) with a "
+        "custkey tiebreak, rolled up per (r,f,m) cell. Integer cents "
+        "throughout; the global windows rank the customer-count-scale "
+        "pre-aggregate, never raw orders.",
+    tags=("agg", "window", "analytics"),
+    build=_rfm_build,
+    oracle="""
+WITH g AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+per AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT gmax FROM g)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+         CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+         CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INT) AS m_score,
+         monetary_cents
+  FROM per
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM seg GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+""",
+))
+
+
+def _basket_build(spark, sf):
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="orders_market_basket_pairs",
+    doc="Market-basket co-occurrence: part pairs appearing together in "
+        ">=2 orders — the candidate-generation step of association-rule "
+        "mining. The self-join is an EQUI join on l_orderkey (pair "
+        "fan-out bounded by basket size, ~13 max in the fixtures; at "
+        "100 TB the per-order combination count, never the corpus, is "
+        "the cost), top-100 by support with a full tiebreak.",
+    tags=("join", "analytics"),
+    build=_basket_build,
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT * FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+""",
+))
+
+
+def _stickiness_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    du = (
+        load_table(spark, sf, "events")
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+            F.to_date("ts").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("wk", "d").agg(F.countDistinct("user_id").alias("dau"))
+    per = dau.groupBy("wk").agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    wau = du.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        per.join(wau, "wk")
+        .select(
+            "wk",
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            # all-positive integers: div == floor on both engines
+            F.expr("(sum_dau * 1000000) div (n_days * wau)")
+            .cast("bigint")
+            .alias("stickiness_ppm"),
+        )
+        .orderBy("wk")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="events_dau_wau_stickiness",
+    doc="DAU/WAU stickiness per ISO week — the product-analytics "
+        "staple: average daily distinct actives over weekly distinct "
+        "actives, integer ppm (exact distincts; the shuffles are "
+        "(week,day,user)-distinct scale, the ratio arithmetic is "
+        "all-integer so floor division agrees across engines).",
+    tags=("events", "agg", "analytics"),
+    build=_stickiness_build,
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk,
+                  CAST(ts AS DATE) AS d, user_id
+  FROM events
+),
+dau AS (SELECT wk, d, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1, 2),
+per AS (SELECT wk, SUM(dau) AS sum_dau, COUNT(*) AS n_days FROM dau GROUP BY 1),
+wau AS (SELECT wk, COUNT(DISTINCT user_id) AS wau FROM du GROUP BY 1)
+SELECT per.wk AS wk, CAST(wau AS BIGINT) AS wau,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST((sum_dau * 1000000) // (n_days * wau) AS BIGINT) AS stickiness_ppm
+FROM per JOIN wau ON per.wk = wau.wk ORDER BY wk
+""",
+))
+
+
+def _churn_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf, "events")
+    # exact elapsed hours via epoch micros (date_diff('hour', ...)
+    # counts boundary crossings, not elapsed time — the micros floor is
+    # the engine-agnostic formulation); global max ts is a driver
+    # scalar inlined as a literal (no 1-row join)
+    gmax_us = ev.agg(
+        F.max(F.unix_micros("ts")).alias("g")
+    ).collect()[0]["g"]
+    last = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us")
+    )
+    hours = F.floor(
+        (F.lit(gmax_us) - F.col("last_us")) / F.lit(3_600_000_000)
+    )
+    bucket = (
+        F.when(hours <= 6, "active")
+        .when(hours <= 24, "lapsed")
+        .otherwise("churned")
+    )
+    return (
+        last.select(bucket.alias("bucket"), hours.alias("hours_inactive"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("hours_inactive").cast("int").alias("min_hours"),
+            F.max("hours_inactive").cast("int").alias("max_hours"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="events_inactivity_churn",
+    doc="Inactivity churn classification: users bucketed by elapsed "
+        "hours since their last event relative to the corpus "
+        "high-water timestamp (active <=6h < lapsed <=24h < churned). "
+        "One user-scale aggregation; elapsed time computed in epoch "
+        "micros (boundary-counting date_diff would disagree between "
+        "engines); the global max is a driver scalar inlined as a "
+        "literal (no 1-row join).",
+    tags=("events", "agg", "analytics"),
+    build=_churn_build,
+    oracle="""
+WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+last AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us FROM events GROUP BY 1),
+b AS (
+  SELECT ((SELECT gmax FROM g) - last_us) // 3600000000 AS hours_inactive
+  FROM last
+)
+SELECT CASE WHEN hours_inactive <= 6 THEN 'active'
+            WHEN hours_inactive <= 24 THEN 'lapsed'
+            ELSE 'churned' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(hours_inactive) AS INT) AS min_hours,
+       CAST(MAX(hours_inactive) AS INT) AS max_hours
+FROM b GROUP BY 1 ORDER BY bucket
+""",
+))
+
+
+def _wma_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    with_rn = daily.withColumn("rn", F.row_number().over(w))
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    # linear weights 3,2,1 over the last three observations, decomposed
+    # into frame sums of materialized columns: weight_i = 3 - (rn_cur -
+    # rn_i) = (3 - rn_cur) + rn_i, so num = (3-rn)*S0 + S1 with
+    # S0 = sum(c), S1 = sum(c*rn) — every term integer-exact; only the
+    # final ratio is a double, identical IEEE division on both engines
+    out = with_rn.select(
+        "user_id",
+        "d",
+        "rn",
+        F.sum("c").over(fr).alias("s0"),
+        F.sum(F.col("c") * F.col("rn")).over(fr).alias("s1"),
+        F.count(F.lit(1)).over(fr).alias("cnt"),
+        F.sum("rn").over(fr).alias("srn"),
+    )
+    num = (3 - F.col("rn")) * F.col("s0") + F.col("s1")
+    den = (3 - F.col("rn")) * F.col("cnt") + F.col("srn")
+    return (
+        out.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "d",
+            F.floor(num * 1000.0 / den).cast("bigint").alias("wma_milli"),
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="events_weighted_moving_avg",
+    doc="Linearly-weighted moving average (weights 3,2,1 over the last "
+        "three active days) of per-user daily spend — the trend-"
+        "smoothing window a frame cannot express directly (per-row "
+        "weights depend on distance to the frame head); decomposed into "
+        "two plain frame sums over materialized columns, all-integer "
+        "until the final division.",
+    tags=("events", "window"),
+    build=_wma_build,
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM daily
+),
+fr AS (
+  SELECT user_id, d, rn,
+         SUM(c) OVER w AS s0, SUM(c * rn) OVER w AS s1,
+         COUNT(*) OVER w AS cnt, SUM(rn) OVER w AS srn
+  FROM rn
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, d,
+       CAST(FLOOR(((3 - rn) * s0 + s1) * 1000.0
+                  / ((3 - rn) * cnt + srn)) AS BIGINT) AS wma_milli
+FROM fr ORDER BY user_id, d
+""",
+))
+
+
+def _attribution_build(spark, sf):
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf, "events")
+    per = ev.groupBy("user_id").agg(
+        F.expr("min_by(event_type, struct(ts, event_id))").alias(
+            "first_touch"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        per.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr("(sum(converted) * 1000000) div count(1)")
+            .cast("bigint")
+            .alias("conversion_ppm"),
+        )
+        .orderBy("first_touch")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="events_first_touch_attribution",
+    doc="First-touch attribution: each user's acquisition channel is "
+        "the event type of their earliest event ((ts, event_id) "
+        "tiebreak via min_by over a struct — one aggregation, no "
+        "window, no self-join), conversion = any later purchase; "
+        "per-channel conversion rate in integer ppm.",
+    tags=("events", "agg", "analytics"),
+    build=_attribution_build,
+    oracle="""
+WITH rn AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+ft AS (SELECT user_id, event_type AS first_touch FROM rn WHERE rn = 1),
+conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+per AS (
+  SELECT ft.first_touch,
+         CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS converted
+  FROM ft LEFT JOIN conv ON ft.user_id = conv.user_id
+)
+SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT) AS conversion_ppm
+FROM per GROUP BY first_touch ORDER BY first_touch
+""",
+))
+
+
+def _gap_stats_build(spark, sf):
+    o = spark.table("orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        o.withColumn("gap", F.datediff("od", F.lag("od").over(w)))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("int").alias("min_gap"),
+        F.max("gap").cast("int").alias("max_gap"),
+        F.floor(F.expr("percentile(gap, 0.5)") * 1000)
+        .cast("bigint")
+        .alias("median_gap_milli"),
+        F.floor(F.expr("percentile(gap, 0.9)") * 1000)
+        .cast("bigint")
+        .alias("p90_gap_milli"),
+        F.expr("(sum(gap) * 1000) div count(1)")
+        .cast("bigint")
+        .alias("avg_gap_milli"),
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="orders_interpurchase_gap_stats",
+    doc="Inter-purchase gap distribution: days between a customer's "
+        "consecutive orders (one customer-keyed lag window), exact "
+        "interpolated median/p90 (percentile <-> quantile_cont parity, "
+        "fixed-point milli-days) plus integer average.",
+    tags=("window", "agg", "analytics"),
+    build=_gap_stats_build,
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+),
+g AS (
+  SELECT date_diff('day',
+                   lag(od) OVER (PARTITION BY o_custkey
+                                 ORDER BY od, o_orderkey),
+                   od) AS gap
+  FROM o
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS INT) AS min_gap,
+       CAST(MAX(gap) AS INT) AS max_gap,
+       CAST(FLOOR(quantile_cont(gap, 0.5) * 1000) AS BIGINT) AS median_gap_milli,
+       CAST(FLOOR(quantile_cont(gap, 0.9) * 1000) AS BIGINT) AS p90_gap_milli,
+       CAST((SUM(gap) * 1000) // COUNT(*) AS BIGINT) AS avg_gap_milli
+FROM g WHERE gap IS NOT NULL
+""",
+))
+
+
+def _variant_build(spark, sf):
+    ev = spark.table("events")
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_present"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_even"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="json_variant_props_agg",
+    doc="Spark 4 VARIANT surface: parse_json + try_variant_get typed "
+        "extraction from the events props payload (the open-schema "
+        "semi-structured path Iceberg v3 and Spark 4 share), "
+        "aggregated per event type. The extraction is one JVM-side "
+        "expression — no Python, no schema inference pass.",
+    tags=("json", "variant", "scalar"),
+    build=_variant_build,
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS n_present,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT)
+                          % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+))
+
+
+def _phash_build(spark, sf):
+    docs = spark.table("documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 48)
+    )
+    # 48-bit perceptual hash over the first 48 payload bytes (the
+    # deterministic fake decode: payload = utf-8 text, all-ascii in the
+    # fixtures): bit i set iff byte i exceeds the mean byte — a 1-D
+    # block hash. 48 bits keeps the random <=5-Hamming collision rate
+    # ~1e-8 (a 16-bit variant matched ~10% of ALL pairs — pure noise).
+    # Pure JVM array expressions — no Python.
+    arr = F.expr(
+        "transform(sequence(1, 48), i -> ascii(substring(text, i, 1)))"
+    )
+    with_arr = docs.select("doc_id", arr.alias("a")).withColumn(
+        "total", F.expr("aggregate(a, 0, (acc, x) -> acc + x)")
+    )
+    ph = F.expr(
+        "aggregate(sequence(0, 47), 0L, "
+        "(acc, i) -> acc + if(a[i] * 48 > total, shiftleft(1L, i), 0L))"
+    )
+    # LSH-style banding: three 16-bit bands, candidates = union of
+    # three EQUI joins (an OR join condition would plan as BNLJ),
+    # verified by exact Hamming distance — pairs-scale, never all-pairs
+    h = with_arr.select("doc_id", ph.alias("ph")).select(
+        "doc_id",
+        "ph",
+        (F.col("ph") % 65536).alias("b0"),
+        F.expr("(ph div 65536) % 65536").alias("b1"),
+        F.expr("ph div 4294967296").alias("b2"),
+    )
+    a, b = h.alias("a"), h.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    sel = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.ph").alias("p1"),
+        F.col("b.ph").alias("p2"),
+    ]
+    cand = None
+    for band in ("b0", "b1", "b2"):
+        j = a.join(
+            b, (F.col(f"a.{band}") == F.col(f"b.{band}")) & lt
+        ).select(*sel)
+        cand = j if cand is None else cand.unionByName(j)
+    cand = cand.distinct()
+    ham = F.bit_count(F.expr("p1 ^ p2"))
+    return (
+        cand.select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="multimodal_phash_hamming_pairs",
+    doc="Perceptual-hash near-duplicate detection for binary payloads: "
+        "a 48-bit above-mean byte hash per document (the pHash shape "
+        "with the DCT faked deterministically over payload bytes), "
+        "candidates from three 16-bit LSH bands (three equi "
+        "self-joins, never an OR/cartesian), verified by exact Hamming "
+        "distance <= 5 via bit_count(xor). The image-dedup tier of a "
+        "multimodal training pipeline with real Spark plumbing end to "
+        "end.",
+    tags=("llm", "multimodal", "dedup"),
+    build=_phash_build,
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i,
+         ascii(substring(text, CAST(u.i AS INT), 1)) AS s
+  FROM documents, UNNEST(range(1, 49)) AS u(i)
+  WHERE text IS NOT NULL AND length(text) >= 48
+),
+tot AS (SELECT doc_id, SUM(s) AS t FROM pos GROUP BY 1),
+h AS (
+  SELECT pos.doc_id,
+         CAST(SUM(CASE WHEN s * 48 > t
+                       THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)
+              AS BIGINT) AS ph
+  FROM pos JOIN tot ON tot.doc_id = pos.doc_id
+  GROUP BY pos.doc_id
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ph AS p1, b.ph AS p2
+  FROM h a JOIN h b
+    ON a.doc_id < b.doc_id
+   AND ((a.ph % 65536) = (b.ph % 65536)
+     OR ((a.ph // 65536) % 65536) = ((b.ph // 65536) % 65536)
+     OR (a.ph // 4294967296) = (b.ph // 4294967296))
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(p1, p2)) <= 5
+ORDER BY doc_a, doc_b
+""",
+))
+
+
+def _stream_complete_build(spark, sf):
+    from ..sources.lake_stream import LakeStreamDataSource
+
+    spark.dataSource.register(LakeStreamDataSource)
+    d = scratch_dir("stream_complete_")
+    root = os.path.join(d, "t")
+    t = LakeTable.create(
+        root,
+        T.StructType([
+            T.StructField("event_type", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]),
+    )
+    # FileStreamSource requires a DIRECTORY: link the fixture file into
+    # a scratch dir (copy fallback for filesystems without symlinks)
+    src = os.path.join(d, "src")
+    os.makedirs(src, exist_ok=True)
+    fixture = os.path.join(sf, "events.parquet")
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(fixture, link)
+        except OSError:
+            import shutil as _shutil
+
+            _shutil.copy(fixture, link)
+    ev_schema = spark.read.parquet(fixture).schema
+    q = (
+        spark.readStream.schema(ev_schema).parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.format("lake_table")
+        .option("path", root)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        t.read(spark)
+        .select("event_type", F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="streaming_complete_mode_lake_sink",
+    doc="Complete-output-mode streaming aggregation into the lake-table "
+        "Python Data Source sink: the runtime's truncate flag makes "
+        "each micro-batch REPLACE the table with the full aggregate "
+        "state (one atomic overwrite commit per batch). The final "
+        "table must equal the plain batch GROUP BY.",
+    tags=("streaming", "sink"),
+    build=_stream_complete_build,
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+))
+
+
 SPECS_NEXT = [s for s in _STAGED_R12 if s.name not in _DECLARE_R12] + list(
     _STAGED_R13
 )
