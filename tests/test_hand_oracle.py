@@ -778,3 +778,226 @@ def test_hand_shot_boundaries(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "multimodal_shot_boundaries", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_rfm_segmentation(spark, tmp_path):
+    """ntile(4) over 4 customers -> one per quartile, every tiebreak
+    deterministic. gmax = Jan 20.
+
+    c1: 1 order Jan10 10.00 -> rec 10, freq 1, mon 1000
+    c2: Jan5 2.00 + Jan20 3.00 -> rec 0, freq 2, mon 500
+    c3: Jan20 8.00 -> rec 0, freq 1, mon 800
+    c4: Jan1 1.00 -> rec 19, freq 1, mon 100
+    r (rec asc, custkey): c2=1 c3=2 c1=3 c4=4
+    f (freq desc, custkey): c2=1 c1=2 c3=3 c4=4
+    m (mon desc, custkey): c1=1 c3=2 c2=3 c4=4
+    """
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([1, 2, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([10.0, 2.0, 3.0, 8.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array(
+            [_ts("2024-01-10"), _ts("2024-01-05"), _ts("2024-01-20"),
+             _ts("2024-01-20"), _ts("2024-01-01")],
+            pa.timestamp("us"),
+        ),
+    })
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [
+        (1, 1, 3, 1, 500),
+        (2, 3, 2, 1, 800),
+        (3, 2, 1, 1, 1000),
+        (4, 4, 4, 1, 100),
+    ]
+    got_spark, got_ora = _run_both(spark, "orders_rfm_segmentation", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_market_basket_pairs(spark, tmp_path):
+    """Distinct collapse (duplicate (o1, p10) line) + support cut.
+
+    o1 {10,20,30} (p10 twice), o2 {10,20}, o3 {10,20}, o4 {30}
+    pair counts: (10,20)=3, (10,30)=1, (20,30)=1 -> only (10,20,3)
+    """
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1, 2, 2, 3, 3, 4], pa.int64()),
+        "l_partkey": pa.array([10, 10, 20, 30, 10, 20, 10, 20, 30], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, lineitem=li)
+    hand = [(10, 20, 3)]
+    got_spark, got_ora = _run_both(spark, "orders_market_basket_pairs", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_dau_wau_stickiness(spark, tmp_path):
+    """Week of Mon Jan 1 2024: Mon {u1,u2}, Tue {u1} (u1 twice, distinct
+    collapse) -> sum_dau 3, n_days 2, wau 2 -> 3e6 // 4 = 750000.
+    Week of Jan 8: one day {u3} -> 1000000.
+    """
+    d = _mk_sf(tmp_path, events=_events([
+        (1, _ts("2024-01-01T10:00:00"), 1, "v", 0.0),
+        (2, _ts("2024-01-01T11:00:00"), 2, "v", 0.0),
+        (3, _ts("2024-01-02T10:00:00"), 1, "v", 0.0),
+        (4, _ts("2024-01-02T12:00:00"), 1, "v", 0.0),
+        (5, _ts("2024-01-08T09:00:00"), 3, "v", 0.0),
+    ]))
+    hand = [
+        (dt.date(2024, 1, 1), 2, 2, 750000),
+        (dt.date(2024, 1, 8), 1, 1, 1000000),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_dau_wau_stickiness", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_inactivity_churn_boundaries(spark, tmp_path):
+    """Exact bucket boundaries in ELAPSED hours (floor of micros):
+    gmax 2024-01-30T12:00. u1 @12:00 -> 0h, u2 @06:00 -> exactly 6h
+    (active boundary), u5 @05:30 -> 6.5h floors to 6 (active),
+    u4 Jan29@12:00 -> exactly 24h (lapsed boundary), u3 Jan29@11:00
+    -> 25h (churned)."""
+    d = _mk_sf(tmp_path, events=_events([
+        (1, _ts("2024-01-30T12:00:00"), 1, "v", 0.0),
+        (2, _ts("2024-01-30T06:00:00"), 2, "v", 0.0),
+        (3, _ts("2024-01-29T11:00:00"), 3, "v", 0.0),
+        (4, _ts("2024-01-29T12:00:00"), 4, "v", 0.0),
+        (5, _ts("2024-01-30T05:30:00"), 5, "v", 0.0),
+    ]))
+    hand = [
+        ("active", 3, 0, 6),
+        ("churned", 1, 25, 25),
+        ("lapsed", 1, 24, 24),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_inactivity_churn", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_weighted_moving_avg(spark, tmp_path):
+    """Weights 3,2,1 over the last three ACTIVE days, short frames at
+    the series head, same-day events summing into one daily total.
+
+    u1 daily cents: d1=100 (0.4+0.6), d2=200, d3=300, d4=400
+    rn1: 100 -> 100000
+    rn2: (1*300 + 500) / (1*2 + 3) = 800/5 = 160 -> 160000
+    rn3: 1400/6 = 233.333... -> 233333
+    rn4: weights 3,2,1 on 400,300,200 = 2000/6 -> 333333
+    """
+    d = _mk_sf(tmp_path, events=_events([
+        (11, _ts("2024-01-01T08:00:00"), 1, "v", 0.4),
+        (12, _ts("2024-01-01T09:00:00"), 1, "v", 0.6),
+        (21, _ts("2024-01-02T08:00:00"), 1, "v", 2.0),
+        (31, _ts("2024-01-03T08:00:00"), 1, "v", 3.0),
+        (41, _ts("2024-01-04T08:00:00"), 1, "v", 4.0),
+    ]))
+    hand = [
+        (1, dt.date(2024, 1, 1), 100000),
+        (1, dt.date(2024, 1, 2), 160000),
+        (1, dt.date(2024, 1, 3), 233333),
+        (1, dt.date(2024, 1, 4), 333333),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_weighted_moving_avg", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_first_touch_attribution(spark, tmp_path):
+    """Same-timestamp first events tiebreak on event_id; purchase as
+    the FIRST event attributes to 'purchase' itself.
+
+    u1: click(id1)@T0 and view(id2)@T0 tie -> first = click; later
+        purchase -> converted
+    u2: view, never converts
+    u3: purchase first -> first_touch purchase, converted
+    """
+    T0 = _ts("2024-01-05T10:00:00")
+    d = _mk_sf(tmp_path, events=_events([
+        (1, T0, 1, "click", 0.0),
+        (2, T0, 1, "view", 0.0),
+        (3, _ts("2024-01-06T10:00:00"), 1, "purchase", 0.0),
+        (4, _ts("2024-01-05T11:00:00"), 2, "view", 0.0),
+        (5, _ts("2024-01-05T12:00:00"), 3, "purchase", 0.0),
+    ]))
+    hand = [
+        ("click", 1, 1, 1000000),
+        ("purchase", 1, 1, 1000000),
+        ("view", 1, 0, 0),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_first_touch_attribution", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_interpurchase_gap_stats(spark, tmp_path):
+    """Gaps [3,6,0,7]: same-day repeat order contributes a 0 gap;
+    median = quantile_cont(0.5) of [0,3,6,7] = 4.5 -> 4500 milli;
+    p90 at index 2.7 = 6 + 0.7*(7-6) = 6.7 -> 6700; avg 16000//4=4000.
+    """
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "o_totalprice": pa.array([1.0] * 6, pa.float64()),
+        "o_orderdate": pa.array(
+            [_ts("2024-01-01"), _ts("2024-01-04"), _ts("2024-01-10"),
+             _ts("2024-01-01"), _ts("2024-01-01"), _ts("2024-01-08")],
+            pa.timestamp("us"),
+        ),
+    })
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [(4, 0, 7, 4500, 6700, 4000)]
+    got_spark, got_ora = _run_both(spark, "orders_interpurchase_gap_stats", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_variant_props_agg(spark, tmp_path):
+    """Missing '$.k' and NULL props yield NULL (skipped by COUNT/SUM,
+    never a crash); even test: k=4 even, k=3 odd, NULL k -> 0."""
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([_ts("2024-01-01T00:00:00")] * 4, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+        "value": pa.array([0.0] * 4, pa.float64()),
+        "props": pa.array(['{"k": 4}', '{"k": 3}', '{"j": 1}', None], pa.string()),
+    })
+    d = _mk_sf(tmp_path, events=ev)
+    hand = [("a", 2, 7, 4, 1), ("b", 0, None, None, 0)]
+    got_spark, got_ora = _run_both(spark, "json_variant_props_agg", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_phash_hamming_pairs(spark, tmp_path):
+    """48-bit above-mean byte hash; Hamming boundary at EXACTLY 5.
+
+    doc1 = 'z'+47a -> ph=1 (only the z byte is above mean)
+    doc2 = same    -> ph=1: (1,2,0)
+    doc3 = a,z,46a -> ph=2: (1,3) hamming 2
+    doc4 = 7z+41a  -> ph=127: vs 1/2/3 hamming 6 -> EXCLUDED
+    doc5 = 6z+42a  -> ph=63: vs doc4 hamming 1; vs doc1/2 hamming 5
+           (exact boundary, included); vs doc3 hamming 5
+    doc6 = 48*'y'  -> all bytes equal the mean -> ph=0: hamming 1 to
+           doc1/2/3; 6 to doc5 (excluded); 7 to doc4 (excluded)
+    All hashes < 2^16 so every pair is a band candidate (b1=b2=0).
+    """
+    a = "a"
+    d = _mk_sf(tmp_path, documents=_documents([
+        (1, "z" + a * 47, "s"),
+        (2, "z" + a * 47, "s"),
+        (3, a + "z" + a * 46, "s"),
+        (4, "z" * 7 + a * 41, "s"),
+        (5, "z" * 6 + a * 42, "s"),
+        (6, "y" * 48, "s"),
+    ]))
+    hand = [
+        (1, 2, 0), (1, 3, 2), (1, 5, 5), (1, 6, 1),
+        (2, 3, 2), (2, 5, 5), (2, 6, 1),
+        (3, 5, 5), (3, 6, 1),
+        (4, 5, 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "multimodal_phash_hamming_pairs", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

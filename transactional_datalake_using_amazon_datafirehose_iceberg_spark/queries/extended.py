@@ -5781,7 +5781,10 @@ FROM g WHERE gap IS NOT NULL
 
 def _variant_build(spark, sf):
     ev = spark.table("events")
-    k = F.expr("try_variant_get(parse_json(props), '$.k', 'int')")
+    # try_parse_json: a NULL or malformed payload yields NULL, never a
+    # task failure (ANSI parse_json raises) — open-schema ingestion is
+    # exactly where malformed payloads appear
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
