@@ -478,10 +478,11 @@ def main() -> None:
             print(f"# extra {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
         finally:
             # advance the GC baseline on success AND failure so a
-            # failed spec's warm-up GC is never charged to its neighbor
-            gc_now = _gc_millis(spark)
-            if gc_now >= 0:
-                gc_prev = gc_now
+            # failed spec's warm-up GC is never charged to its neighbor;
+            # a FAILED probe poisons the baseline (-1) so the next delta
+            # reports invalid instead of silently absorbing this
+            # query's GC (review round 12)
+            gc_prev = _gc_millis(spark)
             _release_query_blocks(spark, pids0)
 
     try:

@@ -396,3 +396,44 @@ def test_expiry_sweeps_pointer_and_ref_tmp_leftovers(spark, tmp_path):
     assert not os.path.exists(stale_ref), "aged ref tmp survived"
     assert os.path.exists(fresh_ptr), "young tmp reaped (live-writer race)"
     os.remove(fresh_ptr)
+
+
+def test_add_column_refuses_former_physical_name(spark, tmp_path):
+    """Physical names stay unambiguous forever: re-adding a renamed-away
+    name would make old files' bytes bleed into the NEW column through
+    every rename-chain resolver (batch shadow-coalesce and the stream
+    reader) instead of the declared default/NULL (review round 12)."""
+    import pytest as _pytest
+
+    t = _mini_table(spark, tmp_path, n_commits=1)
+    t.rename_column("v", "val")
+    with _pytest.raises(ValueError, match="previously renamed"):
+        t.add_column("v", T.DoubleType(), default=1.0)
+    # a genuinely fresh name still works
+    t.add_column("v2", T.DoubleType(), default=1.0)
+
+
+def test_timestamp_as_of_refuses_expired_true_snapshot(spark, tmp_path):
+    """TIMESTAMP AS OF must never silently serve an OLDER live ancestor
+    when the true as-of snapshot was expired: the tombstones carry the
+    dropped snapshots' created stamps, so a ts falling INSIDE the
+    expired stretch raises the remedial error while a ts before the
+    stretch still resolves to the live pinned ancestor
+    (review round 12)."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.lake_table import (
+        SnapshotNotFound,
+    )
+
+    t = _mini_table(spark, tmp_path, n_commits=5)
+    t.create_tag("audit", 2)
+    ts_v2 = t.manifest(2)["created"]
+    ts_v3 = t.manifest(3)["created"]
+    expire_snapshots(t, keep_last=1)  # v3, v4 reaped (v2 tag-pinned)
+    # before the expired stretch: resolves to the live pinned ancestor
+    assert t.version_as_of_timestamp(ts_v2) == 2
+    # inside the expired stretch: the true as-of (v3) is gone — raise,
+    # never serve v2's state missing v3's rows
+    with _pytest.raises(SnapshotNotFound, match="expire_snapshots"):
+        t.version_as_of_timestamp(ts_v3)

@@ -961,3 +961,21 @@ def test_udfs_null_inputs_in_contract(spark):
     ).collect()[0]["w"]
     # only the two complete pairs count: (10*2 + 20*2) / 4 = 15.0
     assert got == 15.0
+
+
+def test_salted_empty_salt_cols_is_an_error(spark):
+    """An explicitly-passed EMPTY salt_cols must raise, not silently
+    fall back to the recompute-unsafe position salt the caller opted
+    out of (review round 12)."""
+    import pytest as _pytest
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.skew import (
+        salted_join,
+        salted_sum,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pytest.raises(ValueError, match="salt_cols is empty"):
+        salted_sum(df, ["k"], "v", salt_cols=[])
+    with _pytest.raises(ValueError, match="salt_cols is empty"):
+        salted_join(df, df, on=["k"], salt_cols=[])

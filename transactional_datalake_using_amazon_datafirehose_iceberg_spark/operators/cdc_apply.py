@@ -160,9 +160,7 @@ def apply_batch(
                     F.to_json(F.struct(*no_ev.columns)).alias("raw"),
                     F.lit("no-ordering-evidence").alias("error_type"),
                 )
-                metas = dead_letter_table._write_files(to_dead_letter(dead_rows))
-                if metas:
-                    dead_letter_table.commit(metas, operation="append")
+                dead_letter_table.append(to_dead_letter(dead_rows))
                 latest = latest.filter(~no_evidence)
 
         # NULL operation (malformed CDC metadata) is "not a delete" on

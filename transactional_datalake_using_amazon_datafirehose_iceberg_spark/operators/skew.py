@@ -62,6 +62,22 @@ def _content_salt(salt_cols: list[str], n_salts: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
 
 
+def _pick_salt(salt_cols: list[str] | None, n_salts: int):
+    """None -> position salt (deterministic-input precondition). An
+    EXPLICIT empty list is an error, not a silent fallback: a caller who
+    opted into content salting must not be handed the recompute-unsafe
+    default because their dynamically-computed column list came out
+    empty (review round 12)."""
+    if salt_cols is None:
+        return _row_spread_salt(n_salts)
+    if not salt_cols:
+        raise ValueError(
+            "salt_cols is empty: pass None for the position salt, or "
+            "name at least one column for the content salt"
+        )
+    return _content_salt(salt_cols, n_salts)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,12 +110,7 @@ def salted_join(
             "right rows. Swap the inputs or use a plain join with "
             "AQE skew handling."
         )
-    salt = (
-        _content_salt(salt_cols, n_salts)
-        if salt_cols
-        else _row_spread_salt(n_salts)
-    )
-    l = left.withColumn("__salt", salt)
+    l = left.withColumn("__salt", _pick_salt(salt_cols, n_salts))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -125,12 +136,7 @@ def salted_sum(
     round 11). Position salts require a deterministic input (module
     docstring); pass ``salt_cols`` for a recompute-stable content salt
     when the input is a nondeterministic shuffle output."""
-    salt = (
-        _content_salt(salt_cols, n_salts)
-        if salt_cols
-        else _row_spread_salt(n_salts)
-    )
-    salted = df.withColumn("__salt", salt)
+    salted = df.withColumn("__salt", _pick_salt(salt_cols, n_salts))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.sum(value_col).alias("__psum"), F.count("*").alias("__pcnt")
     )

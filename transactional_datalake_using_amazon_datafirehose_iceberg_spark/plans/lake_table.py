@@ -2546,6 +2546,19 @@ class LakeTable:
         schema = T.StructType.fromJson(json.loads(cur["schema"]))
         if name in [f.name for f in schema.fields]:
             raise ValueError(f"column {name} already exists")
+        # rename_column's invariant: physical names stay unambiguous
+        # FOREVER (this format has no Iceberg field ids). Re-adding a
+        # former physical name would make old files' bytes bleed into
+        # the new column through every rename-chain resolver (batch
+        # shadow-coalesce AND the stream reader's re-keyed candidates)
+        # instead of reading the declared default/NULL (review round 12).
+        for cur_name, formers in cur.get("renames", {}).items():
+            if name in formers:
+                raise ValueError(
+                    f"column name {name!r} was previously renamed to "
+                    f"{cur_name!r}; old data files still carry bytes "
+                    "under it — pick a fresh name"
+                )
         new_schema = T.StructType(list(schema.fields) + [T.StructField(name, dtype, True)])
         updates: dict | None = None
         if default is not None:
@@ -2741,6 +2754,7 @@ class LakeTable:
         best: int | None = None
         v: int | None = self.current_version()
         lineage: dict[int, int | None] | None = None
+        created: dict[int, str | None] = {}
         crossed_expired = False
         while v is not None:
             try:
@@ -2750,11 +2764,26 @@ class LakeTable:
                 # tombstones (same fallback meta_history/is_ancestor
                 # use) — a LIVE tag-pinned older ancestor below the
                 # expired stretch can still satisfy the timestamp
-                # (review round 12). An expired version itself can
-                # never be `best`: its manifest is unreadable.
+                # (review round 12) — but ONLY while the expired
+                # snapshot's recorded created stamp is strictly after
+                # ``ts``. If it is at-or-before (or unrecorded, for
+                # pre-round-12 tombstones), the TRUE as-of state was
+                # expired, and silently returning a deeper (older)
+                # ancestor would serve a state missing committed rows —
+                # raise the remedial error instead.
                 if lineage is None:
                     lineage = self._lineage_map()
+                    created = self._lineage_created()
                 if v in lineage:
+                    stamp = created.get(v)
+                    if stamp is None or stamp <= ts:
+                        raise SnapshotNotFound(
+                            f"the snapshot as of {ts} on the current "
+                            f"lineage (v{v}) was removed by "
+                            "expire_snapshots — an older live ancestor "
+                            "would silently miss its rows; raise the "
+                            "expiry retention or read a live version"
+                        ) from None
                     crossed_expired = True
                     v = lineage[v]
                     continue
@@ -3006,18 +3035,34 @@ class LakeTable:
             raise ValueError(f"ref {name!r} is a tag (immutable); cannot write")
         return LakeTable(self.root, pointer=os.path.join(_REFS_DIR, f"{name}.json"))
 
-    def _lineage_map(self) -> dict[int, int | None]:
-        """Tombstone lineage of EXPIRED snapshots: version -> parent,
-        recorded by expire_snapshots before it removes a manifest (the
-        snapshot-log survivor Iceberg keeps in table metadata). A few
-        bytes per expired snapshot, never expired itself — ancestry
-        stays answerable across the whole table history."""
+    def _lineage_raw(self) -> dict[int, object]:
         p = os.path.join(self.root, _LINEAGE_FILE)
         if not os.path.exists(p):
             return {}
         with open(p) as f:
             raw = json.load(f)
         return {int(k): v for k, v in raw.items()}
+
+    def _lineage_map(self) -> dict[int, int | None]:
+        """Tombstone lineage of EXPIRED snapshots: version -> parent,
+        recorded by expire_snapshots before it removes a manifest (the
+        snapshot-log survivor Iceberg keeps in table metadata). A few
+        bytes per expired snapshot, never expired itself — ancestry
+        stays answerable across the whole table history. Since round 12
+        each entry also carries the dropped snapshot's ``created`` stamp
+        ({"p": parent, "c": created}); legacy entries are bare parents."""
+        return {
+            k: (v["p"] if isinstance(v, dict) else v)
+            for k, v in self._lineage_raw().items()
+        }
+
+    def _lineage_created(self) -> dict[int, str | None]:
+        """created stamps of EXPIRED snapshots (None for pre-round-12
+        tombstones that recorded only the parent edge)."""
+        return {
+            k: (v.get("c") if isinstance(v, dict) else None)
+            for k, v in self._lineage_raw().items()
+        }
 
     def is_ancestor(self, anc: int, desc: int) -> bool:
         """True iff ``anc`` is on ``desc``'s parent chain (or equal).

@@ -406,23 +406,6 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
         # NB: no early return when nothing is left to expire — the orphan
         # sweep must still run (a re-run after a crashed expiry has the
         # manifests already gone but the files still present)
-        keep_refs: set[str] = set()
-        for n in to_keep:
-            km = _load_manifest_or_none(os.path.join(snap_dir, n))
-            if km is None:
-                # a torn manifest landed inside the newest keep_last window
-                # by filename — necessarily a LEGACY artifact (or external
-                # copy): _write_manifest publishes via os.link, so a live
-                # writer can never be mid-write at the final name, and
-                # reaping here cannot race an in-flight commit. It was never
-                # committed (it cannot be pinned: the pointer swap follows a
-                # COMPLETED write), so reap it like any expired version; its
-                # data files fall to the orphan sweep
-                if not dry_run:
-                    os.remove(os.path.join(snap_dir, n))
-                continue
-            keep_refs.update(fm["path"] for fm in km["files"])
-            keep_refs.update(fm["path"] for fm in km.get("delete_files", []))
         drop_refs: set[str] = set()
         dropped_lineage: dict[int, int | None] = {}
         for n in to_drop:
@@ -432,7 +415,15 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
                 if not dry_run:
                     os.remove(p)
                 continue
-            dropped_lineage[int(dm["version"])] = dm.get("parent")
+            # parent edge + created stamp: TIMESTAMP AS OF needs the
+            # stamp to tell "expired stretch entirely after ts" (keep
+            # descending) from "the true as-of snapshot was expired"
+            # (raise, never silently serve an older state; review
+            # round 12)
+            dropped_lineage[int(dm["version"])] = {
+                "p": dm.get("parent"),
+                "c": dm.get("created"),
+            }
             drop_refs.update(fm["path"] for fm in dm["files"])
             drop_refs.update(fm["path"] for fm in dm.get("delete_files", []))
         # Tombstone the dropped snapshots' (version -> parent) edges BEFORE
@@ -461,6 +452,22 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2, sweep_orphans: bool =
             p = os.path.join(snap_dir, n)
             if not dry_run and os.path.exists(p):
                 os.remove(p)  # manifest first: version becomes unreachable
+    # Kept-manifest parsing runs OUTSIDE the lock (review round 12):
+    # published manifests are immutable and keep_refs only feeds the
+    # unlocked file sweeps below, so a multi-MB JSON parse per kept
+    # snapshot must not stall every concurrent commit. Torn keeps are
+    # legacy artifacts (never committed — the pointer swap follows a
+    # COMPLETED write) and are reaped like any expired version; their
+    # data files fall to the orphan sweep.
+    keep_refs: set[str] = set()
+    for n in to_keep:
+        km = _load_manifest_or_none(os.path.join(snap_dir, n))
+        if km is None:
+            if not dry_run:
+                os.remove(os.path.join(snap_dir, n))
+            continue
+        keep_refs.update(fm["path"] for fm in km["files"])
+        keep_refs.update(fm["path"] for fm in km.get("delete_files", []))
     removed_files = 0
     counted_drop_paths: set[str] = set()
     root_real = os.path.realpath(table.root)

@@ -1480,8 +1480,6 @@ ORDER BY user_id
 
 
 def _scd2_build(spark, sf):
-    from ..operators.scd2 import scd2_delta
-    from ..plans.merge import merge_into
     from ..sources.catalog import load_table
 
     # ONE events scan for all three micro-batches: the per-batch ts
@@ -1522,6 +1520,29 @@ def _scd2_build(spark, sf):
         ("2024-01-11", "2024-01-21"),
         ("2024-01-21", "2024-02-01"),
     ]
+    try:
+        _scd2_apply_batches(spark, t, ev, bounds)
+    finally:
+        ev.unpersist()
+    return (
+        t.read(spark)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("version_id").cast("bigint").alias("version_id"),
+            "event_type",
+            "value",
+            "valid_from",
+            "valid_to",
+            F.col("is_current").cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "version_id")
+    )
+
+
+def _scd2_apply_batches(spark, t, ev, bounds):
+    from ..operators.scd2 import scd2_delta
+    from ..plans.merge import merge_into
+
     for lo, hi in bounds:
         # persist the micro-batch for the delta's lifetime (the
         # cdc_apply foreachBatch pattern): scd2_delta's replay guard,
@@ -1548,20 +1569,6 @@ def _scd2_build(spark, sf):
                 delta.unpersist()
         finally:
             b.unpersist()
-    ev.unpersist()
-    return (
-        t.read(spark)
-        .select(
-            F.col("user_id").cast("bigint").alias("user_id"),
-            F.col("version_id").cast("bigint").alias("version_id"),
-            "event_type",
-            "value",
-            "valid_from",
-            "valid_to",
-            F.col("is_current").cast("int").alias("is_current"),
-        )
-        .orderBy("user_id", "valid_from", "version_id")
-    )
 
 
 _add(QuerySpec(
