@@ -334,3 +334,142 @@ def test_mor_delete_routing_still_used_without_guard_columns(spark, tmp_path):
     # the delete landed as a delete-file commit, not a COW rewrite
     ops = [s["operation"] for s in t.snapshots()]
     assert "delete" in ops
+
+
+def test_merge_sql_empty_update_cols_is_insert_only(spark):
+    """update_cols=[] means 'update NO columns' on BOTH backends: the
+    generated MERGE must omit the matched-update clause entirely (the
+    falsy check silently expanded [] to ALL columns, clobbering matched
+    rows on the native backend only; review round 12)."""
+    from tests.test_iceberg_backend import COLS, _tbl
+
+    sql = _tbl().merge_sql(update_cols=[], data_cols=COLS)
+    assert "THEN UPDATE" not in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    # None still updates every column
+    assert "THEN UPDATE SET" in _tbl().merge_sql(update_cols=None, data_cols=COLS)
+
+
+def test_merge_sql_quoted_delete_value_escaped(spark):
+    """delete_value is a VALUE: a quote inside it must be escaped in the
+    generated SQL (parser round-trip), not break or inject clauses."""
+    from tests.test_iceberg_backend import COLS, _tbl
+
+    sql = _tbl().merge_sql(op_col="_op", delete_value="can't-keep", data_cols=COLS)
+    assert "s.`_op` = 'can''t-keep'" in sql
+    got = spark.sql("SELECT 'can''t-keep' AS v").collect()[0]["v"]
+    assert got == "can't-keep"
+
+
+def test_merge_key_column_named_count(spark, tmp_path):
+    """A key column literally named 'count' must not break the
+    duplicate-key check's aggregation (ambiguous-reference class;
+    review round 12)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+        merge_into,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans.merge import (
+        MergeSourceNotUnique,
+    )
+
+    sch = T.StructType([
+        T.StructField("count", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, keys=["count"])
+    src = spark.createDataFrame([(1, "a"), (2, "b")], sch)
+    merge_into(t, src)  # non-assume_unique: runs the dup check
+    assert t.read(spark).count() == 2
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], sch)
+    with pytest.raises(MergeSourceNotUnique):
+        merge_into(t, dup)
+
+
+def test_merge_evolve_incompatible_drift_fails_loudly(spark, tmp_path):
+    """evolve_schema=True: a source column whose type is neither a
+    widening of nor narrower than the table's must FAIL the merge — the
+    blanket except used to swallow it and the rewrite's cast silently
+    NULLed every unparseable value in matched rows (review round 12).
+    A NARROWER source still merges (lossless cast up)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+        merge_into,
+    )
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("amount", T.LongType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, keys=["k"])
+    t.append(spark.createDataFrame([(1, 10)], sch))
+
+    # incompatible drift: bigint table column, string source
+    drifted = spark.createDataFrame([(1, "N/A")], "k long, amount string")
+    with pytest.raises(ValueError, match="lossless widening"):
+        merge_into(t, drifted, evolve_schema=True)
+    assert {r["amount"] for r in t.read(spark).collect()} == {10}
+
+    # narrower source (int -> bigint table): lossless, applies
+    narrower = spark.createDataFrame([(1, 99)], "k long, amount int")
+    merge_into(t, narrower, evolve_schema=True)
+    assert {r["amount"] for r in t.read(spark).collect()} == {99}
+
+
+def test_merge_empty_source_composite_keys_no_snapshot(spark, tmp_path):
+    """An idle micro-batch (0 rows) with COMPOSITE keys and
+    assume_unique must hit the empty-batch exit: it used to bypass it
+    (no stats job ran, src_rows stayed None), probe-scan the whole
+    table and commit an empty merge snapshot per trigger
+    (review round 12)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+        merge_into,
+    )
+
+    sch = T.StructType([
+        T.StructField("k1", T.LongType()),
+        T.StructField("k2", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, keys=["k1", "k2"])
+    t.append(spark.createDataFrame([(1, 1, "a")], sch))
+    v = t.current_version()
+    merge_into(t, spark.createDataFrame([], sch), assume_unique=True)
+    assert t.current_version() == v, "idle trigger burned a snapshot"
+
+
+def test_merge_nmbs_update_targets_evolving_column(spark, tmp_path):
+    """not_matched_by_source_update may assign a column the SAME call's
+    evolve_schema=True is adding from the source — validation runs
+    against the post-evolution schema (review round 12)."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+        merge_into,
+    )
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, keys=["k"])
+    t.append(spark.createDataFrame([(1, "keep"), (2, "stale")], sch))
+    src = spark.createDataFrame(
+        [(1, "keep", 0)], "k long, v string, is_stale int"
+    )
+    merge_into(
+        t,
+        src,
+        evolve_schema=True,
+        not_matched_by_source_update={"is_stale": "1"},
+    )
+    got = {r["k"]: r["is_stale"] for r in t.read(spark).collect()}
+    assert got == {1: 0, 2: 1}

@@ -291,7 +291,11 @@ class IcebergTable:
         cols = list(data_cols) if data_cols is not None else [
             f.name for f in self.schema.fields
         ]
-        upd_cols = list(update_cols) if update_cols else cols
+        # `is None`, never truthiness: update_cols=[] means "update NO
+        # columns" (insert-only merge) and the COW backend honors it —
+        # the falsy check silently expanded [] to ALL columns, clobbering
+        # matched rows on this backend only (review round 12)
+        upd_cols = cols if update_cols is None else list(update_cols)
         unknown = [c for c in upd_cols if c not in cols]
         if unknown:
             raise ValueError(f"update_cols not in table schema: {unknown}")
@@ -300,8 +304,14 @@ class IcebergTable:
         ins_vals = ", ".join(f"s.`{c}`" for c in cols)
         gate = f" AND ({match_condition})" if match_condition else ""
         delete_gate = gate if condition_gates_delete else ""
+        # delete_value is a VALUE, not trusted SQL: escape it like
+        # _stamp_properties escapes property literals, or a quoted
+        # value breaks (or injects into) the generated MERGE
+        # (review round 12)
+        dv = _sql_str_literal(delete_value)
+        opq = op_col.replace("`", "``") if op_col else op_col  # identifier-quote
         delete_clause = (
-            f"WHEN MATCHED AND s.`{op_col}` = '{delete_value}'{delete_gate} THEN DELETE "
+            f"WHEN MATCHED AND s.`{opq}` = '{dv}'{delete_gate} THEN DELETE "
             if op_col
             else ""
         )
@@ -310,7 +320,7 @@ class IcebergTable:
         # the NOT MATCHED clause skip NULL-op rows under three-valued
         # logic, silently losing inserts the COW backend performs
         insert_guard = (
-            f" AND NOT (s.`{op_col}` <=> '{delete_value}')" if op_col else ""
+            f" AND NOT (s.`{opq}` <=> '{dv}')" if op_col else ""
         )
         if not_matched_by_source_update and not_matched_by_source_delete:
             raise ValueError(
@@ -339,10 +349,18 @@ class IcebergTable:
             nmbs = f" WHEN NOT MATCHED BY SOURCE THEN UPDATE SET {assigns}"
         else:
             nmbs = ""
+        # update_cols=[]: insert-only merge — OMIT the matched-update
+        # clause (an empty SET list is invalid SQL; matched rows stay
+        # untouched, exactly the COW backend's behavior)
+        update_clause = (
+            f"WHEN MATCHED{gate} THEN UPDATE SET {set_clause} "
+            if upd_cols
+            else ""
+        )
         return (
             f"MERGE INTO {self.identifier} t USING {self._SRC_VIEW} s ON {cond} "
             + delete_clause
-            + f"WHEN MATCHED{gate} THEN UPDATE SET {set_clause} "
+            + update_clause
             + f"WHEN NOT MATCHED{insert_guard} THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
             + nmbs
         )

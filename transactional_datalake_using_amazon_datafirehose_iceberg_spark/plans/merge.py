@@ -121,6 +121,16 @@ def merge_into(
         )
     if not_matched_by_source_update:
         tbl_cols = {f.name for f in table.schema.fields}
+        if evolve_schema:
+            # validate against the POST-evolution schema: a column the
+            # same call is about to ADD from the source is a legal
+            # assignment target (review round 12)
+            tbl_cols |= {
+                f.name
+                for f in source.schema.fields
+                if f.name not in set(evolve_ignore)
+                and f.name != (op_col or "")
+            }
         bad = [c for c in not_matched_by_source_update if c not in tbl_cols]
         if bad:
             raise ValueError(f"not_matched_by_source_update targets unknown columns: {bad}")
@@ -215,11 +225,31 @@ def _merge_into_cow(
                 # (metadata-only, Iceberg type-promotion semantics) so
                 # e.g. an upstream int->bigint ALTER propagated through
                 # CDC applies losslessly; a NARROWER source still casts
-                # up to the table type in the rewrite, as before
+                # up to the table type in the rewrite (lossless).
+                # INCOMPATIBLE drift (e.g. int -> string) must FAIL
+                # here: the blanket except used to swallow it and the
+                # rewrite's cast then silently NULLed every unparseable
+                # value in matched rows (review round 12).
                 try:
                     table.widen_column(f.name, f.dataType)
                 except ValueError:
-                    pass  # not a widening: the rewrite's cast handles it
+                    src_s = f.dataType.simpleString()
+                    tbl_s = cur_t.simpleString()
+                    base = (src_s.split("(")[0], tbl_s.split("(")[0])
+                    if not (
+                        base in table._WIDENINGS or base[0] == base[1]
+                    ):
+                        raise ValueError(
+                            f"merge_into(evolve_schema=True): source "
+                            f"column {f.name!r} is {src_s} but the "
+                            f"table stores {tbl_s} — neither direction "
+                            "is a lossless widening, and casting would "
+                            "silently NULL unparseable values. Evolve "
+                            "the table explicitly or fix the upstream "
+                            "type."
+                        ) from None
+                    # source narrower than (or decimal-compatible with)
+                    # the table type: the rewrite's cast up is lossless
     schema = table.schema
     data_cols = [f.name for f in schema.fields]
     if update_cols is not None:
@@ -250,9 +280,15 @@ def _merge_into_cow(
     )
     if assume_unique:
         # dedup already guaranteed (D4): plain min/max agg, no groupBy
-        # shuffle; composite/unordered keys need no source job at all
+        # shuffle; composite/unordered keys skip the stats agg but still
+        # pay ONE limit-1 emptiness probe — without it an idle streaming
+        # trigger (0 rows) bypassed the empty-batch exit below and ran a
+        # FULL-TABLE probe scan + empty merge commit per trigger
+        # (review round 12)
         if not range_key:
             stats = [{"__lo": None}]
+            if src.isEmpty():
+                src_rows = 0
         else:
             stats = src.agg(
                 F.min(range_key).alias("__lo"),
@@ -262,14 +298,22 @@ def _merge_into_cow(
             ).collect()
             src_rows = stats[0]["__n"]
     else:
-        aggs = [F.max("count").alias("__mx"), F.sum("count").alias("__n")]
+        # aliased count, never .count(): a key column literally named
+        # "count" made the downstream max/sum references ambiguous
+        # (review round 12)
+        aggs = [F.max("__cnt").alias("__mx"), F.sum("__cnt").alias("__n")]
         if range_key:
             aggs += [
                 F.min(range_key).alias("__lo"),
                 F.max(range_key).alias("__hi"),
                 null_rk,
             ]
-        stats = src.groupBy(*keys).count().agg(*aggs).collect()
+        stats = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .agg(*aggs)
+            .collect()
+        )
         src_rows = stats[0]["__n"] or 0
         if stats[0]["__mx"] is not None and stats[0]["__mx"] > 1:
             raise MergeSourceNotUnique(
@@ -334,15 +378,13 @@ def _merge_into_cow(
     elif (
         key_preds  # real key-range pruning happened (rangeable key)
         and src_rows  # known NON-EMPTY source (an empty batch must not rewrite)
-        # computed eagerly, not inside the `and` chain: a truthiness
-        # walrus would silently turn the gate into `0 < bytes <= T`,
-        # sending zero-byte candidate sets to a pointless probe job
+        # the parenthesized walrus is compared with <=, never truthiness-
+        # tested, so a ZERO-byte candidate set stays on the skip path
         and (
             cand_bytes := table._manifest_bytes_of(
                 cand_rel := sorted(table._relpath(p) for p in cand_paths)
             )
-        ) is not None
-        and cand_bytes <= _PROBE_SKIP_BYTES
+        ) <= _PROBE_SKIP_BYTES
     ):
         # the probe job exists to shrink the rewrite to files that truly
         # hold matching keys — but it SCANS every candidate to find out.
