@@ -1001,3 +1001,29 @@ def test_hand_phash_hamming_pairs(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "multimodal_phash_hamming_pairs", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_containment_boilerplate_recall(spark, tmp_path):
+    """The doc-frequency cap must not zero the DENOMINATOR's recall: a
+    doc whose text is header-boilerplate (capped, shared by 33+ docs)
+    plus a unique tail, fully contained in a longer doc, must still
+    flag 100% containment over its INFORMATIVE (filtered) shingles —
+    the unfiltered denominator made it 10/39 = 25% and silently missed
+    the pair (review round 12).
+
+    header = 40 chars shared by 35 docs -> its 29 pure-header 12-gram
+    shingles all exceed max_doc_freq=32 and are capped. A = header +
+    10-char tail (filtered size 10: the boundary+tail shingles, unique
+    to A and B). B = A + 5-char suffix -> contains every A shingle.
+    Filler docs are pure header: filtered size 0, no pairs among them.
+    """
+    header = "h" * 20 + "abcdefghij" + "k" * 10  # 40 chars, lowercase
+    a_text = header + "qrstuvwxyz"
+    b_text = a_text + "12345"
+    docs = [(1, a_text, "s"), (2, b_text, "s")]
+    docs += [(100 + i, header, "s") for i in range(33)]
+    d = _mk_sf(tmp_path, documents=_documents(docs))
+    hand = [(1, 2, 100)]
+    got_spark, got_ora = _run_both(spark, "dedup_containment_asymmetric", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

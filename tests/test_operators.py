@@ -979,3 +979,28 @@ def test_salted_empty_salt_cols_is_an_error(spark):
         salted_sum(df, ["k"], "v", salt_cols=[])
     with _pytest.raises(ValueError, match="salt_cols is empty"):
         salted_join(df, df, on=["k"], salt_cols=[])
+
+
+def test_exact_dedup_duplicate_and_reused_ids(spark):
+    """The keeper semi-join must match on (cols, id), not id alone: an
+    exactly-replayed keeper row collapses to ONE output row, and a
+    keeper id VALUE reused in a different group must not smuggle that
+    group's non-keeper row through (review round 12)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    # at-least-once replay: same (id, text) delivered twice
+    df = spark.createDataFrame(
+        [(7, "x"), (7, "x"), (8, "y")], "doc_id int, text string"
+    )
+    out = sorted(map(tuple, exact_dedup(df, ["text"], "doc_id").collect()))
+    assert out == [(7, "x"), (8, "y")]
+
+    # id 2 is the keeper of group 'bb' AND appears in group 'aa' whose
+    # keeper is 1 — the (2, 'aa') row must be dropped
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (2, "aa")], "doc_id int, text string"
+    )
+    out = sorted(map(tuple, exact_dedup(df, ["text"], "doc_id").collect()))
+    assert out == [(1, "aa"), (2, "bb")]

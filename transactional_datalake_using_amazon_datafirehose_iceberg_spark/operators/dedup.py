@@ -38,19 +38,25 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     are restored by the null branch below; with no deterministic id to
     rank them, the keeper among such rows is arbitrary."""
     keeps = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
-    kept = df.join(
-        keeps.where(F.col(id_col).isNotNull()).select(id_col),
-        on=id_col,
-        how="left_semi",
+    # semi-join on (cols, id), not id alone: a keeper id VALUE reused in
+    # another group, or an exactly-replayed (cols, id) row, would
+    # otherwise survive as a duplicate (review round 12); the trailing
+    # dropDuplicates collapses replayed identical keeper rows
+    keeps_nn = keeps.where(F.col(id_col).isNotNull())
+    on_keep = [df[c].eqNullSafe(keeps_nn[c]) for c in cols] + [
+        df[id_col] == keeps_nn[id_col]
+    ]
+    kept = df.join(keeps_nn, on=on_keep, how="left_semi").dropDuplicates(
+        cols + [id_col]
     )
-    # all-NULL-id groups: anti-join the NULL-id rows against groups
-    # that DO have a non-null keeper (null-safe on the group cols, which
-    # may themselves be NULL), then keep one representative per group
+    # all-NULL-id groups (a group's aggregated min id is NULL iff EVERY
+    # id in it is NULL): semi-join against exactly those groups — a
+    # typically tiny relation — instead of anti-joining the full keeper
+    # table; keep one representative per group
+    null_groups = keeps.where(F.col(id_col).isNull()).select(*cols)
     null_rows = df.where(F.col(id_col).isNull()).dropDuplicates(cols)
-    on = [null_rows[c].eqNullSafe(keeps[c]) for c in cols]
-    null_kept = null_rows.join(
-        keeps.where(F.col(id_col).isNotNull()), on=on, how="left_anti"
-    )
+    on_null = [null_rows[c].eqNullSafe(null_groups[c]) for c in cols]
+    null_kept = null_rows.join(null_groups, on=on_null, how="left_semi")
     return kept.unionByName(null_kept)
 
 
@@ -73,6 +79,12 @@ def char_shingles(
                 )
             ).alias("sh"),
         )
+        # NULL text explodes to one NULL shingle: drop it at the source
+        # or it rides every consumer as a dedicated skewed partition
+        # (an all-NULL minhash row, NULL LSH band buckets) before
+        # null-unsafe joins finally discard it (review round 12) — and
+        # the DuckDB formulations (length(NULL) -> no rows) never see it
+        .where(F.col("sh").isNotNull())
         .distinct()
     )
 
@@ -550,45 +562,54 @@ def _connected_components(
 def _propagate(sym, labels, max_iter, _ckpt_id, _unpersist, prev_id):
     from pyspark.sql import Observation
 
-    for rnd in range(max_iter):
-        # (1) each node offers its label to every neighbor; the node's
-        # own previous label rides along (as __old) so convergence is a
-        # post-checkpoint FILTER, not an extra join job per round
-        msgs = sym.join(
-            labels.withColumnRenamed("id", "src"), "src"
-        ).select(
-            F.col("dst").alias("id"),
-            "lbl",
-            F.lit(None).cast(dict(labels.dtypes)["lbl"]).alias("__old"),
-        )
-        new = (
-            labels.withColumn("__old", F.col("lbl"))
-            .unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"), F.max("__old").alias("__old"))
-        )
-        # (2) shortcut: follow the label's own label (pointer jumping)
-        hop = new.select(F.col("id").alias("__lid"), F.col("lbl").alias("__lbl2"))
-        obs = Observation(f"cc_round_{rnd}")
-        new = (
-            new.join(hop, new["lbl"] == hop["__lid"], "left")
-            .select("id", F.coalesce("__lbl2", "lbl").alias("lbl"), "__old")
-            .observe(
-                obs,
-                F.sum((F.col("lbl") != F.col("__old")).cast("long")).alias(
-                    "changed"
-                ),
+    # the loop is guarded: if a round's checkpoint job dies, the CURRENT
+    # label generation is still pinned and the caller's finally releases
+    # only the edge relation — the except sees prev_id's LATEST binding
+    # (rebound each round below), so corpus-scale label blocks never
+    # outlive the error (review round 12)
+    try:
+        for rnd in range(max_iter):
+            # (1) each node offers its label to every neighbor; the node's
+            # own previous label rides along (as __old) so convergence is a
+            # post-checkpoint FILTER, not an extra join job per round
+            msgs = sym.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(
+                F.col("dst").alias("id"),
+                "lbl",
+                F.lit(None).cast(dict(labels.dtypes)["lbl"]).alias("__old"),
             )
-            .localCheckpoint(eager=True)
-        )
-        # this round's blocks are live; the previous generation is dead
+            new = (
+                labels.withColumn("__old", F.col("lbl"))
+                .unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"), F.max("__old").alias("__old"))
+            )
+            # (2) shortcut: follow the label's own label (pointer jumping)
+            hop = new.select(F.col("id").alias("__lid"), F.col("lbl").alias("__lbl2"))
+            obs = Observation(f"cc_round_{rnd}")
+            new = (
+                new.join(hop, new["lbl"] == hop["__lid"], "left")
+                .select("id", F.coalesce("__lbl2", "lbl").alias("lbl"), "__old")
+                .observe(
+                    obs,
+                    F.sum((F.col("lbl") != F.col("__old")).cast("long")).alias(
+                        "changed"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # this round's blocks are live; the previous generation is dead
+            _unpersist(prev_id)
+            prev_id = _ckpt_id(new)
+            labels = new.select("id", "lbl")
+            # the eager checkpoint IS the action: the metric is already in
+            # (sum over empty input is null -> treat as converged)
+            if (obs.get["changed"] or 0) == 0:
+                break
+    except BaseException:
         _unpersist(prev_id)
-        prev_id = _ckpt_id(new)
-        labels = new.select("id", "lbl")
-        # the eager checkpoint IS the action: the metric is already in
-        # (sum over empty input is null -> treat as converged)
-        if (obs.get["changed"] or 0) == 0:
-            break
+        raise
     # only the final label generation leaves the function; the edge
     # relation's blocks are released by the caller's finally
     return labels.select("id", F.col("lbl").alias("cluster_id"))
@@ -656,8 +677,18 @@ def containment_pairs(
         .filter(F.col("__df") <= max_doc_freq)
         .select("sh")
     )
-    sh = shingled.join(freq_ok, "sh")
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    # materialize the filtered relation ONCE: it feeds both self-join
+    # sides and the sizes aggregate, and the caller's shingle pipeline
+    # (corpus scan + explode + distinct) would otherwise re-execute per
+    # consumer (review round 12; same move as jaccard_verify)
+    sh = shingled.join(freq_ok, "sh").localCheckpoint(eager=True)
+    # |A| over the SAME filtered universe as the intersection: a doc
+    # whose shingles are partly capped boilerplate must still reach the
+    # threshold on its informative shingles — the unfiltered denominator
+    # silently zeroed recall for any doc with > (100-threshold)% capped
+    # shingles, far beyond the documented all-ultra-common trade
+    # (review round 12)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("inner_doc"), "sh")
     b = sh.select(F.col(id_col).alias("outer_doc"), "sh")
     inter = (

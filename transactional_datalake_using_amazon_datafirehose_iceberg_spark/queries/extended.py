@@ -5317,7 +5317,10 @@ WITH sh AS (
 ),
 ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 32),
 shc AS (SELECT doc_id, s FROM sh JOIN ok USING (s)),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+-- |A| over the FILTERED universe, same as the intersection: an
+-- unfiltered denominator silently zeroes recall for any doc with
+-- > 20% capped boilerplate shingles (review round 12)
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, COUNT(*) AS i
   FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id <> b.doc_id
