@@ -251,6 +251,13 @@ _HEADLINE = [
     "agg_grouping_id_cube",
     "join_interval_overlap_binned",
     "events_anomaly_zscore_daily",
+    # round-12 sweep widening: the ANN family's docstrings make the
+    # strongest plan-shape claims (map-side assignment, shuffle-by-cell,
+    # no corpus shuffle) — sweep them too
+    "similarity_ann_lsh_bucket",
+    "similarity_ann_ivf",
+    "similarity_ann_pq",
+    "dedup_embedding_cosine",
     # round-12 declarations (the full former staged lane)
     "events_streak_longest_daily",
     "events_peak_concurrency",
@@ -270,6 +277,14 @@ _DECLARED = {
     # same declared shape: metadata-scale anchor set broadcast on a
     # non-equi (id <> anchor) condition
     "similarity_mine_triplets": {"BroadcastNestedLoopJoin"},
+    # the IVF/PQ centroid/codebook relations are 1-row metadata-scale
+    # broadcasts attached via crossJoin, and the query sets join the
+    # corpus on a non-equi (id <> qid) condition with a metadata-scale
+    # broadcast build side — the declared ANN shape (docstrings)
+    "similarity_ann_ivf": {"BroadcastNestedLoopJoin"},
+    "similarity_ann_pq": {"BroadcastNestedLoopJoin"},
+    "similarity_ann_lsh_bucket": {"BroadcastNestedLoopJoin"},
+    "dedup_embedding_cosine": {"BroadcastNestedLoopJoin"},
     # a Python UDTF IS the row-at-a-time Python extension point — the
     # spec exists to exercise that surface (analyze()-derived schema),
     # not to claim a JVM hot path

@@ -65,6 +65,17 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("__norm", _norm(F.col(vec_col)))
 
 
+def _cosine_sim(qe, qnorm, vec, norm):
+    """6-dp cosine similarity, NULL for a zero-norm side: an all-zero
+    embedding has no direction — under ANSI mode the unguarded division
+    aborted the whole query with DIVIDE_BY_ZERO, and with ANSI off the
+    NaN ranked ABOVE every real similarity (review round 12). Callers
+    filter the NULLs before ranking (a zero vector is never a
+    neighbor)."""
+    prod = qnorm * norm
+    return F.when(prod > 0, F.round(_dot(qe, vec) / prod, 6)).cast("double")
+
+
 def cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -83,11 +94,11 @@ def cosine_topk(
         base.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
         .withColumn(
             "sim",
-            F.round(
-                _dot(F.col("__qe"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__norm")),
-                6,
-            ).cast("double"),
+            _cosine_sim(
+                F.col("__qe"), F.col("__qnorm"), F.col(vec_col), F.col("__norm")
+            ),
         )
+        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
@@ -132,6 +143,17 @@ def kmeans_fit(
     if len(cents) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(cents)}")
     dim = len(cents[0])
+    # ONE materialization of the (already sampled) training projection:
+    # each Lloyd iteration otherwise re-scanned and re-derived the whole
+    # input lineage (review round 12)
+    emb = emb.select(vec_col).persist()
+    try:
+        return _kmeans_iterate(spark, emb, vec_col, cents, dim, iters)
+    finally:
+        emb.unpersist()
+
+
+def _kmeans_iterate(spark, emb, vec_col, cents, dim, iters):
     for _ in range(iters):
         cent_df = spark.createDataFrame([(cents,)], "__cents array<array<double>>")
 
@@ -171,6 +193,9 @@ def kmeans_fit(
             break
         cents = new
     return cents
+
+
+
 
 
 def ivf_topk(
@@ -235,30 +260,26 @@ def ivf_topk(
     )
     cents = F.col("__cents")
 
-    def d2(c):
-        return F.round(
-            F.aggregate(
-                F.zip_with(
-                    c,
-                    F.col(vec_col),
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
     base = (
         with_norm(emb, vec_col)
         .crossJoin(F.broadcast(cent_df))  # 1-row broadcast: map-side attach
-        .withColumn("__dists", F.transform(cents, d2))
+        # the ONE shared distance contract (_l2sq_rounded): an inline
+        # copy here could silently desynchronize trained vs assigned
+        # cells if the rounding ever changed (review round 12)
+        .withColumn(
+            "__dists",
+            F.transform(cents, lambda c: _l2sq_rounded(c, F.col(vec_col))),
+        )
         .drop("__cents")
         .withColumn(
             "__cell",
             F.array_position(F.col("__dists"), F.array_min("__dists")).cast("int"),
         )
+        # a NULL element (or dim mismatch vs the centroids) nulls every
+        # distance -> NULL cell: such a row can never match the probe
+        # equi-join anyway; drop it EXPLICITLY so the contract is
+        # documented rather than an accident of join null-semantics
+        .filter(F.col("__cell").isNotNull())
     )
     probe_cells = F.transform(
         F.slice(
@@ -291,12 +312,11 @@ def ivf_topk(
         & (F.col(f"b.{id_col}") != F.col("p.qid")),
     ).withColumn(
         "sim",
-        F.round(
-            _dot(F.col("p.__qe"), F.col(f"b.{vec_col}"))
-            / (F.col("p.__qnorm") * F.col("b.__norm")),
-            6,
-        ).cast("double"),
-    )
+        _cosine_sim(
+            F.col("p.__qe"), F.col("p.__qnorm"),
+            F.col(f"b.{vec_col}"), F.col("b.__norm"),
+        ),
+    ).filter(F.col("sim").isNotNull())
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(f"b.{id_col}").asc())
     return (
         sims.withColumn("rn", F.row_number().over(w))
@@ -346,11 +366,11 @@ def lsh_bucket_topk(
         )
         .withColumn(
             "sim",
-            F.round(
-                _dot(F.col("__qe"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__norm")),
-                6,
-            ).cast("double"),
+            _cosine_sim(
+                F.col("__qe"), F.col("__qnorm"), F.col(vec_col), F.col("__norm")
+            ),
         )
+        .filter(F.col("sim").isNotNull())
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
@@ -404,10 +424,15 @@ def pq_topk(
     cannot cross a rounding boundary (~5e-7 away at closest).
     """
     spark = emb.sparkSession
+    # orderBy+limit, not id < n: ids are not guaranteed contiguous from
+    # 0 (the same fix ivf_topk's quantizer got; review round 12). NOTE
+    # the shipped spec's DuckDB oracle still indexes codes by vec_id+1,
+    # which only agrees on contiguous-id fixtures — the engine is the
+    # general one.
     cb_rows = (
-        emb.filter(F.col(id_col) < n_codes)
-        .select(id_col, vec_col)
+        emb.select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(n_codes)
         .collect()  # metadata-scale: n_codes vectors
     )
     if len(cb_rows) < n_codes:
@@ -420,45 +445,37 @@ def pq_topk(
     cb = [[vecs[j][s * sub:(s + 1) * sub] for j in range(n_codes)] for s in range(m)]
     cb_df = spark.createDataFrame([(cb,)], "__cb array<array<array<double>>>")
 
-    def _d2(a, b):
-        return F.round(
-            F.aggregate(
-                F.zip_with(
-                    a,
-                    b,
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
     def _subvec(s):  # s is a 0-based int Column
         return F.slice(F.col(vec_col), s * F.lit(sub) + F.lit(1), F.lit(sub))
 
     def _dists_for(s):  # distances of this row's subvector s to all codes
         return F.transform(
             F.element_at(F.col("__cb"), (s + F.lit(1)).cast("int")),
-            lambda cbj: _d2(cbj, _subvec(s)),
+            # the ONE shared distance contract (_l2sq_rounded) — an
+            # inline copy risked desynchronizing encode vs training
+            lambda cbj: _l2sq_rounded(cbj, _subvec(s)),
         )
 
     subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    # materialize ALL sub-distances ONCE per row: Spark does no common-
+    # subexpression elimination inside lambda trees, so deriving codes
+    # from two _dists_for calls doubled the m x n_codes x sub distance
+    # arithmetic of the full-corpus encode pass (review round 12); the
+    # LUT is the SAME array, reused for free on the query side
+    dall = F.transform(subspaces, _dists_for)
     codes = F.transform(
-        subspaces,
-        lambda s: F.array_position(_dists_for(s), F.array_min(_dists_for(s))),
+        F.col("__dall"), lambda d: F.array_position(d, F.array_min(d))
     )
     enc = (
         emb.crossJoin(F.broadcast(cb_df))
+        .withColumn("__dall", dall)
         .withColumn("__codes", codes)
     )
     q = (
         enc.filter(F.col(id_col).isin(query_ids))
-        .withColumn("__lut", F.transform(subspaces, _dists_for))
-        .select(F.col(id_col).alias("qid"), "__lut")
+        .select(F.col(id_col).alias("qid"), F.col("__dall").alias("__lut"))
     )
-    enc = enc.drop("__cb")
+    enc = enc.drop("__cb", "__dall")
     adc = F.round(
         F.aggregate(
             F.zip_with(
@@ -475,6 +492,10 @@ def pq_topk(
         enc.alias("b")
         .join(F.broadcast(q.alias("p")), F.col(f"b.{id_col}") != F.col("p.qid"))
         .withColumn("adc", adc.cast("double"))
+        # a NULL-element vector yields NULL codes -> NULL adc, and asc's
+        # NULLS FIRST would crown the corrupt row nearest neighbor of
+        # every query (review round 12) — drop it, it has no distance
+        .filter(F.col("adc").isNotNull())
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col(f"b.{id_col}").asc())
     return (
@@ -520,12 +541,15 @@ def mine_triplets(
         base.join(F.broadcast(anchors), F.col(id_col) != F.col("anchor_id"))
         .withColumn(
             "sim",
-            F.round(
-                _dot(F.col("__ae"), F.col(vec_col))
-                / (F.col("__anorm") * F.col("__norm")),
-                6,
-            ).cast("double"),
+            _cosine_sim(
+                F.col("__ae"), F.col("__anorm"), F.col(vec_col), F.col("__norm")
+            ),
         )
+        .filter(F.col("sim").isNotNull())
+        # NULL-label candidates land in an is_pos=NULL partition and are
+        # excluded from BOTH ranks by design (unlabeled rows are neither
+        # positives nor negatives); an anchor whose own label is NULL
+        # yields an all-NULL output row — the oracle mirrors both
         .withColumn("is_pos", (F.col(label_col) == F.col("__albl")).cast("int"))
     )
     w = Window.partitionBy("anchor_id", "is_pos").orderBy(
