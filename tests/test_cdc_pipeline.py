@@ -721,3 +721,113 @@ def test_point_in_time_asof_all_directions_over_history(spark, tmp_path):
     for q, want in ((q_q1, 100), (q_q3, 100), (q_after, 300)):
         got = t.read(spark, timestamp=q.isoformat()).collect()[0]["cents"]
         assert got == want, "snapshot read diverges from backward as-of"
+
+
+def test_stale_guard_null_target_ts_still_txn_gated(spark, tmp_path):
+    """A target row whose OWN timestamp is corrupt (NULL _order_ts) is
+    still protected by the txn gate: the old bare `t._order_ts IS NULL`
+    disjunct let an older corrupt-ts record (txn 3) clobber a newer
+    corrupt-ts row image (txn 7) — review round 12."""
+    from pyspark.sql import types as T
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+
+    sch = T.StructType([
+        T.StructField("trans_id", T.IntegerType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("_order_ts", T.TimestampType()),
+        T.StructField("_order_txn", T.LongType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), sch, keys=["trans_id"])
+    t.append(spark.createDataFrame([(1, 10.0, None, 7)], sch))  # NULL ts
+
+    stale = spark.createDataFrame(
+        [(1, 99.0, None, 3, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, stale)
+    assert {r["amount"] for r in t.read(spark).collect()} == {10.0}, (
+        "older corrupt-ts record clobbered a newer corrupt-ts row image"
+    )
+
+    fresh = spark.createDataFrame(
+        [(1, 55.0, None, 9, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    apply_batch(t, fresh)
+    assert {r["amount"] for r in t.read(spark).collect()} == {55.0}
+
+
+def test_no_evidence_dl_stamp_bounds_replay_duplicates(spark, tmp_path):
+    """With a dl_stamp, a replayed batch's no-evidence rows are skipped
+    by the dead-letter watermark — without it every crash-restart cycle
+    re-appended them (review round 12)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.cdc_apply import (
+        apply_batch,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
+        DEAD_LETTER,
+    )
+
+    t = _stale_guard_table(spark, tmp_path, target_txn=7)
+    dl = LakeTable.create(str(tmp_path / "dead"), DEAD_LETTER)
+    no_evidence = spark.createDataFrame(
+        [(1, 99.0, None, None, "update")],
+        "trans_id int, amount double, _order_ts timestamp, "
+        "_order_txn bigint, operation string",
+    )
+    stamp = ("default@pipe#noev", 5)
+    apply_batch(t, no_evidence, dead_letter_table=dl, dl_stamp=stamp)
+    apply_batch(t, no_evidence, dead_letter_table=dl, dl_stamp=stamp)  # replay
+    assert dl.read(spark).count() == 1, "replayed no-evidence rows duplicated"
+    # a LATER batch's rows still land
+    apply_batch(
+        t, no_evidence, dead_letter_table=dl, dl_stamp=("default@pipe#noev", 6)
+    )
+    assert dl.read(spark).count() == 2
+
+
+def test_shared_dl_table_scopes_by_physical_table_identity(spark, tmp_path):
+    """Two pipelines feeding DIFFERENT tables but constructed with the
+    same copy-pasted ('db', 'tbl') annotation strings must keep
+    independent dead-letter watermarks — the string-keyed scope made the
+    second pipeline's dl appends vanish below the first's watermark
+    (review round 12)."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.plans import (
+        LakeTable,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.schemas import (
+        DEAD_LETTER,
+        RETAIL_TRANS,
+        RETAIL_TRANS_KEYS,
+    )
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.streaming import (
+        CdcStreamPipeline,
+    )
+
+    t1 = LakeTable.create(str(tmp_path / "t1"), RETAIL_TRANS, keys=RETAIL_TRANS_KEYS)
+    t2 = LakeTable.create(str(tmp_path / "t2"), RETAIL_TRANS, keys=RETAIL_TRANS_KEYS)
+    dl = LakeTable.create(str(tmp_path / "dead"), DEAD_LETTER)
+    p1 = CdcStreamPipeline(t1, "db", "tbl", dead_letter_table=dl)
+    p2 = CdcStreamPipeline(t2, "db", "tbl", dead_letter_table=dl)
+    assert p1._dl_app_id != p2._dl_app_id, (
+        "shared-dl watermark keys collide across different tables"
+    )
+
+    garbage = spark.createDataFrame([("not json",)], "value string")
+    p1.process_batch(garbage, 9)  # stamps p1's dl watermark at batch 9
+    assert dl.read(spark).count() == 1
+    p2.process_batch(garbage, 0)  # p2's batch 0 must NOT be skipped
+    assert dl.read(spark).count() == 2, (
+        "second pipeline's dl append vanished below the first's watermark"
+    )

@@ -91,6 +91,7 @@ def apply_batch(
     keys: list[str] | None = None,
     extra_summary: dict | None = None,
     dead_letter_table: LakeTable | None = None,
+    dl_stamp: tuple[str, int] | None = None,
 ) -> int:
     """D1–D5: collapse then MERGE; returns the committed snapshot version.
 
@@ -102,10 +103,17 @@ def apply_batch(
     error-prefix move, firehose_to_iceberg.py:97) instead of being
     applied or dropped on a guess; without one they APPLY (the module's
     corrupt-timestamp contract is fail-open, and a silent drop hides
-    data loss). On a crash between the dl append and the watermark-
-    stamping MERGE a replay can duplicate dl rows — duplicated
-    observability rows, never lost table rows (same trade the streaming
-    pipeline's dl path documents).
+    data loss).
+
+    ``dl_stamp``: optional ``(app_id, batch_id)`` exactly-once scope for
+    the dl append (the streaming pipeline passes a ``#noev``-suffixed
+    per-pipeline key): the append commits a ``stream_sink_txn`` stamp
+    and a replayed batch at-or-below the watermark skips it — without
+    the stamp a crash-restart cycle re-appended the rows once PER
+    replay, not the single documented duplicate (review round 12).
+    Backends without the stamping surface (no ``_write_files``) fall
+    back to a plain append: duplicated observability rows on replay,
+    never lost table rows.
 
     ``extra_summary`` lands inside the atomic manifest commit — the
     streaming pipeline uses it to stamp ``stream_batch_id`` with the
@@ -160,7 +168,28 @@ def apply_batch(
                     F.to_json(F.struct(*no_ev.columns)).alias("raw"),
                     F.lit("no-ordering-evidence").alias("error_type"),
                 )
-                dead_letter_table.append(to_dead_letter(dead_rows))
+                shaped = to_dead_letter(dead_rows)
+                if dl_stamp is not None and hasattr(
+                    dead_letter_table, "_write_files"
+                ):
+                    dl_app, dl_bid = dl_stamp
+                    hwm = (
+                        dead_letter_table.manifest()["summary"]
+                        .get("stream_sink_txn", {})
+                        .get(dl_app)
+                    )
+                    if hwm is None or dl_bid > int(hwm):
+                        metas = dead_letter_table._write_files(shaped)
+                        if metas:
+                            dead_letter_table.commit(
+                                metas,
+                                operation="append",
+                                extra_summary={
+                                    "stream_sink_txn": {dl_app: dl_bid}
+                                },
+                            )
+                else:
+                    dead_letter_table.append(shaped)
                 latest = latest.filter(~no_evidence)
 
         # NULL operation (malformed CDC metadata) is "not a delete" on
@@ -241,10 +270,14 @@ def apply_batch(
                 # above); the old coalesce(s,0) >= t form silently
                 # dropped them whenever the target carried any txn id
                 # (round-11 advice).
-                "(s._order_ts IS NULL AND "
+                # EITHER side's ts unparseable: the txn id is the only
+                # ranking evidence — apply unless it PROVES staleness
+                # (a bare `t._order_ts IS NULL` disjunct let an older
+                # corrupt-ts record clobber a newer corrupt-ts row image
+                # whenever the target's ts was NULL; review round 12)
+                "((s._order_ts IS NULL OR t._order_ts IS NULL) AND "
                 "(s._order_txn IS NULL OR "
                 "s._order_txn >= coalesce(t._order_txn, 0))) OR "
-                "t._order_ts IS NULL OR "
                 "s._order_ts > t._order_ts OR "
                 "(s._order_ts = t._order_ts AND "
                 "coalesce(s._order_txn, 0) > coalesce(t._order_txn, 0))"

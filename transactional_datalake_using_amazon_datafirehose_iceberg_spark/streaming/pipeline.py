@@ -78,9 +78,17 @@ class CdcStreamPipeline:
         watermark keyed by app_id alone would then silently skip dl
         appends for whichever pipeline runs at a lower batch id —
         dropping exactly the malformed records the table exists to
-        retain (round-10 advice). Scoping by destination identity makes
-        the ledgers per-pipeline, like the main table's."""
-        return f"{self.app_id}@{self.db}.{self.tbl}"
+        retain (round-10 advice). Scoped by the main table's PHYSICAL
+        identity (its root path), not the decorative (db, tbl)
+        annotation strings — every call site copy-pastes ('db', 'tbl'),
+        so two pipelines feeding different tables still collided under
+        the string key (review round 12; re-keying costs at most one
+        duplicate dl append when an old-key watermark is abandoned —
+        duplicated observability rows, never lost ones)."""
+        ident = getattr(self.table, "root", None) or getattr(
+            self.table, "identifier", f"{self.db}.{self.tbl}"
+        )
+        return f"{self.app_id}@{ident}"
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body. Skips batches at or below the applied
@@ -136,15 +144,25 @@ class CdcStreamPipeline:
                 # dl append if a crash-replay straddles the upgrade —
                 # duplicated observability rows, never lost ones.
                 if batch_id > self._ledger_hwm(dl, self._dl_app_id):
-                    metas = dl._write_files(to_dead_letter(dead))
-                    if metas:
-                        dl.commit(
-                            metas,
-                            operation="append",
-                            extra_summary={
-                                "stream_sink_txn": {self._dl_app_id: batch_id}
-                            },
-                        )
+                    if hasattr(dl, "_write_files"):
+                        metas = dl._write_files(to_dead_letter(dead))
+                        if metas:
+                            dl.commit(
+                                metas,
+                                operation="append",
+                                extra_summary={
+                                    "stream_sink_txn": {
+                                        self._dl_app_id: batch_id
+                                    }
+                                },
+                            )
+                    else:
+                        # backend without the atomic-stamp surface
+                        # (IcebergTable shim): plain append — a crash-
+                        # replay may duplicate dl rows (observability
+                        # rows, never lost ones), but the pipeline works
+                        # on both backends (review round 12)
+                        dl.append(to_dead_letter(dead))
             typed = typed_rows(good)
             extra = {"stream_sink_txn": {self.app_id: batch_id}}
             if self.app_id == "default":
@@ -155,6 +173,11 @@ class CdcStreamPipeline:
                 typed,
                 extra_summary=extra,
                 dead_letter_table=self.dead_letter_table,
+                # distinct scope from the transform-dead stamp above:
+                # both routes write the same batch id, and sharing one
+                # key would make whichever commits first suppress the
+                # other's rows (review round 12)
+                dl_stamp=(self._dl_app_id + "#noev", batch_id),
             )
             # merge-on-read upkeep: fold accumulated position-delete
             # files back into data once past the reference's
