@@ -60,7 +60,11 @@ def weighted_avg_price_udaf(ep: pd.Series, qty: pd.Series) -> float:
     num = int((cents * q).sum())
     den = int(q.sum()) * 100
     if den == 0:
-        return 0.0
+        # NULL, not 0.0: a group with no valid pairs (or zero total
+        # quantity) has NO weighted price — SQL's avg/sum-ratio returns
+        # NULL there, and a real-looking 0.0 was indistinguishable from
+        # free items downstream (review round 12)
+        return None
     return float(np.floor(num / den * 10_000) / 10_000)
 
 
@@ -68,10 +72,15 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str, id_col: str)
     """Grouped applyInPandas (UDTF-like): per-group z-score with the
     sample standard deviation. Demonstrates the grouped-map path; the
     same result is expressible with window functions (the oracle does)."""
+    # derive the passthrough column types from the INPUT schema — the
+    # API is fully parameterized, and hardcoded Long/String types made
+    # any other id/group column type fail the Arrow conversion at
+    # runtime (review round 12)
+    in_types = {f.name: f.dataType for f in df.schema.fields}
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
-            T.StructField(group_col, T.StringType()),
+            T.StructField(id_col, in_types[id_col]),
+            T.StructField(group_col, in_types[group_col]),
             T.StructField("z", T.DoubleType()),
         ]
     )

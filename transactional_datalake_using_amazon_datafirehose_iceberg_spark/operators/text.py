@@ -58,7 +58,15 @@ def lang_id_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     fixed preference order on ties (en > es > de > fr)."""
     scored = df.select(
         F.col(id_col),
-        F.col("lang").alias("actual_lang"),
+        # actual_lang only when the frame carries it (the fixture
+        # documents table does); the API is otherwise fully
+        # parameterized and a hardcoded column crashed any other frame
+        # (review round 12)
+        *(
+            [F.col("lang").alias("actual_lang")]
+            if "lang" in df.columns
+            else []
+        ),
         *[
             sum(_count_word(F.col(text_col), m) for m in markers)
             .cast("bigint")
@@ -89,23 +97,29 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     tokens, word/punctuation tokens, and a BPE-ish piece count (greedy
     <=4-char alpha chunks + single digits + punctuation — a portable
     approximation of subword tokenizer piece counts for cost
-    estimation). All regex counting, one map stage, regexes chosen to
-    behave identically under Java regex and RE2."""
+    estimation). All regex counting, one map stage. Whitespace is an
+    EXPLICIT class, never \\s: Java's \\s includes vertical tab
+    (\\x0B), RE2's does not, so the shorthand silently diverged the
+    engines on \\x0B input (review round 12) — [ \\t\\n\\r\\f]
+    means the same thing on both."""
     t = F.col(text_col)
+    _ws = " \\t\\n\\r\\f"
+    word_re = f"[A-Za-z0-9]+|[^A-Za-z0-9{_ws}]"
+    bpe_re = f"[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9{_ws}]"
     return df.select(
         F.col(id_col),
         F.size(F.split(t, " ")).cast("bigint").alias("n_ws_tokens"),
-        F.regexp_count(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+        F.regexp_count(t, F.lit(word_re))
         .cast("bigint")
         .alias("n_word_tokens"),
-        F.regexp_count(t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))
+        F.regexp_count(t, F.lit(bpe_re))
         .cast("bigint")
         .alias("n_bpe_pieces"),
         F.round(
             F.length(t)
             * 1.0
             / F.greatest(
-                F.regexp_count(t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")),
+                F.regexp_count(t, F.lit(bpe_re)),
                 F.lit(1),
             ),
             4,
