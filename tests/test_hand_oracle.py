@@ -1027,3 +1027,235 @@ def test_hand_containment_boilerplate_recall(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "dedup_containment_asymmetric", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_sample_hash_topk(spark, tmp_path):
+    """Expected order derived INDEPENDENTLY via hashlib (python's md5 of
+    the decimal-string id — the exact bytes both engines hash): 7 'en'
+    docs keep exactly the 5 smallest hex digests; 2 'fr' docs keep both
+    (k larger than the group). The doc_id tiebreak never fires (no md5
+    collisions in a 9-doc fixture)."""
+    import hashlib
+
+    docs = [(i, f"text {i}", "s") for i in range(1, 10)]
+    tbl = _documents(docs)
+    langs = ["en"] * 7 + ["fr"] * 2
+    tbl = tbl.set_column(2, "lang", pa.array(langs, pa.string()))
+    d = _mk_sf(tmp_path, documents=tbl)
+
+    def h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    en = sorted(range(1, 8), key=lambda i: (h(i), i))[:5]
+    fr = sorted(range(8, 10), key=lambda i: (h(i), i))
+    hand = [("en", rk + 1, i) for rk, i in enumerate(en)]
+    hand += [("fr", rk + 1, i) for rk, i in enumerate(fr)]
+    got_spark, got_ora = _run_both(spark, "sample_hash_topk_per_group", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_rolling_median_cents(spark, tmp_path):
+    """One customer, three orders; k2 and k3 share a date so the
+    (od, o_orderkey) tiebreak fixes frame order k1, k2, k3 with cents
+    100, 301, 200 (3.01*100 = 300.999... must ROUND to 301, not floor):
+
+      k1: frame [100]            -> 100.0, n=1
+      k2: frame [100,301]        -> even count, (100+301)/2 = 200.5, n=2
+      k3: frame [100,301,200]    -> sorted [100,200,301], median 200.0
+    """
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_totalprice": pa.array([1.00, 3.01, 2.00], pa.float64()),
+        "o_orderdate": pa.array(
+            [_ts("2024-01-01"), _ts("2024-01-02"), _ts("2024-01-02")],
+            pa.timestamp("us"),
+        ),
+    })
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [(1, 1, 100.0, 1), (1, 2, 200.5, 2), (1, 3, 200.0, 3)]
+    got_spark, got_ora = _run_both(spark, "window_rolling_median_cents", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_binary_decay_smoothing(spark, tmp_path):
+    """Calendar-gap decay with the 31-day reach boundary pinned:
+
+    'view':  Jan1 x2, Jan2 x1, Feb15 x4 (44-day gap, OUTSIDE reach)
+      Jan1  -> 2.0 ; Jan2 -> 1 + 2*0.5 = 2.0 ; Feb15 -> 4.0 (no carry)
+    'click': Jan1 x3, Jan31 x1 (gap EXACTLY 30 -> included at 2^-30)
+      Jan31 -> 1 + 3*2^-30  (exact in doubles; computed independently
+      below as 1 + 3*(0.5**30))
+    """
+    rows = []
+    eid = 0
+    for day, n, typ in [
+        ("2024-01-01", 2, "view"), ("2024-01-02", 1, "view"),
+        ("2024-02-15", 4, "view"),
+        ("2024-01-01", 3, "click"), ("2024-01-31", 1, "click"),
+    ]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, _ts(day + "T12:00:00"), 1, typ, 1.0))
+    d = _mk_sf(tmp_path, events=_events(rows))
+    dt_ = dt.date
+    hand = [
+        ("click", dt_(2024, 1, 1), 3, 3.0),
+        ("click", dt_(2024, 1, 31), 1, 1.0 + 3.0 * (0.5 ** 30)),
+        ("view", dt_(2024, 1, 1), 2, 2.0),
+        ("view", dt_(2024, 1, 2), 1, 2.0),
+        ("view", dt_(2024, 2, 15), 4, 4.0),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_binary_decay_smoothing", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_cohort_retention(spark, tmp_path):
+    """Linear month index ym = year*12 + month (2024-01 -> 24289).
+
+    c1: Jan 10.00 ; Mar 2.00 + 3.00  -> cohort 24289
+      (24289, offset 0): 1 active, 1000 cents
+      (24289, offset 2): 1 active, 500 cents (both March orders)
+    c2: Feb 7.00 -> (24290, 0): 1 active, 700
+    """
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "o_totalprice": pa.array([10.0, 2.0, 3.0, 7.0], pa.float64()),
+        "o_orderdate": pa.array(
+            [_ts("2024-01-15"), _ts("2024-03-01"), _ts("2024-03-20"),
+             _ts("2024-02-10")],
+            pa.timestamp("us"),
+        ),
+    })
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [
+        (24289, 0, 1, 1000),
+        (24289, 2, 1, 500),
+        (24290, 0, 1, 700),
+    ]
+    got_spark, got_ora = _run_both(spark, "orders_cohort_retention", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_audience_overlap(spark, tmp_path):
+    """Distinct collapse + truncating basis points + absent zero-overlap
+    pairs:
+
+    A users {1,2,3} (u1 twice -> distinct), B {2,3,4,5}, C {9},
+    D {7,8}, E {8,9}. A/C, A/D, A/E, B/C, B/D, B/E, C/D share no user
+    -> NO output row for any of them.
+      (A,B): both {2,3}=2, union 3+4-2=5 -> 20000//5 = 4000 bp
+      (C,E): both {9}=1,  union 1+2-1=2 -> 10000//2 = 5000 bp
+      (D,E): both {8}=1,  union 2+2-1=3 -> 10000//3 = 3333 bp (trunc)
+    """
+    rows = []
+    eid = 0
+    for typ, users in [("A", [1, 1, 2, 3]), ("B", [2, 3, 4, 5]),
+                       ("C", [9]), ("D", [7, 8]), ("E", [8, 9])]:
+        for u in users:
+            eid += 1
+            rows.append((eid, _ts("2024-01-01T00:00:00"), u, typ, 1.0))
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [
+        ("A", "B", 2, 3, 4, 4000),
+        ("C", "E", 1, 1, 2, 5000),
+        ("D", "E", 1, 2, 2, 3333),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_audience_overlap", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_wow_top_movers(spark, tmp_path):
+    """Monday-start weeks + the floor-vs-truncate trap on negative
+    percent change:
+
+    V: Jan1(Mon) + Jan7(Sun) -> week Jan1 cnt 2 (Sunday belongs to the
+       PRECEDING Monday week); Jan8 x5 -> week Jan8; Jan15 x1.
+      w2: delta +3, 30000 DIV 2 = 15000 ; w3: delta -4, -40000 DIV 5 = -8000
+    W: week Jan1 x3, week Jan8 x2 -> delta -1, -10000/3 = -3333.33 ->
+       TRUNCATES to -3333 (floor division would give -3334).
+    Rank by abs(delta) desc: V w3 (4), V w2 (3), W w2 (1).
+    """
+    rows = []
+    eid = 0
+    for day, n, typ in [
+        ("2024-01-01", 1, "V"), ("2024-01-07", 1, "V"),
+        ("2024-01-08", 5, "V"), ("2024-01-15", 1, "V"),
+        ("2024-01-02", 3, "W"), ("2024-01-09", 2, "W"),
+    ]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, _ts(day + "T10:00:00"), 1, typ, 1.0))
+    d = _mk_sf(tmp_path, events=_events(rows))
+    dt_ = dt.date
+    hand = [
+        ("V", dt_(2024, 1, 15), 1, 5, -4, -8000),
+        ("V", dt_(2024, 1, 8), 5, 2, 3, 15000),
+        ("W", dt_(2024, 1, 8), 2, 3, -1, -3333),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_wow_top_movers", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_quality_profile(spark, tmp_path):
+    """NULLs counted per column; numeric min/max computed numerically
+    BEFORE stringification (string-min of {1,2,3} and {10,20} would be
+    '1' and '10' regardless — the 9-vs-10 trap needs 2-digit ids):
+
+      k {1,2,3}: 0 nulls, 3 distinct, '1'/'3'
+      c {10,10,20}: 0 nulls, 2 distinct, '10'/'20'
+      status {'O',NULL,'F'}: 1 null, 2 distinct, 'F'/'O'
+      priority {'1-URGENT','2-HIGH',NULL}: 1 null, 2 distinct
+    """
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 10, 20], pa.int64()),
+        "o_orderstatus": pa.array(["O", None, "F"], pa.string()),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", None], pa.string()),
+    })
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [
+        ("o_custkey", 3, 0, 2, "10", "20"),
+        ("o_orderkey", 3, 0, 3, "1", "3"),
+        ("o_orderpriority", 3, 1, 2, "1-URGENT", "2-HIGH"),
+        ("o_orderstatus", 3, 1, 2, "F", "O"),
+    ]
+    got_spark, got_ora = _run_both(spark, "quality_profile_columns", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_bm25_rank(spark, tmp_path):
+    """Scores recomputed INDEPENDENTLY below with math.log (k1=1.2,
+    b=0.75). Corpus: doc1 'spark spark merge' (dl 3), doc2 'spark x y z'
+    (dl 4), doc3 'x y' (dl 2, no query terms -> absent from output),
+    doc4 NULL (absent everywhere, excluded from N and avgdl).
+
+      N=3, avgdl=(3+4+2)/3=3.0 ; df: spark=2, merge=1
+      doc1 = ln(1.6)*2*2.2/(2+1.2) + ln(1+2.5/1.5)*1*2.2/(1+1.2)
+      doc2 = ln(1.6)*1*2.2/(1+1.2*(0.25+0.75*4/3))
+    """
+    import math
+
+    docs = [(1, "spark spark merge", "s"), (2, "spark x y z", "s"),
+            (3, "x y", "s"), (4, None, "s")]
+    d = _mk_sf(tmp_path, documents=_documents(docs))
+    idf_spark = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    idf_merge = math.log(1.0 + (3.0 - 1 + 0.5) / (1 + 0.5))
+    s1 = (idf_spark * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+          + idf_merge * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 3.0)))
+    s2 = idf_spark * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 4 / 3.0))
+    hand = sorted(
+        [(1, math.floor(s1 * 1e6)), (2, math.floor(s2 * 1e6))],
+        key=lambda r: (-r[1], r[0]),
+    )
+    got_spark, got_ora = _run_both(spark, "text_bm25_rank", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

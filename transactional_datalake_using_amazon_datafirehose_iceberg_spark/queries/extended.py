@@ -5997,6 +5997,530 @@ FROM events GROUP BY event_type ORDER BY event_type
 ))
 
 
+# --- round-13 lane, continuation batch (built in the r12 continuation
+# session): sampling, robust windows, decay smoothing, cohorts, overlap,
+# movers, profiling, ranking ---
+
+
+def _hash_sample_build(spark, sf):
+    d = spark.table("documents")
+    # md5 over the STRING form of the id: identical bytes and identical
+    # lowercase-hex ordering on both engines — a deterministic,
+    # engine-portable "random" order. At cluster scale this is the
+    # consistent-sampling idiom (no RAND(), no driver state): one
+    # window shuffle on lang, k rows kept per group.
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", F.col("rk").cast("int").alias("rk"), "doc_id")
+        .orderBy(F.asc_nulls_first("lang"), "rk")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="sample_hash_topk_per_group",
+    doc="Deterministic per-group sampling: k=5 documents per language, "
+        "chosen by md5(doc_id) order — the consistent-hash sampling "
+        "idiom for reproducible training-data draws (same sample on "
+        "every engine, every run, any partitioning; no RAND seed "
+        "drift). One window shuffle; doc_id tiebreak pins hash "
+        "collisions.",
+    tags=("llm", "sampling", "window"),
+    build=_hash_sample_build,
+    oracle="""
+SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 5
+ORDER BY lang NULLS FIRST, rk
+""",
+))
+
+
+def _roll_median_build(spark, sf):
+    o = spark.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    # exact interpolated median over a trailing 7-row frame: Spark's
+    # percentile() as a window aggregate vs DuckDB quantile_cont —
+    # even-count frames average the two middles, an exact double for
+    # integer cents. Full (od, o_orderkey) tiebreak keeps the frame
+    # contents identical across engines.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("percentile(cents, 0.5)").over(w)
+            .cast("double")
+            .alias("roll_median_cents"),
+            F.count(F.lit(1)).over(w).cast("int").alias("n_in_frame"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="window_rolling_median_cents",
+    doc="Rolling EXACT median (robust smoothing) of a customer's last 7 "
+        "order totals: percentile(0.5) as a sliding window aggregate — "
+        "the outlier-resistant counterpart to window_moving_avg. "
+        "Integer cents make the interpolated midpoint an exact double "
+        "on both engines.",
+    tags=("window", "analytics"),
+    build=_roll_median_build,
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5)
+            OVER w AS DOUBLE) AS roll_median_cents,
+       CAST(COUNT(*) OVER w AS INT) AS n_in_frame
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""",
+))
+
+
+def _decay_build(spark, sf):
+    ev = spark.table("events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a, b = daily.alias("a"), daily.alias("b")
+    # banded self-join on the DAILY aggregate (date x type scale — tiny
+    # relative to raw events at any SF), 31-day reach. alpha = 1/2 with
+    # integer counts makes every term an exact multiple of 2^-30, so the
+    # sum is bit-identical on both engines regardless of order.
+    j = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") <= F.col("a.d"))
+        & (F.col("b.d") >= F.date_sub(F.col("a.d"), 30)),
+    )
+    return (
+        j.groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.d").alias("d"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("b.d") == F.col("a.d"), F.col("b.cnt"))
+            ).cast("bigint").alias("cnt"),
+            F.sum(
+                F.col("b.cnt")
+                * F.pow(F.lit(0.5), F.datediff(F.col("a.d"), F.col("b.d")))
+            ).cast("double").alias("smoothed"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="events_binary_decay_smoothing",
+    doc="Exponentially-decayed daily event volume (EWMA shape, alpha = "
+        "1/2, truncated at 31 calendar days): banded self-join over the "
+        "daily pre-aggregate with power(0.5, day_gap) weights. Binary "
+        "decay over integer counts is EXACT in IEEE doubles (every term "
+        "a multiple of 2^-30), so no rounding tolerance is needed — "
+        "calendar-gap decay, not row-lag decay, so sparse days decay "
+        "honestly.",
+    tags=("events", "timeseries", "join"),
+    build=_decay_build,
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.d,
+       CAST(MAX(CASE WHEN b.d = a.d THEN b.cnt END) AS BIGINT) AS cnt,
+       CAST(SUM(b.cnt * power(0.5, date_diff('day', b.d, a.d)))
+            AS DOUBLE) AS smoothed
+FROM daily a
+JOIN daily b
+  ON b.event_type = a.event_type AND b.d <= a.d AND b.d >= a.d - 30
+GROUP BY 1, 2
+ORDER BY a.event_type, a.d
+""",
+))
+
+
+def _cohort_build(spark, sf):
+    o = spark.table("orders").select(
+        "o_custkey",
+        (F.year(F.to_date("o_orderdate")) * 12
+         + F.month(F.to_date("o_orderdate"))).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # cohort month via a window MIN over custkey — ONE shuffle keyed on
+    # the customer, no aggregate+self-join round trip
+    wc = Window.partitionBy("o_custkey")
+    j = o.withColumn("cohort_ym", F.min("ym").over(wc))
+    return (
+        j.groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset")
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            F.col("cohort_ym").cast("int").alias("cohort_ym"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+            "n_active",
+            "revenue_cents",
+        )
+        .orderBy("cohort_ym", "month_offset")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="orders_cohort_retention",
+    doc="Cohort revenue-retention triangle: customers bucketed by "
+        "first-order month (linear year*12+month index — no months_"
+        "between float), then active-customer count and revenue cents "
+        "per (cohort, month offset). Cohort assignment is a window MIN "
+        "over the custkey partition — one shuffle, no self-join.",
+    tags=("agg", "window", "analytics"),
+    build=_cohort_build,
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) AS ym,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+j AS (
+  SELECT *, MIN(ym) OVER (PARTITION BY o_custkey) AS cohort_ym FROM o
+)
+SELECT CAST(cohort_ym AS INT) AS cohort_ym,
+       CAST(ym - cohort_ym AS INT) AS month_offset,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1, 2 ORDER BY cohort_ym, month_offset
+""",
+))
+
+
+def _overlap_build(spark, sf):
+    e = spark.table("events").select("event_type", "user_id").distinct()
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    # per-type audience sizes are event_type-cardinality rows: broadcast
+    r = both.join(
+        F.broadcast(per.select(F.col("event_type").alias("type_a"),
+                               F.col("n_users").alias("n_a"))),
+        "type_a",
+    ).join(
+        F.broadcast(per.select(F.col("event_type").alias("type_b"),
+                               F.col("n_users").alias("n_b"))),
+        "type_b",
+    )
+    return (
+        r.select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.expr(
+                "CAST((10000 * n_both) DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_STAGED_R13.append(QuerySpec(
+    name="events_audience_overlap",
+    doc="Pairwise audience overlap across event types: exact distinct-"
+        "user Jaccard per type pair (n_both / union, integer basis "
+        "points via DIV — no float division). Self-join on the "
+        "DISTINCT (type, user) projection keyed by user; audience "
+        "sizes broadcast back. The exact counterpart to the HLL/bitmap "
+        "sketch tiers.",
+    tags=("events", "join", "analytics"),
+    build=_overlap_build,
+    oracle="""
+WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM e GROUP BY 1),
+ov AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, pa.n_users AS n_a, pb.n_users AS n_b,
+       CAST((10000 * n_both) // (pa.n_users + pb.n_users - n_both)
+            AS BIGINT) AS jaccard_bp
+FROM ov
+JOIN per pa ON pa.event_type = type_a
+JOIN per pb ON pb.event_type = type_b
+ORDER BY type_a, type_b
+""",
+))
+
+
+def _wow_build(spark, sf):
+    ev = spark.table("events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    d = (
+        weekly.withColumn("prev_cnt", F.lag("cnt").over(w))
+        # lag = previous OBSERVED week (documented; the weekly
+        # pre-aggregate has no gap weeks in this corpus)
+        .filter(F.col("prev_cnt").isNotNull())
+        .select(
+            "event_type",
+            "wk",
+            "cnt",
+            "prev_cnt",
+            (F.col("cnt") - F.col("prev_cnt")).alias("delta"),
+            F.expr(
+                "CAST((10000 * (cnt - prev_cnt)) DIV prev_cnt AS BIGINT)"
+            ).alias("pct_bp"),
+        )
+    )
+    return d.orderBy(
+        F.abs(F.col("delta")).desc(), "event_type", "wk"
+    ).limit(50)
+
+
+_STAGED_R13.append(QuerySpec(
+    name="events_wow_top_movers",
+    doc="Week-over-week top movers: weekly event volume per type "
+        "(Monday-start date_trunc on both engines), LAG against the "
+        "previous observed week, ranked by absolute delta with full "
+        "tiebreaks. Change in integer counts and DIV basis points — "
+        "the anomaly-triage counterpart to the z-score spec.",
+    tags=("events", "window", "analytics"),
+    build=_wow_build,
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, wk, cnt,
+         LAG(cnt) OVER (PARTITION BY event_type ORDER BY wk) AS prev_cnt
+  FROM weekly
+)
+SELECT event_type, wk, cnt, prev_cnt,
+       cnt - prev_cnt AS delta,
+       -- trunc-toward-zero to match Spark's DIV (DuckDB // floors,
+       -- which diverges on negative deltas); the double quotient of
+       -- these magnitudes is >= 2^-20 away from any non-exact integer,
+       -- so trunc() is exact
+       CAST(trunc((10000.0 * (cnt - prev_cnt)) / prev_cnt) AS BIGINT)
+         AS pct_bp
+FROM d WHERE prev_cnt IS NOT NULL
+ORDER BY abs(cnt - prev_cnt) DESC, event_type, wk
+LIMIT 50
+""",
+))
+
+
+def _profile_build(spark, sf):
+    o = spark.table("orders")
+    # ONE scan: all 17 metrics in a single agg (the 4 distinct
+    # aggregates share one Expand), then the 1-row result reshaped to
+    # long form with stack(). Numeric min/max are computed numerically
+    # and stringified AFTER ("10" < "9" would corrupt a string-typed
+    # min); bigint->string renders identically on both engines.
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("nn1"),
+        F.countDistinct("o_orderkey").alias("nd1"),
+        F.min("o_orderkey").alias("mn1"),
+        F.max("o_orderkey").alias("mx1"),
+        F.count("o_custkey").alias("nn2"),
+        F.countDistinct("o_custkey").alias("nd2"),
+        F.min("o_custkey").alias("mn2"),
+        F.max("o_custkey").alias("mx2"),
+        F.count("o_orderstatus").alias("nn3"),
+        F.countDistinct("o_orderstatus").alias("nd3"),
+        F.min("o_orderstatus").alias("mn3"),
+        F.max("o_orderstatus").alias("mx3"),
+        F.count("o_orderpriority").alias("nn4"),
+        F.countDistinct("o_orderpriority").alias("nd4"),
+        F.min("o_orderpriority").alias("mn4"),
+        F.max("o_orderpriority").alias("mx4"),
+    )
+    return a.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey',      n_rows, n_rows - nn2, nd2, CAST(mn2 AS STRING), CAST(mx2 AS STRING), "
+            "'o_orderkey',     n_rows, n_rows - nn1, nd1, CAST(mn1 AS STRING), CAST(mx1 AS STRING), "
+            "'o_orderpriority',n_rows, n_rows - nn4, nd4, mn4, mx4, "
+            "'o_orderstatus',  n_rows, n_rows - nn3, nd3, mn3, mx3"
+            ") AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("col_name")
+
+
+_STAGED_R13.append(QuerySpec(
+    name="quality_profile_columns",
+    doc="Data-quality column profile of the orders table (the "
+        "expectation-audit primitive of a curation pipeline): per-"
+        "column row/null/exact-distinct counts plus min/max, computed "
+        "in ONE scan (a single multi-distinct agg sharing one Expand) "
+        "and reshaped to long form driver-cheap with stack() over the "
+        "1-row aggregate.",
+    tags=("agg", "quality"),
+    build=_profile_build,
+    oracle="""
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+         MIN(o_orderkey) AS mn1, MAX(o_orderkey) AS mx1,
+         COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+         MIN(o_custkey) AS mn2, MAX(o_custkey) AS mx2,
+         COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+         MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+         COUNT(o_orderpriority) AS nn4, COUNT(DISTINCT o_orderpriority) AS nd4,
+         MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4
+  FROM orders
+)
+SELECT 'o_custkey' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows - nn2 AS BIGINT) AS n_nulls, CAST(nd2 AS BIGINT) AS n_distinct,
+       CAST(mn2 AS VARCHAR) AS min_val, CAST(mx2 AS VARCHAR) AS max_val FROM a
+UNION ALL
+SELECT 'o_orderkey', CAST(n_rows AS BIGINT), CAST(n_rows - nn1 AS BIGINT),
+       CAST(nd1 AS BIGINT), CAST(mn1 AS VARCHAR), CAST(mx1 AS VARCHAR) FROM a
+UNION ALL
+SELECT 'o_orderpriority', CAST(n_rows AS BIGINT), CAST(n_rows - nn4 AS BIGINT),
+       CAST(nd4 AS BIGINT), mn4, mx4 FROM a
+UNION ALL
+SELECT 'o_orderstatus', CAST(n_rows AS BIGINT), CAST(n_rows - nn3 AS BIGINT),
+       CAST(nd3 AS BIGINT), mn3, mx3 FROM a
+ORDER BY col_name
+""",
+))
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_build(spark, sf):
+    docs = spark.table("documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # corpus stats are two scalars: inline as literals (same shape as
+    # the RFM global max). avgdl = exact-int sum / exact-int count in
+    # one IEEE double division — bit-identical to the oracle's.
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(st["n"]), float(st["s"]) / float(st["n"])
+    tf = (
+        tok.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    # per-(doc, term) score; the term-df relation is 3 rows -> broadcast
+    j = tf.join(F.broadcast(df_t), "tok").join(dl, "doc_id")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / denom
+    scored = j.groupBy("doc_id").agg(
+        F.floor(F.sum(contrib) * 1e6).cast("bigint").alias("score_e6")
+    )
+    return (
+        scored.orderBy(F.col("score_e6").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "score_e6")
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.tok
+  FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS t(tok)
+  WHERE text IS NOT NULL AND t.tok <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+st AS (SELECT COUNT(*) AS n, SUM(dl) AS s FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+       WHERE tok IN ({terms}) GROUP BY 1, 2),
+dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+j AS (
+  SELECT tf.doc_id, tf.tf, dft.df, dl.dl,
+         CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS avgdl,
+         CAST(st.n AS DOUBLE) AS n_docs
+  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+)
+SELECT doc_id,
+       CAST(FLOOR(SUM(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * tf * {_BM25_K1 + 1.0}
+         / (tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl))
+       ) * 1e6) AS BIGINT) AS score_e6
+FROM j GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id
+LIMIT 20
+"""
+
+
+_STAGED_R13.append(QuerySpec(
+    name="text_bm25_rank",
+    doc="BM25 relevance ranking over the documents corpus for a fixed "
+        "3-term query (k1=1.2, b=0.75): tokenize -> doc lengths -> "
+        "term frequencies -> 3-row document-frequency broadcast -> "
+        "per-term contributions summed per doc. Ranking on the 1e-6-"
+        "floored score with a doc_id tiebreak per the parity "
+        "conventions; corpus scalars (N, avgdl) are exact-int ratios "
+        "inlined as literals.",
+    tags=("llm", "text", "ranking"),
+    build=_bm25_build,
+    oracle=_bm25_oracle,
+))
+
+
 SPECS_NEXT = [s for s in _STAGED_R12 if s.name not in _DECLARE_R12] + list(
     _STAGED_R13
 )
