@@ -464,3 +464,44 @@ def test_probe_skip_rewrites_diff_as_no_change_in_changelog(spark, tmp_path):
     log = t.changelog(spark, v0, t.current_version())
     got = sorted((r["_change_type"], r["k"]) for r in log.collect())
     assert got == [("UPDATE_AFTER", 7), ("UPDATE_BEFORE", 7)]
+
+
+def test_scd2_delta_job_count_stays_single_shuffle(spark, tmp_path):
+    """The round-12 rewrite collapsed scd2_delta from three broadcast
+    exchanges + a double history evaluation (~16 driver-sequential jobs
+    per micro-batch delta) to one batch-key semi broadcast + one key
+    shuffle (~6 jobs including AQE stage materializations). Pin the job
+    count so the multi-broadcast shape cannot silently come back — at
+    micro-batch scale the driver round-trips ARE the latency."""
+    import datetime as dt
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.scd2 import (
+        scd2_delta,
+    )
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    hsch = T.StructType(sch.fields + [
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("is_current", T.IntegerType()),
+    ])
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    open_rows = spark.createDataFrame([(1, 10, t0, t0, None, 1)], hsch)
+    batch = spark.createDataFrame([(1, 11, t1), (2, 20, t1)], sch)
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None))
+    rows = scd2_delta(open_rows, batch, ["k"], "ts", "seq").collect()
+    jobs = len(st.getJobIdsForGroup(None)) - before
+    assert {(r["k"], r["seq"], r["is_current"]) for r in rows} == {
+        (1, 10, 0), (1, 11, 1), (2, 20, 1),
+    }
+    # 1 semi broadcast + shuffle-stage materializations + final collect;
+    # the old shape ran 14+ even on this 3-row fixture
+    assert jobs <= 9, (
+        f"scd2_delta ran {jobs} jobs for a 3-row micro-batch — the "
+        "single-shuffle shape regressed toward per-pass broadcast builds"
+    )
