@@ -1259,3 +1259,153 @@ def test_hand_bm25_rank(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "text_bm25_rank", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_char_entropy(spark, tmp_path):
+    """H = log2(N) - sum(c log2 c)/N, recomputed with math.log2:
+
+      'aaaa' -> log2(4) - 4*2/4 = 0.0      (1 distinct)
+      'ab'   -> 1.0                        (2 x p=1/2)
+      'abcd' -> 2.0                        (4 x p=1/4)
+      'aab'  -> log2(3) - (2*1 + 0)/3 = 0.918296 (rounded to 6)
+      NULL and '' docs are absent (no distribution to measure).
+    """
+    import math
+
+    docs = [(1, "aaaa", "s"), (2, "ab", "s"), (3, "abcd", "s"),
+            (4, "aab", "s"), (5, None, "s"), (6, "", "s")]
+    d = _mk_sf(tmp_path, documents=_documents(docs))
+    h_aab = round(math.log2(3) - (2 * math.log2(2) + 1 * math.log2(1)) / 3, 6)
+    hand = [
+        (1, 4, 1, 0.0),
+        (2, 2, 2, 1.0),
+        (3, 4, 4, 2.0),
+        (4, 3, 2, h_aab),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_char_entropy", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_active_time_union(spark, tmp_path):
+    """5-minute intervals, merge overlapping OR touching:
+
+    u1: 00:00, 00:02 (overlap), 00:10 (gap: prev max end 00:07 < 00:10)
+        -> [00:00,00:07) 420s + [00:10,00:15) 300s = 720s, 2 sessions
+    u2: 00:00, 00:05 EXACTLY touching (s == prev max end -> NOT s > pmax
+        -> merged) -> [00:00,00:10) = 600s, 1 session
+    u3: one event -> 300s
+    """
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-01T00:02:00"), 1, "view", 1.0),
+        (3, _ts("2024-01-01T00:10:00"), 1, "view", 1.0),
+        (4, _ts("2024-01-01T00:00:00"), 2, "view", 1.0),
+        (5, _ts("2024-01-01T00:05:00"), 2, "view", 1.0),
+        (6, _ts("2024-01-01T00:00:00"), 3, "view", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [(1, 2, 720), (2, 1, 600), (3, 1, 300)]
+    got_spark, got_ora = _run_both(spark, "events_active_time_union", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_mad_dispersion(spark, tmp_path):
+    """Odd group: cents {100,200,400} -> median 200, |dev| {100,0,200}
+    -> MAD 100. Even group: {100,200,300,1000} -> median 250 (exact
+    interpolated half), |dev| {150,50,50,750} -> sorted {50,50,150,750}
+    -> MAD (50+150)/2 = 100.
+    """
+    orders = pa.table({
+        "o_orderkey": pa.array(list(range(1, 8)), pa.int64()),
+        "o_totalprice": pa.array(
+            [1.00, 2.00, 4.00, 1.00, 2.00, 3.00, 10.00], pa.float64()
+        ),
+        "o_orderpriority": pa.array(
+            ["1-ODD"] * 3 + ["2-EVEN"] * 4, pa.string()
+        ),
+    })
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [
+        ("1-ODD", 3, 200.0, 100.0),
+        ("2-EVEN", 4, 250.0, 100.0),
+    ]
+    got_spark, got_ora = _run_both(spark, "orders_mad_dispersion", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_quantized_centroids(spark, tmp_path):
+    """x64 quantization and scale-free L1:
+
+    label 0: v1 [1.0, -0.5] -> q [64, -32]; v2 [0.5, 0.5] -> q [32, 32]
+      centroid sums s = [96, 0], n = 2
+      d1 = |64*2-96| + |-64-0| = 32 + 64 = 96 ; d2 = |64-96| + |64-0| = 96
+      -> l1n_sum 192, l1n_avg 96
+    label 1: v3 [1/128, -1/128] -> v*64 = +-0.5 EXACTLY -> rounds away
+      from zero to [1, -1] on both engines; single vector -> distance 0
+    """
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (1, [1.0, -0.5], 0),
+        (2, [0.5, 0.5], 0),
+        (3, [0.0078125, -0.0078125], 1),
+    ]))
+    hand = [(0, 2, 192, 96), (1, 1, 0, 0)]
+    got_spark, got_ora = _run_both(spark, "embedding_quantized_centroids", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_conversion_latency(spark, tmp_path):
+    """Quartiles over integer microsecond latencies {0, 1e6, 10e6}
+    (linear interpolation at idx q*(n-1)):
+
+    u1 view@t0 purchase@t0+10s -> 10e6 ; u2 -> 1e6
+    u3 purchase BEFORE first view -> excluded ; u4 view only -> excluded
+    u5 purchase at the SAME us as view -> 0 (>= boundary included)
+    p25: idx 0.5 -> 500000.0 ; p50 -> 1e6 ; p75: idx 1.5 -> 5.5e6
+    """
+    t0 = _ts("2024-01-01T00:00:00")
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, _ts("2024-01-01T00:00:10"), 1, "purchase", 1.0),
+        (3, t0, 2, "view", 1.0),
+        (4, _ts("2024-01-01T00:00:01"), 2, "purchase", 1.0),
+        (5, t0, 3, "purchase", 1.0),
+        (6, _ts("2024-01-01T00:00:10"), 3, "view", 1.0),
+        (7, t0, 4, "view", 1.0),
+        (8, t0, 5, "view", 1.0),
+        (9, t0, 5, "purchase", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [(3, 500000.0, 1000000.0, 5500000.0)]
+    got_spark, got_ora = _run_both(
+        spark, "events_conversion_latency_quantiles", d
+    )
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_hhi_concentration(spark, tmp_path):
+    """Truncated-bp shares keep HHI integer and order-independent:
+
+    A: u1 x3, u2 x1 -> shares 7500, 2500 -> HHI 56250000 + 6250000
+       = 62500000, top 7500
+    B: 3 users x1 -> share 3333 each (truncated) -> HHI 3*3333^2
+       = 33326667, top 3333
+    """
+    rows = []
+    eid = 0
+    for typ, users in [("A", [1, 1, 1, 2]), ("B", [7, 8, 9])]:
+        for u in users:
+            eid += 1
+            rows.append((eid, _ts("2024-01-01T00:00:00"), u, typ, 1.0))
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [
+        ("A", 2, 62500000, 7500),
+        ("B", 3, 3 * 3333 * 3333, 3333),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_hhi_concentration", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

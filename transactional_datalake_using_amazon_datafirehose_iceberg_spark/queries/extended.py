@@ -6521,6 +6521,400 @@ _STAGED_R13.append(QuerySpec(
 ))
 
 
-SPECS_NEXT = [s for s in _STAGED_R12 if s.name not in _DECLARE_R12] + list(
-    _STAGED_R13
+# ---------------------------------------------------------------------------
+# Round-14 staging lane: built ahead in the round-12 continuation so the
+# declaration cadence never starves; declared after the r13 lane rotates
+# through.
+# ---------------------------------------------------------------------------
+_STAGED_R14: list[QuerySpec] = []
+
+
+def _entropy_build(spark, sf):
+    # length >= 1 on BOTH engines: Spark's sequence(1, 0) DESCENDS (the
+    # repetition_metrics trap), and a 0-char doc has no distribution
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " i -> substring(text, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            # H = log2(N) - sum(c*log2 c)/N — one pass, no p_c division
+            # per class; round(6) far above the 1-ulp cross-engine noise
+            # of a <=100-term transcendental sum (log2 values never sit
+            # on a rounding boundary)
+            F.round(
+                F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="text_char_entropy",
+    doc="Per-document Shannon character entropy (bits/char) — the "
+        "classic gibberish/minified-content quality signal: natural "
+        "prose sits ~4 bits, base64 blobs and repeated padding sit far "
+        "above/below. Character explode -> one count aggregate -> the "
+        "single-pass H = log2(N) - sum(c log2 c)/N identity.",
+    tags=("llm", "text", "quality"),
+    build=_entropy_build,
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, substring(text, CAST(u.i AS INT), 1) AS ch
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+  WHERE text IS NOT NULL AND length(text) >= 1
+),
+cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits
+FROM cc GROUP BY doc_id ORDER BY doc_id
+""",
+))
+
+
+def _active_union_build(spark, sf):
+    ev = spark.table("events").select(
+        "user_id", F.unix_micros("ts").alias("s")
+    ).withColumn("e", F.col("s") + F.lit(300_000_000))
+    # merge overlapping-or-touching [ts, ts+5min) intervals per user —
+    # gaps-and-islands on the running max end; total covered time is
+    # NOT n_events * 5min whenever activity clusters
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        ev.withColumn("__pmax", F.max("e").over(w_prev))
+        .withColumn(
+            "__new",
+            (F.col("__pmax").isNull() | (F.col("s") > F.col("__pmax"))).cast(
+                "int"
+            ),
+        )
+        .withColumn("__g", F.sum("__new").over(w_run))
+        .groupBy("user_id", "__g")
+        .agg(F.min("s").alias("st"), F.max("e").alias("en"))
+    )
+    return (
+        isl.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.col("en") - F.col("st")).cast("bigint").alias("active_us"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            F.expr("active_us div 1000000").cast("bigint").alias("active_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="events_active_time_union",
+    doc="Total active time per user as the UNION of overlapping 5-minute "
+        "activity intervals (one per event): merge overlapping-or-"
+        "touching intervals via the running-max-end gaps-and-islands "
+        "pass, then sum covered microseconds — the honest engaged-time "
+        "metric double-counted by naive n_events * window. Integer "
+        "epoch-microsecond arithmetic throughout.",
+    tags=("events", "window", "analytics"),
+    build=_active_union_build,
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+),
+mk AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM iv
+),
+flg AS (
+  SELECT user_id, s, e,
+         CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS new
+  FROM mk
+),
+grp AS (
+  SELECT user_id, s, e,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS g
+  FROM flg
+),
+isl AS (
+  SELECT user_id, g, MIN(s) AS st, MAX(e) AS en
+  FROM grp GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(en - st) // 1000000 AS BIGINT) AS active_sec
+FROM isl GROUP BY user_id ORDER BY user_id
+""",
+))
+
+
+def _mad_build(spark, sf):
+    o = spark.table("orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # group median attached as an unordered window aggregate — no
+    # aggregate+self-join round trip; the deviation median is then one
+    # plain group aggregate. Integer cents make both interpolated
+    # medians exact doubles.
+    w = Window.partitionBy("o_orderpriority")
+    dev = o.withColumn(
+        "m", F.expr("percentile(cents, 0.5)").over(w)
+    ).withColumn("ad", F.abs(F.col("cents") - F.col("m")))
+    return (
+        dev.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.max("m").cast("double").alias("median_cents"),
+            F.expr("percentile(ad, 0.5)").cast("double").alias("mad_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="orders_mad_dispersion",
+    doc="Median absolute deviation of order totals per priority — the "
+        "robust dispersion companion to the rolling median: group "
+        "median via an unordered window (no self-join), |x - median| "
+        "re-aggregated with a second exact percentile. MAD is the "
+        "outlier-resistant sigma the z-score spec's stddev is not.",
+    tags=("agg", "window", "analytics"),
+    build=_mad_build,
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+dev AS (
+  SELECT o_orderpriority, cents,
+         quantile_cont(cents, 0.5)
+           OVER (PARTITION BY o_orderpriority) AS m
+  FROM o
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(m) AS DOUBLE) AS median_cents,
+       CAST(quantile_cont(abs(cents - m), 0.5) AS DOUBLE) AS mad_cents
+FROM dev GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+))
+
+
+def _qcent_build(spark, sf):
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    # x64 quantization: a power-of-two scale keeps v*64 EXACT for float
+    # inputs, so ROUND agrees bit-for-bit across engines (both round
+    # half away from zero)
+    q = e.select(
+        "vec_id", "label", "pos",
+        F.round(F.col("v") * 64).cast("bigint").alias("q"),
+    )
+    cent = q.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # centroid table is labels x dims (metadata scale) -> broadcast;
+    # |q*n - s| is the scale-free integer form of |q - mean| (both
+    # sides multiplied by n), so no float division enters the distance
+    j = q.join(F.broadcast(cent), ["label", "pos"])
+    dist = j.groupBy("vec_id", "label").agg(
+        F.sum(F.abs(F.col("q") * F.col("n") - F.col("s"))).alias("d"),
+        F.max("n").alias("n"),
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("d").cast("bigint").alias("l1n_sum"),
+            F.expr("sum(d) div count(*)").cast("bigint").alias("l1n_avg"),
+        )
+        .orderBy("label")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="embedding_quantized_centroids",
+    doc="Per-label centroid dispersion over x64-quantized embeddings: "
+        "element-wise integer centroid sums per (label, dim), then each "
+        "vector's scale-free L1 distance |q*n - s| summed per label — "
+        "the cluster-tightness diagnostic of an embedding space in "
+        "EXACT integer arithmetic (power-of-two scale keeps the float "
+        "quantization bit-identical across engines). Centroid table is "
+        "labels x dims, broadcast back.",
+    tags=("llm", "embedding", "agg"),
+    build=_qcent_build,
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(ROUND(UNNEST(embedding) * 64, 0) AS BIGINT) AS q
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, SUM(q) AS s, COUNT(*) AS n
+  FROM q GROUP BY 1, 2
+),
+dist AS (
+  SELECT q.vec_id, q.label,
+         SUM(abs(q.q * cent.n - cent.s)) AS d, MAX(cent.n) AS n
+  FROM q JOIN cent ON cent.label = q.label AND cent.pos = q.pos
+  GROUP BY 1, 2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(d) AS BIGINT) AS l1n_sum,
+       CAST(SUM(d) // COUNT(*) AS BIGINT) AS l1n_avg
+FROM dist GROUP BY label ORDER BY label
+""",
+))
+
+
+def _conv_latency_build(spark, sf):
+    e = spark.table("events")
+    per = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias(
+            "first_view_us"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase_us"),
+    )
+    lat = per.filter(
+        F.col("first_view_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_view_us"))
+    ).select(
+        (F.col("first_purchase_us") - F.col("first_view_us")).alias("lat_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr("percentile(lat_us, 0.25)").cast("double").alias("p25_us"),
+        F.expr("percentile(lat_us, 0.5)").cast("double").alias("p50_us"),
+        F.expr("percentile(lat_us, 0.75)").cast("double").alias("p75_us"),
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="events_conversion_latency_quantiles",
+    doc="First-view -> first-purchase conversion latency distribution: "
+        "per-user min timestamps in ONE conditional aggregate (no "
+        "self-join), users converting at-or-after their first view, "
+        "exact latency quartiles over integer microseconds (the "
+        "interpolated quartiles of integers are exact doubles).",
+    tags=("events", "agg", "analytics"),
+    build=_conv_latency_build,
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           AS first_view_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_purchase_us
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT first_purchase_us - first_view_us AS lat_us
+  FROM per
+  WHERE first_view_us IS NOT NULL AND first_purchase_us IS NOT NULL
+    AND first_purchase_us >= first_view_us
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(quantile_cont(lat_us, 0.25) AS DOUBLE) AS p25_us,
+       CAST(quantile_cont(lat_us, 0.50) AS DOUBLE) AS p50_us,
+       CAST(quantile_cont(lat_us, 0.75) AS DOUBLE) AS p75_us
+FROM lat
+""",
+))
+
+
+def _hhi_build(spark, sf):
+    cu = spark.table("events").groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type")
+    shares = cu.withColumn("tot", F.sum("c").over(w)).withColumn(
+        # per-user share in basis points, truncated (DIV) — truncation
+        # per term keeps the squared sum order-independent and integer
+        "share_bp", F.expr("(10000 * c) div tot")
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("share_bp") * F.col("share_bp"))
+            .cast("bigint")
+            .alias("hhi"),
+            F.max("share_bp").cast("bigint").alias("top_user_share_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="events_hhi_concentration",
+    doc="Herfindahl-Hirschman concentration of activity per event type: "
+        "per-user share of the type's volume in truncated basis points, "
+        "HHI = sum of squared shares (10^8 = one user owns the type, "
+        "~10^8/n = perfectly even) plus the top-user share — the "
+        "bot/whale-detection aggregate. All integer arithmetic.",
+    tags=("events", "agg", "analytics"),
+    build=_hhi_build,
+    oracle="""
+WITH cu AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+sh AS (
+  SELECT event_type,
+         (10000 * c) // SUM(c) OVER (PARTITION BY event_type) AS share_bp
+  FROM cu
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+       CAST(MAX(share_bp) AS BIGINT) AS top_user_share_bp
+FROM sh GROUP BY event_type ORDER BY event_type
+""",
+))
+
+
+SPECS_NEXT = (
+    [s for s in _STAGED_R12 if s.name not in _DECLARE_R12]
+    + list(_STAGED_R13)
+    + list(_STAGED_R14)
 )
