@@ -1409,3 +1409,47 @@ def test_hand_hhi_concentration(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "events_hhi_concentration", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_basket_lift(spark, tmp_path):
+    """Rule metrics in truncated bp, N = 4 baskets:
+
+    baskets: o1{10,20}, o2{10,20}, o3{10,30}, o4{20}
+    supports: n_10 = 3, n_20 = 3, n_30 = 1
+    pairs: (10,20) in 2 baskets (kept), (10,30) in 1 (support cut)
+    conf(10->20) = 20000 // 3 = 6666 bp
+    lift = (10000 * 2 * 4) // (3 * 3) = 80000 // 9 = 8888 bp
+    """
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 3, 4], pa.int64()),
+        "l_partkey": pa.array([10, 20, 10, 20, 10, 30, 20], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, lineitem=li)
+    hand = [(10, 20, 2, 3, 3, 6666, 8888)]
+    got_spark, got_ora = _run_both(spark, "orders_basket_lift", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_dow_seasonality(spark, tmp_path):
+    """Weekday mapping pinned cross-engine (Spark dayofweek Sunday=1;
+    DuckDB dayofweek Sunday=0, offset +1 in the oracle): 2024-01-01 is
+    a MONDAY (dow 2), 2024-01-07 a SUNDAY (dow 1).
+
+    V: Mon x3, Sun x1 -> tot 4: Mon share 30000//4 = 7500 (dev 6072),
+       Sun share 2500 (dev |2500-1428| = 1072)
+    """
+    rows = []
+    eid = 0
+    for day, n in [("2024-01-01", 3), ("2024-01-07", 1)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, _ts(day + "T12:00:00"), 1, "V", 1.0))
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [
+        ("V", 1, 1, 2500, 1072),
+        ("V", 2, 3, 7500, 6072),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_dow_seasonality", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

@@ -6913,6 +6913,139 @@ FROM sh GROUP BY event_type ORDER BY event_type
 ))
 
 
+def _basket_lift_build(spark, sf):
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()  # one scalar
+    per = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    # per-part support table is part-cardinality: broadcast both probes
+    r = pairs.join(
+        F.broadcast(per.select(F.col("l_partkey").alias("part_a"),
+                               F.col("n_p").alias("n_a"))),
+        "part_a",
+    ).join(
+        F.broadcast(per.select(F.col("l_partkey").alias("part_b"),
+                               F.col("n_p").alias("n_b"))),
+        "part_b",
+    )
+    return (
+        r.select(
+            "part_a", "part_b", "n_ab",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            # rule A->B confidence and lift in truncated basis points:
+            # conf = P(B|A), lift = P(AB)/(P(A)P(B)) — DIV keeps both
+            # integer-exact and order-independent
+            F.expr("(10000 * n_ab) DIV n_a").cast("bigint").alias("conf_bp"),
+            F.expr(f"(10000 * n_ab * {int(n_orders)}) DIV (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_bp"),
+        )
+        .orderBy(F.col("lift_bp").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="orders_basket_lift",
+    doc="Association rules over the basket pairs: confidence P(B|A) and "
+        "lift P(AB)/(P(A)P(B)) in truncated basis points for every pair "
+        "with support >= 2 — the rule-mining tier above "
+        "orders_market_basket_pairs' candidate generation. Per-part "
+        "supports broadcast; the basket total is one inlined scalar.",
+    tags=("agg", "join", "analytics"),
+    build=_basket_lift_build,
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+per AS (SELECT l_partkey, COUNT(*) AS n_p FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT part_a, part_b, n_ab,
+       CAST(pa.n_p AS BIGINT) AS n_a, CAST(pb.n_p AS BIGINT) AS n_b,
+       CAST((10000 * n_ab) // pa.n_p AS BIGINT) AS conf_bp,
+       CAST((10000 * n_ab * n.n_orders) // (pa.n_p * pb.n_p) AS BIGINT)
+         AS lift_bp
+FROM pairs
+JOIN per pa ON pa.l_partkey = part_a
+JOIN per pb ON pb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift_bp DESC, part_a, part_b
+LIMIT 50
+""",
+))
+
+
+def _dow_build(spark, sf):
+    ev = spark.table("events")
+    dw = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    shares = dw.withColumn("tot", F.sum("cnt").over(w)).withColumn(
+        "share_bp", F.expr("(10000 * cnt) DIV tot")
+    )
+    # L1 imbalance vs the uniform 1/7 profile (1428 bp), integer-exact
+    return (
+        shares.select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "cnt",
+            F.col("share_bp").cast("bigint").alias("share_bp"),
+            F.abs(F.col("share_bp") - F.lit(1428)).cast("bigint").alias(
+                "dev_bp"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="events_dow_seasonality",
+    doc="Day-of-week seasonality profile per event type: volume share "
+        "in truncated basis points per weekday (Sunday=1, both engines) "
+        "and the absolute deviation from the uniform 1/7 profile — the "
+        "weekly-pattern detector feeding anomaly triage. Integer "
+        "arithmetic throughout.",
+    tags=("events", "agg", "analytics"),
+    build=_dow_build,
+    oracle="""
+WITH dw AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+sh AS (
+  SELECT event_type, dow, cnt,
+         (10000 * cnt) // SUM(cnt) OVER (PARTITION BY event_type)
+           AS share_bp
+  FROM dw
+)
+SELECT event_type, CAST(dow AS INT) AS dow, cnt,
+       CAST(share_bp AS BIGINT) AS share_bp,
+       CAST(abs(share_bp - 1428) AS BIGINT) AS dev_bp
+FROM sh ORDER BY event_type, dow
+""",
+))
+
+
 SPECS_NEXT = (
     [s for s in _STAGED_R12 if s.name not in _DECLARE_R12]
     + list(_STAGED_R13)
