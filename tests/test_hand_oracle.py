@@ -1453,3 +1453,89 @@ def test_hand_dow_seasonality(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "events_dow_seasonality", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_tfidf_top_terms(spark, tmp_path):
+    """tf * ln(N/df) recomputed with math.log; N counts EVERY doc under
+    the id<100 restriction INCLUDING the NULL-text doc (both engines
+    count docs, not tokenizable docs), and the id>=100 doc is outside
+    the corpus (excluded from N and df):
+
+      corpus: d1 'apple apple banana', d2 'banana cherry',
+              d3 'cherry cherry cherry date', d50 NULL, (d100 excluded)
+      N = 4 ; df: apple 1, banana 2, cherry 2, date 1
+      d2's two terms TIE on the rounded score -> token-order tiebreak.
+    """
+    import math
+
+    docs = [(1, "apple apple banana", "s"), (2, "banana cherry", "s"),
+            (3, "cherry cherry cherry date", "s"), (50, None, "s"),
+            (100, "zebra zebra", "s")]
+    d = _mk_sf(tmp_path, documents=_documents(docs))
+    ln = math.log
+    hand = [
+        (1, "apple", 2, 1, round(2 * ln(4 / 1), 4), 1),
+        (1, "banana", 1, 2, round(ln(4 / 2), 4), 2),
+        (2, "banana", 1, 2, round(ln(2.0), 4), 1),
+        (2, "cherry", 1, 2, round(ln(2.0), 4), 2),
+        (3, "cherry", 3, 2, round(3 * ln(2.0), 4), 1),
+        (3, "date", 1, 1, round(ln(4.0), 4), 2),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_tfidf_top_terms", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_window_fill_forward(spark, tmp_path):
+    """last_value IGNORE NULLS over the running frame; NULLs planted at
+    event_id % 7 == 0:
+
+    u1: e7(planted NULL, nothing before -> stays NULL), e8 v=1.5,
+        e14(NULL -> carries 1.5), e15 v=2.25
+    u2: e21(NULL -> NULL), e22 v=3.0 (same-partition later row)
+    """
+    rows = [
+        (7, _ts("2024-01-01T00:00:00"), 1, "view", 9.99),
+        (8, _ts("2024-01-01T01:00:00"), 1, "view", 1.5),
+        (14, _ts("2024-01-01T02:00:00"), 1, "view", 8.88),
+        (15, _ts("2024-01-01T03:00:00"), 1, "view", 2.25),
+        (21, _ts("2024-01-01T00:00:00"), 2, "view", 7.77),
+        (22, _ts("2024-01-01T01:00:00"), 2, "view", 3.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [
+        (7, 1, None), (8, 1, 1.5), (14, 1, 1.5), (15, 1, 2.25),
+        (21, 2, None), (22, 2, 3.0),
+    ]
+    got_spark, got_ora = _run_both(spark, "window_fill_forward", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_chunk_windows(spark, tmp_path):
+    """200-char windows at stride 150; md5 recomputed via hashlib:
+
+    d1 (200 chars): floor(199/150)=1 -> chunk0 = chars 1..200 (len 200),
+      chunk1 = chars 151..200 (len 50)
+    d2 (151 chars): chunk0 len 151, chunk1 = char 151 alone (len 1)
+    d3 NULL and d4 '' -> filtered (no chunks)
+    """
+    import hashlib
+
+    t1 = "ab" * 100
+    t2 = "x" * 151
+    docs = [(1, t1, "s"), (2, t2, "s"), (3, None, "s"), (4, "", "s")]
+    d = _mk_sf(tmp_path, documents=_documents(docs))
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    hand = [
+        (1, 0, 1, 200, h(t1[0:200])),
+        (1, 1, 151, 50, h(t1[150:200])),
+        (2, 0, 1, 151, h(t2)),
+        (2, 1, 151, 1, h("x")),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_chunk_windows", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
