@@ -1539,3 +1539,62 @@ def test_hand_chunk_windows(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "text_chunk_windows", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_rolling_hash(spark, tmp_path):
+    """Polynomial fold (acc*31 + ord) % 1000003 recomputed in Python:
+
+    'ab' -> 97*31 + 98 = 3105; shorter than the 8-char window ->
+    fp_winnow_min folds the whole doc (one clamped window) = 3105.
+    'abcdefghij' (10 chars) -> three 8-char windows (i = 1..3),
+    winnow = min of their folds. '' -> (0, 0) by the explicit guard.
+    NULL text -> NULL fingerprints on both engines.
+    """
+    P = 1000003
+
+    def fold(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    t2 = "abcdefghij"
+    docs = [(1, "ab", "s"), (2, t2, "s"), (3, "", "s"), (4, None, "s")]
+    d = _mk_sf(tmp_path, documents=_documents(docs))
+    win2 = min(fold(t2[i:i + 8]) for i in range(0, 3))
+    hand = [
+        (1, 3105, 3105),
+        (2, fold(t2), win2),
+        (3, 0, 0),
+        (4, None, None),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_rolling_hash", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_quantize_int8(spark, tmp_path):
+    """codes = floor(x/scale*127 + 0.5), scale = max-abs (all exact
+    float32 values so the doubles are exact):
+
+    v1 [1.0, -0.5]: scale 1 -> [127, floor(-63.0) = -63]
+       sum 64, min -63, max 127, saturated 1
+    v2 [0.5, 0.25]: scale 0.5 -> [127, floor(64.0) = 64] -> sum 191
+    v4 [-1.0]: floor(-126.5) = -127 -> NEGATIVE saturation counts
+    v3 all-zero (scale 0) and v5 NULL embedding are filtered out.
+    """
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (1, [1.0, -0.5], 0),
+        (2, [0.5, 0.25], 0),
+        (3, [0.0, 0.0], 1),
+        (4, [-1.0], 1),
+        (5, None, 1),
+    ]))
+    hand = [
+        (1, 1.0, 64, -63, 127, 1),
+        (2, 0.5, 191, 64, 127, 1),
+        (4, 1.0, -127, -127, -127, 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "embedding_quantize_int8", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

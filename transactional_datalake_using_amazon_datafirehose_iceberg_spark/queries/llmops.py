@@ -912,10 +912,16 @@ WITH codes AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(CASE WHEN n = 0 THEN 0 ELSE
+       -- n IS NULL first: for NULL text the engine fingerprints NULL
+       -- (the repo-wide absent-content contract, like fp_bag); the old
+       -- ELSE branch fell through to list_prepend(0, NULL) -> [0] ->
+       -- fold 0, silently conflating NULL docs with EMPTY docs — found
+       -- by the hand-oracle audit (round-12 continuation), invisible to
+       -- the driver because the fixtures carry no NULL text
+       CAST(CASE WHEN n IS NULL THEN NULL WHEN n = 0 THEN 0 ELSE
          list_reduce(list_prepend(0, cs), (acc, c) -> (acc * 31 + c) % 1000003)
        END AS BIGINT) AS fp_poly,
-       CAST(CASE WHEN n = 0 THEN 0 ELSE
+       CAST(CASE WHEN n IS NULL THEN NULL WHEN n = 0 THEN 0 ELSE
          list_min(list_transform(range(1, greatest(n - 7, 1) + 1),
            i -> list_reduce(list_prepend(0, cs[i : least(i + 7, n)]),
                             (acc, c) -> (acc * 31 + c) % 1000003)))
