@@ -1598,3 +1598,29 @@ def test_hand_quantize_int8(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "embedding_quantize_int8", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_resize_null_empty_payload(spark, tmp_path):
+    """NULL payload -> uniformly NULL metrics (DuckDB's greatest()
+    IGNORES a NULL argument and said new dims = 1; the oracle now
+    CASE-wraps). EMPTY payload -> real metrics with md5('') content
+    (DuckDB's array_to_string over an empty transform yields NULL; the
+    oracle now coalesces). Found by the round-12-continuation NULL/empty
+    differential sweep.
+
+    'abcd' (len 4): width 4%64+1=5, height 28%64+1=29, new 2/14,
+      n_bytes (4+1)//2 = 2, content = chars 1,3 = 'ac'.
+    """
+    import hashlib
+
+    docs = [(1, "abcd", "s"), (2, None, "s"), (3, "", "s")]
+    d = _mk_sf(tmp_path, documents=_documents(docs))
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    hand = [
+        (1, 5, 29, 2, 14, 2, h("ac")),
+        (2, None, None, None, None, None, None),
+        (3, 1, 1, 1, 1, 0, h("")),
+    ]
+    got_spark, got_ora = _run_both(spark, "multimodal_resize_batch", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

@@ -1673,13 +1673,27 @@ _add(QuerySpec(
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(length(text) % 64 + 1 AS INTEGER) AS width,
        CAST((length(text) * 7) % 64 + 1 AS INTEGER) AS height,
-       CAST(greatest((length(text) % 64 + 1) // 2, 1) AS INTEGER) AS new_width,
-       CAST(greatest(((length(text) * 7) % 64 + 1) // 2, 1) AS INTEGER) AS new_height,
+       -- CASE-wrapped, not bare greatest: DuckDB greatest() IGNORES a
+       -- NULL argument (returns 1) while the engine's NULL-payload
+       -- contract emits NULL metrics for NULL payloads — found by the
+       -- round-12-continuation NULL/empty differential sweep (the
+       -- fixtures carry no NULL text, so the driver never saw it)
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 ELSE greatest((length(text) % 64 + 1) // 2, 1)
+            END AS INTEGER) AS new_width,
+       CAST(CASE WHEN text IS NULL THEN NULL
+                 ELSE greatest(((length(text) * 7) % 64 + 1) // 2, 1)
+            END AS INTEGER) AS new_height,
        CAST((length(text) + 1) // 2 AS BIGINT) AS n_bytes,
-       md5(array_to_string(
-         list_transform(range(1, length(text) + 1, 2),
-                        i -> substring(text, CAST(i AS INTEGER), 1)), ''))
-         AS content_md5
+       -- coalesce to '': array_to_string over the EMPTY transform list
+       -- yields NULL in DuckDB, but an empty payload's resized content
+       -- is the empty byte string and the engine hashes md5('')
+       CASE WHEN text IS NULL THEN NULL
+            ELSE md5(coalesce(array_to_string(
+              list_transform(range(1, length(text) + 1, 2),
+                             i -> substring(text, CAST(i AS INTEGER), 1)),
+              ''), ''))
+       END AS content_md5
 FROM documents
 ORDER BY doc_id
 """,
