@@ -1,0 +1,187 @@
+"""NULL-edge differential parity (round-12 continuation).
+
+The driver's correctness gate runs on the fixture parquet, which carries
+NO NULL text, NULL timestamps, NULL users, or NULL event types — so an
+engine/oracle divergence on those rows is invisible to it forever. This
+module closes the class: every declared (and staged) spec in the two
+NULL-sensitive families is re-run engine-vs-oracle on a miniature
+fixture that DOES carry the NULLs, and the results must match exactly.
+
+This sweep found four live oracle bugs when first run (all fixed):
+- text_rolling_hash: list_prepend(0, NULL) -> [0] -> fold 0, conflating
+  NULL docs with EMPTY docs;
+- multimodal_resize_batch: DuckDB greatest() IGNORES a NULL argument
+  (new dims 1 vs the engine's NULL) and array_to_string over an empty
+  transform yields NULL (vs the engine's md5(''));
+- ten events/window specs diverged on NULL-ts ordering (Spark windows
+  default ASC NULLS FIRST, DuckDB NULLS LAST — identical dual-run SQL,
+  different frames) or on NULL-user/-type equi-joins silently dropping
+  groups a window formulation kept. Fixed with explicit NULLS FIRST and
+  explicit domain filters (timestamped/typed/identified events) applied
+  identically on both sides.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries import (
+    QUERY_SPECS,
+)
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries.extended import (
+    SPECS_NEXT,
+)
+
+_SRC_SF = "/root/testdata/sf0.001"
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# fixture-pinned or minimum-corpus specs the sweep cannot run on a
+# miniature table (each is exercised on the real fixtures elsewhere):
+# - ANN specs require >= n_centroids / codebook vectors and raise a
+#   clear contract error on a near-empty embeddings table;
+# - sketch_hll_union / text_compression_ratio pin their oracle to the
+#   REAL fixture (hardcoded langs / python-zlib VALUES).
+_EXCLUDE = {
+    "similarity_ann_ivf", "similarity_ann_pq",
+    "sketch_hll_union", "text_compression_ratio",
+}
+
+
+def _all_specs():
+    out = dict(QUERY_SPECS)
+    for s in SPECS_NEXT:
+        out[s.name] = s
+    return out
+
+
+def _mk_dir(tmp_path, **tables) -> str:
+    d = str(tmp_path / "sf_null")
+    os.makedirs(d, exist_ok=True)
+    for t in _TABLES:
+        p = os.path.join(d, f"{t}.parquet")
+        if t in tables:
+            pq.write_table(tables[t], p)
+        else:
+            schema = pq.read_schema(os.path.join(_SRC_SF, f"{t}.parquet"))
+            pq.write_table(schema.empty_table(), p)
+    return d
+
+
+def _norm(v):
+    import decimal
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return repr(round(float(v), 9))
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    return repr(v)
+
+
+def _assert_parity(spark, sf_dir, names):
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    specs = _all_specs()
+    bad = []
+    for name in sorted(names):
+        spec = specs[name]
+        sdf = spec.run_spark(spark, sf_dir)
+        scols = sorted(sdf.columns)
+        srows = sorted(
+            tuple(_norm(r[c]) for c in scols) for r in sdf.collect()
+        )
+        o = spec.oracle_text()
+        if o is None:
+            continue
+        res = con.execute(o)
+        ocols_raw = [x[0] for x in res.description]
+        idx = [ocols_raw.index(c) for c in sorted(ocols_raw)]
+        orows = sorted(
+            tuple(_norm(r[i]) for i in idx) for r in res.fetchall()
+        )
+        if scols != sorted(ocols_raw) or srows != orows:
+            only_s = [r for r in srows if r not in set(orows)][:3]
+            only_o = [r for r in orows if r not in set(srows)][:3]
+            bad.append(f"{name}: spark-only {only_s} oracle-only {only_o}")
+    con.close()
+    assert not bad, "NULL-edge engine/oracle divergence:\n" + "\n".join(bad)
+
+
+def test_null_text_documents_parity(spark, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(
+            ["the cat sat on the mat here now",
+             "el el la la and and the the",
+             None, "", "a b c d e f g h i j k l m n o p"],
+            pa.string(),
+        ),
+        "lang": pa.array(["en", "es", "en", "fr", "de"], pa.string()),
+        "source": pa.array(["s1", "s1", "s2", "s2", "s3"], pa.string()),
+        "n_chars": pa.array([31, 27, 0, 0, 31], pa.int64()),
+    })
+    d = _mk_dir(tmp_path, documents=docs)
+    names = [
+        n for n, s in _all_specs().items()
+        if any(t in s.tags for t in ("llm", "text", "dedup"))
+        and "streaming" not in s.tags
+        and not s.no_oracle
+        and n not in _EXCLUDE
+    ]
+    assert len(names) > 30
+    _assert_parity(spark, d, names)
+
+
+def test_null_events_parity(spark, tmp_path):
+    def _ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "view", 1.5, '{"k": 1}'),
+        (2, _ts("2024-01-01T11:00:00"), 1, "purchase", 9.5, '{"k": 2}'),
+        (3, _ts("2024-01-02T10:00:00"), 2, "view", 2.5, "{}"),
+        (4, _ts("2024-01-08T10:00:00"), 2, "click", 3.5, "{}"),
+        (5, _ts("2024-01-08T11:00:00"), 3, "view", 4.5, "{}"),
+        (6, _ts("2024-01-02T12:00:00"), None, "view", 1.0, "{}"),
+        (7, _ts("2024-01-02T13:00:00"), 3, None, 1.0, "{}"),
+        (8, _ts("2024-01-02T14:00:00"), 3, "view", None, None),
+        (9, None, 3, "view", 1.0, "{}"),
+    ]
+    events = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    d = _mk_dir(tmp_path, events=events)
+    names = [
+        n for n, s in _all_specs().items()
+        if any(
+            t in s.tags
+            for t in ("events", "window", "asof", "timeseries", "analytics")
+        )
+        and "streaming" not in s.tags
+        and not s.no_oracle
+        and n not in _EXCLUDE
+    ]
+    assert len(names) > 30
+    _assert_parity(spark, d, names)

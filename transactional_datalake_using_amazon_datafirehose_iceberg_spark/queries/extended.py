@@ -4277,17 +4277,25 @@ ORDER BY l_returnflag
 def _window_distinct_running_build(spark, sf):
     from pyspark.sql import Window
 
+    # domain contract: the metric needs a TYPED, TIMESTAMPED,
+    # IDENTIFIED event — a NULL event_type silently vanished in the
+    # grid equi-join while the oracle's window kept it, and NULL
+    # ts/user diverge on ordering/identity (round-12-continuation
+    # NULL-events sweep)
+    ev = spark.table("events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     first_days = (
-        spark.table("events")
-        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
         .groupBy("event_type", "user_id")
         .agg(F.min("day").alias("first_day"))
         .groupBy("event_type", F.col("first_day").alias("day"))
         .agg(F.count(F.lit(1)).alias("new_users"))
     )
     day_grid = (
-        spark.table("events")
-        .select("event_type", F.to_date("ts").alias("day"))
+        ev.select("event_type", F.to_date("ts").alias("day"))
         .distinct()
     )
     w = (
@@ -4331,6 +4339,7 @@ SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS cum_distinct_users
 FROM events
+WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
 ORDER BY event_type, day
 """,
 ))
@@ -4352,11 +4361,14 @@ SELECT event_type,
             SUM(COUNT(*)) OVER (PARTITION BY event_type)) AS BIGINT)
          AS prob_bp
 FROM (
+  -- journeys are over TIMESTAMPED events: NULL-ts rows sort
+  -- differently across engines (round-12-continuation sweep)
   SELECT event_type,
          LEAD(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
          ) AS next_type
   FROM events
+  WHERE ts IS NOT NULL
 )
 WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type
@@ -4925,6 +4937,12 @@ def _streak_build(spark, sf):
 
     days = (
         load_table(spark, sf, "events")
+        # domain contract: streaks are over TIMESTAMPED events of
+        # IDENTIFIED users — NULL-ts/NULL-user rows carry no day/owner
+        # (round-12-continuation NULL-events sweep: the oracle's
+        # mx JOIN st on user_id silently dropped the NULL-user group
+        # the engine's window kept)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
@@ -4965,7 +4983,8 @@ _STAGED_R12.append(QuerySpec(
     tags=("events", "window", "islands"),
     build=_streak_build,
     oracle="""
-WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
 isl AS (
   SELECT user_id, d,
          d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
@@ -5604,6 +5623,10 @@ def _wma_build(spark, sf):
 
     daily = (
         load_table(spark, sf, "events")
+        # domain contract: the trend is over TIMESTAMPED days — a
+        # NULL-ts row has no day, and the engines disagree on where a
+        # NULL day sorts (round-12-continuation NULL-events sweep)
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id", F.to_date("ts").alias("d"))
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c")
@@ -5656,7 +5679,7 @@ _STAGED_R13.append(QuerySpec(
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 rn AS (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
@@ -5681,7 +5704,14 @@ FROM fr ORDER BY user_id, d
 def _attribution_build(spark, sf):
     from ..sources.catalog import load_table
 
-    ev = load_table(spark, sf, "events")
+    # domain contract: attribution needs an IDENTIFIED user and a
+    # TIMESTAMPED touch — NULL-user rows made the oracle's conv join
+    # silently report the group unconverted, and the engines disagree
+    # on where NULL ts sorts in the earliest-touch argmin
+    # (round-12-continuation NULL-events sweep)
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     per = ev.groupBy("user_id").agg(
         F.expr("min_by(event_type, struct(ts, event_id))").alias(
             "first_touch"
@@ -5713,14 +5743,17 @@ _STAGED_R13.append(QuerySpec(
     tags=("events", "agg", "analytics"),
     build=_attribution_build,
     oracle="""
-WITH rn AS (
+WITH e AS (
+  SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+rn AS (
   SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM e
 ),
 ft AS (SELECT user_id, event_type AS first_touch FROM rn WHERE rn = 1),
-conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+conv AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase'),
 per AS (
   SELECT ft.first_touch,
          CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS converted
@@ -6589,7 +6622,12 @@ FROM cc GROUP BY doc_id ORDER BY doc_id
 
 
 def _active_union_build(spark, sf):
-    ev = spark.table("events").select(
+    # domain contract: intervals need a timestamp and an owner
+    # (round-12-continuation NULL-events sweep: the engines disagree on
+    # where a NULL interval start sorts in the islands window)
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
         "user_id", F.unix_micros("ts").alias("s")
     ).withColumn("e", F.col("s") + F.lit(300_000_000))
     # merge overlapping-or-touching [ts, ts+5min) intervals per user —
@@ -6645,7 +6683,7 @@ _STAGED_R14.append(QuerySpec(
     oracle="""
 WITH iv AS (
   SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 mk AS (
   SELECT user_id, s, e,

@@ -700,13 +700,17 @@ _add(QuerySpec(
     tags=("window",),
     sql="""
 SELECT event_id, user_id,
+       -- ts NULLS FIRST explicit: the window key is nullable in
+       -- principle and Spark defaults ASC NULLS FIRST while DuckDB
+       -- defaults NULLS LAST — identical SQL, different frames
+       -- (round-12-continuation NULL-events sweep)
        CAST(ROUND(AVG(value) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS mov_avg,
        CAST(ROUND(FIRST_VALUE(value) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id), 2) AS DOUBLE) AS first_val,
+         PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id), 2) AS DOUBLE) AS first_val,
        CAST(ROUND(LAST_VALUE(value) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS DOUBLE) AS last_val
 FROM events
 ORDER BY user_id, event_id
@@ -1060,7 +1064,11 @@ _add(QuerySpec(
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
        event_type, COUNT(*) AS n,
        CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total
+-- ts IS NOT NULL pins the engine behavior: Spark's window() DROPS
+-- NULL-ts rows while a bare GROUP BY date_trunc keeps a NULL bucket
+-- (round-12-continuation NULL-events sweep)
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY win_start, event_type
 """,
@@ -1072,7 +1080,10 @@ def _sessionize_sql(epoch_us_fn: str) -> str:
     dialects modulo the epoch-µs function name."""
     return f"""
 WITH e AS (
+  -- sessions need a timestamp: the engines disagree on where a NULL t
+  -- sorts in the lag/cumsum windows (round-12-continuation sweep)
   SELECT user_id, event_id, {epoch_us_fn} AS t FROM events
+  WHERE ts IS NOT NULL
 ), g AS (
   SELECT user_id, event_id, t,
          CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
@@ -1869,8 +1880,10 @@ _add(QuerySpec(
     ),
     oracle="""
 SELECT event_id, user_id,
+       -- ts NULLS FIRST: match Spark's window-order default (the
+       -- build side) on NULL-ts rows (round-12-continuation sweep)
        CAST(last_value(v IGNORE NULLS) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_filled
 FROM (
   SELECT event_id, user_id, ts,
@@ -2266,7 +2279,11 @@ _add(QuerySpec(
     ),
     oracle="""
 WITH e AS (
+  -- ts IS NOT NULL pins the engine: session_window() DROPS NULL-ts
+  -- rows, while a NULL t here sorted LAST and silently merged into
+  -- the user's final session (round-12-continuation sweep)
   SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS t FROM events
+  WHERE ts IS NOT NULL
 ), g AS (
   SELECT user_id, event_id, t,
          CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
@@ -2402,7 +2419,13 @@ def _funnel_build(spark, sf):
     (Catalyst reuses the exchange), each stage gated on strictly-after
     the previous stage's first hit. Integer µs arithmetic end to end."""
     w = W.partitionBy("user_id")
-    e = spark.table("events").select(
+    # domain contract: the funnel is over IDENTIFIED users with
+    # TIMESTAMPED events — the oracle's stage joins on user_id silently
+    # dropped a NULL-user group the engine's window kept
+    # (round-12-continuation NULL-events sweep)
+    e = spark.table("events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "user_id", "event_type", F.unix_micros("ts").alias("t")
     )
     staged = (
@@ -2454,6 +2477,7 @@ _add(QuerySpec(
     oracle="""
 WITH e AS (
   SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), v AS (
   SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN t END) AS vt
   FROM e GROUP BY user_id
