@@ -748,13 +748,24 @@ def _salted_join_build(spark, sf):
         "o_orderkey", "l_orderkey"
     )
     joined = salted_join(li, od, on=["l_orderkey"], n_salts=8)
+    # revenue in exact 1e-4-dollar integer units, divided once at the
+    # end: ROUND(SUM(...), 2) sat on an .xx5 boundary for NULL-sweep
+    # data and DuckDB/Spark half-rounding diverged (the
+    # merge_conditional fixed-point rule; round-12-continuation sweep)
     return (
         joined.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue"),
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("bigint")
+                )
+                / F.lit(10000.0)
+            ).cast("double").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -769,7 +780,8 @@ _add(QuerySpec(
     build=_salted_join_build,
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n,
-       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                     AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -1067,8 +1079,11 @@ def _bucketed_join_build(spark, sf):
     try:
         out = spark.sql(f"""
           SELECT o_orderpriority, COUNT(*) AS n,
-                 CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
-                   AS revenue
+                 -- exact 1e-4-dollar integer units (the fixed-point
+                 -- rule; ROUND(SUM,2) flips on .xx5 sums)
+                 CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)) / 10000.0
+                      AS DOUBLE) AS revenue
           FROM {db}.lineitem_b JOIN {db}.orders_b ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority
           ORDER BY o_orderpriority
@@ -1090,7 +1105,8 @@ _add(QuerySpec(
     build=_bucketed_join_build,
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n,
-       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                     AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -5439,9 +5455,12 @@ per AS (
   FROM orders GROUP BY o_custkey
 ),
 seg AS (
-  SELECT CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
-         CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
-         CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INT) AS m_score,
+  -- NULLS FIRST explicit on ASC keys: Spark asc defaults NULLS FIRST,
+  -- DuckDB NULLS LAST — a NULL recency (dateless customer) or NULL
+  -- custkey tiebreak flipped quartiles (round-12-continuation sweep)
+  SELECT CAST(NTILE(4) OVER (ORDER BY recency_days NULLS FIRST, o_custkey NULLS FIRST) AS INT) AS r_score,
+         CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey NULLS FIRST) AS INT) AS f_score,
+         CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey NULLS FIRST) AS INT) AS m_score,
          monetary_cents
   FROM per
 )
@@ -6122,7 +6141,7 @@ SELECT o_custkey, o_orderkey,
        CAST(COUNT(*) OVER w AS INT) AS n_in_frame
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey
-             ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ORDER BY CAST(o_orderdate AS DATE) NULLS FIRST, o_orderkey
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY o_custkey, o_orderkey
 """,

@@ -680,10 +680,10 @@ _add(QuerySpec(
     sql="""
 SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
        CAST(ROUND(SUM(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
        CAST(ROUND(COALESCE(LAG(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS DOUBLE) AS prev_price,
+         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey), 0), 2) AS DOUBLE) AS prev_price,
        CAST(RANK() OVER (
          PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2) DESC) AS BIGINT) AS price_rank,
        CAST(NTILE(4) OVER (
@@ -1175,10 +1175,14 @@ _add(QuerySpec(
     oracle="""
 WITH r AS (
   SELECT o_orderpriority, o_orderkey,
+         -- explicit NULL placement matching Spark's struct ordering
+         -- (NULL field sorts SMALLEST): a NULL price is the min_by
+         -- winner and never the max_by winner unless alone
+         -- (round-12-continuation NULL-orders sweep)
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_hi,
+                            ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC) AS rn_hi,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_lo
+                            ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC) AS rn_lo
   FROM orders
 )
 SELECT o_orderpriority,
@@ -1268,9 +1272,9 @@ _add(QuerySpec(
     sql="""
 SELECT o_custkey, o_orderkey,
        CAST(ROUND(COALESCE(LEAD(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1), 2) AS DOUBLE) AS next_price,
+         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey), -1), 2) AS DOUBLE) AS next_price,
        COUNT(*) OVER (
-         PARTITION BY o_custkey ORDER BY o_totalprice
+         PARTITION BY o_custkey ORDER BY o_totalprice NULLS FIRST
          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k,
        CAST(ROUND(MIN(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS DOUBLE) AS min_price,
        CAST(ROUND(MAX(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS DOUBLE) AS max_price
@@ -1468,10 +1472,10 @@ _add(QuerySpec(
     sql="""
 SELECT o_custkey, o_orderkey,
        CAST(ROUND(COALESCE(NTH_VALUE(o_totalprice, 2) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1), 2) AS DOUBLE) AS second_price,
        CAST(ROUND(CUME_DIST() OVER (
-         PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2), o_orderkey), 6) AS DOUBLE) AS cd
+         PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2) NULLS FIRST, o_orderkey), 6) AS DOUBLE) AS cd
 FROM orders
 ORDER BY o_custkey, o_orderkey
 LIMIT 200
@@ -1809,7 +1813,9 @@ SELECT l.l_returnflag,
             / POW(AVG(POW(l_extendedprice - mp, 2)), 1.5), 4) AS DOUBLE) AS skew_price,
        CAST(ROUND(AVG(POW(l_extendedprice - mp, 4))
             / POW(AVG(POW(l_extendedprice - mp, 2)), 2) - 3, 4) AS DOUBLE) AS kurt_price
-FROM lineitem l JOIN mu USING (l_returnflag)
+FROM lineitem l JOIN mu
+  -- null-safe: the NULL-returnflag group must not vanish
+  ON l.l_returnflag IS NOT DISTINCT FROM mu.l_returnflag
 GROUP BY l.l_returnflag
 ORDER BY l.l_returnflag
 """,
@@ -1933,12 +1939,21 @@ LIMIT 200
 def _freq_items_build(spark, sf):
     ev = spark.table("events")
     # exact mode (most frequent event_type), deterministically tie-broken
-    exact_top = (
+    top = (
         ev.groupBy("event_type").count()
         .orderBy(F.col("count").desc(), "event_type")
         .limit(1)
-        .collect()[0]["event_type"]
+        .collect()
     )
+    if not top:
+        # empty relation: containment and the size bound hold vacuously
+        # (the bare [0] indexing crashed the build on an empty events
+        # table — round-12-continuation NULL-orders sweep, where events
+        # is an empty sibling fixture)
+        return spark.createDataFrame(
+            [(1, 1)], "contains_exact_top int, size_bounded int"
+        )
+    exact_top = top[0]["event_type"]
     # support=0.1 -> 1/support = 10 counters, strictly more than the
     # distinct event types, so the Karp sketch provably retains every
     # value (a tighter support would make the mode's inclusion
