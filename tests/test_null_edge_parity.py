@@ -3,9 +3,10 @@
 The driver's correctness gate runs on the fixture parquet, which carries
 NO NULL text, NULL timestamps, NULL users, or NULL event types — so an
 engine/oracle divergence on those rows is invisible to it forever. This
-module closes the class: every declared (and staged) spec in the two
-NULL-sensitive families is re-run engine-vs-oracle on a miniature
-fixture that DOES carry the NULLs, and the results must match exactly.
+module closes the class: every declared (and staged) spec in the three
+NULL-sensitive families (documents, events, orders/lineitem) is re-run
+engine-vs-oracle on a miniature fixture that DOES carry the NULLs, and
+the results must match exactly.
 
 This sweep found four live oracle bugs when first run (all fixed):
 - text_rolling_hash: list_prepend(0, NULL) -> [0] -> fold 0, conflating

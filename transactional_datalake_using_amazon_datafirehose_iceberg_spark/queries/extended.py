@@ -6341,7 +6341,13 @@ ORDER BY type_a, type_b
 
 
 def _wow_build(spark, sf):
-    ev = spark.table("events")
+    # domain contract: weekly volume is over TIMESTAMPED events — a
+    # NULL week would ride the LAG window, and DuckDB 1.0's window sort
+    # over a nullable key proved LAYOUT-DEPENDENT (NULL observed first,
+    # last, and even mid-sequence across identical queries;
+    # round-12-continuation sweep), so the only portable contract is to
+    # exclude it on both sides
+    ev = spark.table("events").filter(F.col("ts").isNotNull())
     weekly = ev.groupBy(
         F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
         "event_type",
@@ -6381,7 +6387,7 @@ _STAGED_R13.append(QuerySpec(
 WITH weekly AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 d AS (
   SELECT event_type, wk, cnt,
