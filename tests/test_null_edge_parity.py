@@ -218,6 +218,40 @@ def test_null_orders_lineitem_parity(spark, tmp_path):
     _assert_parity(spark, d, names)
 
 
+def test_multibyte_text_parity(spark, tmp_path):
+    """Fourth fixture class: multibyte text (accents, CJK, emoji). First
+    run found the three byte-payload multimodal specs diverging: their
+    oracles fake BYTE arithmetic with ascii(char), which only coincides
+    with the engine's utf-8 payload bytes for 1-byte chars (and an
+    emoji codepoint squared overflowed DuckDB's INT32). Those specs now
+    declare an ASCII-payload spec domain (strlen = length, NULL rows
+    kept), filtered identically on both sides; everything else must
+    take multibyte text in stride."""
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(
+            ["h\u00e9llo w\u00f6rld caf\u00e9 na\u00efve fa\u00e7ade \u00fcber",
+             "\u4f60\u597d \u4e16\u754c \u6a5f\u68b0 \u5b66\u7fd2 \u30c7\u30fc\u30bf",
+             "emoji \U0001F600 mix \U0001F680 text the and",
+             "plain ascii words the cat sat here",
+             "z\u00e4lgo \u00e7ombining m\u0301arks the"],
+            pa.string(),
+        ),
+        "lang": pa.array(["fr", "zh", "en", "en", "en"], pa.string()),
+        "source": pa.array(["s"] * 5, pa.string()),
+        "n_chars": pa.array([34, 13, 24, 34, 25], pa.int64()),
+    })
+    d = _mk_dir(tmp_path, documents=docs)
+    names = [
+        n for n, s in _all_specs().items()
+        if any(t in s.tags for t in ("llm", "text", "dedup"))
+        and "streaming" not in s.tags
+        and not s.no_oracle
+        and n not in _EXCLUDE
+    ]
+    _assert_parity(spark, d, names)
+
+
 def test_null_events_parity(spark, tmp_path):
     def _ts(s):
         return dt.datetime.fromisoformat(s)

@@ -5140,7 +5140,14 @@ FROM n ORDER BY vec_id
 def _shot_boundaries_build(spark, sf):
     from ..operators.multimodal import attach_binary_payload, audio_window_energy
 
-    docs = spark.table("documents")
+    # ASCII-payload spec domain (the ascii(char)-as-byte oracle; same
+    # contract as multimodal_resize_batch/audio_window_energy —
+    # round-12-continuation multibyte sweep). Operator stays
+    # byte-general.
+    docs = spark.table("documents").filter(
+        F.col("text").isNull()
+        | (F.octet_length("text") == F.length("text"))
+    )
     frames = audio_window_energy(attach_binary_payload(docs), window=64)
     w = Window.partitionBy("doc_id").orderBy("win_idx")
     flagged = frames.withColumn(
@@ -5179,6 +5186,7 @@ WITH pos AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS i,
          ascii(substring(text, CAST(u.i AS INTEGER), 1)) AS s
   FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+  WHERE strlen(text) = length(text)
 ),
 fr AS (
   SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS win_idx,

@@ -1665,8 +1665,18 @@ _add(QuerySpec(
         "transformation is content-verified cross-engine, not just "
         "schema-checked.",
     tags=("llm", "multimodal"),
+    # spec domain: ASCII payloads (octet_length = char_length) plus
+    # NULL rows — the oracle fakes BYTE arithmetic with ascii(char),
+    # which only coincides for 1-byte chars (round-12-continuation
+    # multibyte sweep); the OPERATOR stays byte-general and is
+    # byte-tested in tests/test_operators.py
     build=lambda spark, sf: (
-        resize_images(attach_binary_payload(spark.table("documents")))
+        resize_images(attach_binary_payload(
+            spark.table("documents").filter(
+                F.col("text").isNull()
+                | (F.octet_length("text") == F.length("text"))
+            )
+        ))
         .orderBy("doc_id")
     ),
     oracle="""
@@ -1695,6 +1705,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
               ''), ''))
        END AS content_md5
 FROM documents
+WHERE text IS NULL OR strlen(text) = length(text)
 ORDER BY doc_id
 """,
 ))
@@ -1928,8 +1939,16 @@ _add(QuerySpec(
         "mapInPandas. Oracle re-derives per-byte values with ascii() "
         "over the all-ASCII fixture text.",
     tags=("llm", "multimodal"),
+    # same ASCII-payload spec domain as multimodal_resize_batch (the
+    # ascii(char)-as-byte oracle; also: an emoji codepoint squared
+    # overflowed DuckDB's INT32 — round-12-continuation multibyte sweep)
     build=lambda spark, sf: (
-        audio_window_energy(attach_binary_payload(spark.table("documents")))
+        audio_window_energy(attach_binary_payload(
+            spark.table("documents").filter(
+                F.col("text").isNull()
+                | (F.octet_length("text") == F.length("text"))
+            )
+        ))
         .orderBy("doc_id", "win_idx")
     ),
     oracle="""
@@ -1937,6 +1956,7 @@ WITH pos AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS i,
          ascii(substring(text, CAST(u.i AS INTEGER), 1)) AS s
   FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+  WHERE strlen(text) = length(text)
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST((i - 1) // 64 AS INTEGER) AS win_idx,
