@@ -88,7 +88,11 @@ def _norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(round(v, 9))
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        return repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
         return repr(round(float(v), 9))
     if isinstance(v, (dt.datetime, dt.date)):
@@ -215,6 +219,50 @@ def test_null_orders_lineitem_parity(spark, tmp_path):
         and n not in _EXCLUDE
     ]
     assert len(names) > 50
+    _assert_parity(spark, d, names)
+
+
+def test_nonfinite_value_parity(spark, tmp_path):
+    """Fifth fixture class: NaN and +-Infinity in the events value
+    column. First run found the two milli-unit digitizing specs
+    (gap-fill interpolate, weighted moving average) ABORTING the whole
+    job — round(value * k)::BIGINT of Infinity is a CAST_OVERFLOW under
+    ANSI — the classic one-poisoned-row operational hazard. Both now
+    declare a finite-or-NULL value domain (isfinite on the oracle side)
+    filtered identically on both sides; every other events/window spec
+    already handles NaN/Inf grouping, ordering, and aggregation
+    identically across engines (NaN sorts greatest and groups with
+    itself on both)."""
+    def _ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "view", 1.5, "{}"),
+        (2, _ts("2024-01-01T11:00:00"), 1, "purchase", 9.5, "{}"),
+        (3, _ts("2024-01-02T10:00:00"), 2, "view", float("inf"), "{}"),
+        (4, _ts("2024-01-08T10:00:00"), 2, "click", float("-inf"), "{}"),
+        (5, _ts("2024-01-08T11:00:00"), 3, "view", float("nan"), "{}"),
+        (6, _ts("2024-01-09T10:00:00"), 3, "view", 2.5, "{}"),
+    ]
+    events = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    d = _mk_dir(tmp_path, events=events)
+    names = [
+        n for n, s in _all_specs().items()
+        if any(
+            t in s.tags
+            for t in ("events", "window", "asof", "timeseries", "analytics")
+        )
+        and "streaming" not in s.tags
+        and not s.no_oracle
+        and n not in _EXCLUDE
+    ]
     _assert_parity(spark, d, names)
 
 

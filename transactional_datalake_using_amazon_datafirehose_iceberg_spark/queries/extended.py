@@ -3585,7 +3585,17 @@ def _gap_fill_build(spark, sf):
 
     from ..sources.catalog import load_table
 
-    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 10)
+    ev = load_table(spark, sf, "events").filter(
+        (F.col("user_id") < 10)
+        # finite-or-NULL value domain: the milli-unit digitization
+        # CAST_OVERFLOWs the whole job on a single +-Inf row under
+        # ANSI (round-12-continuation NaN/Inf sweep) — a non-finite
+        # reading is excluded on both sides, like a NULL one
+        & (
+            F.col("value").isNull()
+            | (~F.isnan("value") & (F.abs("value") != float("inf")))
+        )
+    )
     # hourly value in integer milli-units: per-row ROUND is unambiguous,
     # the SUM of bigints is order-insensitive, and FLOOR(sum/count) is
     # exact — no double summation anywhere (the merge_conditional
@@ -3666,6 +3676,7 @@ _STAGED_R10.append(QuerySpec(
 WITH e AS (
   SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS t, value
   FROM events WHERE user_id < 10
+    AND (value IS NULL OR isfinite(value))
 ),
 hourly AS (
   SELECT user_id, date_trunc('hour', t) AS h,
@@ -5650,10 +5661,17 @@ def _wma_build(spark, sf):
 
     daily = (
         load_table(spark, sf, "events")
-        # domain contract: the trend is over TIMESTAMPED days — a
-        # NULL-ts row has no day, and the engines disagree on where a
-        # NULL day sorts (round-12-continuation NULL-events sweep)
-        .filter(F.col("ts").isNotNull())
+        # domain contract: the trend is over TIMESTAMPED days with
+        # finite-or-NULL values — the engines disagree on where a NULL
+        # day sorts, and a single +-Inf value CAST_OVERFLOWs the whole
+        # job in the cents digitization (round-12-continuation sweeps)
+        .filter(
+            F.col("ts").isNotNull()
+            & (
+                F.col("value").isNull()
+                | (~F.isnan("value") & (F.abs("value") != float("inf")))
+            )
+        )
         .groupBy("user_id", F.to_date("ts").alias("d"))
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c")
@@ -5706,7 +5724,9 @@ _STAGED_R13.append(QuerySpec(
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
+  GROUP BY 1, 2
 ),
 rn AS (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
@@ -6395,7 +6415,8 @@ _STAGED_R13.append(QuerySpec(
 WITH weekly AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
 ),
 d AS (
   SELECT event_type, wk, cnt,
