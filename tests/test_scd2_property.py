@@ -149,3 +149,38 @@ def test_scd2_matches_global_lead_recompute(prop_spark, timeline):
         )
         got_lead = {tuple(r) for r in lead.collect()}
         assert set(history.values()) == got_lead
+
+
+def test_scd2_first_batch_null_ts_single_open_row(prop_spark):
+    """Round-12 advice: a FIRST batch (open_rows is None) with two
+    NULL-ts versions for one key used a bare lead(ts), which cannot
+    distinguish "no successor" from "NULL-ts successor" — both rows got
+    is_current = 1, seeding a violation of the one-open-row-per-key
+    invariant every later delta relies on. The struct-LEAD form must
+    leave exactly one open row per key on both NULL-ts-only and mixed
+    keys."""
+    spark = prop_spark
+    bdf = spark.createDataFrame(
+        [
+            (1, 0, None, "a"),  # key 1: two NULL-ts versions
+            (1, 1, None, "b"),
+            (2, 2, None, "c"),  # key 2: NULL-ts then a real ts
+            (2, 3, 5, "d"),
+        ],
+        _SCHEMA,
+    )
+    delta = scd2_delta(None, bdf, ["k"], "ts", "seq").collect()
+    assert len(delta) == 4
+    by_key: dict[int, list] = {}
+    for r in delta:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rows in by_key.items():
+        assert sum(r["is_current"] for r in rows) == 1, (
+            f"key {k}: expected exactly one open row, got {rows}"
+        )
+    # NULL ts orders first (ASC NULLS FIRST), so the open rows are
+    # seq 1 (key 1) and seq 3 (key 2); seq 2's valid_to is the real ts.
+    open_seqs = {r["seq"] for r in delta if r["is_current"] == 1}
+    assert open_seqs == {1, 3}
+    r2 = next(r for r in delta if r["seq"] == 2)
+    assert r2["valid_to"] == 5

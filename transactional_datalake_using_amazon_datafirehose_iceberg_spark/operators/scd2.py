@@ -85,10 +85,20 @@ def scd2_delta(
     """
     w_chain = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
     if open_rows is None:
+        # Same struct-wrapped LEAD as the union path below: a bare
+        # lead(ts) cannot distinguish "no successor" from "successor
+        # with NULL ts", so a key whose first batch carried two NULL-ts
+        # versions got is_current = 1 on BOTH rows — seeding a
+        # violation of the at-most-one-open-row-per-key invariant the
+        # union path's guard MAX and LEAD close rely on for every
+        # subsequent delta (round-12 advice).
+        nxt0 = F.lead(F.struct(F.col(ts_col).alias("__nts"))).over(w_chain)
         return (
-            batch.withColumn("valid_from", F.col(ts_col))
-            .withColumn("valid_to", F.lead(ts_col).over(w_chain))
-            .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+            batch.withColumn("__nxt", nxt0)
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.col("__nxt")["__nts"])
+            .withColumn("is_current", F.col("__nxt").isNull().cast("int"))
+            .drop("__nxt")
         )
 
     bcols = [c for c in batch.columns if c not in _VALIDITY_COLS]

@@ -6114,7 +6114,9 @@ _STAGED_R13.append(QuerySpec(
 SELECT lang, CAST(rk AS INT) AS rk, doc_id FROM (
   SELECT lang, doc_id,
          ROW_NUMBER() OVER (
-           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+                    doc_id NULLS FIRST
          ) AS rk
   FROM documents
 ) WHERE rk <= 5
@@ -6532,7 +6534,16 @@ def _bm25_build(spark, sf):
     st = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
-    n_docs, avgdl = int(st["n"]), float(st["s"]) / float(st["n"])
+    n_docs = int(st["n"] or 0)
+    if n_docs == 0:
+        # empty or all-NULL/tokenless corpus: s is NULL and n is 0 —
+        # avgdl is undefined and there is nothing to rank. Vacuous
+        # result with the declared schema, same contract as
+        # _freq_items_build's empty-relation guard (round-12 advice).
+        return dl.select(
+            "doc_id", F.lit(0).cast("bigint").alias("score_e6")
+        ).limit(0)
+    avgdl = float(st["s"]) / float(n_docs)
     tf = (
         tok.filter(F.col("tok").isin(*_BM25_TERMS))
         .groupBy("doc_id", "tok")
@@ -6552,8 +6563,13 @@ def _bm25_build(spark, sf):
         F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
     )
     contrib = idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / denom
+    # Quantize PER TERM, then integer-sum: SUM over up to 3 doubles is
+    # summation-order dependent, so a total within 1 ulp of a 1e-6 grid
+    # boundary could floor differently across engines and flip LIMIT-20
+    # membership. FLOOR of each deterministic per-term double is
+    # order-insensitive (round-12 advice).
     scored = j.groupBy("doc_id").agg(
-        F.floor(F.sum(contrib) * 1e6).cast("bigint").alias("score_e6")
+        F.sum(F.floor(contrib * F.lit(1e6))).cast("bigint").alias("score_e6")
     )
     return (
         scored.orderBy(F.col("score_e6").desc(), "doc_id")
@@ -6582,11 +6598,12 @@ j AS (
   FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
 )
 SELECT doc_id,
-       CAST(FLOOR(SUM(
+       CAST(SUM(FLOOR(
          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
          * tf * {_BM25_K1 + 1.0}
          / (tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl))
-       ) * 1e6) AS BIGINT) AS score_e6
+         * 1e6
+       )) AS BIGINT) AS score_e6
 FROM j GROUP BY doc_id
 ORDER BY score_e6 DESC, doc_id
 LIMIT 20
@@ -6598,14 +6615,47 @@ _STAGED_R13.append(QuerySpec(
     doc="BM25 relevance ranking over the documents corpus for a fixed "
         "3-term query (k1=1.2, b=0.75): tokenize -> doc lengths -> "
         "term frequencies -> 3-row document-frequency broadcast -> "
-        "per-term contributions summed per doc. Ranking on the 1e-6-"
-        "floored score with a doc_id tiebreak per the parity "
-        "conventions; corpus scalars (N, avgdl) are exact-int ratios "
-        "inlined as literals.",
+        "per-term contributions each floored to a 1e-6 integer grid "
+        "BEFORE the per-doc sum (order-insensitive ranking key); "
+        "doc_id tiebreak per the parity conventions; corpus scalars "
+        "(N, avgdl) are exact-int ratios inlined as literals, with an "
+        "empty/tokenless-corpus vacuous-result guard.",
     tags=("llm", "text", "ranking"),
     build=_bm25_build,
     oracle=_bm25_oracle,
 ))
+
+
+# Round-13 declaration: the full 18-spec staged lane. Window math
+# (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r12): 18
+# never-green + the 32-spec r8-stale cohort fill the driver's 50-spec
+# sampling prefix exactly; the 7 displaced r8 greens lead round 14's
+# window (one-time 6-round gap, asserted in the registry max-staleness
+# check).
+_DECLARE_R13 = {
+    "orders_rfm_segmentation",
+    "orders_market_basket_pairs",
+    "events_dau_wau_stickiness",
+    "events_inactivity_churn",
+    "events_weighted_moving_avg",
+    "events_first_touch_attribution",
+    "orders_interpurchase_gap_stats",
+    "json_variant_props_agg",
+    "multimodal_phash_hamming_pairs",
+    "streaming_complete_mode_lake_sink",
+    "sample_hash_topk_per_group",
+    "window_rolling_median_cents",
+    "events_binary_decay_smoothing",
+    "orders_cohort_retention",
+    "events_audience_overlap",
+    "events_wow_top_movers",
+    "quality_profile_columns",
+    "text_bm25_rank",
+}
+SPECS.extend(s for s in _STAGED_R13 if s.name in _DECLARE_R13)
+assert not [s for s in _STAGED_R13 if s.name not in _DECLARE_R13], (
+    "round-13 staged lane fully declared in r13"
+)
 
 
 # ---------------------------------------------------------------------------

@@ -308,6 +308,33 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "wap_branch_publish", "window_distinct_running",
         "window_nth_cume_dist", "window_ntile_buckets",
     }),
+    # CORRECTNESS_r12: 50/50 sampled green — the 7 round-12 declarations
+    # plus the r7-stale cohort (32) and an 11-spec r8-stale fill.
+    12: frozenset({
+        "agg_count_if_filtered", "agg_regression", "agg_stats_moments",
+        "approx_distinct_percentile", "dedup_containment_asymmetric",
+        "embedding_quantize_int8", "embedding_truncate_renormalize",
+        "events_peak_concurrency", "events_rolling_distinct_users_7d",
+        "events_streak_longest_daily", "incremental_mv_maintenance",
+        "maintenance_compact_binpack", "map_transform_funcs",
+        "multimodal_frame_sample", "multimodal_shot_boundaries",
+        "orders_pareto_abc_class", "pydatasource_cdc_ingest",
+        "q10_returned_items", "q12_shipmode_priority",
+        "q13_customer_distribution", "q14_promo_share",
+        "q15_top_supplier_revenue", "q17_small_quantity_revenue",
+        "q18_large_volume_orders", "q19_disjunctive_predicates",
+        "q22_dormant_customers", "q4_priority_exists",
+        "q6_forecast_revenue", "q7_nation_pair_revenue", "q8_market_share",
+        "sample_balanced_per_group", "scalar_fuzzy_levenshtein",
+        "scalar_string_funcs", "scalar_try_funcs",
+        "setops_union_intersect_except", "sketch_hll_union",
+        "sort_topk_global", "streaming_cdc_pipeline", "subq_correlated_avg",
+        "subq_in_list", "subq_scalar_threshold", "text_chunk_windows",
+        "text_tfidf_top_terms", "udf_sql_registered", "window_fill_forward",
+        "window_moving_avg", "window_percent_dense",
+        "window_running_lag_rank", "window_time_range_frame",
+        "window_topk_per_group",
+    }),
 }
 
 
@@ -348,6 +375,29 @@ def _all_specs() -> list[QuerySpec]:
     # Stable least-recently-verified-first: never-green specs lead, then
     # oldest-green; ties keep family order.
     specs.sort(key=lambda s: _last_green_round(s.name))
+
+    # Staleness invariants (round-12 judge item 8). The driver samples a
+    # 50-spec prefix per round, so:
+    #  (a) every never-green spec must fit inside one window, or a
+    #      declared spec could go unverified indefinitely;
+    #  (b) any green spec displaced PAST the window must not already be
+    #      more than 5 rounds stale — it would re-verify at a 7+-round
+    #      gap, beyond the documented staleness bound.  Displaced specs
+    #      at exactly 5 take a one-time 6-round gap and lead the next
+    #      window (they sort first among greens).
+    _WINDOW = 50
+    n_never = sum(1 for s in specs if _last_green_round(s.name) == 0)
+    assert n_never <= _WINDOW, (
+        f"{n_never} never-green specs exceed the {_WINDOW}-spec sampling "
+        "window — stage the overflow instead of declaring it"
+    )
+    latest = max(_GREEN_BY_ROUND)
+    for s in specs[_WINDOW:]:
+        gap = latest - _last_green_round(s.name)
+        assert gap <= 5, (
+            f"spec {s.name} displaced past the sampling window at "
+            f"{gap} rounds stale — max staleness bound broken"
+        )
     return specs
 
 
