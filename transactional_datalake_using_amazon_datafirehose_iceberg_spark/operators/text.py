@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 
 def _count_word(col, word: str):
     """Exact whitespace-token occurrence count. The earlier
@@ -402,8 +404,10 @@ def bigram_fluency(
 
     Scale shape: every stage is LINEAR in corpus size, and the corpus
     is TOKENIZED EXACTLY ONCE — ``bigrams`` is eagerly materialized
-    (localCheckpoint, the module's shared-subtree pattern, cf.
-    connected_components) because three consumers read it (pair
+    (operators/materialize.py: localCheckpoint in the default mode,
+    reliable checkpoint / disk persist under the fault-tolerance knob;
+    the module's shared-subtree pattern, cf. connected_components)
+    because three consumers read it (pair
     counts, the scoring join, and via pair_c the V scalar); without
     the checkpoint each consumer would re-run the posexplode + window
     over the full corpus. ``pair_c`` (already aggregated, vocabulary
@@ -425,11 +429,10 @@ def bigram_fluency(
         F.col(id_col),
         F.lag("tok").over(w).alias("prev"),
         F.col("tok"),
-    ).filter(F.col("prev").isNotNull()).localCheckpoint(eager=True)
-    pair_c = (
-        bigrams.groupBy("prev", "tok")
-        .agg(F.count("*").alias("__cp"))
-        .localCheckpoint(eager=True)
+    ).filter(F.col("prev").isNotNull())
+    bigrams = materialize(bigrams)
+    pair_c = materialize(
+        bigrams.groupBy("prev", "tok").agg(F.count("*").alias("__cp"))
     )
     prev_c = pair_c.groupBy("prev").agg(F.sum("__cp").alias("__cv"))
     v_n = pair_c.select(F.countDistinct("tok")).collect()[0][0]

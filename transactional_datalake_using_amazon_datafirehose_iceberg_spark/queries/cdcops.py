@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc_apply import apply_batch, typed_rows
 from ..operators.cdc_transform import transform
+from ..operators.materialize import materialize
 from ..plans.lake_table import LakeTable
 from ..schemas import (
     DEAD_LETTER,
@@ -138,7 +139,11 @@ def _incremental_mv_build(spark, sf):
                 ).alias("sum_amount"),
             )
         # groups whose rows all vanished leave the view
-        mv = mv.filter(F.col("n_rows") > 0).localCheckpoint(eager=True)
+        # truncate_required: the loop nests the previous snapshot's
+        # plan into the next full_outer otherwise
+        mv = materialize(
+            mv.filter(F.col("n_rows") > 0), truncate_required=True
+        )
     return mv.select(
         "event",
         F.col("n_rows").cast("bigint").alias("n_rows"),

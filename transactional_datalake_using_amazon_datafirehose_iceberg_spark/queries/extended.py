@@ -16,6 +16,7 @@ from ..functions.udfs import (
 )
 from ..operators.cdc_apply import apply_batch, typed_rows
 from ..operators.cdc_transform import to_dead_letter, transform
+from ..operators.materialize import materialize
 from ..plans.lake_table import LakeTable
 from ..schemas import RETAIL_TRANS, RETAIL_TRANS_KEYS, RETAIL_TRANS_PARTITION
 from ..sources.cdc_jsonl import read_cdc_batch, write_golden_corpus
@@ -1087,7 +1088,11 @@ def _bucketed_join_build(spark, sf):
           FROM {db}.lineitem_b JOIN {db}.orders_b ON l_orderkey = o_orderkey
           GROUP BY o_orderpriority
           ORDER BY o_orderpriority
-        """).localCheckpoint(eager=True)
+        """)
+        # truncate_required: lineage must be CUT under the disabled
+        # threshold — a kept-lineage disk persist could silently
+        # re-plan with broadcast on block loss
+        out = materialize(out, truncate_required=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql(f"DROP DATABASE {db} CASCADE")
@@ -3203,7 +3208,7 @@ def _dead_letter_replay_build(spark, sf):
     )
     good, dead = transform(read_cdc_batch(spark, p), "testdb", "retail_trans")
     apply_batch(t, typed_rows(good))
-    dlq = to_dead_letter(dead).localCheckpoint(eager=True)
+    dlq = materialize(to_dead_letter(dead))
     n_dead = dlq.count()
 
     # recovery: strip the extra base64 layer where one exists, re-run

@@ -11,6 +11,7 @@ from ..operators import corpus as CORPUS
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
+from ..operators.materialize import materialize
 from ..operators.multimodal import (
     attach_binary_payload,
     audio_window_energy,
@@ -291,7 +292,7 @@ def _curate_build(spark, sf):
     #    stage boundary the dedup window over the corpus runs per
     #    consumer. (In a real 100 TB pipeline this stage is a table
     #    write; localCheckpoint is the in-session equivalent.)
-    uniq = D.exact_dedup(docs, ["text"], "doc_id").localCheckpoint(eager=True)
+    uniq = materialize(D.exact_dedup(docs, ["text"], "doc_id"))
     # 2. near-dup collapse: LSH -> jaccard verify -> connected components;
     #    only each cluster's representative (min id) survives
     pairs = D.jaccard_verify_docs(
