@@ -5941,13 +5941,20 @@ def _phash_build(spark, sf):
     )
     # LSH-style banding: three 16-bit bands, candidates = union of
     # three EQUI joins (an OR join condition would plan as BNLJ),
-    # verified by exact Hamming distance — pairs-scale, never all-pairs
-    h = with_arr.select("doc_id", ph.alias("ph")).select(
-        "doc_id",
-        "ph",
-        (F.col("ph") % 65536).alias("b0"),
-        F.expr("(ph div 65536) % 65536").alias("b1"),
-        F.expr("ph div 4294967296").alias("b2"),
+    # verified by exact Hamming distance — pairs-scale, never all-pairs.
+    # The hash table feeds SIX plan subtrees (both sides of three
+    # self-joins): materialize it once (doc-count scale — the signature
+    # table pattern) or every subtree re-scans the corpus and re-runs
+    # the 48-element hash fold (measured 17.1 s -> the corpus scanned
+    # 6x at sf0.1).
+    h = materialize(
+        with_arr.select("doc_id", ph.alias("ph")).select(
+            "doc_id",
+            "ph",
+            (F.col("ph") % 65536).alias("b0"),
+            F.expr("(ph div 65536) % 65536").alias("b1"),
+            F.expr("ph div 4294967296").alias("b2"),
+        )
     )
     a, b = h.alias("a"), h.alias("b")
     lt = F.col("a.doc_id") < F.col("b.doc_id")
