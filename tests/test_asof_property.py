@@ -112,3 +112,39 @@ def test_asof_join_matches_pandas_merge_asof(prop_spark, case):
         for row in merged.itertuples()
     )
     assert got == want, (direction, tolerance, left_rows, right_rows)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 3600.0])
+def test_asof_null_timestamps_never_match(prop_spark, direction, tolerance):
+    """Round-13 review: a NULL-ts right row sorted NULLS-FIRST under the
+    ascending scan and was carried as the backward 'match' (values
+    attached on the tolerance-None path); a NULL-ts left row sorted past
+    every right row under the descending scans and matched the earliest
+    right row in forward/nearest. Neither row has a position on the
+    time axis: the right row must never match anything, the left row
+    must be kept with NULLs (left-join contract) — in EVERY
+    (direction, tolerance) combination."""
+    spark = prop_spark
+    left = spark.createDataFrame(
+        [(1, _ts(100), 10), (1, None, 11)],
+        "k long, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999), (1, _ts(50), 50), (1, _ts(200), 200)],
+        "k long, rts timestamp, v long",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["v"],
+            tolerance=tolerance, direction=direction,
+        ).collect()
+    }
+    assert set(got) == {10, 11}, "left rows must all survive"
+    assert got[11] is None, "NULL-ts left row must match nothing"
+    expected = {"backward": 50, "forward": 200, "nearest": 50}[direction]
+    assert got[10] == expected, (
+        f"real left row must match the real {direction} row, "
+        f"never the NULL-ts right row"
+    )

@@ -64,7 +64,18 @@ def asof_join(
         *[F.col(c) for c in l_cols if c not in on and c != left_ts],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
     )
-    tagged_right = right.select(
+    # A right row with a NULL timestamp can never PROVE <= / >= any left
+    # timestamp, so it is no candidate in any direction — yet unfiltered
+    # it SORTS FIRST under the ascending scan (NULLS FIRST) and was
+    # carried as the backward "match" for every left row before the
+    # first real right row; with tolerance=None (within = isNotNull)
+    # its values attached, while the tolerance path's NULL age treated
+    # the same row as no-match — inconsistent, and in the nearest
+    # branch its NULL age lost every comparison and still won via
+    # otherwise(back) over a real forward match (review round 13).
+    # Left rows with NULL ts stay (left-join contract: row kept, NULL
+    # match) — their NULL __ts can never equal a carried __mts bound.
+    tagged_right = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -130,8 +141,15 @@ def asof_join(
     age_us = F.abs(
         F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match.__mts"))
     )
+    # A NULL-ts LEFT row has no position on the time axis either: under
+    # the forward/nearest scans it sorts past every right row (DESC
+    # NULLS LAST) and would carry the earliest right row as a "match"
+    # on the tolerance-None path, while the tolerance path's NULL age
+    # already rejects it — same inconsistency class as the right-side
+    # filter above. The explicit __ts guard makes every direction
+    # attach NULLs to a timestamp-less left row.
     within = (
-        F.col("__match").isNotNull()
+        F.col("__ts").isNotNull() & F.col("__match").isNotNull()
         if tolerance is None
         else age_us <= F.lit(int(round(float(tolerance) * 1_000_000)))
     )

@@ -49,6 +49,10 @@ def pack_concat_chunks(
     partitioned running total (no global ordering, no single-partition
     window).
     """
+    if budget < 1:
+        # fail at the API, not as an opaque ANSI DIVIDE_BY_ZERO inside
+        # the executed plan (review round 13)
+        raise ValueError(f"budget must be >= 1, got {budget}")
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)
@@ -126,6 +130,10 @@ def duplicated_ngram_spans(
     gram set stays distributed (no driver collect, no broadcast of
     corpus-volume state).
     """
+    if n < 1:
+        # n = 0 would emit a descending sequence() of phantom positions
+        # instead of erroring (review round 13)
+        raise ValueError(f"n must be >= 1, got {n}")
     toked = docs.select(
         F.col(id_col),
         # NULL text = zero tokens (defined output row: 0 spans, 0 dup

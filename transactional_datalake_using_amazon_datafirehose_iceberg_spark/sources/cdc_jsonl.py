@@ -112,8 +112,16 @@ def write_routed_corpus(out_path: str,
     rng = random.Random(7)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     txn = _BASE_TXN + 2_000_000
+    # key offsets derive from the table count — the old hardcoded
+    # (0, 100) pair meant a caller passing THREE destinations got a
+    # corpus silently missing the third (zip truncation, the silent-
+    # drop class; review round 13). 100-key stride keeps per-table key
+    # ranges disjoint up to 16 tables before colliding with the
+    # unroutable 900-block, which is asserted.
+    offsets = range(0, 100 * len(tables), 100)
+    assert len(tables) <= 8, "routed corpus supports at most 8 tables"
     with open(out_path, "w") as f:
-        for t_i, (table, off) in enumerate(zip(tables, (0, 100))):
+        for t_i, (table, off) in enumerate(zip(tables, offsets)):
             for i in range(1, 7):
                 row = _mk_row(rng, off + i, event="cart", amount=10 * i)
                 f.write(json.dumps(_envelope(
