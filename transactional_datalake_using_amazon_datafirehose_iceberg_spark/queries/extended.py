@@ -2962,7 +2962,11 @@ def _partition_evolution_build(spark, sf):
         keys=["c_custkey"], cluster_by=["c_nationkey"],
     )
     base = spark.table("customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    half = base.agg(F.max("c_custkey")).collect()[0][0] // 2
+    # MAX over an empty relation is None (round-13 degenerate sweep):
+    # the lifecycle still runs — both generations are empty appends and
+    # the prune facts are vacuously 0 (mirrored by the oracle's gates)
+    mx = base.agg(F.max("c_custkey")).collect()[0][0]
+    half = (mx or 0) // 2
     t.append(base.filter(F.col("c_custkey") <= half))          # gen-1: by nation
     gen1 = set(t.file_paths())
     t.set_cluster_by(["c_custkey"])                            # metadata-only
@@ -3458,8 +3462,11 @@ ORDER BY p.path, e.event_type
 SELECT fact, CAST(n AS BIGINT) AS n FROM (
   SELECT '1_total_rows' AS fact, COUNT(*) AS n FROM customer
   UNION ALL SELECT '2_rewrote_on_evolve', 0
-  UNION ALL SELECT '3_gen1_prunes_by_old_layout', 1
-  UNION ALL SELECT '4_gen2_prunes_by_new_layout', 1
+  -- prune proofs are vacuous on an EMPTY corpus (no files to prune)
+  UNION ALL SELECT '3_gen1_prunes_by_old_layout',
+    CASE WHEN EXISTS (SELECT 1 FROM customer) THEN 1 ELSE 0 END
+  UNION ALL SELECT '4_gen2_prunes_by_new_layout',
+    CASE WHEN EXISTS (SELECT 1 FROM customer) THEN 1 ELSE 0 END
   UNION ALL SELECT '5_balance_sum_cents',
     SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) FROM customer
 ) ORDER BY fact
@@ -4057,12 +4064,14 @@ def _shallow_clone_build(spark, sf):
         ).collect()[0]
 
     s, c = _cents(src), _cents(clone)
+    # empty-relation contract (round-13 degenerate sweep): SUM over an
+    # empty table is NULL on both engines — int(None) crashed the build
     return spark.createDataFrame(
         [
             ("1_source_rows", int(s["n"])),
-            ("2_source_cents", int(s["c"])),
+            ("2_source_cents", None if s["c"] is None else int(s["c"])),
             ("3_clone_rows", int(c["n"])),
-            ("4_clone_cents", int(c["c"])),
+            ("4_clone_cents", None if c["c"] is None else int(c["c"])),
             ("5_clone_materialized_own_files", int(clone_own_parquet)),
         ],
         "fact string, n bigint",
@@ -4093,7 +4102,11 @@ SELECT fact, CAST(n AS BIGINT) AS n FROM (
     SUM(CAST(ROUND(o_totalprice * CASE WHEN o_orderkey >= 500 THEN 200
                                        ELSE 100 END, 0) AS BIGINT))
   FROM orders WHERE o_orderkey < 1500
-  UNION ALL SELECT '5_clone_materialized_own_files', 1
+  -- an EMPTY delta merge is a no-op: the clone materializes no files
+  UNION ALL SELECT '5_clone_materialized_own_files',
+    CASE WHEN EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+         THEN 1 ELSE 0 END
 ) ORDER BY fact
 """,
 ))
@@ -4683,7 +4696,22 @@ _STAGED_R11.append(QuerySpec(
 SELECT fact, CAST(n AS BIGINT) AS n FROM (
   SELECT '1_audit_flagged_dry' AS fact, 1 AS n
   UNION ALL SELECT '2_tree_unchanged_after_audit', 1
-  UNION ALL SELECT '3_audit_had_file_work', 1
+  -- closed form (round-13 degenerate sweep): empty appends create no
+  -- snapshot, so the version list is [append<400?][append 400-800?]
+  -- [overwrite][append 600-700?]; keep_last=2 expires a file-bearing
+  -- append iff at least THREE versions exist, i.e. the non-empty
+  -- input count among the three range slices is >= 2
+  UNION ALL SELECT '3_audit_had_file_work',
+    CASE WHEN
+      (CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_orderkey < 400)
+            THEN 1 ELSE 0 END)
+      + (CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderkey >= 400 AND o_orderkey < 800)
+              THEN 1 ELSE 0 END)
+      + (CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderkey >= 600 AND o_orderkey < 700)
+              THEN 1 ELSE 0 END) >= 2
+    THEN 1 ELSE 0 END
   UNION ALL SELECT '4_real_run_matched_audit', 1
   UNION ALL SELECT '5_orphan_and_stale_tmp_gone', 1
   UNION ALL SELECT '6_rows_after_expiry', COUNT(*)
@@ -4795,6 +4823,7 @@ SELECT o_orderstatus,
          AS cents
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0  -- empty-relation alignment, see agg_rollup
 ORDER BY gid, o_orderstatus, o_orderpriority
 """,
 ))

@@ -97,6 +97,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
+-- no-op on any non-empty input (every emitted group covers >= 1 row);
+-- on an EMPTY relation it drops DuckDB's grand-total grouping-set row,
+-- which Spark does not emit (round-13 degenerate sweep)
+HAVING COUNT(*) > 0
 ORDER BY g_flag, g_status, l_returnflag NULLS LAST, l_linestatus NULLS LAST
 """,
 ))
@@ -113,6 +117,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0  -- empty-relation alignment, see agg_rollup
 ORDER BY g_status, g_prio, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
 """,
 ))
@@ -127,6 +132,7 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+HAVING COUNT(*) > 0  -- empty-relation alignment, see agg_rollup
 ORDER BY g_flag, g_status, l_returnflag NULLS LAST, l_linestatus NULLS LAST
 """,
 ))
@@ -1374,11 +1380,22 @@ LIMIT 200
 
 _add(QuerySpec(
     name="agg_correlation",
-    doc="Bivariate aggregates: corr / covar_samp / covar_pop per group.",
+    doc="Bivariate aggregates: Pearson correlation / covar_samp / "
+        "covar_pop per group. Correlation is the explicit "
+        "covar_pop/(stddev_pop*stddev_pop) identity with a NULLIF "
+        "denominator guard rather than CORR(): Spark 4 under ANSI "
+        "throws DIVIDE_BY_ZERO from CORR's final division when a "
+        "group's variance is exactly 0 (a constant column — ONE such "
+        "group aborts the whole job; DuckDB returns NULL). The "
+        "identity yields NULL on both engines (round-13 degenerate "
+        "sweep, tie-heavy fixture).",
     tags=("agg",),
     sql="""
 SELECT l_returnflag,
-       CAST(ROUND(CORR(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
+       CAST(ROUND(COVAR_POP(l_quantity, l_extendedprice)
+                  / NULLIF(STDDEV_POP(l_quantity)
+                           * STDDEV_POP(l_extendedprice), 0), 6)
+            AS DOUBLE) AS corr_qty_price,
        CAST(ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS DOUBLE) AS cov_s,
        CAST(ROUND(COVAR_POP(l_quantity, l_discount), 6) AS DOUBLE) AS cov_p
 FROM lineitem
@@ -1618,15 +1635,33 @@ _add(QuerySpec(
             F.expr("percentile(l_quantity, 0.75)").alias("eq75"),
         )
         .select(
-            (F.abs(F.col("ad") - F.col("ed")) / F.col("ed") < 0.15)
-            .alias("distinct_within_15pct"),
-            (F.abs(F.col("ap50") - F.col("ep50")) / F.col("ep50") < 0.02)
-            .alias("median_price_within_2pct"),
+            # vacuous truth on an EMPTY relation (round-13 degenerate
+            # sweep): ed = 0 made the ratio an ANSI DIVIDE_BY_ZERO and
+            # NULL exact percentiles made the bounds NULL — an empty
+            # input has no sketch error to bound, so every check holds;
+            # try_divide + coalesce(TRUE) keeps the oracle's constant
+            # row exact in both regimes
+            F.coalesce(
+                F.try_divide(F.abs(F.col("ad") - F.col("ed")), F.col("ed"))
+                < 0.15,
+                F.lit(True),
+            ).alias("distinct_within_15pct"),
+            F.coalesce(
+                F.try_divide(
+                    F.abs(F.col("ap50") - F.col("ep50")), F.col("ep50")
+                )
+                < 0.02,
+                F.lit(True),
+            ).alias("median_price_within_2pct"),
             # quantity is a dense small-int domain: the approx sketch
             # returns a real data value, the exact percentile interpolates
             # — they can differ by at most one adjacent value
-            (F.abs(F.col("aq25") - F.col("eq25")) <= 1.0).alias("qty_q25_within_1"),
-            (F.abs(F.col("aq75") - F.col("eq75")) <= 1.0).alias("qty_q75_within_1"),
+            F.coalesce(
+                F.abs(F.col("aq25") - F.col("eq25")) <= 1.0, F.lit(True)
+            ).alias("qty_q25_within_1"),
+            F.coalesce(
+                F.abs(F.col("aq75") - F.col("eq75")) <= 1.0, F.lit(True)
+            ).alias("qty_q75_within_1"),
         )
     ),
     oracle="""
@@ -1994,15 +2029,26 @@ def _observe_metrics_build(spark, sf):
         .groupBy("o_orderstatus")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    per_status = {r["o_orderstatus"]: r["n"] for r in df.collect()}
-    m = obs.get  # blocks until the action above completes
-    rows = [
-        (s, per_status[s], int(m["n_rows"]), round(float(m["sum_price"]), 2))
-        for s in sorted(per_status)
-    ]
-    return spark.createDataFrame(
-        rows, "o_orderstatus string, n bigint, observed_rows int, observed_sum double"
+    schema = (
+        "o_orderstatus string, n bigint, observed_rows int, observed_sum double"
     )
+    per_status = {r["o_orderstatus"]: r["n"] for r in df.collect()}
+    if not per_status:
+        # EMPTY relation (round-13 degenerate sweep): the aggregate
+        # produced no output rows and the observe node's metrics row is
+        # not materialized for the Python bridge (obs.get crashed in
+        # toPyRow) — and there is nothing to annotate anyway
+        return spark.createDataFrame([], schema)
+    m = obs.get  # blocks until the action above completes
+    # NULLs-first status order (a NULL status group is a real group;
+    # bare sorted() raises on str/None mix); an all-NULL price sum is
+    # NULL, not a float() crash
+    osum = None if m["sum_price"] is None else round(float(m["sum_price"]), 2)
+    rows = [
+        (s, per_status[s], int(m["n_rows"]), osum)
+        for s in sorted(per_status, key=lambda s: (s is not None, s))
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 _add(QuerySpec(
