@@ -1624,3 +1624,114 @@ def test_hand_resize_null_empty_payload(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "multimodal_resize_batch", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def _orders_full(rows):
+    """rows: (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate, o_orderpriority)"""
+    return pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+    })
+
+
+def test_hand_gini_coefficient(spark, tmp_path):
+    """Segment P: customer cents {100, 100, 200} sorted with custkey
+    tiebreak -> i*x = 1*100 + 2*100 + 3*200 = 900; n=3, S=400;
+    G_bp = (2*900 - 4*400) * 10000 // (3*400) = 2000000 // 1200 = 1666.
+    Segment Q: one customer -> 2*100 - 2*100 = 0 -> 0 bp (perfect
+    equality at n=1). Unpriced order excluded by the domain filter."""
+    orders = _orders_full([
+        (1, 11, "O", 1.00, _ts("2024-01-01T00:00:00"), "P"),
+        (2, 12, "O", 1.00, _ts("2024-01-02T00:00:00"), "P"),
+        (3, 13, "O", 2.00, _ts("2024-01-03T00:00:00"), "P"),
+        (4, 21, "O", 1.00, _ts("2024-01-04T00:00:00"), "Q"),
+        (5, 22, "O", None, _ts("2024-01-05T00:00:00"), "Q"),
+    ])
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [("P", 3, 400, 1666), ("Q", 1, 100, 0)]
+    got_spark, got_ora = _run_both(spark, "orders_gini_coefficient", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_funnel_any_order(spark, tmp_path):
+    """Day 1: u1 completes all three OUT OF ORDER (purchase first),
+    u2 views only, u3 does view+click+signup (signup is not a stage)
+    -> 3 active, 1 completed, 3333 bp. Day 2: u1 view+click only
+    (no purchase: sequence-free but still needs all three THAT day)
+    -> 1 active, 0 completed, 0 bp. NULL-user event excluded."""
+    rows = [
+        (1, _ts("2024-01-01T01:00:00"), 1, "purchase", 1.0),
+        (2, _ts("2024-01-01T02:00:00"), 1, "click", 1.0),
+        (3, _ts("2024-01-01T03:00:00"), 1, "view", 1.0),
+        (4, _ts("2024-01-01T04:00:00"), 2, "view", 1.0),
+        (5, _ts("2024-01-01T05:00:00"), 3, "view", 1.0),
+        (6, _ts("2024-01-01T06:00:00"), 3, "click", 1.0),
+        (7, _ts("2024-01-01T07:00:00"), 3, "signup", 1.0),
+        (8, _ts("2024-01-02T01:00:00"), 1, "view", 1.0),
+        (9, _ts("2024-01-02T02:00:00"), 1, "click", 1.0),
+        (10, _ts("2024-01-01T08:00:00"), None, "purchase", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [
+        (dt.date(2024, 1, 1), 3, 1, 3333),
+        (dt.date(2024, 1, 2), 1, 0, 0),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_funnel_any_order", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_zipf_rank_frequency(spark, tmp_path):
+    """Corpus tokens: a x4, b x2, c x2, d x1. Rank ties (b, c) break by
+    token ascending. rel_freq_bp = freq * 10000 // 4."""
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a a b c", "a b c a", None], pa.string()),
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+        "source": pa.array(["s", "s", "s"], pa.string()),
+        "n_chars": pa.array([7, 7, 0], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        (1, "a", 4, 10000),
+        (2, "b", 2, 5000),
+        (3, "c", 2, 5000),
+        (4, "d", 1, 2500),
+    ]
+    # 'd' appears once: add a doc carrying it
+    docs2 = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a a b c", "a b c a", None, "d"], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([7, 7, 0, 1], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, documents=docs2)
+    got_spark, got_ora = _run_both(spark, "text_zipf_rank_frequency", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_fuzzy_invoice_pairs(spark, tmp_path):
+    """Cust 1: orders on day 1, day 5, day 20 -> pairs (1,2) gap 4;
+    (1,3)/(2,3) exceed 7 days. EXACT 7-day boundary kept (cust 2:
+    day 1 vs day 8). Cross-customer never pairs; cents delta exact."""
+    orders = _orders_full([
+        (1, 1, "O", 100.00, _ts("2024-01-01T00:00:00"), "P"),
+        (2, 1, "O", 101.50, _ts("2024-01-05T00:00:00"), "P"),
+        (3, 1, "O", 100.00, _ts("2024-01-20T00:00:00"), "P"),
+        (4, 2, "O", 50.00, _ts("2024-01-01T00:00:00"), "P"),
+        (5, 2, "O", 49.00, _ts("2024-01-08T00:00:00"), "P"),
+        (6, 3, "O", 100.00, _ts("2024-01-01T00:00:00"), "P"),
+    ])
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [(1, 1, 2, 4, 150), (2, 4, 5, 7, 100)]
+    got_spark, got_ora = _run_both(spark, "orders_fuzzy_invoice_pairs", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

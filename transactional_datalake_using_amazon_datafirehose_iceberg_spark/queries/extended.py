@@ -7229,8 +7229,295 @@ FROM sh ORDER BY event_type, dow
 ))
 
 
+def _gini_build(spark, sf):
+    # domain: priced, keyed orders (the NULL-edge convention) — a NULL
+    # priority is a real segment and keeps its own Gini
+    o = spark.table("orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    per = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    # rank within segment by (spend, custkey): the classic Gini index
+    # over SORTED values; the custkey tiebreak keeps i deterministic on
+    # equal spends (the rank-weighted sum is tie-insensitive anyway,
+    # but determinism is the repo convention)
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_custkey")
+    ranked = per.withColumn("i", F.row_number().over(w))
+    # G_bp = floor(10000 * (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)))
+    # — all-integer until ONE bigint division (div truncates; the
+    # numerator is provably >= 0, so trunc == floor). Bound check: at
+    # sf0.1 the 1e4-scaled numerator stays ~1e18 < 2^63; NULLIF guards
+    # the all-zero-spend segment.
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("__s1"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_customers",
+            "total_cents",
+            F.expr(
+                "(2 * __s1 - (n_customers + 1) * total_cents) * 10000"
+                " div nullif(n_customers * total_cents, 0)"
+            ).cast("bigint").alias("gini_bp"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="orders_gini_coefficient",
+    doc="Gini concentration index of customer spend per order priority "
+        "(the inequality complement to HHI): per-segment customer "
+        "totals in integer cents, rank-weighted Gini in truncated "
+        "basis points — exact bigint arithmetic to the single final "
+        "division on both engines.",
+    tags=("agg", "analytics", "window"),
+    build=_gini_build,
+    oracle="""
+WITH per AS (
+  SELECT o_orderpriority, o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY cents NULLS FIRST, o_custkey NULLS FIRST
+         ) AS i
+  FROM per
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST((2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)) * 10000
+            // NULLIF(COUNT(*) * SUM(cents), 0) AS BIGINT) AS gini_bp
+FROM rk
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+""",
+))
+
+
+def _funnel_any_build(spark, sf):
+    # domain: timestamped, identified events (the NULL-edge convention)
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    # stage-set completion per (day, user): ANY order within the day —
+    # the unordered complement of events_funnel_stages' sequenced
+    # funnel. One day-and-user-keyed aggregation (partial-agg friendly,
+    # key cardinality = active users/day), then a day rollup.
+    day_user = ev.groupBy(F.to_date("ts").alias("d"), "user_id").agg(
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("view", "click", "purchase"),
+                F.col("event_type"),
+            )
+        ).alias("__stages")
+    )
+    return (
+        day_user.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active_users"),
+            F.sum((F.col("__stages") == 3).cast("int")).cast("bigint").alias(
+                "n_completed"
+            ),
+        )
+        .select(
+            "d",
+            "n_active_users",
+            "n_completed",
+            # every day group holds >= 1 user by construction: no 0-div
+            F.expr("n_completed * 10000 div n_active_users")
+            .cast("bigint")
+            .alias("completion_bp"),
+        )
+        .orderBy("d")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="events_funnel_any_order",
+    doc="Unordered (set-completion) funnel per day: users who performed "
+        "ALL of view/click/purchase that day in any order, over active "
+        "users — the sequence-free complement of the staged funnel. "
+        "Truncated-bp completion rate, integer-exact.",
+    tags=("events", "agg", "analytics"),
+    build=_funnel_any_build,
+    oracle="""
+WITH du AS (
+  SELECT CAST(ts AS DATE) AS d, user_id,
+         COUNT(DISTINCT event_type)
+           FILTER (WHERE event_type IN ('view', 'click', 'purchase'))
+           AS stages
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users,
+       CAST(COUNT(*) FILTER (WHERE stages = 3) AS BIGINT) AS n_completed,
+       CAST((COUNT(*) FILTER (WHERE stages = 3)) * 10000 // COUNT(*)
+            AS BIGINT) AS completion_bp
+FROM du
+GROUP BY d
+ORDER BY d
+""",
+))
+
+
+def _zipf_build(spark, sf):
+    # single-space tokenization per the repo-wide contract
+    toks = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    # the rank window runs over the AGGREGATED vocabulary (sublinear in
+    # corpus size) — the same honest single-partition trade as the
+    # Pareto cut; tok tiebreak pins equal frequencies
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("__maxf", F.max("freq").over(Window.partitionBy()))
+    )
+    return (
+        ranked.filter(F.col("rank") <= 50)
+        .select(
+            "rank",
+            "tok",
+            "freq",
+            F.expr("freq * 10000 div __maxf").cast("bigint").alias(
+                "rel_freq_bp"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="text_zipf_rank_frequency",
+    doc="Zipf rank-frequency profile of the corpus vocabulary: top-50 "
+        "tokens by frequency with their rank and the integer-bp ratio "
+        "to the modal token — the corpus-health diagnostic that flags "
+        "boilerplate-dominated crawls (too-flat or too-steep head). "
+        "Count shuffle is vocab-scale; ranking runs on the aggregate.",
+    tags=("llm", "text", "agg"),
+    build=_zipf_build,
+    oracle="""
+WITH tok AS (
+  SELECT t.tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE text IS NOT NULL AND t.tok <> ''
+),
+fr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+rk AS (
+  SELECT tok, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank,
+         MAX(freq) OVER () AS maxf
+  FROM fr
+)
+SELECT CAST(rank AS INT) AS rank, tok, freq,
+       CAST(freq * 10000 // maxf AS BIGINT) AS rel_freq_bp
+FROM rk
+WHERE rank <= 50
+ORDER BY rank
+""",
+))
+
+
+def _invoice_pairs_build(spark, sf):
+    # domain: keyed, dated, priced orders
+    o = (
+        spark.table("orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("od"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+    a, b = o.alias("a"), o.alias("b")
+    # equi self-join on the customer key: per-customer order counts are
+    # bounded (tens), so candidate volume is corpus-linear with a small
+    # per-key quadratic factor; an unbounded-cardinality variant would
+    # add a date-bucket to the join key (the interval-overlap binning
+    # pattern). The orderkey inequality halves to unordered pairs.
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.col("a.o_orderkey").alias("k1"),
+        F.col("b.o_orderkey").alias("k2"),
+        F.abs(F.datediff(F.col("b.od"), F.col("a.od"))).cast("int").alias(
+            "day_gap"
+        ),
+        F.abs(F.col("a.cents") - F.col("b.cents")).cast("bigint").alias(
+            "cents_diff"
+        ),
+    )
+    return pairs.filter(F.col("day_gap") <= 7).orderBy(
+        "o_custkey", "k1", "k2"
+    )
+
+
+_STAGED_R14.append(QuerySpec(
+    name="orders_fuzzy_invoice_pairs",
+    doc="Duplicate-invoice candidate pairs (entity-resolution shape): "
+        "orders of the SAME customer within 7 days, emitted with day "
+        "gap and integer-cents price delta for a downstream match "
+        "scorer. Customer-keyed equi self-join — candidate volume is "
+        "corpus-linear under bounded per-customer order counts.",
+    tags=("dedup", "join", "analytics"),
+    build=_invoice_pairs_build,
+    oracle="""
+SELECT a.o_custkey,
+       a.o_orderkey AS k1,
+       b.o_orderkey AS k2,
+       CAST(abs(datediff('day', CAST(a.o_orderdate AS DATE),
+                         CAST(b.o_orderdate AS DATE))) AS INT) AS day_gap,
+       CAST(abs(CAST(ROUND(a.o_totalprice * 100, 0) AS BIGINT)
+                - CAST(ROUND(b.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS cents_diff
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE a.o_custkey IS NOT NULL
+  AND a.o_orderdate IS NOT NULL AND b.o_orderdate IS NOT NULL
+  AND a.o_totalprice IS NOT NULL AND b.o_totalprice IS NOT NULL
+  AND abs(datediff('day', CAST(a.o_orderdate AS DATE),
+                   CAST(b.o_orderdate AS DATE))) <= 7
+ORDER BY a.o_custkey, k1, k2
+""",
+))
+
+
+
 SPECS_NEXT = (
     [s for s in _STAGED_R12 if s.name not in _DECLARE_R12]
-    + list(_STAGED_R13)
+    + [s for s in _STAGED_R13 if s.name not in _DECLARE_R13]
     + list(_STAGED_R14)
 )
