@@ -1249,11 +1249,17 @@ def test_hand_bm25_rank(spark, tmp_path):
     d = _mk_sf(tmp_path, documents=_documents(docs))
     idf_spark = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
     idf_merge = math.log(1.0 + (3.0 - 1 + 0.5) / (1 + 0.5))
-    s1 = (idf_spark * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
-          + idf_merge * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 3.0)))
+    # per-term 1e-6 floor BEFORE the per-doc sum (round-13 advice fix:
+    # an order-insensitive integer ranking key — a whole-sum floor can
+    # flip across engines when the sum lands within 1 ulp of the grid)
+    c1_spark = idf_spark * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+    c1_merge = idf_merge * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
     s2 = idf_spark * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 4 / 3.0))
     hand = sorted(
-        [(1, math.floor(s1 * 1e6)), (2, math.floor(s2 * 1e6))],
+        [
+            (1, math.floor(c1_spark * 1e6) + math.floor(c1_merge * 1e6)),
+            (2, math.floor(s2 * 1e6)),
+        ],
         key=lambda r: (-r[1], r[0]),
     )
     got_spark, got_ora = _run_both(spark, "text_bm25_rank", d)
