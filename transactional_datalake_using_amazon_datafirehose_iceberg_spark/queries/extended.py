@@ -6341,7 +6341,13 @@ FROM j GROUP BY 1, 2 ORDER BY cohort_ym, month_offset
 
 
 def _overlap_build(spark, sf):
-    e = spark.table("events").select("event_type", "user_id").distinct()
+    # the distinct (type, user) relation feeds THREE consumers (the
+    # audience sizes and both self-join sides): materialize once — the
+    # signature-table pattern — or the corpus scan + distinct executes
+    # per consumer (plan audit round 13: 11 exchanges -> 6)
+    e = materialize(
+        spark.table("events").select("event_type", "user_id").distinct()
+    )
     per = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
@@ -6568,7 +6574,14 @@ def _bm25_build(spark, sf):
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc-length relation feeds THREE consumers (the corpus-scalar
+    # collect, and the scoring join) — materialized once at DOC scale
+    # so the corpus tokenize runs for it exactly once (round-13 plan
+    # audit; tok itself stays lazy: token scale is the wrong thing to
+    # pin for a 2-consumer win)
+    dl = materialize(
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
     # corpus stats are two scalars: inline as literals (same shape as
     # the RFM global max). avgdl = exact-int sum / exact-int count in
     # one IEEE double division — bit-identical to the oracle's.
@@ -7097,7 +7110,12 @@ FROM sh GROUP BY event_type ORDER BY event_type
 
 
 def _basket_lift_build(spark, sf):
-    li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    # distinct (order, part) feeds FOUR consumers (the n_orders scalar,
+    # the supports, both self-join sides): materialize once (round-13
+    # plan audit — same move as the phash signature table)
+    li = materialize(
+        spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
     n_orders = li.select("l_orderkey").distinct().count()  # one scalar
     per = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
     a, b = li.alias("a"), li.alias("b")
