@@ -1741,3 +1741,120 @@ def test_hand_fuzzy_invoice_pairs(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "orders_fuzzy_invoice_pairs", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_boundary_overlap(spark, tmp_path):
+    """doc1 ends 'ABCDEFGHIJKL' (12 chars), doc2 starts with exactly
+    those 12 -> pair (1,2). doc3 starts with an 11-char prefix of it
+    then diverges -> no pair. Short doc (<12 chars) excluded. Self-pair
+    (a doc whose head equals its own tail) excluded by doc_a <> doc_b."""
+    docs = _documents([
+        (1, "xxxxABCDEFGHIJKL", "s"),
+        (2, "ABCDEFGHIJKLyyyy", "s"),
+        (3, "ABCDEFGHIJKZzzzz", "s"),
+        (4, "short", "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(1, 2, 16, 16)]
+    got_spark, got_ora = _run_both(spark, "dedup_boundary_overlap_pairs", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_survival_curve(spark, tmp_path):
+    """u1 spans day0..day2 (lifespan 2), u2 day0 only (0), u3 day0..day1
+    (1). Histogram {0:1, 1:1, 2:1}; suffix sums: d0=3, d1=2, d2=1;
+    bp over 3 users: 10000, 6666, 3333."""
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-03T00:00:00"), 1, "view", 1.0),
+        (3, _ts("2024-01-01T00:00:00"), 2, "view", 1.0),
+        (4, _ts("2024-01-01T00:00:00"), 3, "view", 1.0),
+        (5, _ts("2024-01-02T00:00:00"), 3, "view", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [(0, 3, 10000), (1, 2, 6666), (2, 1, 3333)]
+    got_spark, got_ora = _run_both(spark, "events_survival_curve", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_norm_outlier_audit(spark, tmp_path):
+    """Norms: [1.0]*6 vectors (norm_e6=1_000_000) plus one zero vector
+    (0) and one doubled vector ([2,0,...] -> 2_000_000). Quartiles over
+    {0, 1e6 x6, 2e6}: q1 = 1e6 (pos 2.75 interpolates within the 1e6
+    run), q3 = 1e6; IQR 0 -> fences collapse to [1e6, 1e6]: the zero
+    vector is low, the doubled one high."""
+    dim = 8
+    unit = [1.0] + [0.0] * (dim - 1)
+    rows = (
+        [(i, unit, 0) for i in range(1, 7)]
+        + [(7, [0.0] * dim, 0), (8, [2.0] + [0.0] * (dim - 1), 0)]
+    )
+    d = _mk_sf(tmp_path, embeddings=_embeddings(rows))
+    hand = [(8, 1000000.0, 1000000.0, 1, 1)]
+    got_spark, got_ora = _run_both(spark, "embedding_norm_outliers", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_length_histogram_log2(spark, tmp_path):
+    """Token counts: 1 -> bucket 0, 2 and 3 -> bucket 1, 8 -> bucket 3;
+    empty text ('' splits to one empty token, size 1 -> bucket 0);
+    NULL text excluded."""
+    docs = _documents([
+        (1, "a", "s"),
+        (2, "a b", "s"),
+        (3, "a b c", "s"),
+        (4, " ".join(["t"] * 8), "s"),
+        (5, "", "s"),
+        (6, None, "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(0, 1, 2), (1, 2, 2), (3, 8, 1)]
+    got_spark, got_ora = _run_both(
+        spark, "documents_length_histogram_log2", d
+    )
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_benford_first_digit(spark, tmp_path):
+    """Cents: 12345 (digit 1), 199 (1), 2050 (2), 999 (9) -> counts
+    {1: 2, 2: 1, 9: 1}; shares 5000, 2500, 2500 bp. A zero total
+    (digit 0) is excluded from the profile."""
+    orders = _orders_full([
+        (1, 1, "O", 123.45, _ts("2024-01-01T00:00:00"), "P"),
+        (2, 1, "O", 1.99, _ts("2024-01-01T00:00:00"), "P"),
+        (3, 1, "O", 20.50, _ts("2024-01-01T00:00:00"), "P"),
+        (4, 1, "O", 9.99, _ts("2024-01-01T00:00:00"), "P"),
+        (5, 1, "O", 0.00, _ts("2024-01-01T00:00:00"), "P"),
+    ])
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [(1, 2, 5000), (2, 1, 2500), (9, 1, 2500)]
+    got_spark, got_ora = _run_both(spark, "orders_benford_first_digit", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_payload_dedup(spark, tmp_path):
+    """Three docs; the 10-smallest re-ingestion copies ALL of them
+    (corpus < 10): every text forms a (orig, copy) group of 2 with the
+    original as keeper. doc2 and doc3 share text, so their group holds
+    2 originals + 2 copies = 4 with keeper 2."""
+    docs = _documents([
+        (1, "unique text one", "s"),
+        (2, "shared text", "s"),
+        (3, "shared text", "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    import hashlib
+
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    hand = sorted([
+        (md5("unique text one"), 2, 1),
+        (md5("shared text"), 4, 2),
+    ])
+    got_spark, got_ora = _run_both(spark, "multimodal_payload_dedup", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

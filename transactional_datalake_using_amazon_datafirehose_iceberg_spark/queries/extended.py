@@ -7534,8 +7534,377 @@ ORDER BY a.o_custkey, k1, k2
 
 
 
+# ---------------------------------------------------------------------------
+# Round-15 staging lane: built ahead in round 13 so the declaration
+# cadence never starves; declared after the r14 lane rotates through.
+# ---------------------------------------------------------------------------
+_STAGED_R15: list[QuerySpec] = []
+
+
+def _boundary_overlap_build(spark, sf):
+    # crawl continuation-duplicates: doc A's TAIL equals doc B's HEAD
+    # (paginated articles, log rollovers) — invisible to whole-doc
+    # hashing and weakly scored by Jaccard. One boundary gram per side,
+    # candidates from an equi-join on the boundary gram: corpus-linear.
+    # k=12 on the fixture corpus (word-soup text: a longer boundary
+    # never matches; a real crawl would run k~50 on raw HTML).
+    k = 12
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= k)
+    )
+    heads = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, k).alias("g"),
+        F.length("text").cast("bigint").alias("len_b"),
+    )
+    tails = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.expr(f"substring(text, length(text) - {k - 1}, {k})").alias("g"),
+        F.length("text").cast("bigint").alias("len_a"),
+    )
+    return (
+        tails.join(heads, "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "len_a", "len_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_STAGED_R15.append(QuerySpec(
+    name="dedup_boundary_overlap_pairs",
+    doc="Suffix/prefix continuation-duplicate candidates: ordered pairs "
+        "where A's last 12 chars equal B's first 12 (paginated/rolled "
+        "content) — the overlap class whole-doc hashing and Jaccard "
+        "banding both miss. Boundary-gram equi-join, corpus-linear.",
+    tags=("dedup", "llm", "join"),
+    build=_boundary_overlap_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
+  FROM documents WHERE text IS NOT NULL AND strlen(text) >= 12
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.len AS len_a, b.len AS len_b
+FROM d a JOIN d b
+  ON substring(a.text, CAST(a.len AS INT) - 11, 12)
+       = substring(b.text, 1, 12)
+ AND a.doc_id <> b.doc_id
+ORDER BY doc_a, doc_b
+""",
+))
+
+
+def _survival_build(spark, sf):
+    # Kaplan-Meier-style engagement survival: share of users still
+    # active >= d days after their first event. Per-user lifespan in
+    # ONE aggregation; the curve is a lifespan-histogram suffix sum —
+    # user-count scale after the first shuffle.
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    span = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "lifespan_days"
+        )
+    )
+    n_users = span.count()  # one scalar (metadata), inlined as literal
+    hist = span.groupBy("lifespan_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending_here")
+    )
+    # suffix sum: users alive at >= d = sum of histogram at >= d; the
+    # window runs over the DISTINCT-lifespan relation (days scale)
+    w = (
+        Window.orderBy(F.col("lifespan_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hist.withColumn("n_surviving", F.sum("n_ending_here").over(w))
+        .select(
+            F.col("lifespan_days").cast("int").alias("day"),
+            F.col("n_surviving").cast("bigint").alias("n_surviving"),
+            F.expr(f"n_surviving * 10000 div {int(n_users)}")
+            .cast("bigint")
+            .alias("survival_bp"),
+        )
+        .orderBy("day")
+    )
+
+
+_STAGED_R15.append(QuerySpec(
+    name="events_survival_curve",
+    doc="Engagement survival curve: users still active >= d days after "
+        "their first event (per-user lifespan -> histogram -> suffix "
+        "sum over the days-scale relation), truncated-bp share of the "
+        "cohort — the retention complement of inactivity churn.",
+    tags=("events", "analytics", "window"),
+    build=_survival_build,
+    oracle="""
+WITH span AS (
+  SELECT user_id,
+         datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS lifespan_days
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+),
+hist AS (
+  SELECT lifespan_days, CAST(COUNT(*) AS BIGINT) AS n_ending_here
+  FROM span GROUP BY 1
+)
+SELECT CAST(lifespan_days AS INT) AS day,
+       CAST(SUM(n_ending_here) OVER (
+         ORDER BY lifespan_days DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_surviving,
+       CAST(SUM(n_ending_here) OVER (
+         ORDER BY lifespan_days DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) * 10000 // (SELECT COUNT(*) FROM span) AS BIGINT) AS survival_bp
+FROM hist
+ORDER BY day
+""",
+))
+
+
+def _norm_outlier_build(spark, sf):
+    # embedding hygiene: Tukey-fence audit over e6-quantized L2 norms —
+    # truncated/corrupt/unnormalized vectors poison cosine retrieval
+    # silently. ONE summary row ALWAYS (a healthy all-normalized corpus
+    # reports zero outliers alongside its fences, not an empty relation
+    # a monitoring join would silently drop). Exact interpolated
+    # quartiles over integer norms, collected as two scalars (the
+    # corpus-scalar convention) and inlined into one audit aggregation;
+    # fences are .5-exact doubles so both engines compare identically.
+    e = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    norms = e.select(
+        F.floor(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+            * 1e6
+        ).cast("bigint").alias("norm_e6"),
+    )
+    q = norms.agg(
+        F.expr("percentile(norm_e6, 0.25)").alias("q1"),
+        F.expr("percentile(norm_e6, 0.75)").alias("q3"),
+    ).collect()[0]
+    if q["q1"] is None:  # empty embeddings: vacuous audit row
+        return spark.createDataFrame(
+            [(0, None, None, 0, 0)],
+            "n_vectors bigint, q1_e6 double, q3_e6 double, "
+            "n_low bigint, n_high bigint",
+        )
+    q1, q3 = float(q["q1"]), float(q["q3"])
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    return norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.lit(q1).alias("q1_e6"),
+        F.lit(q3).alias("q3_e6"),
+        F.sum((F.col("norm_e6") < lo).cast("int")).cast("bigint").alias(
+            "n_low"
+        ),
+        F.sum((F.col("norm_e6") > hi).cast("int")).cast("bigint").alias(
+            "n_high"
+        ),
+    )
+
+
+_STAGED_R15.append(QuerySpec(
+    name="embedding_norm_outliers",
+    doc="Embedding-hygiene audit (one summary row always): corpus "
+        "size, e6-quantized L2-norm quartiles, and the count of "
+        "vectors outside the Tukey 1.5*IQR fences — truncated / "
+        "corrupt / unnormalized rows that silently poison cosine "
+        "retrieval. Exact interpolated quartiles over integer norms; "
+        "map-only scan plus two collected scalars.",
+    tags=("llm", "embedding", "quality"),
+    build=_norm_outlier_build,
+    oracle="""
+WITH norms AS (
+  SELECT CAST(FLOOR(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6)
+              AS BIGINT) AS norm_e6
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+q AS (
+  SELECT quantile_cont(norm_e6, 0.25) AS q1,
+         quantile_cont(norm_e6, 0.75) AS q3
+  FROM norms
+)
+SELECT CAST(COUNT(norm_e6) AS BIGINT) AS n_vectors,
+       CAST(ANY_VALUE(q1) AS DOUBLE) AS q1_e6,
+       CAST(ANY_VALUE(q3) AS DOUBLE) AS q3_e6,
+       CAST(COALESCE(COUNT(*) FILTER (
+         WHERE norm_e6 < q1 - 1.5 * (q3 - q1)), 0) AS BIGINT) AS n_low,
+       CAST(COALESCE(COUNT(*) FILTER (
+         WHERE norm_e6 > q3 + 1.5 * (q3 - q1)), 0) AS BIGINT) AS n_high
+FROM q LEFT JOIN norms ON TRUE
+""",
+))
+
+
+def _len_hist_build(spark, sf):
+    # tokenizer-budget planning histogram: docs per power-of-two token-
+    # count bucket. Token counts are small ints, so floor(log2(n)) is
+    # exact in ANY correctly-rounded double log2.
+    d = spark.table("documents").filter(F.col("text").isNotNull())
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(F.greatest(n_tok, F.lit(1)).alias("n"))
+        .select(F.floor(F.log2("n")).cast("int").alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "log2_bucket",
+            F.expr("CAST(pow(2, log2_bucket) AS BIGINT)").alias(
+                "bucket_min_tokens"
+            ),
+            "n_docs",
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+_STAGED_R15.append(QuerySpec(
+    name="documents_length_histogram_log2",
+    doc="Power-of-two token-length histogram of the corpus — the "
+        "sequence-budget planning profile (how much of the corpus fits "
+        "a 2^k-token context). Single-space tokenization per the repo "
+        "contract; zero-token docs clamp into bucket 0.",
+    tags=("llm", "text", "agg"),
+    build=_len_hist_build,
+    oracle="""
+SELECT CAST(FLOOR(log2(GREATEST(len(string_split(text, ' ')), 1)))
+            AS INT) AS log2_bucket,
+       CAST(pow(2, FLOOR(log2(GREATEST(len(string_split(text, ' ')), 1))))
+            AS BIGINT) AS bucket_min_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1, 2
+ORDER BY log2_bucket
+""",
+))
+
+
+def _benford_build(spark, sf):
+    # first-significant-digit profile of order totals vs Benford's law
+    # — the classic fabricated-data audit. Digit extraction on integer
+    # cents (string head of a positive bigint: no float formatting).
+    o = spark.table("orders").filter(F.col("o_totalprice").isNotNull())
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = o.select(
+        F.substring(F.abs(cents).cast("string"), 1, 1).cast("int").alias(
+            "digit"
+        )
+    ).filter(F.col("digit") > 0)
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "n_orders * 10000 div (SUM(n_orders) OVER ())"
+            ).cast("bigint"),
+        )
+        .orderBy("digit")
+    )
+
+
+_STAGED_R15.append(QuerySpec(
+    name="orders_benford_first_digit",
+    doc="Benford first-significant-digit profile of order totals (the "
+        "fabricated-data / data-quality audit): digit of the integer "
+        "cents magnitude, counts and truncated-bp shares. The share "
+        "window runs over the 9-row digit relation.",
+    tags=("agg", "quality", "analytics"),
+    build=_benford_build,
+    oracle="""
+WITH d AS (
+  SELECT CAST(substring(CAST(abs(CAST(ROUND(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) * 10000 // (SUM(COUNT(*)) OVER ()) AS BIGINT)
+         AS share_bp
+FROM d WHERE digit > 0
+GROUP BY digit
+ORDER BY digit
+""",
+))
+
+
+def _payload_dedup_build(spark, sf):
+    # content-addressable dedup of binary payloads: md5 over the raw
+    # bytes (the CAS primitive of a multimodal lake — identical images
+    # stored once). The fixture corpus is dup-free, so the spec models
+    # the operational event the primitive exists for: a deterministic
+    # RE-INGESTION of the 10 smallest documents (same payload, new
+    # asset id at +10_000_000) unioned in before hashing. Map-side
+    # hash, one digest-keyed aggregation; payload bytes never shuffle
+    # (only the 32-char digest does).
+    from ..operators.multimodal import attach_binary_payload
+
+    docs = spark.table("documents").filter(F.col("text").isNotNull())
+    reingested = (
+        docs.orderBy("doc_id")
+        .limit(10)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    mm = attach_binary_payload(docs.unionByName(reingested))
+    return (
+        mm.select("doc_id", F.md5("payload").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_md5")
+    )
+
+
+_STAGED_R15.append(QuerySpec(
+    name="multimodal_payload_dedup",
+    doc="Content-addressable payload dedup (the CAS primitive of a "
+        "multimodal lake): md5 over raw payload bytes, duplicate "
+        "groups with keeper id, exercised on a deterministic "
+        "re-ingestion of the 10 smallest assets (the fixture corpus "
+        "itself is dup-free). Only the 32-char digest shuffles — "
+        "payload bytes stay in the scan stage.",
+    tags=("multimodal", "dedup", "llm"),
+    build=_payload_dedup_build,
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+reingested AS (
+  SELECT doc_id + 10000000 AS doc_id, text
+  FROM base ORDER BY doc_id LIMIT 10
+),
+unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM reingested
+)
+SELECT md5(text) AS content_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM unioned
+GROUP BY 1
+HAVING COUNT(*) > 1
+ORDER BY content_md5
+""",
+))
+
+
+
 SPECS_NEXT = (
     [s for s in _STAGED_R12 if s.name not in _DECLARE_R12]
     + [s for s in _STAGED_R13 if s.name not in _DECLARE_R13]
     + list(_STAGED_R14)
+    + list(_STAGED_R15)
 )
