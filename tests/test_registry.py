@@ -1,0 +1,43 @@
+"""Registry sampling-hygiene invariants.
+
+The external correctness harness samples a 50-spec least-recently-
+verified-first PREFIX of the registry per round.  The invariants that
+keep that rotation sound (every never-green spec inside one window, no
+green spec more than 5 rounds stale when displaced past the window)
+used to be import-time asserts; per round-13 advice they now live in
+``registry.staleness_violations()`` so a hygiene slip fails THIS test
+instead of bricking every registry import (and survives ``python -O``).
+"""
+
+from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries import registry
+
+
+def test_no_staleness_violations():
+    assert registry.staleness_violations() == []
+
+
+def test_window_composition_r14():
+    """The exact 50-spec prefix the driver will sample in round 14:
+    12 never-green r14 declarations, then the 7 r8-displaced greens,
+    then the r9-stale cohort fills the rest."""
+    specs = list(registry.QUERY_SPECS.values())
+    window = specs[: registry.SAMPLING_WINDOW]
+    never = [s.name for s in window if registry._last_green_round(s.name) == 0]
+    assert len(never) == 12, never
+    r8 = {s.name for s in window if registry._last_green_round(s.name) == 8}
+    assert r8 == {
+        "q9_shape_product_profit", "q11_shape_important_stock",
+        "q16_shape_supplier_counts", "q20_shape_excess_availability",
+        "recursive_cte_ancestors", "sql_udf_create_function",
+        "variant_json_extract",
+    }, r8
+    r9 = [s.name for s in window if registry._last_green_round(s.name) == 9]
+    assert len(never) + len(r8) + len(r9) == registry.SAMPLING_WINDOW
+
+
+def test_ledger_names_all_declared():
+    """Import already enforces this with RuntimeError; assert the happy
+    path explicitly so a rename shows up here with a readable diff."""
+    declared = set(registry.QUERY_SPECS)
+    for rnd, green in registry._GREEN_BY_ROUND.items():
+        assert green <= declared, (rnd, sorted(green - declared))

@@ -7902,9 +7902,36 @@ ORDER BY content_md5
 
 
 
+# Round-14 declaration: the full 12-spec staged lane. Window math
+# (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
+# never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
+# recursive_cte_ancestors, sql_udf_create_function, variant_json_extract)
+# + the 31-spec r9-stale cohort fill the driver's 50-spec sampling
+# prefix exactly; staging more into r14 would break the max-staleness
+# bound (checked by registry.staleness_violations / tests/test_registry.py).
+_DECLARE_R14 = {
+    "text_char_entropy",
+    "events_active_time_union",
+    "orders_mad_dispersion",
+    "embedding_quantized_centroids",
+    "events_conversion_latency_quantiles",
+    "events_hhi_concentration",
+    "orders_basket_lift",
+    "events_dow_seasonality",
+    "orders_gini_coefficient",
+    "events_funnel_any_order",
+    "text_zipf_rank_frequency",
+    "orders_fuzzy_invoice_pairs",
+}
+SPECS.extend(s for s in _STAGED_R14 if s.name in _DECLARE_R14)
+assert not [s for s in _STAGED_R14 if s.name not in _DECLARE_R14], (
+    "round-14 staged lane fully declared in r14"
+)
+
+
 SPECS_NEXT = (
     [s for s in _STAGED_R12 if s.name not in _DECLARE_R12]
     + [s for s in _STAGED_R13 if s.name not in _DECLARE_R13]
-    + list(_STAGED_R14)
+    + [s for s in _STAGED_R14 if s.name not in _DECLARE_R14]
     + list(_STAGED_R15)
 )

