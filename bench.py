@@ -324,9 +324,44 @@ def _prewarm_fixture_cache(sf_dir: str) -> dict:
     }
 
 
+def _setup_tmpfs_scratch() -> dict:
+    """Route spec scratch + Spark local dirs to tmpfs when available
+    (round-13 judge item 2). The sf0.1 fixtures (17.5 MB) are already
+    fully prewarmed into page cache, yet five consecutive rounds of a
+    host I/O episode (read sentinels 241-301 MB/s vs the 650+ clean
+    band) kept degrading the headline record — through the paths the
+    prewarm cannot cover: lake-table writes, streaming checkpoints, and
+    shuffle spill, all of which land on the host disk. 126 GiB of
+    /dev/shm dwarfs the sf0.1 working set, so the bench routes
+    TMPDIR (every scratch_dir()/mkdtemp call) and SPARK_LOCAL_DIRS
+    (shuffle/spill) there; a box without tmpfs keeps the old behavior.
+    Must run BEFORE the SparkSession launches (local dirs are fixed at
+    JVM start)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = "/dev/shm"
+    try:
+        if not os.path.isdir(base) or not os.access(base, os.W_OK):
+            return {"tmpfs": False, "reason": "no writable /dev/shm"}
+        d = tempfile.mkdtemp(prefix="bench_scratch_", dir=base)
+    except OSError as exc:
+        return {"tmpfs": False, "reason": f"{type(exc).__name__}: {exc}"}
+    atexit.register(shutil.rmtree, d, True)
+    os.environ["TMPDIR"] = d
+    tempfile.tempdir = None  # drop the cached default so TMPDIR applies
+    local = os.path.join(d, "spark-local")
+    os.makedirs(local, exist_ok=True)
+    os.environ["SPARK_LOCAL_DIRS"] = local
+    return {"tmpfs": True, "dir": d}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    scratch_info = _setup_tmpfs_scratch()
+    print(f"# tmpfs scratch: {scratch_info}", file=sys.stderr)
     # Right-sized heap (round-12 judge item 3 demoted the old blanket
     # 48g export): the heaviest extra (dedup_containment_asymmetric,
     # corpus-token-scale shingle self-join) runs sf0.1 green at 2g on
@@ -349,6 +384,7 @@ def main() -> None:
     print(f"# contention sentinel (pre): {sentinel_pre}", file=sys.stderr)
     prewarm = _prewarm_fixture_cache(sf_dir)
     sentinel_pre["prewarm"] = prewarm
+    sentinel_pre["scratch"] = scratch_info
     print(f"# fixture prewarm: {prewarm}", file=sys.stderr)
 
     timings: dict[str, float] = {}
