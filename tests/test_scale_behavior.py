@@ -266,6 +266,40 @@ _HEADLINE = [
     "orders_pareto_abc_class",
     "events_rolling_distinct_users_7d",
     "dedup_containment_asymmetric",
+    # round-13 declarations (the full former staged lane — these left
+    # the SPECS_NEXT staged sweep when promoted, so they join the
+    # declared sweep here; gap noticed in round 14)
+    "orders_rfm_segmentation",
+    "orders_market_basket_pairs",
+    "events_dau_wau_stickiness",
+    "events_inactivity_churn",
+    "events_weighted_moving_avg",
+    "events_first_touch_attribution",
+    "orders_interpurchase_gap_stats",
+    "json_variant_props_agg",
+    "multimodal_phash_hamming_pairs",
+    "streaming_complete_mode_lake_sink",
+    "sample_hash_topk_per_group",
+    "window_rolling_median_cents",
+    "events_binary_decay_smoothing",
+    "orders_cohort_retention",
+    "events_audience_overlap",
+    "events_wow_top_movers",
+    "quality_profile_columns",
+    "text_bm25_rank",
+    # round-14 declarations (the full former staged lane)
+    "text_char_entropy",
+    "events_active_time_union",
+    "orders_mad_dispersion",
+    "embedding_quantized_centroids",
+    "events_conversion_latency_quantiles",
+    "events_hhi_concentration",
+    "orders_basket_lift",
+    "events_dow_seasonality",
+    "orders_gini_coefficient",
+    "events_funnel_any_order",
+    "text_zipf_rank_frequency",
+    "orders_fuzzy_invoice_pairs",
 ]
 
 # spec -> physical-plan nodes it deliberately uses (with the reason the
