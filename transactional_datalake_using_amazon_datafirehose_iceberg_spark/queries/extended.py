@@ -7256,10 +7256,17 @@ FROM sh ORDER BY event_type, dow
 
 
 def _gini_build(spark, sf):
-    # domain: priced, keyed orders (the NULL-edge convention) — a NULL
-    # priority is a real segment and keeps its own Gini
+    # domain: NONNEGATIVELY priced, keyed orders (the NULL-edge
+    # convention) — a NULL priority is a real segment and keeps its own
+    # Gini. The >= 0 filter is load-bearing, not cosmetic: the final
+    # division relies on trunc == floor, which holds only for a
+    # nonnegative numerator; one refund/credit row with a negative
+    # totalprice could make Spark `div` (trunc toward zero) and DuckDB
+    # `//` (floor) disagree by 1 bp (round-13 advice)
     o = spark.table("orders").filter(
-        F.col("o_totalprice").isNotNull() & F.col("o_custkey").isNotNull()
+        F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") >= 0)
+        & F.col("o_custkey").isNotNull()
     )
     per = o.groupBy("o_orderpriority", "o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
@@ -7311,7 +7318,11 @@ WITH per AS (
   SELECT o_orderpriority, o_custkey,
          SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
   FROM orders
-  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+  -- o_totalprice >= 0 mirrors the build: trunc==floor in the final
+  -- division requires a nonnegative numerator (Chebyshev sum
+  -- inequality gives it for sorted nonnegative cents)
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+    AND o_custkey IS NOT NULL
   GROUP BY 1, 2
 ),
 rk AS (
@@ -7590,8 +7601,12 @@ _STAGED_R15.append(QuerySpec(
     build=_boundary_overlap_build,
     oracle="""
 WITH d AS (
-  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len
-  FROM documents WHERE text IS NOT NULL AND strlen(text) >= 12
+  -- length() (characters), NOT strlen() (bytes): Spark's length() and
+  -- substring() are character-based, and DuckDB's substring() is too —
+  -- a byte-based len feeding a char-based substring start diverges on
+  -- any non-ASCII document (round-13 advice)
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 12
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        a.len AS len_a, b.len AS len_b

@@ -115,11 +115,16 @@ def write_routed_corpus(out_path: str,
     # key offsets derive from the table count — the old hardcoded
     # (0, 100) pair meant a caller passing THREE destinations got a
     # corpus silently missing the third (zip truncation, the silent-
-    # drop class; review round 13). 100-key stride keeps per-table key
-    # ranges disjoint up to 16 tables before colliding with the
-    # unroutable 900-block, which is asserted.
+    # drop class; review round 13). 100-key stride: the 10th table's
+    # offset would reach the unroutable 900-block, so the bound is
+    # derived from that block, not a free-standing constant (round-13
+    # advice corrected the old "up to 16 tables" comment).
     offsets = range(0, 100 * len(tables), 100)
-    assert len(tables) <= 8, "routed corpus supports at most 8 tables"
+    if 100 * len(tables) > 900:
+        raise ValueError(
+            f"routed corpus supports at most 9 tables (offset 900 is the "
+            f"unroutable block); got {len(tables)}"
+        )
     with open(out_path, "w") as f:
         for t_i, (table, off) in enumerate(zip(tables, offsets)):
             for i in range(1, 7):
