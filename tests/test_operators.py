@@ -442,6 +442,15 @@ def test_salted_join_guards_and_spread(spark):
         with _pytest.raises(ValueError, match="salt-safe"):
             salted_join(left, right, on=["k"], how=bad)
 
+    # n_salts < 1 fails loudly: sequence(0, -1) DESCENDS, so a zero
+    # salt count would replicate right rows under salts [0, -1] instead
+    # of erroring (round-14 review sweep)
+    for bad_n in (0, -3):
+        with _pytest.raises(ValueError, match="n_salts"):
+            salted_join(left, right, on=["k"], n_salts=bad_n)
+        with _pytest.raises(ValueError, match="n_salts"):
+            salted_sum(left, ["k"], "v", n_salts=bad_n)
+
     # identical hot-key rows spread across salts (>1 distinct salt over
     # 50 byte-identical rows; the old whole-row hash gave exactly 1)
     n_salts = left.repartition(4).withColumn(

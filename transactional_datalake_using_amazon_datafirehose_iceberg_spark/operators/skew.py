@@ -67,7 +67,15 @@ def _pick_salt(salt_cols: list[str] | None, n_salts: int):
     EXPLICIT empty list is an error, not a silent fallback: a caller who
     opted into content salting must not be handed the recompute-unsafe
     default because their dynamically-computed column list came out
-    empty (review round 12)."""
+    empty (review round 12).
+
+    n_salts must be positive and is validated HERE (both entry points
+    route through): n_salts=0 would make salted_join's
+    sequence(0, n_salts-1) DESCEND — Spark's sequence(0, -1) yields
+    [0, -1] — replicating right rows under two bogus salts before
+    pmod(x, 0) ever raises (round-14 review sweep)."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     if salt_cols is None:
         return _row_spread_salt(n_salts)
     if not salt_cols:

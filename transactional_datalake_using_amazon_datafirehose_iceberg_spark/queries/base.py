@@ -62,7 +62,11 @@ class QuerySpec:
         register_views(spark, sf_dir)
         if self.build is not None:
             return self.build(spark, sf_dir)
-        assert self.sql is not None, f"{self.name}: no spark implementation"
+        if self.sql is None:
+            # RuntimeError, not assert: under python -O the assert is
+            # stripped and spark.sql(None) raises an opaque Py4J error
+            # instead of naming the broken spec (round-14 review sweep)
+            raise RuntimeError(f"{self.name}: no spark implementation")
         return spark.sql(self.sql)
 
     def oracle_text(self) -> str | None:
