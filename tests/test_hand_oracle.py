@@ -1858,3 +1858,184 @@ def test_hand_payload_dedup(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "multimodal_payload_dedup", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+# ---------------------------------------------------------------------------
+# Round-16 staging lane (built round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_hand_semantic_cluster_audit(spark, tmp_path):
+    """8-dim vectors; sign bucket = 8 leading signs (0 counts as '1').
+
+    v1=[1,0..], v2=[2,0..], v3=[0,1,0..], v4=[1,1,0..]: all bucket
+    '11111111'. Cosines: (1,2)=1, (1,4)=(2,4)=(3,4)=1/sqrt(2)=.707107,
+    (1,3)=(2,3)=0 -> edges chain {1,2,3,4} through v4: cluster 1,
+    4 members, keeper MAX id 4, labels {0,0,1,1} -> 2.
+    v5=[-1,0..]: bucket '01111111' singleton -> no pairs, absent.
+    v6=[-1,-1,0..], v7=[-2,-2,0..]: bucket '00111111', cos 1 -> cluster
+    6, 2 members, keeper 7, labels {2,2} -> 1.
+    """
+    z6 = [0.0] * 6
+    emb = _embeddings([
+        (1, [1.0, 0.0] + z6, 0),
+        (2, [2.0, 0.0] + z6, 0),
+        (3, [0.0, 1.0] + z6, 1),
+        (4, [1.0, 1.0] + z6, 1),
+        (5, [-1.0, 0.0] + z6, 0),
+        (6, [-1.0, -1.0] + z6, 2),
+        (7, [-2.0, -2.0] + z6, 2),
+    ])
+    d = _mk_sf(tmp_path, embeddings=emb)
+    hand = [(1, 4, 4, 2), (6, 2, 7, 1)]
+    got_spark, got_ora = _run_both(spark, "dedup_semantic_cluster_audit", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_stratified_proportional(spark, tmp_path):
+    """102 'en' docs + 1 'de' doc (103 total, budget 100):
+    quota(en) = 100*102//103 = 99, quota(de) = 100*1//103 = 0.
+    Expected sample: the 99 lowest (md5(doc_id), doc_id) en docs —
+    ranks derived with hashlib.md5 as an independent third
+    implementation; no de rows."""
+    import hashlib
+
+    import pyarrow as pa
+
+    ids = list(range(1, 103)) + [500]
+    langs = ["en"] * 102 + ["de"]
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["t"] * 103, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 103, pa.string()),
+        "n_chars": pa.array([1] * 103, pa.int64()),
+    })
+    d = _mk_sf(tmp_path, documents=docs)
+    ranked = sorted(
+        range(1, 103), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    hand = sorted(("en", i, 99) for i in ranked[:99])
+    got_spark, got_ora = _run_both(spark, "sample_stratified_proportional", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_greedy_firstfit_bins(spark, tmp_path):
+    """Budget 256, shard = doc_id % 8.
+
+    Shard 0 (ids 0,8,16,24,32; tokens 100,100,100,300,10):
+      0 -> bin0 fill 100; 8 -> 200; 16 would make 300 > 256 -> bin1
+      fill 100; 24 (oversized 300) -> bin2 alone; 32 -> 300+10 > 256 ->
+      bin3. Bins: (2 docs,200), (1,100), (1,300), (1,10).
+    Shard 1 (ids 1,9; tokens 256,1): 256 fills bin0 EXACTLY (not >),
+      then 257 > 256 -> bin1. Bins: (1,256), (1,1).
+    """
+    def toks(k):
+        return " ".join(["t"] * k)
+
+    docs = _documents([
+        (0, toks(100), "s"), (8, toks(100), "s"), (16, toks(100), "s"),
+        (24, toks(300), "s"), (32, toks(10), "s"),
+        (1, toks(256), "s"), (9, toks(1), "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        (0, 0, 2, 200), (0, 1, 1, 100), (0, 2, 1, 300), (0, 3, 1, 10),
+        (1, 0, 1, 256), (1, 1, 1, 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "pack_greedy_firstfit_bins", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_bot_rate_flags(spark, tmp_path):
+    """user 1: 6 events one minute, 2 types -> peak 6 >= 5 -> bot.
+    user 2: 4 + 1 across two minutes, 1 type -> n=5 < 2*3=6 -> clean.
+    user 3: 3 events one minute -> peak 3 < 5 BUT 3 >= 1*3 -> bot.
+    user 4: 1 event -> clean. NULL user/ts rows dropped."""
+    rows = []
+    eid = 0
+    for s, ty in zip(range(6), ["a", "a", "a", "b", "b", "b"]):
+        eid += 1
+        rows.append((eid, _ts(f"2024-01-01T10:00:{s:02d}"), 1, ty, 1.0))
+    for s in range(4):
+        eid += 1
+        rows.append((eid, _ts(f"2024-01-01T11:00:{s:02d}"), 2, "a", 1.0))
+    eid += 1
+    rows.append((eid, _ts("2024-01-01T11:05:00"), 2, "a", 1.0))
+    for s in range(3):
+        eid += 1
+        rows.append((eid, _ts(f"2024-01-01T12:00:{s:02d}"), 3, "a", 1.0))
+    eid += 1
+    rows.append((eid, _ts("2024-01-01T13:00:00"), 4, "a", 1.0))
+    rows.append((eid + 1, None, 5, "a", 1.0))
+    rows.append((eid + 2, _ts("2024-01-01T14:00:00"), None, "a", 1.0))
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [
+        (1, 6, 1, 6, 2, 1),
+        (2, 5, 2, 4, 1, 0),
+        (3, 3, 1, 3, 1, 1),
+        (4, 1, 1, 1, 1, 0),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_bot_rate_flags", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_ivf_recall_audit(spark, tmp_path):
+    """10 vectors: v0..v7 = scaled unit axes 2*e_i (each IS its own
+    centroid -> assigns to its own cell i+1); v8=[1,1,0..] ties cells
+    1/2 at d^2=2 -> cell 1; v9=[0,0,1,1,0..] ties cells 3/4 -> cell 3.
+
+    Probes (2 nearest cells, ties by cell): q0 {1,2}, q1 {2,1},
+    q2 {3,1}, q3 {4,1}, q4 {5,1}.
+    Cell contents: 1:{v0,v8} 2:{v1} 3:{v2,v9} 4:{v3} 5:{v4}.
+
+    Brute-force top-5 (cos, ties by vec_id; cos(v_i,v8)=.707107 for
+    i in {0,1}; cos(v_i,v9)=.707107 for i in {2,3}; everything else 0):
+      q0: {8,1,2,3,4}; q1: {8,0,2,3,4}; q2: {9,0,1,3,4};
+      q3: {9,0,1,2,4}; q4: {0,1,2,3,5}.
+    IVF candidates: q0 {8,1} hits 2; q1 {0,8} hits 2; q2 {9,0,8}
+    hits 2; q3 {0,8} hits 1; q4 {0,8} hits 1.
+    """
+    def axis(i, scale=2.0):
+        v = [0.0] * 8
+        v[i] = scale
+        return v
+
+    rows = [(i, axis(i), 0) for i in range(8)]
+    rows.append((8, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0))
+    rows.append((9, [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0], 0))
+    d = _mk_sf(tmp_path, embeddings=_embeddings(rows))
+    hand = [
+        (0, 5, 2, 4000), (1, 5, 2, 4000), (2, 5, 2, 4000),
+        (3, 5, 1, 2000), (4, 5, 1, 2000),
+    ]
+    got_spark, got_ora = _run_both(spark, "similarity_ivf_recall_audit", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_novelty_first_seen(spark, tmp_path):
+    """doc1 'a b c d': trigrams {a b c, b c d}, both first here -> 2/2.
+    doc2 'a b c': {a b c} first seen in doc1 -> 0/1.
+    doc3 'x x x x x': one DISTINCT trigram {x x x}, novel -> 1/1.
+    doc4 'a b': < 3 tokens, excluded.
+    doc5 'b c d e': {b c d} (doc1's), {c d e} novel -> 1/2 = 5000 bp.
+    """
+    docs = _documents([
+        (1, "a b c d", "s"),
+        (2, "a b c", "s"),
+        (3, "x x x x x", "s"),
+        (4, "a b", "s"),
+        (5, "b c d e", "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        (1, 2, 2, 10000), (2, 1, 0, 0), (3, 1, 1, 10000), (5, 2, 1, 5000),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_novelty_first_seen_ratio", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

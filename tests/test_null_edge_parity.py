@@ -53,6 +53,8 @@ _TABLES = [
 #   REAL fixture (hardcoded langs / python-zlib VALUES).
 _EXCLUDE = {
     "similarity_ann_ivf", "similarity_ann_pq",
+    # composes ivf_topk: same >= n_centroids minimum-corpus contract
+    "similarity_ivf_recall_audit",
     "sketch_hll_union", "text_compression_ratio",
     # reads a partitioned COPY of events; an empty sibling events table
     # writes zero files and the re-read cannot infer a schema — the

@@ -319,6 +319,9 @@ _DECLARED = {
     "similarity_ann_pq": {"BroadcastNestedLoopJoin"},
     "similarity_ann_lsh_bucket": {"BroadcastNestedLoopJoin"},
     "dedup_embedding_cosine": {"BroadcastNestedLoopJoin"},
+    # composes cosine_topk + ivf_topk, inheriting their declared
+    # metadata-scale broadcast non-equi joins
+    "similarity_ivf_recall_audit": {"BroadcastNestedLoopJoin"},
     # a Python UDTF IS the row-at-a-time Python extension point — the
     # spec exists to exercise that surface (analyze()-derived schema),
     # not to claim a JVM hot path

@@ -7935,6 +7935,553 @@ ORDER BY content_md5
 
 
 
+# ---------------------------------------------------------------------------
+# Round-16 staging lane: built ahead in round 14 so the declaration
+# cadence never starves; declared after the r15 lane rotates through.
+# ---------------------------------------------------------------------------
+_STAGED_R16: list[QuerySpec] = []
+
+
+def _semantic_cluster_build(spark, sf):
+    # semantic dedup over CC labels (round-13 judge item 7): cosine-edge
+    # mining (the existing sign-LSH bucketed miner — never all-pairs),
+    # connected components (pointer-jumping min-label), then a per-
+    # cluster audit: size, deterministic keeper (MAX vec_id — integer,
+    # immune to the last-ulp norm ties an argmax-by-norm keeper would
+    # hinge on), and label purity (a semantic cluster spanning many
+    # labels is a miscluster signal). Cluster-count-scale aggregation
+    # after the CC rounds; no new shuffle class.
+    from ..operators import dedup as D
+    from .llmops import _embedding_neardup_build
+
+    pairs = _embedding_neardup_build(spark, sf).select("id_a", "id_b")
+    comp = D.connected_components(pairs, col_a="id_a", col_b="id_b")
+    emb = spark.table("embeddings").select("vec_id", "label")
+    return (
+        comp.join(emb, comp["id"] == emb["vec_id"])
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("vec_id").cast("bigint").alias("keeper_vec_id"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_members", "keeper_vec_id", "n_labels",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _semantic_cluster_oracle() -> str:
+    from .llmops import _sign_bits_duck
+
+    return f"""
+WITH RECURSIVE norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings) t
+  GROUP BY vec_id
+),
+bk AS (SELECT vec_id, {_sign_bits_duck('embedding')} AS bucket FROM embeddings),
+cpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT id_a, id_b, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM (
+    SELECT p.id_a, p.id_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+    FROM cpairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+  ) z
+  GROUP BY id_a, id_b
+),
+sim_pairs AS (
+  SELECT d.id_a, d.id_b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+  WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM sim_pairs
+  UNION ALL SELECT id_b, id_a FROM sim_pairs
+),
+reach(id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(c.id) AS BIGINT) AS keeper_vec_id,
+       CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels
+FROM comp c JOIN embeddings e ON e.vec_id = c.id
+GROUP BY c.cluster_id
+ORDER BY cluster_id
+"""
+
+
+_STAGED_R16.append(QuerySpec(
+    name="dedup_semantic_cluster_audit",
+    doc="Semantic dedup audit over connected-component labels: cosine "
+        "edges (sign-LSH bucketed, >= 0.4) -> CC (min-label pointer "
+        "jumping) -> per-cluster size, deterministic MAX-id keeper, and "
+        "label purity — the cluster-quality report a semantic-dedup "
+        "pipeline gates on before dropping members. Oracle = recursive-"
+        "CTE reachability over the same edge SQL.",
+    tags=("llm", "dedup", "similarity"),
+    build=_semantic_cluster_build,
+    oracle=_semantic_cluster_oracle,
+))
+
+
+def _stratified_sample_build(spark, sf):
+    # proportional-allocation stratified sampling (round-13 judge item
+    # 7): stratum quotas from ONE metadata-scale aggregation collected
+    # driver-side (lang-cardinality rows — the broadcast-boundary idiom,
+    # not a global window), deterministic per-stratum "reservoir" = the
+    # quota lowest md5(doc_id) rows (stable under re-runs and insert
+    # order, the split_train_holdout hash convention). The only
+    # corpus-scale shuffle is the per-stratum rank window, partitioned
+    # by lang.
+    d = spark.table("documents").filter(
+        F.col("lang").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    budget = 100
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    total = sum(r["cnt"] for r in counts)
+    quotas = [
+        (r["lang"], int(budget * r["cnt"] // total)) for r in counts
+    ] if total else []
+    q = spark.createDataFrame(quotas or [], "lang string, quota bigint")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(q), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("lang", "doc_id", F.col("quota").cast("bigint").alias("quota"))
+        .orderBy("lang", "doc_id")
+    )
+
+
+_STAGED_R16.append(QuerySpec(
+    name="sample_stratified_proportional",
+    doc="Stratified proportional sampling: per-language quotas = "
+        "floor(budget * stratum_share) from one metadata-scale count "
+        "(collected, broadcast back), sample = the quota lowest "
+        "md5(doc_id) rows per stratum — a deterministic reservoir, "
+        "stable under re-runs and row order.",
+    tags=("llm", "sampling"),
+    build=_stratified_sample_build,
+    oracle="""
+WITH d AS (
+  SELECT lang, doc_id FROM documents
+  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+),
+q AS (
+  SELECT lang, CAST(100 * COUNT(*) // (SELECT COUNT(*) FROM d) AS BIGINT)
+           AS quota
+  FROM d GROUP BY lang
+),
+r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM d
+)
+SELECT r.lang, r.doc_id, q.quota
+FROM r JOIN q USING (lang)
+WHERE r.rk <= q.quota
+ORDER BY lang, doc_id
+""",
+))
+
+
+def _greedy_pack_build(spark, sf):
+    # tokenizer-budget packing, no-split first-fit-sequential (round-13
+    # judge item 7; the existing pack_sequences_concat_chunk SPLITS docs
+    # at chunk boundaries — this variant keeps documents whole, the
+    # shape instruction-tuning pipelines need): docs in deterministic
+    # doc_id order within a shard; a doc that would overflow the open
+    # bin closes it (oversized docs get a bin alone). The recurrence is
+    # prefix-dependent, so it runs as grouped Arrow-batched
+    # applyInPandas per shard — shard count IS the parallelism knob at
+    # 100 TB (shard by path/tenant), and each task is shard-local.
+    import pandas as pd
+
+    budget = 256
+    d = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("shard"),
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("t"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, fill, b = [], 0, 0
+        for t in pdf["t"]:
+            if fill > 0 and fill + t > budget:
+                b, fill = b + 1, int(t)
+            else:
+                fill += int(t)
+            bins.append(b)
+        out = pdf.assign(bin_id=bins)
+        g = out.groupby("bin_id", as_index=False).agg(
+            shard=("shard", "first"), n_docs=("doc_id", "size"),
+            total_tokens=("t", "sum"),
+        )
+        return g[["shard", "bin_id", "n_docs", "total_tokens"]]
+
+    return (
+        d.groupBy("shard")
+        .applyInPandas(
+            pack, "shard int, bin_id int, n_docs bigint, total_tokens bigint"
+        )
+        .orderBy("shard", "bin_id")
+    )
+
+
+_STAGED_R16.append(QuerySpec(
+    name="pack_greedy_firstfit_bins",
+    doc="Whole-document greedy packing under a 256-token budget: docs "
+        "in doc_id order per shard, overflow opens a new bin, oversized "
+        "docs bin alone — the no-split complement of concat-chunk "
+        "packing. Grouped applyInPandas per shard (the prefix-dependent "
+        "recurrence is the declared Arrow-UDF surface); oracle = "
+        "recursive-CTE state machine.",
+    tags=("llm", "corpus", "udf"),
+    build=_greedy_pack_build,
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS t
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+seq AS (
+  SELECT shard, doc_id, t,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS i
+  FROM d
+),
+st(shard, i, t, bin_id, fill) AS (
+  SELECT shard, i, t, 0, t FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.shard, q.i, q.t,
+         CASE WHEN s.fill + q.t > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
+         CASE WHEN s.fill + q.t > 256 THEN q.t ELSE s.fill + q.t END
+  FROM st s JOIN seq q ON q.shard = s.shard AND q.i = s.i + 1
+)
+SELECT shard, CAST(bin_id AS INT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS total_tokens
+FROM st GROUP BY shard, bin_id
+ORDER BY shard, bin_id
+""",
+))
+
+
+def _bot_flags_build(spark, sf):
+    # training-data hygiene: per-user rate stats flag automation (the
+    # bot-filter gate a behavioral corpus needs before events feed a
+    # model). Two keyed aggregations (user-minute then user) plus a
+    # user-scale distinct-type agg joined back — all partitioned, no
+    # global window, integer thresholds so the flag is exact on both
+    # engines.
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_user = per_min.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+        F.max("c").cast("bigint").alias("peak_per_minute"),
+    )
+    types = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_event_types")
+    )
+    return (
+        per_user.join(types, "user_id")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_events", "active_minutes", "peak_per_minute", "n_event_types",
+            (
+                (F.col("peak_per_minute") >= 5)
+                | (F.col("n_events") >= F.col("active_minutes") * 3)
+            ).cast("int").alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STAGED_R16.append(QuerySpec(
+    name="events_bot_rate_flags",
+    doc="Bot/automation heuristic per user: total events, distinct "
+        "active minutes, peak events-in-one-minute, distinct event "
+        "types; flagged when peak >= 5/min or average rate >= 3/min — "
+        "the behavioral-corpus hygiene filter, all-integer thresholds.",
+    tags=("events", "llm", "quality"),
+    build=_bot_flags_build,
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, date_trunc('minute', ts) AS m
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+pm AS (SELECT user_id, m, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+pu AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS active_minutes,
+         CAST(MAX(c) AS BIGINT) AS peak_per_minute
+  FROM pm GROUP BY 1
+),
+ty AS (
+  SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT)
+           AS n_event_types
+  FROM ev GROUP BY 1
+)
+SELECT CAST(pu.user_id AS BIGINT) AS user_id,
+       pu.n_events, pu.active_minutes, pu.peak_per_minute,
+       ty.n_event_types,
+       CAST(CASE WHEN pu.peak_per_minute >= 5
+                   OR pu.n_events >= pu.active_minutes * 3
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_bot
+FROM pu JOIN ty USING (user_id)
+ORDER BY user_id
+""",
+))
+
+
+def _recall_audit_build(spark, sf):
+    # ANN quality evaluation: recall@5 of the IVF index against exact
+    # brute-force top-5 per query — the measurement that decides nprobe
+    # and n_centroids before an index ships. Both sides reuse the
+    # declared operators (broadcast-metadata plans); the audit join is
+    # (n_queries * k)-scale.
+    from ..operators import similarity as S
+
+    emb = spark.table("embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = S.cosine_topk(emb, query_ids=qids, k=5).select("qid", "vec_id_n")
+    ivf = S.ivf_topk(
+        emb, query_ids=qids, k=5, n_centroids=8, nprobe=2
+    ).select("qid", "vec_id_n")
+    hits = (
+        exact.join(ivf, ["qid", "vec_id_n"], "left_semi")
+        .groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr("coalesce(n_hits, 0) * 10000 div n_exact")
+            .cast("bigint").alias("recall_bp"),
+        )
+        .orderBy("qid")
+    )
+
+
+_STAGED_R16.append(QuerySpec(
+    name="similarity_ivf_recall_audit",
+    doc="Recall@5 audit of the IVF index vs exact brute-force top-5 per "
+        "query (vec_id < 5): hits = |IVF results ∩ exact results|, "
+        "truncated-bp recall — the index-quality gate run before "
+        "shipping an ANN index. Composes the two declared operators; "
+        "oracle re-derives both sides in SQL.",
+    tags=("llm", "similarity"),
+    build=_recall_audit_build,
+    oracle="""
+WITH norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings) t
+  GROUP BY vec_id
+),
+bf_q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+bf_dots AS (
+  SELECT qid, vec_id, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM (
+    SELECT q.qid, e.vec_id, unnest(q.qe) AS x, unnest(e.embedding) AS y
+    FROM bf_q q, embeddings e
+    WHERE e.vec_id <> q.qid
+  ) p
+  GROUP BY qid, vec_id
+),
+bf_sims AS (
+  SELECT d.qid, d.vec_id, ROUND(d.dot / (nq.nrm * ne.nrm), 6) AS sim
+  FROM bf_dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms ne ON ne.vec_id = d.vec_id
+),
+bf_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+    FROM bf_sims
+  ) WHERE rn <= 5
+),
+cents AS (
+  SELECT vec_id AS cvid, embedding AS ce FROM embeddings WHERE vec_id < 8
+),
+d2 AS (
+  SELECT vid, cvid + 1 AS cell, ROUND(SUM((x - y) * (x - y)), 6) AS d
+  FROM (
+    SELECT e.vec_id AS vid, c.cvid,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           CAST(unnest(c.ce) AS DOUBLE) AS y
+    FROM embeddings e, cents c
+  ) z
+  GROUP BY vid, cvid
+),
+assign AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vid AS qid, cell FROM (
+    SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+    FROM d2 WHERE vid < 5
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.qid, a.vid
+  FROM probe p JOIN assign a ON a.cell = p.cell AND a.vid <> p.qid
+),
+ivf_dots AS (
+  SELECT qid, vid, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+  FROM (
+    SELECT c.qid, c.vid, unnest(eq.embedding) AS x, unnest(ev.embedding) AS y
+    FROM cand c
+    JOIN embeddings eq ON eq.vec_id = c.qid
+    JOIN embeddings ev ON ev.vec_id = c.vid
+  ) p
+  GROUP BY qid, vid
+),
+ivf_sims AS (
+  SELECT d.qid, d.vid, ROUND(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+  FROM ivf_dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms nv ON nv.vec_id = d.vid
+),
+ivf_top AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+    FROM ivf_sims
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT b.qid, COUNT(*) AS n_hits
+  FROM bf_top b JOIN ivf_top i ON i.qid = b.qid AND i.vid = b.vec_id
+  GROUP BY b.qid
+)
+SELECT CAST(b.qid AS BIGINT) AS qid,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(MAX(h.n_hits), 0) * 10000 // COUNT(*) AS BIGINT)
+         AS recall_bp
+FROM bf_top b LEFT JOIN hits h ON h.qid = b.qid
+GROUP BY b.qid
+ORDER BY qid
+""",
+))
+
+
+def _novelty_build(spark, sf):
+    # corpus diversity curve: per document, the share of its distinct
+    # word 3-grams first seen there (global first-seen = MIN doc_id per
+    # gram). The explode is map-side; the only shuffles are the gram
+    # MIN-agg and the gram-keyed join back — the tfidf shuffle class,
+    # with map-side partial aggregation. Domain: docs with >= 3 tokens
+    # (Spark sequence(1, 0) DESCENDS — the repetition-metrics trap).
+    d = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', slice(w, i, 3)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("int")
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.expr("n_novel * 10000 div n_grams").cast("bigint")
+            .alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STAGED_R16.append(QuerySpec(
+    name="text_novelty_first_seen_ratio",
+    doc="First-seen 3-gram novelty per document: distinct word trigrams "
+        "attributed to the MIN doc_id that contains them; novelty = "
+        "share of a doc's trigrams first seen there (truncated bp) — "
+        "the diversity-decay curve that shows when a crawl stops adding "
+        "new content. Gram-keyed shuffles only (the tfidf class).",
+    tags=("llm", "text"),
+    build=_novelty_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    AND len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+           || ' ' || w[CAST(i AS INTEGER) + 2] AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM d) t
+),
+fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+FROM g JOIN fs USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
@@ -7967,4 +8514,5 @@ SPECS_NEXT = (
     + [s for s in _STAGED_R13 if s.name not in _DECLARE_R13]
     + [s for s in _STAGED_R14 if s.name not in _DECLARE_R14]
     + list(_STAGED_R15)
+    + list(_STAGED_R16)
 )
