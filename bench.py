@@ -483,6 +483,12 @@ def main() -> None:
         "text_bm25_rank",
         "multimodal_phash_hamming_pairs",
         "orders_market_basket_pairs",
+        # round-14 declarations (the three with real data movement:
+        # same-customer orders self-join, per-user interval union,
+        # quantized-embedding centroid agg)
+        "orders_fuzzy_invoice_pairs",
+        "events_active_time_union",
+        "embedding_quantized_centroids",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:
