@@ -554,11 +554,19 @@ def main() -> None:
         pids0 = _persistent_ids(spark)
         set_checkpoint_mode("reliable")
         try:
-            t0 = time.perf_counter()
-            n = spec.run_spark(spark, sf_dir).count()
-            extras["containment_reliable_ckpt"] = round(
-                time.perf_counter() - t0, 3
-            )
+            # best-of-2 like every other extra: the premium vs the
+            # default-mode number is the record's point, and a
+            # single-run sample made it hostage to one GC pause
+            # (round-14; the r13 single-run read +54% where a
+            # controlled best-of-3 read ~0%)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = spec.run_spark(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+                _release_query_blocks(spark, pids0)
+            extras["containment_reliable_ckpt"] = round(best, 3)
         finally:
             set_checkpoint_mode(None)
             _release_query_blocks(spark, pids0)
