@@ -2039,3 +2039,174 @@ def test_hand_novelty_first_seen(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "text_novelty_first_seen_ratio", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+# ---------------------------------------------------------------------------
+# Round-17 staging lane (built round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_hand_minhash_estimate_error(spark, tmp_path):
+    """Expected output derived by a pure-Python third implementation of
+    the one-permutation minhash (hashlib.md5, stride-2 12-shingles,
+    slot = min hash per hex-digit class, densify global-min || '#j',
+    4 bands of 2) and exact stride-1 shingle Jaccard — independent of
+    both the Spark build and the DuckDB oracle."""
+    import hashlib
+
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.dedup import (
+        slot_hex_digits,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy fog",
+        3: "completely different content with no overlap here",
+    }
+    docs = _documents([(i, t, "s") for i, t in sorted(texts.items())])
+    d = _mk_sf(tmp_path, documents=docs)
+
+    def sig(text):
+        t = text.lower()
+        hs = [
+            hashlib.md5(t[i:i + 12].encode()).hexdigest()
+            for i in range(0, max(len(t) - 11, 1), 2)
+        ]
+        out = []
+        for j in range(8):
+            digs = set(slot_hex_digits(j))
+            cand = [h for h in hs if h[0] in digs]
+            out.append(min(cand) if cand else min(hs) + f"#{j}")
+        return out
+
+    def shset(text):
+        t = text.lower()
+        return {t[i:i + 12] for i in range(0, max(len(t) - 11, 1))}
+
+    sigs = {i: sig(t) for i, t in texts.items()}
+    hand = []
+    ids = sorted(texts)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            bands_x = ["".join(sigs[x][2 * b:2 * b + 2]) for b in range(4)]
+            bands_y = ["".join(sigs[y][2 * b:2 * b + 2]) for b in range(4)]
+            if not any(a == b for a, b in zip(bands_x, bands_y)):
+                continue
+            m = sum(a == b for a, b in zip(sigs[x], sigs[y]))
+            sx, sy = shset(texts[x]), shset(texts[y])
+            i = len(sx & sy)
+            exact = i * 10000 // (len(sx) + len(sy) - i)
+            est = m * 10000 // 8
+            hand.append((x, y, m, est, exact, abs(est - exact)))
+    assert hand, "fixture must produce at least one candidate pair"
+    got_spark, got_ora = _run_both(spark, "dedup_minhash_estimate_error", d)
+    assert got_spark == hand, "SPARK diverges from the python reference"
+    assert got_ora == hand, "ORACLE diverges from the python reference"
+
+
+def test_hand_path_prefix_topk(spark, tmp_path):
+    """u1: a,b,c; u2: a,b,c; u3: b,a,c (ts order); u4: two events only
+    (excluded). Top paths: 'a>b>c' x2 rank 1, 'b>a>c' x1 rank 2."""
+    rows = [
+        (1, _ts("2024-01-01T00:00:01"), 1, "a", 1.0),
+        (2, _ts("2024-01-01T00:00:02"), 1, "b", 1.0),
+        (3, _ts("2024-01-01T00:00:03"), 1, "c", 1.0),
+        (4, _ts("2024-01-01T00:00:01"), 2, "a", 1.0),
+        (5, _ts("2024-01-01T00:00:02"), 2, "b", 1.0),
+        (6, _ts("2024-01-01T00:00:03"), 2, "c", 1.0),
+        (7, _ts("2024-01-01T00:00:01"), 3, "b", 1.0),
+        (8, _ts("2024-01-01T00:00:02"), 3, "a", 1.0),
+        (9, _ts("2024-01-01T00:00:03"), 3, "c", 1.0),
+        (10, _ts("2024-01-01T00:00:01"), 4, "a", 1.0),
+        (11, _ts("2024-01-01T00:00:02"), 4, "b", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [(1, "a>b>c", 2), (2, "b>a>c", 1)]
+    got_spark, got_ora = _run_both(spark, "events_path_prefix_topk", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_quality_gate_reasons(spark, tmp_path):
+    """doc1: 25 distinct words, ~170 chars -> clean (0).
+    doc2: 'aa aa aa aa' (11 chars < 100 -> 1; 1 distinct of 4 tokens,
+    100 < 120 -> 4) -> 5.
+    doc3: '1234567890' (10 < 100 -> 1; 10 digits of 10 chars > 20% ->
+    8; 1 distinct of 1 token, 100 < 30 false) -> 9.
+    doc4: 1000 distinct 7-char words (~8000 chars > 5000 -> 2) -> 2."""
+    import itertools as it
+
+    letters = "abcdefghij"
+    # letter-only words: a digit in the filler words trips the
+    # digit-share bit (the first fixture draft used word01-style names)
+    clean = " ".join(
+        f"{a}{b}x" for a, b in it.islice(it.product(letters, letters), 40)
+    )
+    assert 100 <= len(clean) <= 5000 and not any(c.isdigit() for c in clean)
+    long = " ".join(
+        f"{a}{b}{c}wxyz"
+        for a, b, c in it.islice(it.product(letters, letters, letters), 1000)
+    )
+    assert len(long) > 5000 and not any(c.isdigit() for c in long)
+    docs = _documents([
+        (1, clean, "s"),
+        (2, "aa aa aa aa", "s"),
+        (3, "1234567890", "s"),
+        (4, long, "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(0, 1, 1), (2, 1, 4), (5, 1, 2), (9, 1, 3)]
+    got_spark, got_ora = _run_both(spark, "documents_quality_gate_reasons", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_int8_distortion(spark, tmp_path):
+    """v1=[1.0,-0.5]: scale 1; dim1 code 127 -> recon 1.0 -> err 0;
+    dim2 code floor(-63.5+0.5)=-63 -> recon -63/127=-0.4960629921...
+    -> floor(0.0039370078...*1e6)=3937. v2=[2,2]: codes 127 -> recon
+    exact -> 0. v3=[0,0]: scale 0 -> filtered. v4=[0.3]: x/scale=1
+    exactly (same double) -> code 127 -> recon == x -> 0."""
+    emb = _embeddings([
+        (1, [1.0, -0.5], 0),
+        (2, [2.0, 2.0], 0),
+        (3, [0.0, 0.0], 0),
+        (4, [0.3], 0),
+    ])
+    d = _mk_sf(tmp_path, embeddings=emb)
+    hand = [(1, 2, 3937, 3937), (2, 2, 0, 0), (4, 1, 0, 0)]
+    got_spark, got_ora = _run_both(spark, "embedding_int8_distortion_audit", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_dwell_percentiles(spark, tmp_path):
+    """u1: a@0s, a@1s, b@3s -> gaps keyed by the EARLIER event's type:
+    a->1000ms, a->2000ms (b has no next). u2: a@0s, b@5s -> a->5000ms.
+    Type a gaps [1000, 2000, 5000]: median 2000.0; p90 interpolated at
+    pos 0.9*(3-1)=1.8 -> 2000 + 0.8*3000 = 4400.0. No b row."""
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "a", 1.0),
+        (2, _ts("2024-01-01T00:00:01"), 1, "a", 1.0),
+        (3, _ts("2024-01-01T00:00:03"), 1, "b", 1.0),
+        (4, _ts("2024-01-02T00:00:00"), 2, "a", 1.0),
+        (5, _ts("2024-01-02T00:00:05"), 2, "b", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [("a", 3, 2000.0, 4400.0)]
+    got_spark, got_ora = _run_both(spark, "events_dwell_time_percentiles", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_charclass_profile(spark, tmp_path):
+    """doc1 'ab 12!': 6 chars -> letters 2 (3333 bp), digits 2 (3333),
+    space 1 (1666), other 1 (1666). doc2 'aaaa': all letters."""
+    docs = _documents([(1, "ab 12!", "s"), (2, "aaaa", "s")])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(1, 6, 3333, 3333, 1666, 1666), (2, 4, 10000, 0, 0, 0)]
+    got_spark, got_ora = _run_both(spark, "text_charclass_profile", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

@@ -8482,6 +8482,500 @@ ORDER BY doc_id
 ))
 
 
+# ---------------------------------------------------------------------------
+# Round-17 staging lane: built ahead in round 14 (the cadence buffer is
+# now two lanes deep); declared after the r16 lane rotates through.
+# Window math: r17 = 6 never-green + 31 r11-displaced/stale + 13 r12.
+# ---------------------------------------------------------------------------
+_STAGED_R17: list[QuerySpec] = []
+
+
+def _minhash_err_build(spark, sf):
+    # estimator-quality audit (the LSH analogue of the IVF recall
+    # audit): per candidate pair, the 8-slot minhash Jaccard ESTIMATE
+    # (matches * 1250 bp) against the EXACT stride-1 shingle Jaccard —
+    # the measurement that calibrates bands/rows before a dedup run
+    # trusts the estimate. Exact side reads only candidate docs'
+    # shingles (semi-join), never the corpus: the jaccard-verify bytes
+    # class.
+    from ..operators import dedup as D
+    from ..operators.materialize import materialize
+
+    docs = spark.table("documents")
+    sigs = materialize(D.minhash_signature_mapside(docs, "text", "doc_id"))
+    cand = D.lsh_candidate_pairs(sigs, "doc_id").select("doc_a", "doc_b")
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(8)],
+    )
+    n_match = sum(
+        F.coalesce((F.col(f"a{j}") == F.col(f"b{j}")).cast("int"), F.lit(0))
+        for j in range(8)
+    )
+    est = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", n_match.cast("int").alias("n_match_slots"))
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 11, 1)),"
+                    " i -> substring(lower(text), i, 12))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = materialize(sh.join(cdocs, "doc_id", "left_semi"))
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = (
+        cand.alias("c")
+        .join(shc.alias("s1"), F.col("c.doc_a") == F.col("s1.doc_id"))
+        .join(
+            shc.alias("s2"),
+            (F.col("c.doc_b") == F.col("s2.doc_id"))
+            & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.join(sa, "doc_a").join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b", "n_match_slots",
+            F.expr("n_match_slots * 10000 div 8").cast("bigint")
+            .alias("est_bp"),
+            F.expr(
+                "coalesce(i, 0) * 10000 div (na + nb - coalesce(i, 0))"
+            ).cast("bigint").alias("exact_bp"),
+            F.expr(
+                "abs(n_match_slots * 10000 div 8"
+                " - coalesce(i, 0) * 10000 div (na + nb - coalesce(i, 0)))"
+            ).cast("bigint").alias("err_bp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_err_oracle() -> str:
+    from .llmops import _SHINGLES_CTE, _SIG_CTE, _SIG_SHINGLES_CTE
+
+    slot_match = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(8)
+    )
+    return f"""
+WITH {_SHINGLES_CTE.strip()}, {_SIG_SHINGLES_CTE.strip()}, {_SIG_CTE.strip()},
+m AS (
+  SELECT c.doc_a, c.doc_b, ({slot_match}) AS n_match_slots
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+  GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b,
+       CAST(m.n_match_slots AS INTEGER) AS n_match_slots,
+       CAST(m.n_match_slots * 10000 // 8 AS BIGINT) AS est_bp,
+       CAST(COALESCE(i.i, 0) * 10000
+            // (sa.n + sb.n - COALESCE(i.i, 0)) AS BIGINT) AS exact_bp,
+       CAST(ABS(m.n_match_slots * 10000 // 8
+            - COALESCE(i.i, 0) * 10000
+              // (sa.n + sb.n - COALESCE(i.i, 0))) AS BIGINT) AS err_bp
+FROM m
+JOIN sizes sa ON sa.doc_id = m.doc_a
+JOIN sizes sb ON sb.doc_id = m.doc_b
+LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+ORDER BY m.doc_a, m.doc_b
+"""
+
+
+_STAGED_R17.append(QuerySpec(
+    name="dedup_minhash_estimate_error",
+    doc="MinHash estimator calibration: per LSH candidate pair, the "
+        "8-slot signature Jaccard estimate (matches/8 in bp) vs the "
+        "exact stride-1 shingle Jaccard, with the absolute error — the "
+        "audit that justifies the bands/rows choice before a dedup run "
+        "trusts the estimate. Exact side semi-joined to candidate docs "
+        "only (verify bytes class).",
+    tags=("llm", "dedup"),
+    build=_minhash_err_build,
+    oracle=_minhash_err_oracle,
+))
+
+
+def _path_prefix_build(spark, sf):
+    # journey discovery: the 10 most common first-3-event-type paths.
+    # Per-user windows are user-partitioned (scale-safe); the top-10 is
+    # a sort-limit (TakeOrderedAndProject), with the rank window over
+    # the bounded 10-row relation — the Zipf shape.
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "concat_ws('>', transform(array_sort("
+                "collect_list(struct(rn, event_type))), s -> s.event_type))"
+            ).alias("path"),
+        )
+        .filter(F.col("n") == 3)
+    )
+    counted = first3.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    top = counted.orderBy(F.col("n_users").desc(), "path").limit(10)
+    wr = Window.orderBy(F.col("n_users").desc(), "path")
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .select("rank", "path", "n_users")
+        .orderBy("rank")
+    )
+
+
+_STAGED_R17.append(QuerySpec(
+    name="events_path_prefix_topk",
+    doc="Top-10 first-3-event journey prefixes: per-user first three "
+        "event types in (ts, event_id) order joined '>', counted, "
+        "sort-limited (TakeOrderedAndProject) with the rank window "
+        "over the bounded top-10 — the funnel-discovery analytic.",
+    tags=("events", "analytics"),
+    build=_path_prefix_build,
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM ev
+),
+p AS (
+  SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3
+  GROUP BY user_id
+  HAVING COUNT(*) = 3
+),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS INTEGER)
+         AS rank,
+       path, n_users
+FROM c
+ORDER BY n_users DESC, path
+LIMIT 10
+""",
+))
+
+
+def _quality_gate_build(spark, sf):
+    # drop-reason accounting: every corpus filter needs to answer "WHY
+    # did each document fall out" — a bitmask per doc, aggregated per
+    # reason combination. One map stage + one combo-scale aggregation
+    # (at most 16 rows). Integer thresholds only.
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
+    sig = d.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.size(F.split(F.col("text"), " ")).alias("nt"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("nd"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("ndig"),
+    )
+    reasons = (
+        F.when(F.col("nc") < 100, 1).otherwise(0)
+        + F.when(F.col("nc") > 5000, 2).otherwise(0)
+        + F.when(F.col("nd") * 100 < F.col("nt") * 30, 4).otherwise(0)
+        + F.when(F.col("ndig") * 100 > F.col("nc") * 20, 8).otherwise(0)
+    )
+    return (
+        sig.withColumn("reasons", reasons.cast("int"))
+        .groupBy("reasons")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc_id"),
+        )
+        .orderBy("reasons")
+    )
+
+
+_STAGED_R17.append(QuerySpec(
+    name="documents_quality_gate_reasons",
+    doc="Quality-gate drop-reason census: per-document bitmask (1 too "
+        "short <100 chars, 2 too long >5000, 4 token diversity <30%, "
+        "8 digit share >20%), aggregated per reason combination with an "
+        "example doc — the 'why was my data dropped' report every "
+        "corpus filter owes its users. Map stage + a <=16-row agg.",
+    tags=("llm", "text", "quality"),
+    build=_quality_gate_build,
+    oracle="""
+WITH sig AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         len(string_split(text, ' ')) AS nt,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS ndig
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+)
+SELECT CAST(
+         (CASE WHEN nc < 100 THEN 1 ELSE 0 END)
+         + (CASE WHEN nc > 5000 THEN 2 ELSE 0 END)
+         + (CASE WHEN nd * 100 < nt * 30 THEN 4 ELSE 0 END)
+         + (CASE WHEN ndig * 100 > nc * 20 THEN 8 ELSE 0 END)
+       AS INTEGER) AS reasons,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+FROM sig
+GROUP BY 1
+ORDER BY reasons
+""",
+))
+
+
+def _int8_err_build(spark, sf):
+    # quantization-distortion audit for the int8 shipping path
+    # (embedding_quantize_int8): reconstruct each dim and measure
+    # floor(|x - x_hat| * 1e6); identical double expression trees on
+    # both engines make the floors bit-identical. Map-side explode +
+    # one vec-keyed agg.
+    e = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    s = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    dim = s.select(
+        "vec_id", "scale", F.posexplode("embedding").alias("pos", "x")
+    )
+    err = dim.select(
+        "vec_id",
+        F.floor(
+            F.abs(
+                F.col("x").cast("double")
+                - F.floor(F.col("x").cast("double") / F.col("scale") * 127.0 + 0.5)
+                * F.col("scale") / 127.0
+            ) * 1e6
+        ).cast("bigint").alias("err_e6"),
+    )
+    return (
+        err.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.max("err_e6").cast("bigint").alias("max_err_e6"),
+            F.sum("err_e6").cast("bigint").alias("sum_err_e6"),
+        )
+        .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                "n_dims", "max_err_e6", "sum_err_e6")
+        .orderBy("vec_id")
+    )
+
+
+_STAGED_R17.append(QuerySpec(
+    name="embedding_int8_distortion_audit",
+    doc="Int8 quantization distortion per vector: reconstruct codes = "
+        "floor(x/scale*127+.5) back to x_hat and report per-dim count, "
+        "max and sum of floor(|x-x_hat|*1e6) — the fidelity check run "
+        "before the compressed index replaces full-precision vectors. "
+        "Identical double expression trees keep the e6 floors "
+        "bit-identical across engines.",
+    tags=("llm", "similarity", "quantize"),
+    build=_int8_err_build,
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))))
+           AS scale
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+d AS (
+  SELECT vec_id, scale, CAST(u AS DOUBLE) AS x
+  FROM s, UNNEST(embedding) AS t(u)
+  WHERE scale > 0
+),
+er AS (
+  SELECT vec_id,
+         CAST(FLOOR(ABS(x - FLOOR(x / scale * 127.0 + 0.5)
+                        * scale / 127.0) * 1e6) AS BIGINT) AS err_e6
+  FROM d
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(COUNT(*) AS INTEGER) AS n_dims,
+       CAST(MAX(err_e6) AS BIGINT) AS max_err_e6,
+       CAST(SUM(err_e6) AS BIGINT) AS sum_err_e6
+FROM er
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+))
+
+
+def _dwell_build(spark, sf):
+    # inter-event dwell time keyed by the CURRENT event's type: the
+    # per-type "how long until the user does anything else" profile.
+    # LEAD over user-partitioned windows (scale-safe); exact
+    # interpolated percentiles per type over integer milliseconds
+    # (the agg_exact_percentiles parity convention: percentile vs
+    # quantile_cont, ROUND 4).
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("next_us", F.lead(F.unix_micros("ts")).over(w))
+        .filter(F.col("next_us").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("next_us") - F.unix_micros("ts")) / F.lit(1000))
+            .cast("bigint").alias("gap_ms"),
+        )
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_ms, 0.5)"), 4)
+            .cast("double").alias("median_ms"),
+            F.round(F.expr("percentile(gap_ms, 0.9)"), 4)
+            .cast("double").alias("p90_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STAGED_R17.append(QuerySpec(
+    name="events_dwell_time_percentiles",
+    doc="Dwell-time profile per event type: gap to the user's next "
+        "event (any type) in integer milliseconds, exact interpolated "
+        "median and p90 per type — the engagement-latency complement "
+        "of the transition matrix. User-partitioned LEAD windows; "
+        "type-keyed percentile agg.",
+    tags=("events", "analytics", "agg"),
+    build=_dwell_build,
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (
+  SELECT event_type,
+         CAST(date_diff('microsecond', ts,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              // 1000 AS BIGINT) AS gap_ms
+  FROM ev
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(ROUND(quantile_cont(gap_ms, 0.5), 4) AS DOUBLE) AS median_ms,
+       CAST(ROUND(quantile_cont(gap_ms, 0.9), 4) AS DOUBLE) AS p90_ms
+FROM g
+WHERE gap_ms IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+))
+
+
+def _charclass_build(spark, sf):
+    # script/garbage detector: ASCII char-class composition per doc in
+    # truncated bp — minified blobs, number dumps and markup skew the
+    # letter share long before a language model sees them. One map
+    # stage; classes are explicit ASCII ranges so both engines count
+    # identically (no locale-dependent \\w).
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
+    counts = d.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "[A-Za-z]", ""))).alias("nl"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "[0-9]", ""))).alias("ndg"),
+        (F.length("text")
+         - F.length(F.replace(F.col("text"), F.lit(" ")))).alias("nsp"),
+    )
+    # integer `div`, never double `/` + cast: trunc of an inexact double
+    # quotient can disagree with integer floor at representability edges
+    return counts.select(
+        "doc_id",
+        F.col("nc").cast("bigint").alias("n_chars"),
+        F.expr("nl * 10000 div nc").cast("bigint").alias("letters_bp"),
+        F.expr("ndg * 10000 div nc").cast("bigint").alias("digits_bp"),
+        F.expr("nsp * 10000 div nc").cast("bigint").alias("space_bp"),
+        F.expr("(nc - nl - ndg - nsp) * 10000 div nc")
+        .cast("bigint").alias("other_bp"),
+    ).orderBy("doc_id")
+
+
+_STAGED_R17.append(QuerySpec(
+    name="text_charclass_profile",
+    doc="ASCII char-class composition per document (letters/digits/"
+        "spaces/other in truncated bp): the cheap script/garbage "
+        "detector that flags minified code, number dumps and markup "
+        "before tokenization. Map-only; explicit ASCII classes keep "
+        "both regex engines in agreement.",
+    tags=("llm", "text", "quality"),
+    build=_charclass_build,
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST((length(text)
+             - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+            * 10000 // length(text) AS BIGINT) AS letters_bp,
+       CAST((length(text)
+             - length(regexp_replace(text, '[0-9]', '', 'g')))
+            * 10000 // length(text) AS BIGINT) AS digits_bp,
+       CAST((length(text) - length(replace(text, ' ', '')))
+            * 10000 // length(text) AS BIGINT) AS space_bp,
+       CAST((length(regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9]', '', 'g'), ' ', '', 'g')))
+            * 10000 // length(text) AS BIGINT) AS other_bp
+FROM documents
+WHERE text IS NOT NULL AND length(text) >= 1
+ORDER BY doc_id
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
@@ -8515,4 +9009,5 @@ SPECS_NEXT = (
     + [s for s in _STAGED_R14 if s.name not in _DECLARE_R14]
     + list(_STAGED_R15)
     + list(_STAGED_R16)
+    + list(_STAGED_R17)
 )
