@@ -70,7 +70,11 @@ def compact(
     whole-table rewrite (full recluster).
     """
     t = table if table is not None else target_table
-    assert t is not None, "compact requires a table"
+    if t is None:
+        # ValueError, not assert: stripped under python -O the assert
+        # let a None table proceed to an opaque AttributeError
+        # (round-14 review sweep)
+        raise ValueError("compact requires a table")
     m = t.manifest()
     if not m["files"]:
         return m["version"]
