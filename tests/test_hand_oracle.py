@@ -2210,3 +2210,107 @@ def test_hand_charclass_profile(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "text_charclass_profile", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+# ---------------------------------------------------------------------------
+# Round-18 staging lane (built round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_hand_priority_mix_drift(spark, tmp_path):
+    """Two months, two priorities. M1: A x3, B x1; M2: A x1, B x3.
+    Overall: A 4/8 = 5000 bp, B 5000 bp.
+    M1: A 3*10000//4 = 7500 (|diff| 2500), B 2500 (2500) -> drift 5000.
+    M2 symmetric -> 5000."""
+    rows = [
+        (1, 1, "O", 1.0, _ts("2024-01-05T00:00:00"), "A"),
+        (2, 1, "O", 1.0, _ts("2024-01-06T00:00:00"), "A"),
+        (3, 1, "O", 1.0, _ts("2024-01-07T00:00:00"), "A"),
+        (4, 1, "O", 1.0, _ts("2024-01-08T00:00:00"), "B"),
+        (5, 1, "O", 1.0, _ts("2024-02-05T00:00:00"), "A"),
+        (6, 1, "O", 1.0, _ts("2024-02-06T00:00:00"), "B"),
+        (7, 1, "O", 1.0, _ts("2024-02-07T00:00:00"), "B"),
+        (8, 1, "O", 1.0, _ts("2024-02-08T00:00:00"), "B"),
+    ]
+    d = _mk_sf(tmp_path, orders=_orders_full(rows))
+    hand = [
+        (dt.date(2024, 1, 1), 4, 5000),
+        (dt.date(2024, 2, 1), 4, 5000),
+    ]
+    got_spark, got_ora = _run_both(spark, "orders_priority_mix_drift", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_vocab_growth(spark, tmp_path):
+    """doc1 'a b' -> a,b first seen (2 new); doc2 'b c' -> c (1);
+    doc3 'a' -> 0. Cumulative: 2, 3, 3."""
+    docs = _documents([(1, "a b", "s"), (2, "b c", "s"), (3, "a", "s")])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(1, 2, 2), (2, 1, 3), (3, 0, 3)]
+    got_spark, got_ora = _run_both(spark, "text_vocab_growth_curve", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_source_quality_matrix(spark, tmp_path):
+    """Global dup groups: 'x' appears in docs 1, 2 (s1) and 4 (s2) ->
+    gs 3, all dup; 'y' unique. s1: 3 docs / 3 chars / 2 dup -> 6666 bp.
+    s2: 1 doc, dup -> 10000 bp."""
+    import pyarrow as pa
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["x", "x", "y", "x"], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s1", "s1", "s1", "s2"], pa.string()),
+        "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [("s1", "en", 3, 3, 2, 6666), ("s2", "en", 1, 1, 1, 10000)]
+    got_spark, got_ora = _run_both(spark, "documents_source_quality_matrix", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_basket_size_histogram(spark, tmp_path):
+    """Orders 1 and 2 have 2 items, order 3 has 1: size 1 -> 1 order
+    (3333 bp of 3), size 2 -> 2 orders (6666 bp)."""
+    import pyarrow as pa
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, lineitem=li)
+    hand = [(1, 1, 3333), (2, 2, 6666)]
+    got_spark, got_ora = _run_both(spark, "orders_basket_size_histogram", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_shingle_df_profile(spark, tmp_path):
+    """doc1/doc2: identical 12-char text -> one shingle at df 2... plus
+    doc3 (13 chars, same lowered prefix) -> 'abcdefghijkl' df 3,
+    'bcdefghijklm' df 1. Buckets: floor(log2(1))=0 (1 shingle, max 1),
+    floor(log2(3))=1 (1 shingle, max 3)."""
+    docs = _documents([
+        (1, "abcdefghijkl", "s"),
+        (2, "abcdefghijkl", "s"),
+        (3, "ABCDEFGHIJKLm", "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(0, 1, 1), (1, 1, 3)]
+    got_spark, got_ora = _run_both(spark, "dedup_shingle_df_profile", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_dup_group_size_histogram(spark, tmp_path):
+    """'x' x2 + 'y' x1: one group of size 1 (1 doc), one of size 2
+    (2 docs)."""
+    docs = _documents([(1, "x", "s"), (2, "x", "s"), (3, "y", "s")])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(1, 1, 1), (2, 1, 2)]
+    got_spark, got_ora = _run_both(spark, "dedup_group_size_histogram", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

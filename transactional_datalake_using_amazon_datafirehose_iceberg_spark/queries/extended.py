@@ -8976,6 +8976,350 @@ ORDER BY doc_id
 ))
 
 
+# ---------------------------------------------------------------------------
+# Round-18 staging lane: built ahead in round 14 (buffer three lanes
+# deep); declared after the r17 lane rotates through. Window math:
+# r18 = 6 never-green + 37 r12-displaced/stale + 7 r13.
+# ---------------------------------------------------------------------------
+_STAGED_R18: list[QuerySpec] = []
+
+
+def _priority_drift_build(spark, sf):
+    # data-drift monitor: monthly order-priority mix vs the overall mix,
+    # L1 distance in truncated bp — the distribution-shift alarm a
+    # training pipeline runs on every ingest dimension. Two keyed aggs
+    # + a priority-keyed broadcast-scale join; overall N is a driver
+    # scalar (metadata).
+    o = spark.table("orders").filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    per_mp = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("c_mp"))
+    per_p = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("c_p"))
+    n = o.count()
+    per_m = per_mp.groupBy("m").agg(F.sum("c_mp").alias("c_m"))
+    return (
+        per_mp.join(F.broadcast(per_p), "o_orderpriority")
+        .join(F.broadcast(per_m), "m")
+        .select(
+            "m",
+            "c_m",
+            F.expr(
+                f"abs(c_mp * 10000 div c_m - c_p * 10000 div {int(n)})"
+            ).alias("__d"),
+        )
+        .groupBy("m")
+        .agg(
+            F.max("c_m").cast("bigint").alias("n_orders"),
+            F.sum("__d").cast("bigint").alias("drift_bp"),
+        )
+        .select(F.to_date("m").alias("month"), "n_orders", "drift_bp")
+        .orderBy("month")
+    )
+
+
+_STAGED_R18.append(QuerySpec(
+    name="orders_priority_mix_drift",
+    doc="Monthly priority-mix drift: L1 distance (truncated bp) between "
+        "each month's order-priority distribution and the overall mix — "
+        "the distribution-shift alarm for ingest monitoring. Integer "
+        "share arithmetic; priority-keyed metadata-scale joins.",
+    tags=("agg", "analytics", "quality"),
+    build=_priority_drift_build,
+    oracle="""
+WITH o AS (
+  SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+),
+mp AS (SELECT m, o_orderpriority, COUNT(*) AS c_mp FROM o GROUP BY 1, 2),
+p AS (SELECT o_orderpriority, COUNT(*) AS c_p FROM o GROUP BY 1),
+mm AS (SELECT m, SUM(c_mp) AS c_m FROM mp GROUP BY 1)
+SELECT CAST(mp.m AS DATE) AS month,
+       CAST(MAX(mm.c_m) AS BIGINT) AS n_orders,
+       CAST(SUM(ABS(mp.c_mp * 10000 // mm.c_m
+                    - p.c_p * 10000 // (SELECT COUNT(*) FROM o)))
+            AS BIGINT) AS drift_bp
+FROM mp
+JOIN p USING (o_orderpriority)
+JOIN mm USING (m)
+GROUP BY mp.m
+ORDER BY month
+""",
+))
+
+
+def _vocab_growth_build(spark, sf):
+    # Heaps-law vocabulary growth: distinct tokens first seen per doc
+    # (MIN doc attribution, the novelty shuffle class) cumulated over
+    # doc_id order — via the DISTRIBUTED running sum (operators/ranks),
+    # never a partitionless window. The curve's flattening point is
+    # where a crawl stops buying vocabulary.
+    from ..operators.ranks import with_global_running_sum
+
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    base = (
+        d.select("doc_id")
+        .join(new_per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+    )
+    out, _ = with_global_running_sum(base, ["doc_id"], "n_new", "vocab_cum")
+    return out.select(
+        "doc_id", F.col("n_new").cast("bigint").alias("n_new"), "vocab_cum"
+    ).orderBy("doc_id")
+
+
+_STAGED_R18.append(QuerySpec(
+    name="text_vocab_growth_curve",
+    doc="Heaps-law vocabulary growth: tokens first seen per document "
+        "(MIN-doc attribution) and the cumulative vocabulary size over "
+        "doc_id order — computed with the distributed global running "
+        "sum (operators/ranks), no one-task window. The flattening "
+        "point is where a crawl stops adding vocabulary.",
+    tags=("llm", "text", "analytics"),
+    build=_vocab_growth_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+tok AS (
+  SELECT d.doc_id, t.tok
+  FROM d, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+fs AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+np AS (SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM fs GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(np.n_new, 0) AS BIGINT) AS n_new,
+       CAST(SUM(COALESCE(np.n_new, 0)) OVER (
+         ORDER BY d.doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS vocab_cum
+FROM d LEFT JOIN np USING (doc_id)
+ORDER BY d.doc_id
+""",
+))
+
+
+def _source_matrix_build(spark, sf):
+    # corpus-provenance report: per (source, lang) volume, mean length
+    # and exact-duplicate share — the first table a dataset card needs.
+    # Dup attribution by md5(text) group size (corpus-scale agg, then a
+    # hash-keyed join back); NULL source/lang stay real groups (groupBy
+    # keeps NULLs; nothing joins on them).
+    d = spark.table("documents").filter(F.col("text").isNotNull())
+    grp = d.groupBy(F.md5("text").alias("__h")).agg(
+        F.count(F.lit(1)).alias("__gs")
+    )
+    tagged = d.withColumn("__h", F.md5("text")).join(grp, "__h")
+    return (
+        tagged.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum((F.col("__gs") > 1).cast("int")).cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.expr("n_dup_docs * 10000 div n_docs").cast("bigint"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_STAGED_R18.append(QuerySpec(
+    name="documents_source_quality_matrix",
+    doc="Provenance matrix per (source, lang): doc count, total chars, "
+        "docs participating in an exact-duplicate group (md5 text), and "
+        "the dup share in truncated bp — the dataset-card table that "
+        "decides which sources get dedup budget.",
+    tags=("llm", "text", "quality", "dedup"),
+    build=_source_matrix_build,
+    oracle="""
+WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
+g AS (SELECT md5(text) AS h, COUNT(*) AS gs FROM d GROUP BY 1),
+t AS (SELECT d.source, d.lang, d.text, g.gs
+      FROM d JOIN g ON g.h = md5(d.text))
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN gs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN gs > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS dup_bp
+FROM t
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+))
+
+
+def _basket_hist_build(spark, sf):
+    # order-size histogram: items per order, then orders per size with
+    # the share in truncated bp — the fan-out profile that sizes the
+    # market-basket self-join before anyone runs it. Two keyed aggs;
+    # total is a driver scalar.
+    li = spark.table("lineitem").filter(F.col("l_orderkey").isNotNull())
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    n_orders = per.count()
+    return (
+        per.groupBy("n_items")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            F.col("n_items").cast("int").alias("n_items"),
+            "n_orders",
+            F.expr(f"n_orders * 10000 div {max(int(n_orders), 1)}")
+            .cast("bigint").alias("share_bp"),
+        )
+        .orderBy("n_items")
+    )
+
+
+_STAGED_R18.append(QuerySpec(
+    name="orders_basket_size_histogram",
+    doc="Items-per-order histogram with truncated-bp shares: the "
+        "fan-out profile that bounds the market-basket pair self-join "
+        "(sum of n*(n-1)/2 over this histogram IS the pair count). Two "
+        "keyed aggregations; the total is a driver scalar.",
+    tags=("agg", "analytics"),
+    build=_basket_hist_build,
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey, COUNT(*) AS n_items
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(n_items AS INTEGER) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) * 10000
+            // GREATEST((SELECT COUNT(*) FROM per), 1) AS BIGINT)
+         AS share_bp
+FROM per
+GROUP BY n_items
+ORDER BY n_items
+""",
+))
+
+
+def _shingle_df_build(spark, sf):
+    # shingle document-frequency profile in power-of-two buckets: the
+    # diagnostic that justifies (or re-tunes) the containment operator's
+    # max_doc_freq stop-shingle cap — the histogram's heavy tail IS the
+    # quadratic-pair risk. Gram-scale aggregations only.
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 12)
+        & F.col("doc_id").isNotNull()
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 11),"
+                " i -> substring(lower(text), i, 12))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    df_per = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df_per.groupBy(
+            F.floor(F.log2("df")).cast("int").alias("df_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+        .orderBy("df_bucket_log2")
+    )
+
+
+_STAGED_R18.append(QuerySpec(
+    name="dedup_shingle_df_profile",
+    doc="Shingle document-frequency histogram in log2 buckets (plus the "
+        "bucket max): the heavy tail is the quadratic-pair risk the "
+        "containment stop-shingle cap exists to bound — this is the "
+        "measurement that tunes max_doc_freq. Gram-keyed aggregations "
+        "only; floor(log2) on integer df is boundary-exact in IEEE.",
+    tags=("llm", "dedup", "quality"),
+    build=_shingle_df_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 12 AND doc_id IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(lower(text), CAST(i AS INTEGER), 12) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 11)) AS i
+        FROM d) t
+),
+f AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT CAST(FLOOR(LOG2(df)) AS INTEGER) AS df_bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(MAX(df) AS BIGINT) AS max_df
+FROM f
+GROUP BY 1
+ORDER BY df_bucket_log2
+""",
+))
+
+
+def _dup_group_hist_build(spark, sf):
+    # exact-dup group-size histogram: how much of the corpus sits in
+    # groups of each size — the before/after measurement of any dedup
+    # run (n_docs - n_groups summed over this table = rows removed by
+    # keep-one dedup). Two hash-keyed aggregations.
+    d = spark.table("documents").filter(F.col("text").isNotNull())
+    grp = d.groupBy(F.md5("text").alias("__h")).agg(
+        F.count(F.lit(1)).alias("gs")
+    )
+    return (
+        grp.groupBy(F.col("gs").cast("int").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            # sum(gs) == n_groups * gs (gs is the group key): an
+            # aggregate, never first() on a would-be-constant column
+            F.sum("gs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("group_size")
+    )
+
+
+_STAGED_R18.append(QuerySpec(
+    name="dedup_group_size_histogram",
+    doc="Exact-duplicate group-size histogram over md5(text): groups "
+        "and docs per group size — the dedup-impact measurement (docs "
+        "minus groups = rows a keep-one pass removes). Hash-keyed "
+        "aggregations only.",
+    tags=("llm", "dedup", "agg"),
+    build=_dup_group_hist_build,
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h, COUNT(*) AS gs
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(gs AS INTEGER) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) * gs AS BIGINT) AS n_docs
+FROM g
+GROUP BY gs
+ORDER BY group_size
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
@@ -9010,4 +9354,5 @@ SPECS_NEXT = (
     + list(_STAGED_R15)
     + list(_STAGED_R16)
     + list(_STAGED_R17)
+    + list(_STAGED_R18)
 )
