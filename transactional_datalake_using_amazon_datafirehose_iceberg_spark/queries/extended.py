@@ -9347,11 +9347,30 @@ assert not [s for s in _STAGED_R14 if s.name not in _DECLARE_R14], (
 )
 
 
+# Round-15 declaration: the full 6-spec staged lane. Window math
+# (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r14): 6
+# never-green + the 44 oldest-stale greens fill the driver's 50-spec
+# sampling prefix; staging more would break the max-staleness bound
+# (checked by registry.staleness_violations / tests/test_registry.py).
+_DECLARE_R15 = {
+    "dedup_boundary_overlap_pairs",
+    "events_survival_curve",
+    "embedding_norm_outliers",
+    "documents_length_histogram_log2",
+    "orders_benford_first_digit",
+    "multimodal_payload_dedup",
+}
+SPECS.extend(s for s in _STAGED_R15 if s.name in _DECLARE_R15)
+assert not [s for s in _STAGED_R15 if s.name not in _DECLARE_R15], (
+    "round-15 staged lane fully declared in r15"
+)
+
+
 SPECS_NEXT = (
     [s for s in _STAGED_R12 if s.name not in _DECLARE_R12]
     + [s for s in _STAGED_R13 if s.name not in _DECLARE_R13]
     + [s for s in _STAGED_R14 if s.name not in _DECLARE_R14]
-    + list(_STAGED_R15)
+    + [s for s in _STAGED_R15 if s.name not in _DECLARE_R15]
     + list(_STAGED_R16)
     + list(_STAGED_R17)
     + list(_STAGED_R18)

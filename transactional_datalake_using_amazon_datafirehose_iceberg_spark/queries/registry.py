@@ -363,6 +363,34 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "approx_freq_items", "observe_metrics_inline",
         "q2_shape_min_cost_supplier", "q21_shape_sole_failing_supplier",
     }),
+    # CORRECTNESS_r14: 50/50 sampled green — all 12 round-14 declarations,
+    # the 7 r8-displaced specs, and the 31-spec r9-stale cohort.
+    14: frozenset({
+        "asof_join_purchase_click", "cdc_dead_letter_replay",
+        "cdc_dead_letter_split", "cdc_retail_replay",
+        "decontaminate_ngram_overlap", "dedup_embedding_cosine",
+        "dedup_exact_by_text", "dedup_minhash_lsh_pairs",
+        "dedup_neardup_jaccard", "dedup_simhash_buckets",
+        "embedding_quantized_centroids", "events_active_time_union",
+        "events_conversion_latency_quantiles", "events_dow_seasonality",
+        "events_funnel_any_order", "events_hhi_concentration",
+        "events_sliding_windows", "join_skew_salted",
+        "merge_conditional_partial", "multimodal_decode_features",
+        "multimodal_resize_batch", "orders_basket_lift",
+        "orders_fuzzy_invoice_pairs", "orders_gini_coefficient",
+        "orders_mad_dispersion", "q11_shape_important_stock",
+        "q16_shape_supplier_counts", "q20_shape_excess_availability",
+        "q9_shape_product_profit", "recursive_cte_ancestors",
+        "runbook_dml_lifecycle", "similarity_ann_ivf",
+        "similarity_ann_lsh_bucket", "similarity_topk_cosine",
+        "split_leakage_free_by_cluster", "sql_udf_create_function",
+        "streaming_windowed_counts", "text_char_entropy", "text_fingerprints",
+        "text_lang_id_markers", "text_repetition_filters", "text_rolling_hash",
+        "text_stats_quality", "text_token_counts", "text_zipf_rank_frequency",
+        "time_travel_versions", "udf_applyinpandas_zscore",
+        "udf_grouped_agg_pandas", "udf_pandas_quality_score",
+        "variant_json_extract",
+    }),
 }
 
 
