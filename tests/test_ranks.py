@@ -70,3 +70,32 @@ def test_no_single_partition_window_in_plan(data):
     # a partitionless window plans an Exchange SinglePartition feeding
     # the Window operator; the range-partitioned form must not
     assert "SinglePartition" not in plan, plan
+
+
+def test_running_sum_null_values_match_single_partition(spark):
+    """Advice r14: a non-first range partition whose leading rows are all
+    NULL must inherit the prior partitions' (non-NULL) offset, and the
+    result is NULL only where the whole global prefix is all-NULL —
+    exactly the single-partition window's SUM semantics."""
+    # order by k; leading ks carry only NULL values so the all-NULL
+    # prefix spans the first partition(s) at num_partitions=5
+    rows = [(i, None if i < 300 else (None if i % 3 == 0 else i % 7))
+            for i in range(999)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    got, total = with_global_running_sum(df, ["k"], "v", "rs", num_partitions=5)
+    w = (
+        Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("rs", F.sum(F.col("v").cast("bigint")).over(w))
+    assert got.orderBy("k").collect() == want.orderBy("k").collect()
+    assert total == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_running_sum_all_null_column(spark):
+    """Degenerate: every value NULL -> every running sum NULL (matching
+    the window), total 0 by the coalesce convention."""
+    df = spark.createDataFrame([(i, None) for i in range(50)], "k int, v int")
+    got, total = with_global_running_sum(df, ["k"], "v", "rs", num_partitions=4)
+    assert [r["rs"] for r in got.orderBy("k").collect()] == [None] * 50
+    assert total == 0

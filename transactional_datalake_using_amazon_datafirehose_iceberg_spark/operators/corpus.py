@@ -277,6 +277,8 @@ def temperature_mixture_sample(
         # to the totals and holds its own quota) — a plain equi-join
         # dropped its documents entirely while still consuming mixture
         # quota, deflating the global kept fraction (review round 10)
+        # broadcast scale-class: quota is domain-cardinality — one row
+        # per mixture domain (coarse buckets by contract, not raw hosts)
         ranked.join(
             F.broadcast(quota),
             on=[ranked[domain_col].eqNullSafe(quota[domain_col])],

@@ -279,6 +279,10 @@ def jaccard_verify(
     # candidate-volume shingles feed THREE consumers (sizes, both sides
     # of the intersection join); materialize once or each consumer
     # re-runs the explode+distinct AND its upstream corpus scan
+    # broadcast scale-class: cand_docs is ≤ 2x the candidate-pair count,
+    # which the LSH hot-bucket cap bounds — the forced broadcast is the
+    # deliberate trade that keeps the corpus side shuffle-free (a hinted
+    # shuffle semi-join here would move corpus-volume shingle bytes)
     sh_c = materialize(
         shingled.join(F.broadcast(cand_docs), id_col, "left_semi")
     )
@@ -343,6 +347,8 @@ def jaccard_verify_docs(
     candidate-volume bytes only."""
     candidates = materialize(candidates.select("doc_a", "doc_b"))
     cand_docs = _cand_docs(candidates, id_col)
+    # same broadcast scale-class as jaccard_verify: pair-bounded doc ids,
+    # forced so the full-corpus side never shuffles for the restriction
     docs_c = docs.join(F.broadcast(cand_docs), id_col, "left_semi")
     # shingles are candidate-restricted by construction here: skip the
     # core's semi-join and feed it the one materialized relation

@@ -74,21 +74,31 @@ def _offsets(
         aggs.append(
             F.coalesce(F.sum(value_col), F.lit(0)).cast("bigint").alias("__s")
         )
+        # non-null count per partition: NULL reconstruction needs to know
+        # whether ANY non-null value precedes a partition (advice r14 —
+        # SUM over an all-NULL prefix is NULL, and NULL + offset would
+        # otherwise poison the first non-first-partition rows)
+        aggs.append(F.count(value_col).alias("__nn"))
     stats = sorted(
         part.groupBy(_PID).agg(*aggs).collect(), key=lambda r: r[_PID]
     )
     rows, total_rows = [], 0
     total_sum = 0
+    total_nn = 0
     for r in stats:
         entry = [r[_PID], total_rows]
         if value_col is not None:
             entry.append(total_sum)
+            entry.append(total_nn)
             total_sum += r["__s"]
+            total_nn += r["__nn"]
         total_rows += r["__n"]
         rows.append(tuple(entry))
     spark = part.sparkSession
     schema = f"{_PID} int, {_OFF} bigint" + (
-        ", __gr_sum_off bigint" if value_col is not None else ""
+        ", __gr_sum_off bigint, __gr_nn_off bigint"
+        if value_col is not None
+        else ""
     )
     off = spark.createDataFrame(rows, schema) if rows else (
         spark.createDataFrame([], schema)
@@ -131,9 +141,13 @@ def with_global_running_sum(
 
     ``value_col`` must be integral (bigint) — integer associativity is
     what makes the partition-offset reconstruction bit-identical to the
-    single-partition window. Returns ``(df_with_out_col, total_sum)``;
-    the total replaces the ``Window.partitionBy()`` (also single-task)
-    grand-total idiom with a driver scalar.
+    single-partition window. NULL semantics match exactly too: the
+    running sum is NULL iff the whole global prefix (across partitions)
+    holds no non-null value, reconstructed from a cumulative non-null
+    count in the offset relation (advice r14). Returns
+    ``(df_with_out_col, total_sum)``; the total replaces the
+    ``Window.partitionBy()`` (also single-task) grand-total idiom with
+    a driver scalar.
     """
     cols = _as_columns(order_by)
     part = _range_partitioned(df, cols, num_partitions)
@@ -143,14 +157,21 @@ def with_global_running_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local_sum = F.sum(F.col(value_col).cast("bigint")).over(w)
+    local_nn = F.count(value_col).over(w)
     out = (
         part.join(F.broadcast(off), _PID)
         .withColumn(
             out_col,
-            (F.sum(F.col(value_col).cast("bigint")).over(w)
-             + F.col("__gr_sum_off")).cast("bigint"),
+            F.when(
+                (local_nn + F.col("__gr_nn_off")) == 0,
+                F.lit(None).cast("bigint"),
+            ).otherwise(
+                (F.coalesce(local_sum, F.lit(0)) + F.col("__gr_sum_off"))
+                .cast("bigint")
+            ),
         )
-        .drop(_PID, _OFF, "__gr_sum_off")
+        .drop(_PID, _OFF, "__gr_sum_off", "__gr_nn_off")
     )
     return out, total
 

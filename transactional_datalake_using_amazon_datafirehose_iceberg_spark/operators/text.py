@@ -320,7 +320,9 @@ def ngram_overlap_vs_benchmark(
     )
     # one broadcast LEFT join tags each corpus gram, one aggregation
     # produces both counts — total and overlap never meet in a second
-    # doc_id-keyed shuffle join
+    # doc_id-keyed shuffle join. Broadcast scale-class: eval-benchmark
+    # grams — k ≪ corpus by construction (an eval set is thousands of
+    # rows, not corpus-volume), the decontamination contract.
     return (
         grams(corpus)
         .join(F.broadcast(bench_grams), "gram", "left")

@@ -309,7 +309,11 @@ def _curate_build(spark, sf):
         .filter(F.col("id") != F.col("cluster_id"))
         .select(F.col("id").alias("doc_id"))
     )
-    kept = uniq.join(F.broadcast(dupes), "doc_id", "left_anti")
+    # dupes is the non-representative members of every near-dup cluster —
+    # corpus-scale on a dup-heavy crawl (30-50% of docs), so no forced
+    # broadcast: AQE broadcasts when the dup set is actually small and
+    # shuffle-anti-joins when it isn't (round-14 broadcast-site audit).
+    kept = uniq.join(dupes, "doc_id", "left_anti")
     # 3. quality gate (same thresholds as text_stats_quality)
     n_tokens = (
         F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
