@@ -2314,3 +2314,136 @@ def test_hand_dup_group_size_histogram(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "dedup_group_size_histogram", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+# ---------------------------------------------------------------------------
+# Round-19 staged lane (built round 15)
+# ---------------------------------------------------------------------------
+
+
+def test_hand_normalized_text_groups(spark, tmp_path):
+    """doc1 'ab 12cd' and its digit-rotated re-ingestion variant
+    (1000001, 'ab 23cd') both normalize to 'ab cd'; doc2 'AB!cd' and
+    variant 1000002 both -> 'abcd'; doc60 'zz' is >= 50 so gets NO
+    variant and stays a singleton (dropped). md5('ab cd')=04a7... <
+    md5('abcd')=e2fc..., so the 'ab cd' group sorts first."""
+    import hashlib
+
+    docs = _documents([(1, "ab 12cd", "s"), (2, "AB!cd", "s"), (60, "zz", "s")])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        (hashlib.md5(b"ab cd").hexdigest(), 2, 1, 1000001),
+        (hashlib.md5(b"abcd").hexdigest(), 2, 2, 1000002),
+    ]
+    got_spark, got_ora = _run_both(spark, "dedup_normalized_text_groups", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_quality_calibration(spark, tmp_path):
+    """doc1 (s1): 'abc def' len 7 -> bin 0, 2 tokens -> fail.
+    doc2 (s1): 12 x 10-char tokens = 131 chars -> bin 1, pass.
+    doc3 (NULL source): 11 x 4-char tokens = 54 chars -> bin 0, pass.
+    NULL source group leads (NULLS FIRST)."""
+    import pyarrow as pa
+
+    t2 = " ".join(["aaaaaaaaaa"] * 12)   # 131 chars, 12 tokens
+    t3 = " ".join(["aaaa"] * 11)          # 54 chars, 11 tokens
+    assert len(t2) == 131 and len(t3) == 54
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["abc def", t2, t3], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s1", "s1", None], pa.string()),
+        "n_chars": pa.array([7, 131, 54], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        (None, 0, 1, 1, 10000),
+        ("s1", 0, 1, 0, 0),
+        ("s1", 1, 1, 1, 10000),
+    ]
+    got_spark, got_ora = _run_both(
+        spark, "documents_quality_calibration_by_source", d
+    )
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_embedding_drift(spark, tmp_path):
+    """Label 1: even side vecs 0,2 -> q-sums pos0 64+32=96, pos1 -32+64
+    =32; odd side vec 1 -> pos0 32, pos1 16. na=2, nb=1.
+    pos0 |96*1 - 32*2| = 32; pos1 |32*1 - 16*2| = 0 -> drift 32.
+    Label 2: only odd vec 3 -> na=0 -> every term x*0 -> drift 0."""
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (0, [1.0, -0.5], 1),
+        (1, [0.5, 0.25], 1),
+        (2, [0.5, 1.0], 1),
+        (3, [0.25], 2),
+    ]))
+    hand = [(1, 2, 1, 32), (2, 0, 1, 0)]
+    got_spark, got_ora = _run_both(spark, "embedding_drift_split_halves", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_pack_efficiency(spark, tmp_path):
+    """s1: 60 + 10 = 70 tokens -> ceil(70/64) = 2 packs, waste 128-70
+    = 58, util 700000 // 128 = 5468. s2: one NULL-text doc -> 0 tokens,
+    0 packs, NULL utilization."""
+    import pyarrow as pa
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(
+            [" ".join(["a"] * 60), " ".join(["b"] * 10), None], pa.string()
+        ),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s1", "s1", "s2"], pa.string()),
+        "n_chars": pa.array([119, 19, 0], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [("s1", 2, 70, 2, 58, 5468), ("s2", 1, 0, 0, 0, None)]
+    got_spark, got_ora = _run_both(spark, "pack_efficiency_census", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_transition_matrix(spark, tmp_path):
+    """User 1: view -> click -> click -> purchase; user 2: view -> view.
+    Pairs: (click,click) 1, (click,purchase) 1, (view,click) 1,
+    (view,view) 1; marginals click=2, view=2 -> every share 5000 bp."""
+    d = _mk_sf(tmp_path, events=_events([
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-01T00:01:00"), 1, "click", 1.0),
+        (3, _ts("2024-01-01T00:02:00"), 1, "click", 1.0),
+        (4, _ts("2024-01-01T00:03:00"), 1, "purchase", 1.0),
+        (5, _ts("2024-01-01T00:00:00"), 2, "view", 1.0),
+        (6, _ts("2024-01-01T00:05:00"), 2, "view", 1.0),
+    ]))
+    hand = [
+        ("click", "click", 1, 5000),
+        ("click", "purchase", 1, 5000),
+        ("view", "click", 1, 5000),
+        ("view", "view", 1, 5000),
+    ]
+    got_spark, got_ora = _run_both(spark, "events_type_transition_matrix", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_cents_profile(spark, tmp_path):
+    """Totals 10.00 / 10.99 / 3.99 (negative -5.00 and NULL excluded):
+    cents 0 x1, 99 x2 over total 3 -> 3333 / 6666 bp."""
+    rows = [
+        (1, 1, "O", 10.00, _ts("2024-01-05T00:00:00"), "A"),
+        (2, 1, "O", 10.99, _ts("2024-01-06T00:00:00"), "A"),
+        (3, 1, "O", 3.99, _ts("2024-01-07T00:00:00"), "A"),
+        (4, 1, "O", -5.00, _ts("2024-01-08T00:00:00"), "A"),
+        (5, 1, "O", None, _ts("2024-01-09T00:00:00"), "A"),
+    ]
+    d = _mk_sf(tmp_path, orders=_orders_full(rows))
+    hand = [(0, 1, 3333), (99, 2, 6666)]
+    got_spark, got_ora = _run_both(spark, "orders_cents_profile", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

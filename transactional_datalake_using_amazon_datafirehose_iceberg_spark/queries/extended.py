@@ -9333,6 +9333,437 @@ ORDER BY group_size
 ))
 
 
+# ---------------------------------------------------------------------------
+# Round-19 staging lane: built in round 15 so the declaration cadence
+# stays three lanes deep (r16/r17/r18 already staged). Candidate corners
+# from the r14 verdict: normalization-collapse (cross-lingual) dedup
+# blocking, per-domain quality calibration, snapshot embedding drift,
+# packing-efficiency census, behavioral transition matrix, price-point
+# audit. All integer-exact, NULL-pinned, bounded-output.
+# ---------------------------------------------------------------------------
+_STAGED_R19: list[QuerySpec] = []
+
+
+def _norm_dedup_build(spark, sf):
+    # normalization-collapse duplicate groups: the cross-lingual/noisy
+    # blocking pass — lowercase, strip everything but letters+spaces
+    # (digits, punctuation, symbols), collapse runs of spaces — then
+    # md5-group. Catches digit-rotated / punctuation-variant copies that
+    # exact dedup misses and Jaccard only scores fractionally. The
+    # fixture corpus is variant-free, so a deterministic re-ingestion
+    # union (docs < 50 re-enter with digits rotated via translate and a
+    # +1e6 id offset) exercises the collapse non-vacuously — same move
+    # as multimodal_payload_dedup's CAS corpus.
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    ).select("doc_id", "text")
+    variant = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.translate("text", "0123456789", "1234567890").alias("text"),
+    )
+    u = d.unionByName(variant)
+    norm = u.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " +", " "
+            )
+        ).alias("nt"),
+    )
+    return (
+        norm.groupBy(F.md5("nt").alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("h")
+    )
+
+
+_STAGED_R19.append(QuerySpec(
+    name="dedup_normalized_text_groups",
+    doc="Normalization-collapse duplicate groups: lowercase + strip all "
+        "non-letter/space chars + collapse space runs, md5-grouped — the "
+        "blocking pass that catches digit/punctuation variants exact "
+        "dedup misses (and the shape cross-lingual dedup runs over "
+        "transliterated text). Deterministic re-ingestion union (digit-"
+        "rotated copies of docs < 50) makes the fixture non-vacuous. "
+        "One corpus-keyed agg; groups >= 2 only.",
+    tags=("dedup", "llm", "text"),
+    build=_norm_dedup_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+u AS (
+  SELECT doc_id, text FROM d
+  UNION ALL
+  SELECT doc_id + 1000000, translate(text, '0123456789', '1234567890')
+  FROM d WHERE doc_id < 50
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM u
+)
+SELECT md5(nt) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM n
+GROUP BY md5(nt)
+HAVING COUNT(*) >= 2
+ORDER BY h
+""",
+))
+
+
+def _quality_calibration_build(spark, sf):
+    # per-source quality calibration: docs bucketed by length decile bin
+    # (100-char bins, capped at 9) with the standard quality-gate pass
+    # rate per (source, bin) in truncated bp — the table that shows
+    # whether a source's quality score is calibrated or saturated.
+    # NULL source is a real group; both engines pin NULLS FIRST (the
+    # documents_source_quality_matrix advice class). Single keyed agg.
+    d = spark.table("documents").filter(F.col("text").isNotNull())
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    binned = d.select(
+        "source",
+        F.least(F.expr("length(text) div 100"), F.lit(9))
+        .cast("int").alias("len_bin"),
+        ((F.length("text") >= 50) & (n_tokens >= 10)).cast("int").alias("ok"),
+    )
+    return (
+        binned.groupBy("source", "len_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ok").cast("bigint").alias("n_pass"),
+        )
+        .withColumn(
+            "pass_bp", F.expr("n_pass * 10000 div n_docs").cast("bigint")
+        )
+        .orderBy(F.col("source").asc_nulls_first(), "len_bin")
+    )
+
+
+_STAGED_R19.append(QuerySpec(
+    name="documents_quality_calibration_by_source",
+    doc="Per-source quality-gate calibration: docs bucketed into capped "
+        "100-char length bins, pass rate of the standard gate (len >= 50 "
+        "AND tokens >= 10) per (source, bin) in truncated bp — decides "
+        "per-domain quality thresholds. NULL source is a real group, "
+        "NULLS FIRST pinned on both engines.",
+    tags=("llm", "text", "quality"),
+    build=_quality_calibration_build,
+    oracle="""
+WITH d AS (
+  SELECT source,
+         LEAST(LENGTH(text) // 100, 9) AS len_bin,
+         CASE WHEN LENGTH(text) >= 50
+               AND LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 10
+              THEN 1 ELSE 0 END AS ok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, CAST(len_bin AS INTEGER) AS len_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_pass,
+       CAST(SUM(ok) * 10000 // COUNT(*) AS BIGINT) AS pass_bp
+FROM d
+GROUP BY source, len_bin
+ORDER BY source NULLS FIRST, len_bin
+""",
+))
+
+
+def _embedding_drift_build(spark, sf):
+    # snapshot-drift audit: the corpus split into two deterministic
+    # halves (vec_id parity — the stand-in for two ingest snapshots),
+    # per-label centroid drift as the cross-multiplied integer form
+    # sum_pos |sa*nb - sb*na| over 64-quantized components (|mean_a -
+    # mean_b| with both sides scaled by na*nb — division-free, exact).
+    # One (label, pos) shuffle + a label-enum (metadata-scale) join.
+    e = spark.table("embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    counts = e.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("int")).alias("na"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("int")).alias("nb"),
+    )
+    q = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("side"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "side",
+        "pos",
+        F.floor(F.col("v").cast("double") * 64).cast("long").alias("q"),
+    )
+    per_pos = q.groupBy("label", "pos").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == 0, F.col("q"))), F.lit(0))
+        .alias("sa"),
+        F.coalesce(F.sum(F.when(F.col("side") == 1, F.col("q"))), F.lit(0))
+        .alias("sb"),
+    )
+    return (
+        # label-cardinality join: metadata scale (bounded label enum)
+        per_pos.join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "na",
+            "nb",
+            F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+            .alias("__d"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.sum("__d").cast("bigint").alias("drift_q64"),
+        )
+        .orderBy("label")
+    )
+
+
+_STAGED_R19.append(QuerySpec(
+    name="embedding_drift_split_halves",
+    doc="Embedding-drift audit between two deterministic corpus "
+        "snapshots (vec_id parity halves): per-label L1 centroid drift "
+        "in the division-free cross-multiplied integer form "
+        "sum |sa*nb - sb*na| over 64-quantized components — the "
+        "distribution-shift alarm for an embedding pipeline. A label "
+        "with an empty half reports drift 0 (no centroid to compare).",
+    tags=("llm", "similarity", "quality"),
+    build=_embedding_drift_build,
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+c AS (
+  SELECT label,
+         SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM e GROUP BY label
+),
+q AS (
+  SELECT label, vec_id % 2 AS side,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 64) AS BIGINT) AS q
+  FROM e
+),
+s AS (
+  SELECT label, pos,
+         SUM(CASE WHEN side = 0 THEN q ELSE 0 END) AS sa,
+         SUM(CASE WHEN side = 1 THEN q ELSE 0 END) AS sb
+  FROM q GROUP BY label, pos
+)
+SELECT s.label,
+       CAST(MAX(c.na) AS BIGINT) AS n_a,
+       CAST(MAX(c.nb) AS BIGINT) AS n_b,
+       CAST(SUM(ABS(s.sa * c.nb - s.sb * c.na)) AS BIGINT) AS drift_q64
+FROM s JOIN c USING (label)
+GROUP BY s.label
+ORDER BY s.label
+""",
+))
+
+
+def _pack_efficiency_build(spark, sf):
+    # packing-efficiency census over the concat-chunk packer: per source
+    # shard, total tokens, pack count under the 64-token budget, waste
+    # in the final (short) pack, and utilization bp — the number that
+    # decides whether whole-doc greedy packing is worth its complexity
+    # over concat-chunk. Reuses the operator's per-doc output (NULL text
+    # = 0 tokens contract rides along); one source-keyed agg.
+    from ..operators import corpus as CORPUS
+
+    p = CORPUS.pack_concat_chunks(spark.table("documents"), budget=64)
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "n_packs", F.expr("(total_tokens + 63) div 64").cast("bigint")
+        )
+        .withColumn(
+            "waste_tokens",
+            (F.col("n_packs") * 64 - F.col("total_tokens")).cast("bigint"),
+        )
+        .withColumn(
+            # a 0-token source has no packs: utilization undefined (NULL
+            # via the nullif'd denominator on both engines)
+            "util_bp",
+            F.expr("total_tokens * 10000 div nullif(n_packs * 64, 0)")
+            .cast("bigint"),
+        )
+        .orderBy(F.col("source").asc_nulls_first())
+    )
+
+
+_STAGED_R19.append(QuerySpec(
+    name="pack_efficiency_census",
+    doc="Packing-efficiency census per source shard: total tokens, "
+        "64-token pack count, final-pack waste, utilization in "
+        "truncated bp — the measurement that justifies (or retires) "
+        "greedy first-fit packing vs concat-chunk. NULL text rides the "
+        "packer's 0-token contract; a 0-token shard reports NULL "
+        "utilization.",
+    tags=("llm", "packing", "agg"),
+    build=_pack_efficiency_build,
+    oracle="""
+WITH t AS (
+  SELECT source,
+         CASE WHEN text IS NULL THEN 0
+              ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       CAST((total_tokens + 63) // 64 AS BIGINT) AS n_packs,
+       CAST((total_tokens + 63) // 64 * 64 - total_tokens AS BIGINT)
+         AS waste_tokens,
+       CAST(total_tokens * 10000 // NULLIF((total_tokens + 63) // 64 * 64, 0)
+            AS BIGINT) AS util_bp
+FROM g
+ORDER BY source NULLS FIRST
+""",
+))
+
+
+def _transition_matrix_build(spark, sf):
+    # first-order behavioral transition matrix: consecutive event-type
+    # pairs per user (LAG over the µs-truncated total order), counted
+    # per (prev, next) with the row-conditional share in truncated bp —
+    # the Markov-model input for session simulation / bot detection.
+    # One user-keyed window shuffle + one pair-keyed agg; the per-prev
+    # marginal is an event-type-enum (metadata-scale) join.
+    e = spark.table("events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    marg = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return (
+        # per-prev marginal is event_type-cardinality: metadata scale
+        pairs.join(F.broadcast(marg), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.expr("n * 10000 div n_prev").cast("bigint").alias("share_bp"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+_STAGED_R19.append(QuerySpec(
+    name="events_type_transition_matrix",
+    doc="First-order event-type transition matrix per user stream: "
+        "consecutive (prev, next) pairs under the (ts, event_id) total "
+        "order, counted with row-conditional shares in truncated bp — "
+        "the Markov input for behavior modeling. µs-truncated ordering "
+        "on both engines (the nanos fixture class).",
+    tags=("events", "window", "analytics"),
+    build=_transition_matrix_build,
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+p AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS prev_type
+  FROM e
+),
+c AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+m AS (SELECT prev_type, SUM(n) AS n_prev FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.event_type, c.n,
+       CAST(c.n * 10000 // m.n_prev AS BIGINT) AS share_bp
+FROM c JOIN m USING (prev_type)
+ORDER BY c.prev_type, c.event_type
+""",
+))
+
+
+def _cents_profile_build(spark, sf):
+    # price-point audit: distribution of the cents component of order
+    # totals — fabricated or re-priced data clusters on .00/.99 (the
+    # complement of the Benford first-digit audit, which this lane's
+    # sibling r15 spec covers). Integer cents via the established
+    # round-to-cents idiom; total is one inlined driver scalar.
+    o = spark.table("orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") >= 0)
+    )
+    n_total = o.count()
+    return (
+        o.select(
+            (F.round(F.col("o_totalprice") * 100).cast("long") % 100)
+            .cast("int").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .withColumn(
+            "share_bp",
+            F.expr(f"n_orders * 10000 div {max(int(n_total), 1)}")
+            .cast("bigint"),
+        )
+        .orderBy("cents")
+    )
+
+
+_STAGED_R19.append(QuerySpec(
+    name="orders_cents_profile",
+    doc="Price-point (cents-component) distribution of order totals "
+        "with shares in truncated bp — the .00/.99 clustering audit "
+        "complementing the Benford first-digit test. One bounded "
+        "(<= 100 groups) agg; the total is an inlined driver scalar.",
+    tags=("agg", "quality", "analytics"),
+    build=_cents_profile_build,
+    oracle="""
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 100 AS cents
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+),
+n AS (SELECT GREATEST(COUNT(*), 1) AS total FROM o)
+SELECT CAST(cents AS INTEGER) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) * 10000 // MAX(n.total) AS BIGINT) AS share_bp
+FROM o CROSS JOIN n
+GROUP BY cents
+ORDER BY cents
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
@@ -9387,4 +9818,5 @@ SPECS_NEXT = (
     + list(_STAGED_R16)
     + list(_STAGED_R17)
     + list(_STAGED_R18)
+    + list(_STAGED_R19)
 )
