@@ -44,6 +44,32 @@ def test_window_composition_r14():
     assert len(never) + len(r8) + len(r9) == registry.SAMPLING_WINDOW
 
 
+def test_window_composition_r15():
+    """The exact 50-spec prefix the driver will sample in round 15:
+    6 never-green r15 declarations, then the 19-spec r9-stale cohort
+    and 25 r10-stale greens fill the rest (6 + 19 + 25 = 50).
+
+    Same pin-then-skip convention as the r14 pin below: once round-15
+    greens fold into _GREEN_BY_ROUND the window legitimately changes
+    and this pin skips."""
+    import pytest
+
+    if max(registry._GREEN_BY_ROUND) != 14:
+        pytest.skip("window pin describes the r14-ledger state")
+    specs = list(registry.QUERY_SPECS.values())
+    window = specs[: registry.SAMPLING_WINDOW]
+    never = [s.name for s in window if registry._last_green_round(s.name) == 0]
+    assert never == [
+        "dedup_boundary_overlap_pairs", "events_survival_curve",
+        "embedding_norm_outliers", "documents_length_histogram_log2",
+        "orders_benford_first_digit", "multimodal_payload_dedup",
+    ], never
+    r9 = [s.name for s in window if registry._last_green_round(s.name) == 9]
+    r10 = [s.name for s in window if registry._last_green_round(s.name) == 10]
+    assert len(r9) == 19 and len(r10) == 25, (len(r9), len(r10))
+    assert len(never) + len(r9) + len(r10) == registry.SAMPLING_WINDOW
+
+
 def test_ledger_names_all_declared():
     """Import already enforces this with RuntimeError; assert the happy
     path explicitly so a rename shows up here with a readable diff."""
