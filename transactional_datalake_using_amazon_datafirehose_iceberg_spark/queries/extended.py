@@ -2087,8 +2087,10 @@ def _expire_snapshots_build(spark, sf):
     # v0 (empty CREATE), v1 and v3 expired (v2 tag-pinned, v4 newest +
     # current); their data files must be physically gone, not just
     # unlisted
-    assert summary["removed_snapshots"] == 3, summary
-    assert summary["removed_files"] >= 1, summary
+    # RuntimeError, not assert: the expiry proof must survive python -O
+    # (the r13/r14 stripped-assert class)
+    if summary["removed_snapshots"] != 3 or summary["removed_files"] < 1:
+        raise RuntimeError(f"expiry proof failed: {summary}")
     expired_unreadable = 0
     for v in (1, 3):
         try:
@@ -2256,7 +2258,8 @@ def _scan_prune_proof_build(spark, sf):
     files_key = len(t.file_paths(predicates=key_pred))
     rows_day = t.read(spark, predicates=day_pred).filter("day = 'd3'").count()
     rows_key = t.read(spark, predicates=key_pred).filter("k = 13").count()
-    assert files_total == 6, files_total
+    if files_total != 6:  # survives python -O (stripped-assert class)
+        raise RuntimeError(f"scan-prune proof expects 6 files, saw {files_total}")
     facts = [
         ("files_total", files_total),
         ("files_scanned_day_eq", files_day),
@@ -2486,7 +2489,8 @@ def _udtf_analyze_build(spark, sf):
     class LeadTokens:
         @staticmethod
         def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
-            assert isinstance(n.value, int) and 1 <= n.value <= 8
+            if not (isinstance(n.value, int) and 1 <= n.value <= 8):
+                raise ValueError(f"n must be an int in [1, 8], got {n.value!r}")
             return AnalyzeResult(
                 T.StructType(
                     [T.StructField(f"tok{i}", T.StringType()) for i in range(n.value)]
@@ -2803,7 +2807,9 @@ def _merge_widen_build(spark, sf):
     merge_into(t, src, on=["trans_id"], assume_unique=True, evolve_schema=True)
     got = t.read(spark)
     # the widen must be real schema evolution, not a lossy cast
-    assert dict(got.dtypes) == {"trans_id": "bigint", "qty": "bigint"}, got.dtypes
+    if dict(got.dtypes) != {"trans_id": "bigint", "qty": "bigint"}:
+        # survives python -O: the widen proof IS the spec's point
+        raise RuntimeError(f"widen proof failed: {got.dtypes}")
     return got.orderBy("trans_id")
 
 
@@ -3061,7 +3067,8 @@ def _routed_fanout_build(spark, sf):
     }
     good, dead = transform(read_cdc_batch(spark, corpus), "testdb", None)
     versions = apply_routed(tables, good)
-    assert set(versions) == set(tables), versions
+    if set(versions) != set(tables):  # survives python -O
+        raise RuntimeError(f"routed apply missed a destination: {versions}")
     facts = []
     for name, t in sorted(tables.items()):
         df = t.read(spark)
