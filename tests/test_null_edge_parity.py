@@ -479,3 +479,31 @@ def test_tie_heavy_relations_parity(spark, tmp_path):
     names = _sweep_names(skip_tags=_LIFECYCLE_TAGS)
     assert len(names) > 150
     _assert_parity(spark, d, names)
+
+
+def test_dpp_no_hot_rows_yields_null_cents(spark, tmp_path):
+    """Round-15 sweep finding: a NON-empty events table with zero hot
+    (click/view) rows made the dpp build crash on int(None) over the
+    NULL SUM, while its oracle yields a NULL cents cell. Pin the
+    aligned NULL behavior on a purchase-only corpus (the spec stays
+    excluded from the generic empty sweep for the documented
+    empty-partitioned-write reason — this is the non-degenerate
+    hot-free case)."""
+    import pyarrow as pa
+
+    events = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(
+            [dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 1, 11)],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["purchase", "error"], pa.string()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k": 1}', '{"k": 2}'], pa.string()),
+    })
+    d = _mk_dir(tmp_path, events=events)
+    spec = _all_specs()["dpp_partitioned_scan_proof"]
+    rows = {r["fact"]: r["n"] for r in spec.run_spark(spark, d).collect()}
+    assert rows["1_hot_rows"] == 0
+    assert rows["2_hot_cents"] is None

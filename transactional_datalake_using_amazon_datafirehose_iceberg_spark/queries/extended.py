@@ -3849,7 +3849,10 @@ def _dpp_build(spark, sf):
     return spark.createDataFrame(
         [
             ("1_hot_rows", int(row["n"])),
-            ("2_hot_cents", int(row["cents"])),
+            # SUM over zero hot rows is NULL (a corpus with no click/view
+            # events) — int(None) crashed where the oracle yields a NULL
+            # cell (the lake_shallow_clone empty-relation class)
+            ("2_hot_cents", None if row["cents"] is None else int(row["cents"])),
             ("3_dpp_partition_filter_injected", pruned),
         ],
         "fact string, n bigint",
