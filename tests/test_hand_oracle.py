@@ -2447,3 +2447,118 @@ def test_hand_cents_profile(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "orders_cents_profile", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+# ---------------------------------------------------------------------------
+# Round-20 staged lane (built round 15)
+# ---------------------------------------------------------------------------
+
+
+def test_hand_cross_source_matrix(spark, tmp_path):
+    """'x' lives in s1 (doc1) and s2 (doc2); both docs < 30 so mirror
+    sources s1-m/s2-m join the group -> C(4,2) = 6 source pairs, one
+    shared group each. 'y' (doc 40, not mirrored) stays single-source.
+    String order: s1 < s1-m < s2 < s2-m."""
+    docs = _documents([(1, "x", "s1"), (2, "x", "s2"), (40, "y", "s1")])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        ("s1", "s1-m", 1), ("s1", "s2", 1), ("s1", "s2-m", 1),
+        ("s1-m", "s2", 1), ("s1-m", "s2-m", 1), ("s2", "s2-m", 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "dedup_cross_source_matrix", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_lang_confusion(spark, tmp_path):
+    """doc1 (declared en) 'the cat' -> c_en=1 wins -> en (correct).
+    doc2 (declared en) 'el la' -> c_es=2 -> es (confused).
+    doc3 (declared de) NULL text -> NULL prediction.
+    Shares: en row-conditional 5000/5000 bp; de's NULL cell 10000."""
+    import pyarrow as pa
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the cat", "el la", None], pa.string()),
+        "lang": pa.array(["en", "en", "de"], pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([7, 5, 0], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        ("de", None, 1, 10000),
+        ("en", "en", 1, 5000),
+        ("en", "es", 1, 5000),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_lang_confusion_matrix", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_load_factor(spark, tmp_path):
+    """Type A: 3 events in hour 10, 1 in hour 11 -> peak 3 of 4 over 2
+    hours -> 3*2*10000//4 = 15000 bp. Type B: 2 in one hour -> 10000."""
+    d = _mk_sf(tmp_path, events=_events([
+        (1, _ts("2024-01-01T10:00:00"), 1, "A", 1.0),
+        (2, _ts("2024-01-01T10:10:00"), 1, "A", 1.0),
+        (3, _ts("2024-01-01T10:20:00"), 1, "A", 1.0),
+        (4, _ts("2024-01-01T11:00:00"), 1, "A", 1.0),
+        (5, _ts("2024-01-01T10:00:00"), 2, "B", 1.0),
+        (6, _ts("2024-01-01T10:30:00"), 2, "B", 1.0),
+    ]))
+    hand = [("A", 2, 4, 3, 15000), ("B", 1, 2, 2, 10000)]
+    got_spark, got_ora = _run_both(spark, "events_load_factor_hourly", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_lorenz_deciles(spark, tmp_path):
+    """Three customers spend 100/200/300 cents; fewer rows than deciles
+    so each is its own tile (both engines). Cumulative shares of 600:
+    1666 / 5000 / 10000 bp."""
+    rows = [
+        (1, 1, "O", 1.00, _ts("2024-01-05T00:00:00"), "A"),
+        (2, 2, "O", 2.00, _ts("2024-01-06T00:00:00"), "A"),
+        (3, 3, "O", 3.00, _ts("2024-01-07T00:00:00"), "A"),
+    ]
+    d = _mk_sf(tmp_path, orders=_orders_full(rows))
+    hand = [(1, 1, 100, 1666), (2, 1, 200, 5000), (3, 1, 300, 10000)]
+    got_spark, got_ora = _run_both(spark, "orders_lorenz_deciles", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_props_key_census(spark, tmp_path):
+    """Valid payloads: {'a','b'} and {'a'} -> a in 2/2 (10000 bp), b in
+    1/2 (5000). NULL and malformed payloads drop on both engines."""
+    import pyarrow as pa
+
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 1, 10)] * 4, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array([1.0] * 4, pa.float64()),
+        "props": pa.array(
+            ['{"a": 1, "b": 2}', '{"a": 3}', None, "not json"], pa.string()
+        ),
+    })
+    d = _mk_sf(tmp_path, events=events)
+    hand = [("a", 2, 10000), ("b", 1, 5000)]
+    got_spark, got_ora = _run_both(spark, "events_props_key_census", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_dim_variance(spark, tmp_path):
+    """q at pos0: 0,0,0 -> var 0. pos1: 64,32,16 -> n=3, s=112,
+    ss=5376 -> var_num = 3*5376 - 112^2 = 3584. Rank 1 = pos1."""
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (0, [0.0, 1.0], 1),
+        (1, [0.0, 0.5], 1),
+        (2, [0.0, 0.25], 1),
+    ]))
+    hand = [(1, 1, 3, 3584), (2, 0, 3, 0)]
+    got_spark, got_ora = _run_both(spark, "embedding_dim_variance_profile", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

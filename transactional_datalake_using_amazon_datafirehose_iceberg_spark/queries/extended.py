@@ -9774,6 +9774,422 @@ ORDER BY cents
 ))
 
 
+# ---------------------------------------------------------------------------
+# Round-20 staging lane: built in round 15 — the final round's declaration
+# cadence is funded ahead like every lane before it. Corners covered:
+# cross-source contamination accounting, language-label auditing,
+# load-shape profiling, revenue concentration (the ranks operator's next
+# consumers), semi-structured schema census, embedding informativeness.
+# ---------------------------------------------------------------------------
+_STAGED_R20: list[QuerySpec] = []
+
+
+def _cross_source_matrix_build(spark, sf):
+    # cross-source exact-dup contamination matrix: md5-text groups that
+    # span two sources — the provenance-contamination accounting a
+    # dataset card needs (how much of source B is already in source A).
+    # The fixture corpus is dup-free, so a deterministic mirror
+    # re-ingestion (docs < 30 re-enter under a '-m' suffixed source)
+    # makes the matrix non-vacuous — the CAS-corpus move. One distinct
+    # (hash, source) relation; the self-join is hash-keyed (group-size
+    # bounded), never all-pairs.
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select("doc_id", "text", "source")
+    mirror = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "text",
+        F.concat(F.col("source"), F.lit("-m")).alias("source"),
+    )
+    hs = (
+        d.unionByName(mirror)
+        .select(F.md5("text").alias("h"), "source")
+        .distinct()
+    )
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_groups"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+_STAGED_R20.append(QuerySpec(
+    name="dedup_cross_source_matrix",
+    doc="Cross-source exact-duplicate contamination matrix: md5-text "
+        "groups spanning each source pair — the provenance accounting "
+        "that tells a dataset card how much of one source already "
+        "exists in another. Deterministic mirror re-ingestion keeps the "
+        "dup-free fixture non-vacuous; hash-keyed self-join over the "
+        "distinct (hash, source) relation, never all-pairs.",
+    tags=("dedup", "llm", "quality"),
+    build=_cross_source_matrix_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+),
+u AS (
+  SELECT text, source FROM d
+  UNION ALL
+  SELECT text, source || '-m' FROM d WHERE doc_id < 30
+),
+hs AS (SELECT DISTINCT md5(text) AS h, source FROM u)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_groups
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+""",
+))
+
+
+def _lang_confusion_build(spark, sf):
+    # declared-vs-predicted language confusion matrix over the marker
+    # language ID: per (actual, predicted) counts and the row-share in
+    # truncated bp — the label-quality audit run before trusting a
+    # corpus's lang column. NULL prediction (NULL text) is a real cell.
+    from ..operators import text as TX
+
+    scored = TX.lang_id_scores(spark.table("documents"))
+    per = scored.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    marg = per.groupBy("actual_lang").agg(F.sum("n_docs").alias("n_actual"))
+    return (
+        # per-actual marginal is lang-cardinality: metadata scale
+        per.join(F.broadcast(marg), "actual_lang")
+        .select(
+            "actual_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr("n_docs * 10000 div n_actual").cast("bigint").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy(
+            F.col("actual_lang").asc_nulls_first(),
+            F.col("predicted_lang").asc_nulls_first(),
+        )
+    )
+
+
+_STAGED_R20.append(QuerySpec(
+    name="text_lang_confusion_matrix",
+    doc="Declared-vs-predicted language confusion matrix over the "
+        "marker-word language ID: per (actual, predicted) doc counts "
+        "and row-conditional shares in truncated bp — the label-quality "
+        "audit before trusting a corpus lang column. NULL cells pinned "
+        "NULLS FIRST on both engines.",
+    tags=("llm", "text", "quality"),
+    build=_lang_confusion_build,
+    oracle="""
+WITH c AS (
+  SELECT lang AS actual_lang,
+         len(list_filter(toks, x -> x = 'the'))
+           + len(list_filter(toks, x -> x = 'and')) AS c_en,
+         len(list_filter(toks, x -> x = 'el'))
+           + len(list_filter(toks, x -> x = 'la')) AS c_es,
+         len(list_filter(toks, x -> x = 'der'))
+           + len(list_filter(toks, x -> x = 'und')) AS c_de,
+         len(list_filter(toks, x -> x = 'le'))
+           + len(list_filter(toks, x -> x = 'et')) AS c_fr
+  FROM (SELECT lang, string_split(lower(text), ' ') AS toks
+        FROM documents) x
+),
+p AS (
+  SELECT actual_lang,
+         CASE WHEN c_en IS NULL THEN NULL
+              WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+              WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+              WHEN c_de >= c_fr THEN 'de'
+              ELSE 'fr' END AS predicted_lang
+  FROM c
+),
+per AS (
+  SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+),
+m AS (SELECT actual_lang, SUM(n_docs) AS n_actual FROM per GROUP BY 1)
+SELECT per.actual_lang AS actual_lang, per.predicted_lang, per.n_docs,
+       CAST(per.n_docs * 10000 // m.n_actual AS BIGINT) AS share_bp
+FROM per JOIN m ON per.actual_lang IS NOT DISTINCT FROM m.actual_lang
+ORDER BY per.actual_lang NULLS FIRST, per.predicted_lang NULLS FIRST
+""",
+))
+
+
+def _load_factor_build(spark, sf):
+    # peak-to-mean hourly load per event type: the capacity-planning
+    # shape statistic (a flat profile loads ~10000 bp, a spiky one far
+    # above). Two keyed aggs; cross-multiplied integer ratio — never a
+    # double mean.
+    hourly = (
+        spark.table("events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.max("c").cast("bigint").alias("peak_hour_events"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            "peak_hour_events",
+            # peak/mean in bp = peak * n_hours * 10000 div total
+            F.expr("peak_hour_events * n_hours * 10000 div n_events")
+            .cast("bigint")
+            .alias("load_factor_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STAGED_R20.append(QuerySpec(
+    name="events_load_factor_hourly",
+    doc="Peak-to-mean hourly load factor per event type (truncated bp, "
+        "cross-multiplied integers — no double mean): the capacity-"
+        "planning shape statistic; 10000 bp = perfectly flat. Hourly "
+        "pre-aggregate then a type rollup.",
+    tags=("events", "agg", "analytics"),
+    build=_load_factor_build,
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(MAX(c) AS BIGINT) AS peak_hour_events,
+       CAST(MAX(c) * COUNT(*) * 10000 // SUM(c) AS BIGINT)
+         AS load_factor_bp
+FROM hourly GROUP BY event_type ORDER BY event_type
+""",
+))
+
+
+def _lorenz_build(spark, sf):
+    # Lorenz-curve decile table: customers ranked ascending by spend via
+    # the DISTRIBUTED global ntile (operators/ranks — no one-task sort),
+    # per-decile revenue and the cumulative share in truncated bp (the
+    # table form of the Gini spec's scalar). The decile relation is 10
+    # rows; its running sum still goes through the distributed operator
+    # per the repo's no-partitionless-window convention.
+    from ..operators.materialize import materialize
+    from ..operators.ranks import with_global_ntile, with_global_running_sum
+
+    per = (
+        spark.table("orders")
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & (F.col("o_totalprice") >= 0)
+            & F.col("o_custkey").isNotNull()
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    per = materialize(per)
+    dec = with_global_ntile(per, 10, ["cents", "o_custkey"], "decile")
+    hist = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    hist, total = with_global_running_sum(
+        hist, ["decile"], "decile_cents", "cum_cents"
+    )
+    return (
+        hist.select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "decile_cents",
+            F.expr(f"cum_cents * 10000 div nullif({int(total)}, 0)")
+            .cast("bigint")
+            .alias("cum_share_bp"),
+        )
+        .orderBy("decile")
+    )
+
+
+_STAGED_R20.append(QuerySpec(
+    name="orders_lorenz_deciles",
+    doc="Lorenz-curve decile table of customer spend: ascending spend "
+        "deciles via the distributed global ntile, per-decile revenue "
+        "cents and cumulative share in truncated bp — the table form "
+        "of the Gini scalar (a fair corpus climbs ~1000 bp per "
+        "decile). All-integer; the grand total is the ranks operator's "
+        "returned scalar.",
+    tags=("agg", "window", "analytics"),
+    build=_lorenz_build,
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+    AND o_custkey IS NOT NULL
+  GROUP BY 1
+),
+dec AS (
+  SELECT cents,
+         NTILE(10) OVER (ORDER BY cents NULLS FIRST, o_custkey NULLS FIRST)
+           AS decile
+  FROM per
+),
+hist AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS decile_cents
+  FROM dec GROUP BY 1
+)
+SELECT CAST(decile AS INT) AS decile, n_customers, decile_cents,
+       CAST(SUM(decile_cents) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+            // NULLIF((SELECT SUM(cents) FROM per), 0) AS BIGINT)
+         AS cum_share_bp
+FROM hist
+ORDER BY decile
+""",
+))
+
+
+def _props_census_build(spark, sf):
+    # semi-structured schema census: which keys the props payloads
+    # actually carry, at what frequency — the schema-discovery pass an
+    # open-schema ingestion runs before declaring columns. Key explode
+    # is map-side; one key-keyed agg; the total is a driver scalar.
+    ev = spark.table("events").filter(F.col("props").isNotNull())
+    keyed = ev.select(F.expr("json_object_keys(props)").alias("ks")).filter(
+        F.col("ks").isNotNull()  # malformed payloads drop on both sides
+    )
+    n_payloads = keyed.count()
+    return (
+        keyed.select(F.explode("ks").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_payloads"))
+        .select(
+            "key",
+            "n_payloads",
+            F.expr(f"n_payloads * 10000 div {max(int(n_payloads), 1)}")
+            .cast("bigint")
+            .alias("presence_bp"),
+        )
+        .orderBy("key")
+    )
+
+
+_STAGED_R20.append(QuerySpec(
+    name="events_props_key_census",
+    doc="Semi-structured key census over the props payloads: every JSON "
+        "key's payload count and presence share in truncated bp — the "
+        "schema-discovery pass before an open-schema ingestion declares "
+        "columns. Malformed payloads drop identically on both engines "
+        "(NULL key array / json_valid gate).",
+    tags=("json", "quality", "agg"),
+    build=_props_census_build,
+    oracle="""
+WITH v AS (
+  SELECT props FROM events
+  WHERE props IS NOT NULL AND json_valid(props)
+),
+n AS (SELECT GREATEST(COUNT(*), 1) AS total FROM v),
+k AS (SELECT unnest(json_keys(props)) AS key FROM v)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(COUNT(*) * 10000 // MAX(n.total) AS BIGINT) AS presence_bp
+FROM k CROSS JOIN n
+GROUP BY key
+ORDER BY key
+""",
+))
+
+
+def _dim_variance_build(spark, sf):
+    # per-dimension variance profile over 64-quantized components: the
+    # informativeness ranking that drives dimension truncation (the
+    # Matryoshka spec's empirical justification). Variance numerator
+    # n*sumsq - sum^2 stays all-integer (exact, order-insensitive);
+    # top-10 via sort-limit (TakeOrderedAndProject), rank window over
+    # the bounded 10-row result.
+    q = (
+        spark.table("embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "pos", F.floor(F.col("v").cast("double") * 64).cast("long").alias("q")
+        )
+    )
+    per = q.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    top = (
+        per.select(
+            "pos",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast("bigint")
+            .alias("var_num"),
+        )
+        .orderBy(F.col("var_num").desc(), "pos")
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("var_num").desc(), "pos")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", F.col("pos").cast("int").alias("pos"), "n", "var_num")
+        .orderBy("rank")
+    )
+
+
+_STAGED_R20.append(QuerySpec(
+    name="embedding_dim_variance_profile",
+    doc="Top-10 most-informative embedding dimensions by integer "
+        "variance numerator n*sumsq - sum^2 over 64-quantized "
+        "components (exact, order-insensitive) — the measurement that "
+        "justifies Matryoshka-style truncation. Dimension-scale agg; "
+        "sort-limit top-10 with the rank window over the bounded "
+        "result.",
+    tags=("llm", "embedding", "agg"),
+    build=_dim_variance_build,
+    oracle="""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 64) AS BIGINT) AS q
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+per AS (
+  SELECT pos, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS ss
+  FROM q GROUP BY pos
+),
+top AS (
+  SELECT pos, n, n * ss - s * s AS var_num
+  FROM per
+  ORDER BY var_num DESC, pos
+  LIMIT 10
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY var_num DESC, pos) AS INT) AS rank,
+       CAST(pos AS INT) AS pos,
+       CAST(n AS BIGINT) AS n,
+       CAST(var_num AS BIGINT) AS var_num
+FROM top
+ORDER BY rank
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
@@ -9829,4 +10245,5 @@ SPECS_NEXT = (
     + list(_STAGED_R17)
     + list(_STAGED_R18)
     + list(_STAGED_R19)
+    + list(_STAGED_R20)
 )
