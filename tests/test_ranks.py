@@ -99,3 +99,46 @@ def test_running_sum_all_null_column(spark):
     got, total = with_global_running_sum(df, ["k"], "v", "rs", num_partitions=4)
     assert [r["rs"] for r in got.orderBy("k").collect()] == [None] * 50
     assert total == 0
+
+
+def test_running_sum_property_random_nulls(spark):
+    """Hypothesis-style randomized identity (deterministic seeds — the
+    repo's Spark property tests cap example counts for session reuse):
+    with_global_running_sum must equal the single-partition window on
+    random value columns with NULL runs, across partition counts,
+    including all-NULL prefixes that span partition boundaries."""
+    import random
+
+    w = (
+        Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for seed in (1, 7, 42, 1337):
+        rng = random.Random(seed)
+        n = rng.randint(1, 400)
+        null_prefix = rng.randint(0, n)  # sometimes the whole frame
+        rows = [
+            (
+                i,
+                None
+                if i < null_prefix or rng.random() < 0.3
+                else rng.randint(-50, 50),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k int, v int")
+        for parts in (1, 3, 8):
+            got, total = with_global_running_sum(
+                df, ["k"], "v", "rs", num_partitions=parts
+            )
+            want = df.withColumn(
+                "rs", F.sum(F.col("v").cast("bigint")).over(w)
+            )
+            assert (
+                got.orderBy("k").collect() == want.orderBy("k").collect()
+            ), (seed, parts)
+            exp_total = sum(v for _k, v in rows if v is not None)
+            assert total == (exp_total if any(v is not None for _k, v in rows) else 0), (
+                seed,
+                parts,
+            )
