@@ -8520,7 +8520,13 @@ def _minhash_err_build(spark, sf):
 
     docs = spark.table("documents")
     sigs = materialize(D.minhash_signature_mapside(docs, "text", "doc_id"))
-    cand = D.lsh_candidate_pairs(sigs, "doc_id").select("doc_a", "doc_b")
+    # pair-scale, materialized once: cand feeds FOUR consumers (est,
+    # both cdocs union sides, the inter join) — lazy, each re-ran the
+    # LSH banding (r15 staged-lane scaling rehearsal: 6.8 s at sf0.1,
+    # the lane's heaviest spec)
+    cand = materialize(
+        D.lsh_candidate_pairs(sigs, "doc_id").select("doc_a", "doc_b")
+    )
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)],
@@ -8537,8 +8543,18 @@ def _minhash_err_build(spark, sf):
         cand.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b", n_match.cast("int").alias("n_match_slots"))
     )
-    sh = (
-        docs.select(
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # restriction BELOW shingling (the jaccard_verify_docs pattern): only
+    # candidate docs explode into shingles — the corpus-volume explode +
+    # distinct was the spec's dominant cost (the operator file's own
+    # documented trap; same pair-bounded forced-broadcast class)
+    docs_c = docs.join(F.broadcast(cdocs), "doc_id", "left_semi")
+    shc = materialize(
+        docs_c.select(
             "doc_id",
             F.explode(
                 F.expr(
@@ -8549,12 +8565,6 @@ def _minhash_err_build(spark, sf):
         )
         .distinct()
     )
-    cdocs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    shc = materialize(sh.join(cdocs, "doc_id", "left_semi"))
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
