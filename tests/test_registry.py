@@ -70,6 +70,32 @@ def test_window_composition_r15():
     assert len(never) + len(r9) + len(r10) == registry.SAMPLING_WINDOW
 
 
+def test_window_composition_r16():
+    """The exact 50-spec prefix the driver will sample in round 16:
+    6 never-green r16 declarations, then the 25 remaining r10-stale
+    greens and the 19-spec r11-stale cohort (6 + 25 + 19 = 50).
+
+    Same pin-then-skip convention as the prior pins: once round-16
+    greens fold into _GREEN_BY_ROUND the window legitimately changes
+    and this pin skips."""
+    import pytest
+
+    if max(registry._GREEN_BY_ROUND) != 15:
+        pytest.skip("window pin describes the r15-ledger state")
+    specs = list(registry.QUERY_SPECS.values())
+    window = specs[: registry.SAMPLING_WINDOW]
+    never = [s.name for s in window if registry._last_green_round(s.name) == 0]
+    assert never == [
+        "dedup_semantic_cluster_audit", "sample_stratified_proportional",
+        "pack_greedy_firstfit_bins", "events_bot_rate_flags",
+        "similarity_ivf_recall_audit", "text_novelty_first_seen_ratio",
+    ], never
+    r10 = [s.name for s in window if registry._last_green_round(s.name) == 10]
+    r11 = [s.name for s in window if registry._last_green_round(s.name) == 11]
+    assert len(r10) == 25 and len(r11) == 19, (len(r10), len(r11))
+    assert len(never) + len(r10) + len(r11) == registry.SAMPLING_WINDOW
+
+
 def test_ledger_names_all_declared():
     """Import already enforces this with RuntimeError; assert the happy
     path explicitly so a rename shows up here with a readable diff."""

@@ -10246,12 +10246,32 @@ assert not [s for s in _STAGED_R15 if s.name not in _DECLARE_R15], (
 )
 
 
+# Round-16 declaration: the full 6-spec staged lane. Window math
+# (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r15): 6
+# never-green + the 25 remaining r10-stale greens + 19 r11-stale greens
+# fill the driver's 50-spec sampling prefix; staging more would break
+# the max-staleness bound (registry.staleness_violations /
+# tests/test_registry.py).
+_DECLARE_R16 = {
+    "dedup_semantic_cluster_audit",
+    "sample_stratified_proportional",
+    "pack_greedy_firstfit_bins",
+    "events_bot_rate_flags",
+    "similarity_ivf_recall_audit",
+    "text_novelty_first_seen_ratio",
+}
+SPECS.extend(s for s in _STAGED_R16 if s.name in _DECLARE_R16)
+assert not [s for s in _STAGED_R16 if s.name not in _DECLARE_R16], (
+    "round-16 staged lane fully declared in r16"
+)
+
+
 SPECS_NEXT = (
     [s for s in _STAGED_R12 if s.name not in _DECLARE_R12]
     + [s for s in _STAGED_R13 if s.name not in _DECLARE_R13]
     + [s for s in _STAGED_R14 if s.name not in _DECLARE_R14]
     + [s for s in _STAGED_R15 if s.name not in _DECLARE_R15]
-    + list(_STAGED_R16)
+    + [s for s in _STAGED_R16 if s.name not in _DECLARE_R16]
     + list(_STAGED_R17)
     + list(_STAGED_R18)
     + list(_STAGED_R19)

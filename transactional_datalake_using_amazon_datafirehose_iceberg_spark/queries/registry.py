@@ -391,6 +391,34 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "udf_grouped_agg_pandas", "udf_pandas_quality_score",
         "variant_json_extract",
     }),
+    # CORRECTNESS_r15: 50/50 sampled green — all 6 round-15 declarations,
+    # the 19-spec r9-stale cohort, and the 25-spec r10-stale cohort.
+    15: frozenset({
+        "add_column_default_lifecycle", "agg_approx_top_k", "agg_cube",
+        "agg_distinct_rows", "agg_filtered", "agg_global_stats",
+        "agg_grouping_sets", "agg_histogram_width_bucket",
+        "agg_listagg_within_group", "agg_rollup", "cdc_point_in_time_asof",
+        "dedup_boundary_overlap_pairs", "dedup_cluster_components",
+        "dedup_exact_substring_spans", "documents_length_histogram_log2",
+        "embedding_norm_outliers", "events_session_window_batch",
+        "events_survival_curve", "join_runtime_bloom_filter",
+        "maintenance_expire_snapshots", "merge_not_matched_by_source",
+        "multimodal_audio_window_energy", "multimodal_frame_boundary_sizes",
+        "multimodal_payload_dedup", "orders_benford_first_digit",
+        "pack_sequences_concat_chunk", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_region_revenue",
+        "rename_column_lifecycle", "row_lineage_lifecycle",
+        "sample_temperature_mixture", "scan_prune_stats_proof",
+        "similarity_mine_triplets", "source_csv_orc_roundtrip",
+        "source_xml_roundtrip", "split_train_holdout",
+        "sql_lateral_column_alias", "sql_named_parameters",
+        "sql_scripting_control_flow", "streaming_chained_aggregations",
+        "streaming_lake_table_sink", "streaming_lake_table_source",
+        "text_compression_ratio", "text_rare_token_fraction",
+        "udf_arrow_optimized", "udf_map_in_arrow",
+        "udtf_analyze_dynamic_schema", "udtf_first_tokens",
+        "widen_column_lifecycle",
+    }),
 }
 
 
