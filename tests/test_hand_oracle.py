@@ -1761,6 +1761,30 @@ def test_hand_boundary_overlap(spark, tmp_path):
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
 
 
+def test_hand_boundary_overlap_hot_gram_cap(spark, tmp_path):
+    """Degenerate boilerplate boundary (r15 judge finding #1): 20 docs
+    END with the same 12-char gram and 20 docs START with it — combined
+    frequency 40 > the cap of 32, so the gram is dropped and contributes
+    ZERO pairs instead of 20 x 20 = 400 (quadratic in the hot-group
+    size). A rare boundary in the same corpus still pairs, proving the
+    cap is per-gram, not a global kill-switch."""
+    rows = []
+    # 20 tail-side boilerplate docs: unique 12-char heads, shared tail
+    for i in range(20):
+        rows.append((i, f"head{i:08d}" + "BOILERPLATE!", "s"))
+    # 20 head-side boilerplate docs: shared head, unique 12-char tails
+    for i in range(20):
+        rows.append((100 + i, "BOILERPLATE!" + f"tail{i:08d}", "s"))
+    # the rare continuation pair that must survive the cap
+    rows.append((900, "xxxxABCDEFGHIJKL", "s"))
+    rows.append((901, "ABCDEFGHIJKLyyyy", "s"))
+    d = _mk_sf(tmp_path, documents=_documents(rows))
+    hand = [(900, 901, 16, 16)]
+    got_spark, got_ora = _run_both(spark, "dedup_boundary_overlap_pairs", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
 def test_hand_survival_curve(spark, tmp_path):
     """u1 spans day0..day2 (lifespan 2), u2 day0 only (0), u3 day0..day1
     (1). Histogram {0:1, 1:1, 2:1}; suffix sums: d0=3, d1=2, d2=1;

@@ -4,6 +4,7 @@ lifecycle, time travel — each still oracle-checked."""
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -7599,8 +7600,39 @@ def _boundary_overlap_build(spark, sf):
         F.expr(f"substring(text, length(text) - {k - 1}, {k})").alias("g"),
         F.length("text").cast("bigint").alias("len_a"),
     )
+    # hot-gram cap (r15 judge finding #1): candidate pairs per gram are
+    # tails(g) x heads(g) — quadratic in the hot-group size — and on a
+    # real crawl boilerplate boundaries (shared headers/footers,
+    # truncation markers) are exactly the popular grams. Gram
+    # near-uniqueness is a property of the DATA, not the PLAN, so the
+    # blow-up guard must live in the plan: mirror the stop-shingle cap
+    # in operators/dedup.containment_pairs (max_doc_freq=32) — count
+    # each gram's occurrences across BOTH sides and drop grams above
+    # the cap before the join. A gram that common contributes pair
+    # volume but no continuation evidence (any of 32+ docs "continues"
+    # it). The freq relation is boundary-scale (2 rows/doc), so
+    # materializing it and counting the dropped grams is a
+    # metadata-scale action, not a second corpus pass.
+    max_gram_freq = 32
+    freq = materialize(
+        tails.select("g")
+        .unionAll(heads.select("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__bf"))
+    )
+    n_hot = freq.filter(F.col("__bf") > max_gram_freq).count()
+    if n_hot:
+        # stderr, never stdout: bench.py's one-JSON-line driver
+        # contract owns stdout
+        print(
+            f"dedup_boundary_overlap_pairs: dropped {n_hot} hot boundary "
+            f"gram(s) with frequency > {max_gram_freq}",
+            file=sys.stderr,
+        )
+    freq_ok = freq.filter(F.col("__bf") <= max_gram_freq).select("g")
     return (
-        tails.join(heads, "g")
+        tails.join(freq_ok, "g")
+        .join(heads, "g")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "len_a", "len_b")
         .orderBy("doc_a", "doc_b")
@@ -7612,7 +7644,10 @@ _STAGED_R15.append(QuerySpec(
     doc="Suffix/prefix continuation-duplicate candidates: ordered pairs "
         "where A's last 12 chars equal B's first 12 (paginated/rolled "
         "content) — the overlap class whole-doc hashing and Jaccard "
-        "banding both miss. Boundary-gram equi-join, corpus-linear.",
+        "banding both miss. Boundary-gram equi-join with a hot-gram "
+        "frequency cap (32, the containment stop-shingle idiom): "
+        "boilerplate boundaries are dropped before the join, keeping "
+        "candidates corpus-linear by PLAN, not by data luck.",
     tags=("dedup", "llm", "join"),
     build=_boundary_overlap_build,
     oracle="""
@@ -7623,13 +7658,27 @@ WITH d AS (
   -- any non-ASCII document (round-13 advice)
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
   FROM documents WHERE text IS NOT NULL AND length(text) >= 12
+),
+t AS (
+  SELECT doc_id AS doc_a,
+         substring(text, CAST(len AS INT) - 11, 12) AS g,
+         len AS len_a
+  FROM d
+),
+h AS (
+  SELECT doc_id AS doc_b, substring(text, 1, 12) AS g, len AS len_b
+  FROM d
+),
+-- hot-gram cap: combined tail+head frequency <= 32, same restriction
+-- as the Spark plan (boilerplate boundaries contribute quadratic pair
+-- volume and no continuation evidence)
+ok AS (
+  SELECT g FROM (SELECT g FROM t UNION ALL SELECT g FROM h)
+  GROUP BY g HAVING COUNT(*) <= 32
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       a.len AS len_a, b.len AS len_b
-FROM d a JOIN d b
-  ON substring(a.text, CAST(a.len AS INT) - 11, 12)
-       = substring(b.text, 1, 12)
- AND a.doc_id <> b.doc_id
+SELECT t.doc_a, h.doc_b, t.len_a, h.len_b
+FROM t JOIN ok USING (g) JOIN h USING (g)
+WHERE t.doc_a <> h.doc_b
 ORDER BY doc_a, doc_b
 """,
 ))
