@@ -550,6 +550,15 @@ def main() -> None:
         "orders_fuzzy_invoice_pairs",
         "events_active_time_union",
         "embedding_quantized_centroids",
+        # round-15 declaration with real data movement, benched from r16
+        # on so the new hot-gram cap carries a round-over-round number
+        "dedup_boundary_overlap_pairs",
+        # round-16 declarations (the three with real data movement:
+        # cosine-edge connected-components audit, grouped-applyInPandas
+        # first-fit packing, first-seen trigram novelty)
+        "dedup_semantic_cluster_audit",
+        "pack_greedy_firstfit_bins",
+        "text_novelty_first_seen_ratio",
     ):
         spec = QUERY_SPECS.get(name)
         if spec is None:

@@ -8602,17 +8602,24 @@ def _minhash_err_build(spark, sf):
     # distinct was the spec's dominant cost (the operator file's own
     # documented trap; same pair-bounded forced-broadcast class)
     docs_c = docs.join(F.broadcast(cdocs), "doc_id", "left_semi")
+    # per-doc dedup via array_distinct in the projection, not a
+    # relational .distinct(): shingle dedup has no cross-row dependency
+    # beyond the row's own array, so the candidate-volume (doc_id, sh)
+    # shuffle the old distinct paid is pure waste — the exploded
+    # relation lands in the materialize already deduped (r16 shave,
+    # same move as the shingle-df profile)
     shc = materialize(
         docs_c.select(
             "doc_id",
             F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(text) - 11, 1)),"
-                    " i -> substring(lower(text), i, 12))"
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(length(text) - 11, 1)),"
+                        " i -> substring(lower(text), i, 12))"
+                    )
                 )
             ).alias("sh"),
         )
-        .distinct()
     )
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -9304,15 +9311,24 @@ def _shingle_df_build(spark, sf):
         F.col("text").isNotNull() & (F.length("text") >= 12)
         & F.col("doc_id").isNotNull()
     )
+    # per-doc shingle dedup INSIDE the projection (array_distinct), not
+    # as a relational .distinct(): the old (doc_id, sh) distinct
+    # shuffled the full exploded corpus-token relation once just to
+    # dedupe within each doc — a dedup with no cross-row dependency
+    # beyond the row's own array. array_distinct does it map-side in
+    # the same whole-stage-codegen span, so the ONLY shuffle left is
+    # the gram-keyed aggregation (map-side combinable). r16 staged-lane
+    # shave: 5.3 s -> measured in r16_scaling_staged.jsonl.
     sh = d.select(
-        "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 11),"
-                " i -> substring(lower(text), i, 12))"
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 11),"
+                    " i -> substring(lower(text), i, 12))"
+                )
             )
         ).alias("sh"),
-    ).distinct()
+    )
     df_per = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     return (
         df_per.groupBy(
