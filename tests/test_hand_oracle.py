@@ -2586,3 +2586,141 @@ def test_hand_dim_variance(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "embedding_dim_variance_profile", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+# ---------------------------------------------------------------------------
+# Overflow staging lane (built r16)
+# ---------------------------------------------------------------------------
+
+
+def test_hand_chunk_dup_rate(spark, tmp_path):
+    """Short docs are single chunks (= full text). s1: docs 1,2 share
+    'AAAA' (2 distinct docs -> both occurrences dup), doc 3 unique, doc
+    10 is 160 chars -> TWO chunks (1..200 window takes all 160; second
+    window 151..160), both unique -> s1 = 5 chunks, 2 dup, 4000 bp.
+    s2: doc 4 repeats 'AAAA' (dup via docs 1,2 cross-source), doc 5
+    unique -> 2 chunks, 1 dup, 5000 bp. Empty and NULL text excluded."""
+    docs = _documents([
+        (1, "AAAA", "s1"),
+        (2, "AAAA", "s1"),
+        (3, "BBBB", "s1"),
+        (10, "X" * 160, "s1"),
+        (4, "AAAA", "s2"),
+        (5, "CCCC", "s2"),
+        (6, "", "s2"),
+        (7, None, "s1"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [("s1", 5, 2, 4000), ("s2", 2, 1, 5000)]
+    got_spark, got_ora = _run_both(spark, "text_chunk_dup_rate", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_token_survival_curve(spark, tmp_path):
+    """d1 'a b c' (5 chars, 3 tokens), d2 60 chars / 2 tokens, d3 120
+    chars / 1 token. Ladder: t=0 -> 3 docs / 6 tokens (total), t=50 ->
+    {d2,d3} 3 tokens (5000 bp), t=100 -> {d3} 1 token (1666 bp),
+    t>=200 -> zeros."""
+    docs = _documents([
+        (1, "a b c", "s"),
+        (2, "x" * 30 + " " + "y" * 29, "s"),
+        (3, "z" * 120, "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        (0, 3, 6, 10000), (50, 2, 3, 5000), (100, 1, 1, 1666),
+        (200, 0, 0, 0), (400, 0, 0, 0), (800, 0, 0, 0), (1600, 0, 0, 0),
+    ]
+    got_spark, got_ora = _run_both(spark, "documents_token_survival_curve", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_bounce_rate(spark, tmp_path):
+    """user 1: view@00:00 + click@00:10 (one session, entry view, not a
+    bounce); view@02:00 alone (bounce, entry view). user 2: click alone
+    (bounce, entry click). user 3: view@00:00 + purchase@exactly 00:30
+    -> gap == 1800s is NOT > 30 min, same session (entry view, no
+    bounce). view: 3 sessions / 1 bounce -> 3333 bp; click: 1/1 ->
+    10000 bp."""
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-01T00:10:00"), 1, "click", 1.0),
+        (3, _ts("2024-01-01T02:00:00"), 1, "view", 1.0),
+        (4, _ts("2024-01-01T00:00:00"), 2, "click", 1.0),
+        (5, _ts("2024-01-01T00:00:00"), 3, "view", 1.0),
+        (6, _ts("2024-01-01T00:30:00"), 3, "purchase", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [("click", 1, 1, 10000), ("view", 3, 1, 3333)]
+    got_spark, got_ora = _run_both(spark, "events_bounce_rate_by_entry_type", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_degree_profile(spark, tmp_path):
+    """v1=v2=[1]*8, v3 has one 0 (sign bucket treats 0 as '1', cos with
+    v1/v2 = sqrt(7/8) = 0.935414 >= 0.4): all three mutually neighbors
+    -> degree 2 each. v4 leads with -1 -> its own bucket, degree 0.
+    v5 = zero vector: same bucket as v1-v3 but zero norm -> sim NULL
+    with everyone (never a neighbor, degree 0) and does not perturb
+    v1-v3's degrees. Histogram: degree 0 x2, degree 2 x3."""
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (1, [1.0] * 8, 1),
+        (2, [1.0] * 8, 1),
+        (3, [1.0, 0.0] + [1.0] * 6, 1),
+        (4, [-1.0] + [1.0] * 7, 1),
+        (5, [0.0] * 8, 1),
+    ]))
+    hand = [(0, 2), (2, 3)]
+    got_spark, got_ora = _run_both(spark, "similarity_graph_degree_profile", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_pii_density(spark, tmp_path):
+    """doc 7 (doc_id % 7 == 0) gets the synthetic email appended:
+    'call 555 1234 user7@example.com' -> 31 chars, digit runs {555,
+    1234, 7} = 3, emails 1. doc 1: 14 chars, no digits. s1 totals:
+    2 docs, 45 chars, 3 runs (666 per 10k), 1 email (222 per 10k).
+    s2: 'a1b2' -> 4 chars, runs {1, 2} = 2 -> 5000 per 10k."""
+    docs = _documents([
+        (7, "call 555 1234", "s1"),
+        (1, "no digits here", "s1"),
+        (2, "a1b2", "s2"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        ("s1", 2, 45, 3, 1, 666, 222),
+        ("s2", 1, 4, 2, 0, 5000, 0),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_pii_density_census", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_ks_drift(spark, tmp_path):
+    """Dates span 01-01..01-11 -> pivot = 01-06 (integer-us midpoint);
+    the 01-06 order lands in the SECOND half (t >= pivot). half1 =
+    {100, 200} (n1=2), half2 = {200, 300, 400} (n2=3).
+    ECDF bp: cents 100 -> (5000, 0) diff 5000; 200 -> (10000, 3333)
+    diff 6667; 300 -> (10000, 6666) diff 3334; 400 -> (10000, 10000)
+    diff 0. Rank by diff desc, cents asc."""
+    orders = _orders_full([
+        (1, 1, "O", 1.00, _ts("2024-01-01T00:00:00"), "P"),
+        (2, 1, "O", 2.00, _ts("2024-01-02T00:00:00"), "P"),
+        (3, 2, "O", 2.00, _ts("2024-01-11T00:00:00"), "P"),
+        (4, 2, "O", 3.00, _ts("2024-01-11T00:00:00"), "P"),
+        (5, 3, "O", 4.00, _ts("2024-01-06T00:00:00"), "P"),
+    ])
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [
+        (1, 200, 10000, 3333, 6667),
+        (2, 100, 5000, 0, 5000),
+        (3, 300, 10000, 6666, 3334),
+        (4, 400, 10000, 10000, 0),
+    ]
+    got_spark, got_ora = _run_both(spark, "orders_ks_drift_date_halves", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

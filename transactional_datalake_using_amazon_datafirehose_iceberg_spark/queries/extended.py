@@ -10265,6 +10265,532 @@ ORDER BY rank
 ))
 
 
+# ---------------------------------------------------------------------------
+# Overflow staging lane (built r16): declared opportunistically when a
+# round's window math leaves never-green budget beyond the per-round
+# lanes — the r16 simulation shows r17 can declare 12 (12 never + 31
+# r11-stale + 7 r12-stale) with staleness_violations() = [], so this
+# lane keeps the declaration cadence funded through r20 even at the
+# faster burn rate.
+# ---------------------------------------------------------------------------
+
+_STAGED_OVERFLOW: list[QuerySpec] = []
+
+
+def _chunk_dup_build(spark, sf):
+    # RAG-chunk dedup accounting: chunk every doc with the established
+    # 200-char/stride-150 windows (text_chunk_windows), md5 each chunk,
+    # and measure per source how many chunk occurrences are shared by
+    # >= 2 distinct docs — the cross-document boilerplate rate at chunk
+    # granularity (whole-doc dedup misses it; this is the measurement
+    # that motivates chunk-level dedup before indexing). Chunk relation
+    # is corpus-bytes/150 x ~40 B — materialized ONCE (disk blocks, the
+    # containment idiom) because it feeds both the multi-doc hash agg
+    # and the per-source rollup; candidates never leave hash scale.
+    d = spark.table("documents").filter(F.length("text") > 0)
+    chunks = materialize(
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(floor((length(text) - 1) / 150)"
+                    " as int)), i -> md5(substring(text, i * 150 + 1, 200)))"
+                )
+            ).alias("h"),
+        ),
+        storage="disk",
+    )
+    multi = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("h", F.lit(1).alias("__dup"))
+    )
+    return (
+        chunks.join(multi, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.expr("n_dup_chunks * 10000 div n_chunks").cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="text_chunk_dup_rate",
+    doc="Per-source chunk-level duplication rate: 200-char/stride-150 "
+        "chunks (the text_chunk_windows grid), a chunk occurrence "
+        "counts as duplicated when its md5 appears in >= 2 distinct "
+        "docs — the cross-document boilerplate measurement that "
+        "motivates chunk-level dedup before RAG indexing. Hash-keyed "
+        "aggregations; the chunk relation is materialized once.",
+    tags=("llm", "dedup", "chunking"),
+    build=_chunk_dup_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents WHERE LENGTH(text) > 0
+),
+c AS (
+  SELECT doc_id, source,
+         md5(substring(text, chunk_idx * 150 + 1, 200)) AS h
+  FROM (SELECT doc_id, source, text,
+               unnest(generate_series(0, CAST((LENGTH(text) - 1) // 150
+                                              AS INTEGER))) AS chunk_idx
+        FROM d) t
+),
+multi AS (SELECT h FROM c GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(m.h) AS BIGINT) AS n_dup_chunks,
+       CAST(COUNT(m.h) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+FROM c LEFT JOIN multi m ON m.h = c.h
+GROUP BY source
+-- NULL source is its own group; Spark ASC defaults NULLS FIRST
+ORDER BY source NULLS FIRST
+""",
+))
+
+
+def _token_survival_build(spark, sf):
+    # data-mixing decision curve: docs and whitespace tokens surviving
+    # each min-length threshold of a fixed ladder — ONE conditional
+    # aggregation over one corpus scan (never a rescan per threshold);
+    # the 7-threshold result is driver-side metadata arithmetic inlined
+    # into a literal relation, the established one-scalar idiom.
+    ladder = [0, 50, 100, 200, 400, 800, 1600]
+    d = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.length("text").alias("nc"),
+            F.size(F.split("text", " ")).alias("ntok"),
+        )
+    )
+    row = d.agg(
+        *[
+            F.count(F.when(F.col("nc") >= t, 1)).alias(f"d{t}")
+            for t in ladder
+        ],
+        *[
+            F.sum(F.when(F.col("nc") >= t, F.col("ntok"))).alias(f"t{t}")
+            for t in ladder
+        ],
+    ).collect()[0]
+    data = [
+        (t, int(row[f"d{t}"] or 0), int(row[f"t{t}"] or 0)) for t in ladder
+    ]
+    total = max(data[0][2], 1)
+    return spark.createDataFrame(
+        [(t, nd, nt, nt * 10000 // total) for t, nd, nt in data],
+        "min_chars int, n_docs bigint, n_tokens bigint, "
+        "token_survival_bp bigint",
+    ).orderBy("min_chars")
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="documents_token_survival_curve",
+    doc="Token-survival curve over a min-length threshold ladder "
+        "(0..1600 chars): docs and whitespace tokens surviving each "
+        "cut, share of the uncut token budget in bp — the 'how much "
+        "data does this quality gate cost' curve behind every "
+        "pretraining mixing decision. One conditional aggregation over "
+        "one scan; the 7-row result is driver metadata.",
+    tags=("llm", "quality", "agg"),
+    build=_token_survival_build,
+    oracle="""
+WITH d AS (
+  SELECT LENGTH(text) AS nc, len(string_split(text, ' ')) AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+l AS (SELECT unnest([0, 50, 100, 200, 400, 800, 1600]) AS min_chars),
+agg AS (
+  SELECT l.min_chars,
+         COUNT(CASE WHEN d.nc >= l.min_chars THEN 1 END) AS n_docs,
+         COALESCE(SUM(CASE WHEN d.nc >= l.min_chars THEN d.ntok END), 0)
+           AS n_tokens
+  FROM l LEFT JOIN d ON TRUE
+  GROUP BY l.min_chars
+),
+tot AS (
+  SELECT GREATEST(MAX(CASE WHEN min_chars = 0 THEN n_tokens END), 1) AS t
+  FROM agg
+)
+SELECT CAST(min_chars AS INTEGER) AS min_chars,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens * 10000 // tot.t AS BIGINT) AS token_survival_bp
+FROM agg, tot
+ORDER BY min_chars
+""",
+))
+
+
+def _bounce_sql(epoch_us_fn: str, idiv: str) -> str:
+    """Per-entry-type session bounce rate over the repo's canonical
+    30-min-gap sessionization (events_sessionize_gap's window chain) —
+    identical plan in both dialects modulo the epoch-µs function and
+    the integer-division token (Spark ``div`` / DuckDB ``//``)."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {epoch_us_fn} AS t FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT user_id, event_id, event_type, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > 1800000000
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, event_id, event_type, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), r AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY t, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, sid) AS ne
+  FROM s
+)
+SELECT event_type AS entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) * 10000
+            {idiv} COUNT(*) AS BIGINT) AS bounce_bp
+FROM r WHERE rn = 1
+GROUP BY event_type
+ORDER BY entry_type NULLS FIRST
+"""
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="events_bounce_rate_by_entry_type",
+    doc="Session bounce rate by entry event type: sessions opened by "
+        "each type and the share that end after a single event — the "
+        "engagement-quality read on the canonical 30-min-gap "
+        "sessionization. All windows user-keyed; session-scale "
+        "aggregation after.",
+    tags=("events", "session"),
+    sql=_bounce_sql("unix_micros(ts)", "div"),
+    oracle=_bounce_sql("(epoch_ns(ts) // 1000)", "//"),
+))
+
+
+def _degree_profile_build(spark, sf):
+    # near-dup graph density audit: per-vector count of cosine>=0.4
+    # neighbors inside its sign-LSH bucket, then the degree histogram —
+    # the hub-detection measurement that justifies the LSH hot-bucket
+    # star-collapse cap. Candidates bounded by the bucket cap (256):
+    # buckets larger than the cap are excluded from the profile
+    # entirely (a hub bucket's degrees are exactly what the collapse
+    # rewrites), so the self-join is never worse than cap^2 per bucket.
+    from ..operators.similarity import dot_product, sign_bucket, with_norm
+
+    max_bucket = 256
+    base = with_norm(
+        spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    ).withColumn("bk", sign_bucket("embedding", 8))
+    base = base.withColumn(
+        "__bsz", F.count("*").over(Window.partitionBy("bk"))
+    ).filter(F.col("__bsz") <= max_bucket)
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("__norm").alias("na"), "bk",
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("__norm").alias("nb"), "bk",
+    )
+    prod = F.col("na") * F.col("nb")
+    sim = F.when(
+        prod > 0, F.round(dot_product(F.col("ea"), F.col("eb")) / prod, 6)
+    )
+    deg = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.4)
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        base.select("vec_id")
+        .join(deg, base["vec_id"] == deg["id_a"], "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).cast("int").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("degree")
+    )
+
+
+def _degree_profile_oracle() -> str:
+    from .llmops import _sign_bits_duck
+
+    return f"""
+WITH b0 AS (
+  SELECT vec_id, embedding, {_sign_bits_duck('embedding')} AS bk
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+sz AS (SELECT bk, COUNT(*) AS n FROM b0 GROUP BY bk),
+b AS (SELECT b0.* FROM b0 JOIN sz ON sz.bk = b0.bk WHERE sz.n <= 256),
+norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM b) t
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id <> y.vec_id
+),
+dots AS (
+  SELECT id_a, id_b, SUM(CAST(u AS DOUBLE) * CAST(v AS DOUBLE)) AS dot
+  FROM (
+    SELECT p.id_a, p.id_b, unnest(ea.embedding) AS u, unnest(eb.embedding) AS v
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+  ) z
+  GROUP BY id_a, id_b
+),
+deg AS (
+  SELECT b.vec_id,
+         COUNT(CASE WHEN na.nrm * nb.nrm > 0
+                     AND ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
+                    THEN 1 END) AS degree
+  FROM b
+  LEFT JOIN dots d ON d.id_a = b.vec_id
+  LEFT JOIN norms na ON na.vec_id = d.id_a
+  LEFT JOIN norms nb ON nb.vec_id = d.id_b
+  GROUP BY b.vec_id
+)
+SELECT CAST(degree AS INTEGER) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="similarity_graph_degree_profile",
+    doc="Degree histogram of the cosine>=0.4 near-dup graph within "
+        "sign-LSH buckets (zero-degree vectors included; buckets above "
+        "the 256 cap excluded — a hub bucket's degrees are what the "
+        "star-collapse rewrites): the graph-density audit behind the "
+        "LSH hot-bucket cap. Bucket equi-join bounded by cap^2 per "
+        "bucket, never corpus^2.",
+    tags=("llm", "similarity", "dedup"),
+    build=_degree_profile_build,
+    oracle=_degree_profile_oracle,
+))
+
+
+def _pii_density_build(spark, sf):
+    # PII-exposure census per source: digit-run and emailish-pattern
+    # densities per 10k chars — the measurement that sizes a redaction
+    # pass (text_redact_scrub is the scrubber; this is its audit). The
+    # fixture's word-soup has no emails, so a deterministic synthetic
+    # email is appended to every doc_id % 7 == 0 document (mirrored in
+    # the oracle) to keep the email column non-vacuous — the same
+    # non-vacuity move as dedup_normalized_text_groups. Map + one
+    # source-scale aggregation.
+    d = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"), F.lit(" user"),
+                    F.col("doc_id").cast("string"), F.lit("@example.com"),
+                ),
+            ).otherwise(F.col("text")).alias("t"),
+        )
+        .select(
+            "source",
+            F.length("t").alias("nc"),
+            F.size(F.regexp_extract_all("t", F.lit("[0-9]+"), 0))
+            .alias("runs"),
+            F.size(
+                F.regexp_extract_all(
+                    "t", F.lit("[A-Za-z0-9]+@[A-Za-z0-9.]+"), 0
+                )
+            ).alias("emails"),
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.sum("runs").cast("bigint").alias("n_digit_runs"),
+            F.sum("emails").cast("bigint").alias("n_emails"),
+        )
+        .withColumn(
+            "digit_per_10k",
+            F.expr("n_digit_runs * 10000 div greatest(n_chars, 1)")
+            .cast("bigint"),
+        )
+        .withColumn(
+            "email_per_10k",
+            F.expr("n_emails * 10000 div greatest(n_chars, 1)")
+            .cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="text_pii_density_census",
+    doc="Per-source PII-exposure densities (digit runs and emailish "
+        "patterns per 10k chars): the audit that sizes a redaction "
+        "pass before it runs. Deterministic synthetic emails on "
+        "doc_id % 7 == 0 keep the fixture non-vacuous (mirrored in "
+        "the oracle). Map stage + source-scale aggregation.",
+    tags=("llm", "text", "quality"),
+    build=_pii_density_build,
+    oracle=r"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE text END AS t
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT source, LENGTH(t) AS nc,
+         len(regexp_extract_all(t, '[0-9]+')) AS runs,
+         len(regexp_extract_all(t, '[A-Za-z0-9]+@[A-Za-z0-9.]+')) AS emails
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(SUM(runs) AS BIGINT) AS n_digit_runs,
+       CAST(SUM(emails) AS BIGINT) AS n_emails,
+       CAST(SUM(runs) * 10000 // GREATEST(SUM(nc), 1) AS BIGINT)
+         AS digit_per_10k,
+       CAST(SUM(emails) * 10000 // GREATEST(SUM(nc), 1) AS BIGINT)
+         AS email_per_10k
+FROM m
+GROUP BY source
+ORDER BY source NULLS FIRST
+""",
+))
+
+
+def _ks_drift_build(spark, sf):
+    # distribution-drift alarm: the KS statistic between the order-total
+    # distributions of the date range's first and second halves (pivot =
+    # midpoint of [min, max] order date, integer-µs exact), reported as
+    # the top-5 divergence points of the two bp-scaled ECDFs. Per-half
+    # ECDFs via the DISTRIBUTED running sum (operators/ranks — the
+    # partitionless-window veto honored); value-scale relations after
+    # the first aggregation; the rank window runs over the bounded
+    # 5-row post-limit result (the dim-variance idiom).
+    from ..operators.ranks import with_global_running_sum
+
+    o = spark.table("orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        # o_orderdate reads as TIMESTAMP_NTZ; cast through the pinned-UTC
+        # session TZ so unix_micros matches DuckDB's naive epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+    )
+    mm = o.agg(
+        F.min("t").alias("mn"), F.max("t").alias("mx")
+    ).collect()[0]  # two driver scalars (metadata)
+    if mm["mn"] is None:
+        pivot = 0
+    else:
+        pivot = int(mm["mn"]) + (int(mm["mx"]) - int(mm["mn"])) // 2
+    per = materialize(
+        o.groupBy("cents").agg(
+            F.sum(F.when(F.col("t") < pivot, 1).otherwise(0)).alias("k1"),
+            F.sum(F.when(F.col("t") >= pivot, 1).otherwise(0)).alias("k2"),
+        )
+    )
+    c1df, n1 = with_global_running_sum(per, [F.col("cents").asc()], "k1", "c1")
+    cum, n2 = with_global_running_sum(c1df, [F.col("cents").asc()], "k2", "c2")
+    n1 = max(int(n1 or 0), 1)
+    n2 = max(int(n2 or 0), 1)
+    sel = cum.select(
+        "cents",
+        F.expr(f"c1 * 10000 div {n1}").cast("bigint").alias("cdf_first_bp"),
+        F.expr(f"c2 * 10000 div {n2}").cast("bigint").alias("cdf_second_bp"),
+        F.expr(f"abs(c1 * 10000 div {n1} - c2 * 10000 div {n2})")
+        .cast("bigint").alias("ks_bp"),
+    )
+    top = sel.orderBy(F.col("ks_bp").desc(), "cents").limit(5)
+    w = Window.orderBy(F.col("ks_bp").desc(), "cents")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "cents", "cdf_first_bp", "cdf_second_bp", "ks_bp")
+        .orderBy("rank")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="orders_ks_drift_date_halves",
+    doc="Kolmogorov-Smirnov drift between the order-total distributions "
+        "of the date range's first and second halves (midpoint pivot, "
+        "integer-µs exact): top-5 divergence points of the bp-scaled "
+        "ECDFs — the ingest distribution-shift alarm at full-"
+        "distribution strength (priority-mix drift is its categorical "
+        "sibling). ECDFs via the distributed running sum; bp-scaled "
+        "CDFs keep every product inside bigint at any corpus size.",
+    tags=("agg", "analytics", "quality"),
+    build=_ks_drift_build,
+    oracle="""
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) AS t
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+piv AS (SELECT MIN(t) + (MAX(t) - MIN(t)) // 2 AS p FROM o),
+per AS (
+  SELECT cents,
+         SUM(CASE WHEN t < piv.p THEN 1 ELSE 0 END) AS k1,
+         SUM(CASE WHEN t >= piv.p THEN 1 ELSE 0 END) AS k2
+  FROM o, piv GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+         SUM(k1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(k2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c2
+  FROM per
+),
+tot AS (
+  SELECT GREATEST(SUM(k1), 1) AS n1, GREATEST(SUM(k2), 1) AS n2 FROM per
+),
+sel AS (
+  SELECT cents,
+         c1 * 10000 // tot.n1 AS cdf_first_bp,
+         c2 * 10000 // tot.n2 AS cdf_second_bp,
+         ABS(c1 * 10000 // tot.n1 - c2 * 10000 // tot.n2) AS ks_bp
+  FROM cum, tot
+),
+top AS (SELECT * FROM sel ORDER BY ks_bp DESC, cents LIMIT 5)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ks_bp DESC, cents) AS INTEGER) AS rank,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(cdf_first_bp AS BIGINT) AS cdf_first_bp,
+       CAST(cdf_second_bp AS BIGINT) AS cdf_second_bp,
+       CAST(ks_bp AS BIGINT) AS ks_bp
+FROM top
+ORDER BY rank
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
@@ -10341,4 +10867,5 @@ SPECS_NEXT = (
     + list(_STAGED_R18)
     + list(_STAGED_R19)
     + list(_STAGED_R20)
+    + list(_STAGED_OVERFLOW)
 )
