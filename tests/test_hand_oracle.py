@@ -2724,3 +2724,121 @@ def test_hand_ks_drift(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "orders_ks_drift_date_halves", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_minhash_band_census(spark, tmp_path):
+    """docs 1,2 share identical text -> identical signatures -> share
+    their bucket in EVERY band; doc 3 is shingle-disjoint -> its own
+    bucket (band equality would need an md5 collision). Every band:
+    2 buckets, 3 docs, hottest 2, pairs C(2,2)=1."""
+    docs = _documents([
+        (1, "abcdefghijklmnop", "s"),
+        (2, "abcdefghijklmnop", "s"),
+        (3, "zyxwvutsrqponmlk", "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(i, 2, 3, 2, 1) for i in range(4)]
+    got_spark, got_ora = _run_both(spark, "dedup_minhash_band_census", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_prefix_template_census(spark, tmp_path):
+    """docs 5,10 (doc_id % 5 == 0) get the 45-char synthetic header ->
+    both share its first 40 chars as prefix regardless of their text
+    (2 docs, 2 sources, first 5). docs 1,2 share 'C'*40 (2 docs, 1
+    source). doc 3 is a singleton prefix (filtered); doc 4 shorter
+    than 40 (excluded). '=' < 'C' breaks the n_docs tie."""
+    docs = _documents([
+        (5, "A" * 40, "s1"),
+        (10, "B" * 40, "s2"),
+        (1, "C" * 40, "s1"),
+        (2, "C" * 40, "s1"),
+        (3, "D" * 50, "s1"),
+        (4, "short", "s1"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        ("=== COMMON CRAWL BOILERPLATE HEADER 0001", 2, 2, 5),
+        ("C" * 40, 2, 1, 1),
+    ]
+    got_spark, got_ora = _run_both(spark, "documents_prefix_template_census", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_session_duration_hist(spark, tmp_path):
+    """user 1: 00:00 + 00:10 -> 600 s -> floor(log2 600) = 9. user 2:
+    single event -> 0 s -> bucket -1. user 3: 1 s gap -> log2(1) = 0.
+    user 4: 3 s -> floor(log2 3) = 1."""
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-01T00:10:00"), 1, "view", 1.0),
+        (3, _ts("2024-01-01T00:00:00"), 2, "view", 1.0),
+        (4, _ts("2024-01-01T00:00:00"), 3, "view", 1.0),
+        (5, _ts("2024-01-01T00:00:01"), 3, "view", 1.0),
+        (6, _ts("2024-01-01T00:00:00"), 4, "view", 1.0),
+        (7, _ts("2024-01-01T00:00:03"), 4, "view", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [(-1, 1, 0), (0, 1, 1), (1, 1, 3), (9, 1, 600)]
+    got_spark, got_ora = _run_both(
+        spark, "events_session_duration_histogram_log2", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_winsorized_stats(spark, tmp_path):
+    """type a: cents {100,200,300,400}; p01 = 100 + 0.03*100 = 103,
+    p99 = 300 + 0.97*100 = 397; clamped {103,200,300,397} -> mean 250.
+    type b: single 500 -> p01 = p99 = mean = 500. NULL value and NULL
+    type rows excluded."""
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "a", 1.0),
+        (2, _ts("2024-01-01T00:00:01"), 1, "a", 2.0),
+        (3, _ts("2024-01-01T00:00:02"), 1, "a", 3.0),
+        (4, _ts("2024-01-01T00:00:03"), 1, "a", 4.0),
+        (5, _ts("2024-01-01T00:00:04"), 1, "b", 5.0),
+        (6, _ts("2024-01-01T00:00:05"), 1, "a", None),
+        (7, _ts("2024-01-01T00:00:06"), 1, None, 9.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [("a", 4, 103.0, 397.0, 250.0), ("b", 1, 500.0, 500.0, 500.0)]
+    got_spark, got_ora = _run_both(spark, "events_value_winsorized_stats", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_month_seasonality(spark, tmp_path):
+    """Jan: 1.00 + 2.00 = 300 cents, Feb: 1.00 = 100; total 400.
+    Jan share 7500 bp, index 300*120000//400 = 90000; Feb 2500 /
+    30000. Unpriced and undated orders excluded."""
+    orders = _orders_full([
+        (1, 1, "O", 1.00, _ts("2024-01-05T00:00:00"), "P"),
+        (2, 1, "O", 2.00, _ts("2024-01-20T00:00:00"), "P"),
+        (3, 2, "O", 1.00, _ts("2024-02-10T00:00:00"), "P"),
+        (4, 2, "O", None, _ts("2024-03-01T00:00:00"), "P"),
+    ])
+    d = _mk_sf(tmp_path, orders=orders)
+    hand = [(1, 2, 300, 7500, 90000), (2, 1, 100, 2500, 30000)]
+    got_spark, got_ora = _run_both(spark, "orders_month_seasonality_index", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_hourly_p95(spark, tmp_path):
+    """view: hour-00 has 3 events, hour-01 has 1 -> n_hours 2, max 3,
+    p95 = 1 + 0.95*(3-1) = 2.9. click: one hour of 2 -> p95 = 2.0."""
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-01T00:10:00"), 1, "view", 1.0),
+        (3, _ts("2024-01-01T00:20:00"), 2, "view", 1.0),
+        (4, _ts("2024-01-01T01:00:00"), 1, "view", 1.0),
+        (5, _ts("2024-01-01T00:00:00"), 2, "click", 1.0),
+        (6, _ts("2024-01-01T00:30:00"), 2, "click", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [("click", 1, 2, 2.0), ("view", 2, 3, 2.9)]
+    got_spark, got_ora = _run_both(spark, "events_hourly_load_p95_per_type", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

@@ -10791,6 +10791,393 @@ ORDER BY rank
 ))
 
 
+def _band_census_build(spark, sf):
+    # LSH banding diagnostics: per band, the bucket census (distinct
+    # buckets, docs, hottest bucket, candidate-pair volume sum n*(n-1)/2)
+    # — the measurement that tunes bands/rows/max_bucket BEFORE a dedup
+    # run pays the bucket join. Pair volume is computed FROM COUNTS
+    # (band-bucket-scale aggregation), never materialized as pairs —
+    # this is exactly the quantity the hot-bucket star-collapse caps,
+    # measured without paying it. NULL band values (un-signable NULL
+    # text) excluded on both sides.
+    from ..operators.dedup import minhash_signature_mapside
+
+    # materialize the doc-scale signature relation ONCE: the 4-band
+    # union has four consumers, and a lazy sig would re-run the corpus
+    # hash pass per branch (the shared-subtree re-execution trap)
+    sig = materialize(
+        minhash_signature_mapside(spark.table("documents"), "text", "doc_id")
+    )
+    bands = None
+    for i, (a, b) in enumerate([("h0", "h1"), ("h2", "h3"), ("h4", "h5"),
+                                ("h6", "h7")]):
+        part = sig.select(
+            F.lit(i).alias("band_idx"),
+            F.concat(F.col(a), F.col(b)).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    bk = (
+        bands.filter(F.col("band_val").isNotNull())
+        .groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        bk.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("bigint")
+            .alias("n_candidate_pairs"),
+        )
+        .orderBy("band_idx")
+    )
+
+
+def _band_census_oracle() -> str:
+    from .llmops import _SIG_SHINGLES_CTE, _sig_cte
+
+    return f"""
+WITH {_SIG_SHINGLES_CTE.strip()}, {_sig_cte().strip()}
+bands AS (
+  SELECT doc_id, 0 AS band_idx, h0 || h1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+),
+bk AS (
+  SELECT band_idx, band_val, COUNT(*) AS n
+  FROM bands WHERE band_val IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(band_idx AS INTEGER) AS band_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+FROM bk
+GROUP BY band_idx
+ORDER BY band_idx
+"""
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="dedup_minhash_band_census",
+    doc="Per-band LSH bucket census (buckets, docs, hottest bucket, "
+        "candidate-pair volume sum n*(n-1)/2 from counts): the "
+        "bands/rows/max_bucket tuning measurement, computed at bucket "
+        "scale without ever materializing a pair. The sibling of the "
+        "shingle-df profile, one level up the LSH stack.",
+    tags=("llm", "dedup", "agg"),
+    build=_band_census_build,
+    oracle=_band_census_oracle,
+))
+
+
+def _prefix_template_build(spark, sf):
+    # boilerplate-template mining: 40-char prefix groups shared by >= 2
+    # docs, top-20 by size — the crawl-template census that motivates
+    # the boundary-gram and chunk-level dedup passes. The word-soup
+    # fixture shares no 40-char prefixes, so a deterministic synthetic
+    # header is prepended to every doc_id % 5 == 0 document (mirrored
+    # in the oracle) to keep the census non-vacuous. Prefix-keyed
+    # aggregation; sort-limit top-20.
+    header = "=== COMMON CRAWL BOILERPLATE HEADER 0001 === "
+    d = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(header), F.col("text")),
+            ).otherwise(F.col("text")).alias("t"),
+        )
+        .filter(F.length("t") >= 40)
+    )
+    return (
+        d.select("doc_id", "source", F.substring("t", 1, 40).alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(20)
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="documents_prefix_template_census",
+    doc="Template mining: 40-char prefix groups shared by >= 2 docs "
+        "(top-20 by size, with source spread and first doc) — the "
+        "boilerplate-header census behind chunk/boundary dedup. "
+        "Deterministic synthetic header on doc_id % 5 == 0 keeps the "
+        "fixture non-vacuous (mirrored in the oracle).",
+    tags=("llm", "dedup", "text"),
+    build=_prefix_template_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN '=== COMMON CRAWL BOILERPLATE HEADER 0001 === ' || text
+              ELSE text END AS t
+  FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT substring(t, 1, 40) AS prefix, doc_id, source
+  FROM d WHERE LENGTH(t) >= 40
+)
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM p
+GROUP BY prefix
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, prefix
+LIMIT 20
+""",
+))
+
+
+def _session_dur_hist_sql(epoch_us_fn: str, idiv: str) -> str:
+    """Log2 histogram of session durations over the canonical
+    30-min-gap sessionization — bucket -1 holds single-instant
+    sessions (duration 0 s); floor(log2) on integer seconds is
+    boundary-exact in IEEE."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, {epoch_us_fn} AS t FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > 1800000000
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, event_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid,
+         CAST(FLOOR((MAX(t) - MIN(t)) / 1000000.0) AS BIGINT) AS dur_s
+  FROM s GROUP BY user_id, sid
+)
+SELECT CASE WHEN dur_s = 0 THEN -1
+            ELSE CAST(FLOOR(LOG2(dur_s)) AS INTEGER) END AS dur_bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(dur_s) AS BIGINT) AS max_dur_s
+FROM sess
+GROUP BY 1
+ORDER BY dur_bucket_log2
+"""
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="events_session_duration_histogram_log2",
+    doc="Session-duration histogram in log2-second buckets (bucket -1 "
+        "= single-instant sessions) over the canonical 30-min-gap "
+        "sessionization, with the bucket max — the session-length "
+        "distribution the bounce rate summarizes at one point. "
+        "User-keyed windows; session- then bucket-scale aggregation.",
+    tags=("events", "session", "agg"),
+    sql=_session_dur_hist_sql("unix_micros(ts)", "div"),
+    oracle=_session_dur_hist_sql("(epoch_ns(ts) // 1000)", "//"),
+))
+
+
+def _winsorized_build(spark, sf):
+    # robust per-type value stats: winsorize integer cents at the exact
+    # interpolated p01/p99 (the percentile/quantile_cont parity
+    # convention) then average — the outlier-insensitive monitoring
+    # stat for a value stream. Two type-keyed aggregations (percentile
+    # pass, then clamp + mean pass joined on the tiny type relation).
+    # finite value domain: round(value*100)::BIGINT of Infinity is a
+    # CAST_OVERFLOW under ANSI — the one-poisoned-row hazard the
+    # nonfinite sweep exists to catch (same declared domain as the
+    # milli-unit digitizing specs; isfinite on the oracle side)
+    ev = spark.table("events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        & ~F.isnan("value") & (F.abs("value") != float("inf"))
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.01)").alias("p01"),
+        F.expr("percentile(cents, 0.99)").alias("p99"),
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")  # type-cardinality dim
+        .select(
+            "event_type", "p01", "p99",
+            F.least(F.greatest(F.col("cents").cast("double"), F.col("p01")),
+                    F.col("p99")).alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("p01"), 4).cast("double").alias("p01_cents"),
+            F.round(F.min("p99"), 4).cast("double").alias("p99_cents"),
+            F.round(F.avg("w"), 4).cast("double").alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="events_value_winsorized_stats",
+    doc="Outlier-robust per-type value stats: integer cents winsorized "
+        "at the exact interpolated p01/p99, then averaged (ROUND 4) — "
+        "the monitoring mean a single fat-finger value cannot move. "
+        "Percentile pass + broadcast clamp join on the type-cardinality "
+        "dim.",
+    tags=("events", "analytics", "agg"),
+    build=_winsorized_build,
+    oracle="""
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)
+),
+cuts AS (
+  SELECT event_type,
+         quantile_cont(cents, 0.01) AS p01,
+         quantile_cont(cents, 0.99) AS p99
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(MIN(p01), 4) AS DOUBLE) AS p01_cents,
+       CAST(ROUND(MIN(p99), 4) AS DOUBLE) AS p99_cents,
+       CAST(ROUND(AVG(LEAST(GREATEST(CAST(cents AS DOUBLE), p01), p99)), 4)
+            AS DOUBLE) AS winsorized_mean
+FROM ev JOIN cuts ON cuts.event_type = ev.event_type
+GROUP BY ev.event_type
+ORDER BY ev.event_type
+""",
+))
+
+
+def _month_seasonality_build(spark, sf):
+    # temporal-mix audit: revenue share per calendar month vs the
+    # uniform 1/12 baseline (index 10000 = exactly uniform) — the
+    # order-flow analogue of the events DoW seasonality spec. One
+    # month-keyed aggregation; the total is a driver scalar. index =
+    # cents * 120000 div total stays in bigint to ~10^14 total cents.
+    o = spark.table("orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        F.month("o_orderdate").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    tot = o.agg(F.sum("cents")).collect()[0][0]  # one driver scalar
+    tot = max(int(tot or 0), 1)
+    return (
+        o.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            F.col("month").cast("int").alias("month"),
+            "n_orders",
+            "cents",
+            F.expr(f"cents * 10000 div {tot}").cast("bigint")
+            .alias("share_bp"),
+            F.expr(f"cents * 120000 div {tot}").cast("bigint")
+            .alias("seasonality_index_bp"),
+        )
+        .orderBy("month")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="orders_month_seasonality_index",
+    doc="Calendar-month revenue seasonality: per-month order count, "
+        "cents, share bp, and the index against the uniform 1/12 "
+        "baseline (10000 = uniform) — the order-flow sibling of the "
+        "events DoW seasonality audit. Month-keyed aggregation; "
+        "driver-scalar total.",
+    tags=("agg", "analytics"),
+    build=_month_seasonality_build,
+    oracle="""
+WITH o AS (
+  SELECT MONTH(o_orderdate) AS month,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+tot AS (SELECT GREATEST(SUM(cents), 1) AS t FROM o)
+SELECT CAST(month AS INTEGER) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(SUM(cents) * 10000 // tot.t AS BIGINT) AS share_bp,
+       CAST(SUM(cents) * 120000 // tot.t AS BIGINT) AS seasonality_index_bp
+FROM o, tot
+GROUP BY month, tot.t
+ORDER BY month
+""",
+))
+
+
+def _hourly_p95_build(spark, sf):
+    # capacity-planning percentile: hourly event counts per type, then
+    # the exact interpolated p95 and max per type — "what load do we
+    # provision for" against "what have we seen". Hour-keyed then
+    # type-keyed aggregations; the percentile runs over the bounded
+    # hours-per-type relation.
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.max("n").cast("bigint").alias("max_hourly"),
+            F.round(F.expr("percentile(n, 0.95)"), 4).cast("double")
+            .alias("p95_hourly"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="events_hourly_load_p95_per_type",
+    doc="Per-type hourly load profile: active hours, max hourly count, "
+        "and the exact interpolated p95 hourly count — the capacity-"
+        "planning complement of the peak-to-mean load factor. Hour- "
+        "then type-keyed aggregations; percentile over the bounded "
+        "hours-per-type relation.",
+    tags=("events", "analytics", "agg"),
+    build=_hourly_p95_build,
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(n) AS BIGINT) AS max_hourly,
+       CAST(ROUND(quantile_cont(n, 0.95), 4) AS DOUBLE) AS p95_hourly
+FROM hourly
+GROUP BY event_type
+ORDER BY event_type
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
