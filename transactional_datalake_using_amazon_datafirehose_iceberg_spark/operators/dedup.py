@@ -66,18 +66,29 @@ def char_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 12
 ) -> DataFrame:
     """Distinct char-k-gram shingle set per document (classic w-shingling).
-    Implemented JVM-side: sequence -> transform(substring) -> explode.
-    Repartitions first so a single-file input doesn't serialize the
-    explode on one core."""
+    Implemented JVM-side: sequence -> transform(substring) ->
+    array_distinct -> explode. Repartitions first so a single-file
+    input doesn't serialize the explode on one core.
+
+    The per-doc dedup happens INSIDE the projection (array_distinct),
+    not as a relational ``.distinct()``: shingle dedup has no cross-row
+    dependency beyond the row's own array, and the old formulation
+    shuffled the full exploded corpus-token relation once just to
+    dedupe within each doc (round-16 shave; the same move measured
+    3.94 -> 2.6 s on the minhash-calibration spec). Result sets are
+    identical — doc_id rides the row, so (doc_id, sh) distinctness IS
+    per-doc array distinctness."""
     n_part = _shuffle_partitions(df.sparkSession)
     df = df.repartition(n_part, F.col(id_col))
     return (
         df.select(
             F.col(id_col),
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1)),"
-                    f" i -> substring(lower(`{text_col}`), i, {k}))"
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1)),"
+                        f" i -> substring(lower(`{text_col}`), i, {k}))"
+                    )
                 )
             ).alias("sh"),
         )
@@ -87,7 +98,6 @@ def char_shingles(
         # null-unsafe joins finally discard it (review round 12) — and
         # the DuckDB formulations (length(NULL) -> no rows) never see it
         .where(F.col("sh").isNotNull())
-        .distinct()
     )
 
 
