@@ -2842,3 +2842,119 @@ def test_hand_hourly_p95(spark, tmp_path):
     got_spark, got_ora = _run_both(spark, "events_hourly_load_p95_per_type", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_token_impact(spark, tmp_path):
+    """'a b' appears as docs 1,2 (s1) and 4 (s2); global keeper is doc
+    1, so docs 2 and 4 are removed in their OWN sources. s1: 3 docs /
+    5 tokens / 1 removed carrying 2 tokens (4000 bp). s2: doc 4 (2
+    tokens removed) + unique 'd e f' -> 2 docs / 5 tokens / 4000 bp.
+    NULL text excluded."""
+    docs = _documents([
+        (1, "a b", "s1"),
+        (2, "a b", "s1"),
+        (3, "c", "s1"),
+        (4, "a b", "s2"),
+        (5, None, "s2"),
+        (6, "d e f", "s2"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [("s1", 3, 5, 1, 2, 4000), ("s2", 2, 5, 1, 2, 4000)]
+    got_spark, got_ora = _run_both(spark, "dedup_token_impact_by_source", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_bucket_balance(spark, tmp_path):
+    """4-bit: v1,v2 -> '1111'; v3,v4 -> '0111' (sign of dim0 differs
+    inside the first 4 dims for both) -> two buckets of 2 -> one
+    log2(2)=1 row. 8-bit: v1,v2 share '11111111'; v3 ('01110111') and
+    v4 ('01111111') split -> sizes {2,1,1} -> rows at log2 0 (two
+    singletons) and 1 (one pair bucket)."""
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (1, [1.0] * 8, 1),
+        (2, [1.0] * 8, 1),
+        (3, [-1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0], 1),
+        (4, [-1.0] + [1.0] * 7, 1),
+    ]))
+    hand = [(4, 1, 2, 4, 2), (8, 0, 2, 2, 1), (8, 1, 1, 2, 2)]
+    got_spark, got_ora = _run_both(spark, "embedding_bucket_balance_audit", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_pack_budget_sweep(spark, tmp_path):
+    """Shard s1 = 3+2 = 5 tokens, s2 = 1 token (its NULL-text doc
+    contributes 0). Every budget B >= 128 needs one pack per shard ->
+    2 packs, pad 2B-6, utilization 6*10000 // (2B)."""
+    docs = _documents([
+        (1, "a b c", "s1"),
+        (2, "d e", "s1"),
+        (3, "x", "s2"),
+        (4, None, "s2"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        (128, 2, 250, 234), (256, 2, 506, 117),
+        (512, 2, 1018, 58), (1024, 2, 2042, 29),
+    ]
+    got_spark, got_ora = _run_both(spark, "pack_budget_waste_sweep", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_lsh_param_sweep(spark, tmp_path):
+    """docs 1,2 identical -> identical signatures -> share a bucket in
+    EVERY band of EVERY layout; doc 3 shingle-disjoint -> singletons.
+    Per band: buckets {2,1}, pairs 1. 4x2: 8 buckets / 4 pairs; 2x4:
+    4 / 2; 8x1: 16 / 8. Config order is lexicographic."""
+    docs = _documents([
+        (1, "abcdefghijklmnop", "s"),
+        (2, "abcdefghijklmnop", "s"),
+        (3, "zyxwvutsrqponmlk", "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        ("2x4", 2, 4, 2, 2), ("4x2", 4, 8, 2, 4), ("8x1", 8, 16, 2, 8),
+    ]
+    got_spark, got_ora = _run_both(spark, "dedup_lsh_param_sweep", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_lang_length_matrix(spark, tmp_path):
+    """en: 'ab' (len 2 -> bucket 1, 1 token) + 'abcd e' (len 6 ->
+    bucket 2, 2 tokens) -> lang total 3 tokens, shares 3333/6666.
+    de: 'x y z' (len 5 -> bucket 2, 3 tokens) -> 10000."""
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["ab", "abcd e", "x y z"], pa.string()),
+        "lang": pa.array(["en", "en", "de"], pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([2, 6, 5], pa.int64()),
+    })
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        ("de", 2, 1, 3, 10000), ("en", 1, 1, 1, 3333), ("en", 2, 1, 2, 6666),
+    ]
+    got_spark, got_ora = _run_both(spark, "documents_lang_length_matrix", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_containment_threshold_sweep(spark, tmp_path):
+    """doc 1 = alphabet (15 distinct 12-shingles), doc 2 = its first
+    20 chars (9 shingles, all contained in doc 1's). Containment:
+    2-in-1 = 9/9 = 100 pct; 1-in-2 = floor(9*100/15) = 60 pct.
+    Sweep: t=50,60 -> 2 pairs / 2 contained docs; t=70,80,90 -> only
+    the 100-pct pair."""
+    docs = _documents([
+        (1, "abcdefghijklmnopqrstuvwxyz", "s"),
+        (2, "abcdefghijklmnopqrst", "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [(50, 2, 2), (60, 2, 2), (70, 1, 1), (80, 1, 1), (90, 1, 1)]
+    got_spark, got_ora = _run_both(
+        spark, "dedup_containment_threshold_sweep", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

@@ -11178,6 +11178,462 @@ ORDER BY event_type
 ))
 
 
+def _token_impact_build(spark, sf):
+    # dedup accounting at TOKEN weight: how many training tokens a
+    # keep-one exact dedup removes, per source — the group-size
+    # histogram tells you how many DOCS go; the mixing decision needs
+    # tokens. Hash-keyed keeper agg + doc-scale join + source rollup.
+    d = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("ntok"),
+            F.md5("text").alias("__h"),
+        )
+    )
+    keep = d.groupBy("__h").agg(F.min("doc_id").alias("__keep"))
+    return (
+        d.join(keep, "__h")
+        .select(
+            "source", "ntok",
+            (F.col("doc_id") != F.col("__keep")).cast("int").alias("rm"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.sum("rm").cast("bigint").alias("n_removed"),
+            F.sum(F.col("ntok") * F.col("rm")).cast("bigint")
+            .alias("tokens_removed"),
+        )
+        .withColumn(
+            "tokens_removed_bp",
+            F.expr("tokens_removed * 10000 div greatest(n_tokens, 1)")
+            .cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="dedup_token_impact_by_source",
+    doc="Token-weighted exact-dedup impact per source: docs, tokens, "
+        "docs a keep-min-id dedup removes, and the tokens they carry "
+        "(bp of the source's budget) — the group-size histogram "
+        "measures docs, the mixing decision needs tokens. Hash-keyed "
+        "keeper aggregation, doc-scale join, source rollup.",
+    tags=("llm", "dedup", "quality"),
+    build=_token_impact_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
+         md5(text) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+keep AS (SELECT h, MIN(doc_id) AS k FROM d GROUP BY h)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN doc_id <> k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN doc_id <> k THEN ntok ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       CAST(SUM(CASE WHEN doc_id <> k THEN ntok ELSE 0 END) * 10000
+            // GREATEST(SUM(ntok), 1) AS BIGINT) AS tokens_removed_bp
+FROM d JOIN keep ON keep.h = d.h
+GROUP BY source
+ORDER BY source NULLS FIRST
+""",
+))
+
+
+def _bucket_balance_build(spark, sf):
+    # sign-LSH bucket-balance audit: bucket-size log2 histograms for
+    # n_bits = 4 and 8 side by side — the measurement that tunes the
+    # bit width (too few bits -> hub buckets, too many -> singleton
+    # buckets and lost recall). Bucket-scale aggregations over the
+    # doc-scale embeddings table; both configs in one output.
+    from ..operators.similarity import sign_bucket
+
+    base = materialize(
+        spark.table("embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            sign_bucket("embedding", 4).alias("bk4"),
+            sign_bucket("embedding", 8).alias("bk8"),
+        )
+    )
+    out = None
+    for nb, col in ((4, "bk4"), (8, "bk8")):
+        sizes = base.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        hist = (
+            sizes.groupBy(
+                F.floor(F.log2("n")).cast("int").alias("size_bucket_log2")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                F.sum("n").cast("bigint").alias("n_vecs"),
+                F.max("n").cast("bigint").alias("max_bucket"),
+            )
+            .withColumn("n_bits", F.lit(nb))
+        )
+        out = hist if out is None else out.unionByName(hist)
+    return out.select(
+        "n_bits", "size_bucket_log2", "n_buckets", "n_vecs", "max_bucket"
+    ).orderBy("n_bits", "size_bucket_log2")
+
+
+def _bucket_balance_oracle() -> str:
+    from .llmops import _sign_bits_duck
+
+    parts = []
+    for nb in (4, 8):
+        parts.append(f"""
+SELECT {nb} AS n_bits, CAST(FLOOR(LOG2(n)) AS INTEGER) AS size_bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_vecs,
+       CAST(MAX(n) AS BIGINT) AS max_bucket
+FROM (
+  SELECT {_sign_bits_duck('embedding', nb)} AS bk, COUNT(*) AS n
+  FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1
+) s
+GROUP BY 2""")
+    return ("\nUNION ALL\n".join(parts)
+            + "\nORDER BY n_bits, size_bucket_log2\n")
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="embedding_bucket_balance_audit",
+    doc="Sign-LSH bucket-size log2 histograms for 4 and 8 bits side by "
+        "side: the bit-width tuning audit (hub buckets vs singleton "
+        "fragmentation) — the embedding-side sibling of the shingle-df "
+        "profile. Bucket-scale aggregations; one doc-scale scan, "
+        "materialized once for both configs.",
+    tags=("llm", "similarity", "agg"),
+    build=_bucket_balance_build,
+    oracle=_bucket_balance_oracle,
+))
+
+
+def _pack_budget_sweep_build(spark, sf):
+    # packing-budget decision curve: pad waste and utilization of the
+    # concat-and-chunk packer (operators/corpus semantics: per-shard
+    # token streams cut at budget; only each shard's last pack pads)
+    # across budgets 128/256/512/1024 — ONE pass over the corpus, the
+    # per-budget ceilings are conditional aggregates over the
+    # shard-scale totals; the 4-row result is driver metadata.
+    budgets = [128, 256, 512, 1024]
+    toks = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.split("text", " "))
+    )
+    shards = (
+        spark.table("documents")
+        .select(F.col("source"), toks.cast("bigint").alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").alias("tok"))
+    )
+    row = shards.agg(
+        F.sum("tok").alias("total"),
+        *[
+            F.sum(F.expr(f"(tok + {b} - 1) div {b}")).alias(f"p{b}")
+            for b in budgets
+        ],
+    ).collect()[0]
+    total = int(row["total"] or 0)
+    out = []
+    for b in budgets:
+        packs = int(row[f"p{b}"] or 0)
+        out.append((
+            b, packs, packs * b - total,
+            (total * 10000 // (packs * b)) if packs > 0 else None,
+        ))
+    return spark.createDataFrame(
+        out,
+        "budget int, n_packs bigint, n_pad_tokens bigint, "
+        "utilization_bp bigint",
+    ).orderBy("budget")
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="pack_budget_waste_sweep",
+    doc="Packing-budget decision curve: packs, pad tokens, and "
+        "utilization bp of the concat-and-chunk packer at budgets "
+        "128/256/512/1024 (per-shard streams, only each shard's last "
+        "pack pads) — one corpus pass, per-budget ceilings as "
+        "conditional aggregates over shard totals, 4-row driver "
+        "metadata result.",
+    tags=("llm", "corpus", "agg"),
+    build=_pack_budget_sweep_build,
+    oracle="""
+WITH sh AS (
+  SELECT source,
+         SUM(CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END) AS tok
+  FROM documents GROUP BY source
+),
+b AS (SELECT unnest([128, 256, 512, 1024]) AS budget),
+agg AS (
+  SELECT b.budget,
+         SUM((sh.tok + b.budget - 1) // b.budget) AS n_packs,
+         SUM(sh.tok) AS total
+  FROM b LEFT JOIN sh ON TRUE
+  GROUP BY b.budget
+)
+SELECT CAST(budget AS INTEGER) AS budget,
+       CAST(COALESCE(n_packs, 0) AS BIGINT) AS n_packs,
+       CAST(COALESCE(n_packs, 0) * budget - COALESCE(total, 0) AS BIGINT)
+         AS n_pad_tokens,
+       CAST(CASE WHEN COALESCE(n_packs, 0) > 0
+                 THEN COALESCE(total, 0) * 10000 // (n_packs * budget)
+            END AS BIGINT) AS utilization_bp
+FROM agg
+ORDER BY budget
+""",
+))
+
+
+def _lsh_param_sweep_build(spark, sf):
+    # LSH re-banding what-if: candidate volume, bucket count, and
+    # hottest bucket for three band/row layouts of the SAME 8-slot
+    # signature (4x2 — the production layout, 2x4 — higher precision,
+    # 8x1 — higher recall), all from bucket COUNTS, no pairs ever
+    # materialized. One signature pass (materialized), band-scale
+    # aggregations after.
+    from ..operators.dedup import minhash_signature_mapside
+
+    sig = materialize(
+        minhash_signature_mapside(spark.table("documents"), "text", "doc_id")
+    )
+    layouts = {
+        "4x2": [["h0", "h1"], ["h2", "h3"], ["h4", "h5"], ["h6", "h7"]],
+        "2x4": [["h0", "h1", "h2", "h3"], ["h4", "h5", "h6", "h7"]],
+        "8x1": [[f"h{j}"] for j in range(8)],
+    }
+    out = None
+    for cfg, bands in layouts.items():
+        rel = None
+        for i, cols in enumerate(bands):
+            part = sig.select(
+                F.lit(i).alias("band_idx"),
+                F.concat(*[F.col(c) for c in cols]).alias("band_val"),
+            )
+            rel = part if rel is None else rel.unionAll(part)
+        bk = (
+            rel.filter(F.col("band_val").isNotNull())
+            .groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        agg = bk.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("bigint")
+            .alias("candidate_pairs"),
+        ).select(
+            F.lit(cfg).alias("config"),
+            F.lit(len(bands)).alias("n_bands"),
+            "n_buckets", "max_bucket", "candidate_pairs",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("config")
+
+
+def _lsh_param_sweep_oracle() -> str:
+    from .llmops import _SIG_SHINGLES_CTE, _sig_cte
+
+    layouts = {
+        "4x2": [["h0", "h1"], ["h2", "h3"], ["h4", "h5"], ["h6", "h7"]],
+        "2x4": [["h0", "h1", "h2", "h3"], ["h4", "h5", "h6", "h7"]],
+        "8x1": [[f"h{j}"] for j in range(8)],
+    }
+    parts = []
+    for cfg, bands in layouts.items():
+        sel = "\nUNION ALL ".join(
+            f"SELECT {i} AS band_idx, {' || '.join(cols)} AS band_val FROM sig"
+            for i, cols in enumerate(bands)
+        )
+        parts.append(f"""
+SELECT '{cfg}' AS config, {len(bands)} AS n_bands,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM (
+  SELECT band_idx, band_val, COUNT(*) AS n
+  FROM ({sel}) z
+  WHERE band_val IS NOT NULL
+  GROUP BY 1, 2
+) bk""")
+    return (
+        f"WITH {_SIG_SHINGLES_CTE.strip()}, {_sig_cte().strip()}\n"
+        + "m AS (SELECT 1)\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY config\n"
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="dedup_lsh_param_sweep",
+    doc="LSH re-banding what-if over one 8-slot signature: candidate "
+        "volume (from counts, never materialized), bucket count, and "
+        "hottest bucket for the 4x2 / 2x4 / 8x1 band layouts — the "
+        "precision/recall/volume trade measured before a dedup run "
+        "commits to a layout. Signature materialized once; band-scale "
+        "aggregations.",
+    tags=("llm", "dedup", "agg"),
+    build=_lsh_param_sweep_build,
+    oracle=_lsh_param_sweep_oracle,
+))
+
+
+def _lang_length_build(spark, sf):
+    # 2-D mixture planning matrix: docs and tokens per (lang, log2
+    # char-length bucket), with each cell's token share within its
+    # language — where the token budget actually sits before a
+    # temperature-mixture decision. Cell-scale aggregation + a
+    # lang-scale broadcast join for the shares.
+    d = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.floor(F.log2(F.greatest(F.length("text"), F.lit(1))))
+            .cast("int").alias("len_bucket_log2"),
+            F.size(F.split("text", " ")).cast("bigint").alias("ntok"),
+        )
+    )
+    cells = d.groupBy("lang", "len_bucket_log2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+    )
+    lang_tot = d.groupBy(F.col("lang").alias("__lg")).agg(
+        F.sum("ntok").alias("__lt")
+    )
+    return (
+        # eqNullSafe, not USING: a NULL lang is a legitimate group on
+        # both sides, and a null-unsafe equi-join would silently drop
+        # its cells while the oracle's IS NOT DISTINCT FROM keeps them
+        # (the r11 finding class)
+        cells.join(  # lang-cardinality dim
+            F.broadcast(lang_tot),
+            cells["lang"].eqNullSafe(lang_tot["__lg"]),
+        )
+        .select(
+            "lang", "len_bucket_log2", "n_docs", "n_tokens",
+            F.expr("n_tokens * 10000 div greatest(__lt, 1)").cast("bigint")
+            .alias("lang_share_bp"),
+        )
+        .orderBy("lang", "len_bucket_log2")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="documents_lang_length_matrix",
+    doc="Mixture-planning matrix: docs and tokens per (lang, log2 "
+        "char-length bucket) with each cell's token share within its "
+        "language — where the token budget sits before a temperature-"
+        "mixture decision. Cell-scale aggregation; lang-cardinality "
+        "broadcast for shares.",
+    tags=("llm", "text", "agg"),
+    build=_lang_length_build,
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         CAST(FLOOR(LOG2(GREATEST(LENGTH(text), 1))) AS INTEGER)
+           AS len_bucket_log2,
+         len(string_split(text, ' ')) AS ntok
+  FROM documents WHERE text IS NOT NULL
+),
+cells AS (
+  SELECT lang, len_bucket_log2, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+  FROM d GROUP BY 1, 2
+),
+lt AS (SELECT lang, SUM(ntok) AS t FROM d GROUP BY lang)
+SELECT cells.lang, len_bucket_log2,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens * 10000 // GREATEST(lt.t, 1) AS BIGINT)
+         AS lang_share_bp
+FROM cells JOIN lt ON lt.lang IS NOT DISTINCT FROM cells.lang
+ORDER BY cells.lang NULLS FIRST, len_bucket_log2
+""",
+))
+
+
+def _containment_sweep_build(spark, sf):
+    # containment-threshold decision curve: flagged pairs and distinct
+    # contained docs at thresholds 50..90, from ONE containment run at
+    # the lowest threshold (the pair relation is candidate-bounded by
+    # the stop-shingle cap; per-threshold counts are conditional
+    # aggregates over it — never a re-run per threshold). The 5-row
+    # result is driver metadata. pct >= t is integer-exact: pct =
+    # floor(i*100/n), so pct >= t iff i*100 >= t*n for integer t.
+    from ..operators.dedup import char_shingles, containment_pairs
+
+    thresholds = [50, 60, 70, 80, 90]
+    sh = char_shingles(spark.table("documents"), "text", "doc_id", k=12)
+    pairs = containment_pairs(sh, "doc_id", threshold_pct=50)
+    row = pairs.agg(
+        *[
+            F.count(F.when(F.col("containment_pct") >= t, 1)).alias(f"p{t}")
+            for t in thresholds
+        ],
+        *[
+            F.count_distinct(
+                F.when(F.col("containment_pct") >= t, F.col("inner_doc"))
+            ).alias(f"d{t}")
+            for t in thresholds
+        ],
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(t, int(row[f"p{t}"] or 0), int(row[f"d{t}"] or 0))
+         for t in thresholds],
+        "threshold_pct int, n_pairs bigint, n_inner_docs bigint",
+    ).orderBy("threshold_pct")
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="dedup_containment_threshold_sweep",
+    doc="Containment-threshold decision curve: pairs flagged and "
+        "distinct contained docs at 50/60/70/80/90 pct, from ONE "
+        "stop-shingle-capped containment run at the lowest threshold "
+        "(conditional aggregates over the candidate-bounded pair "
+        "relation; integer-exact pct comparisons). 5-row driver-"
+        "metadata result.",
+    tags=("llm", "dedup", "agg"),
+    build=_containment_sweep_build,
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         substring(lower(text), CAST(u.i AS INTEGER), 12) AS s
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 11, 1) + 1)) AS u(i)
+),
+ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 32),
+shc AS (SELECT doc_id, s FROM sh JOIN ok USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, COUNT(*) AS i
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cp AS (
+  SELECT inner_doc, outer_doc, CAST(FLOOR(i * 100 / n) AS INTEGER) AS pct
+  FROM inter JOIN sizes ON sizes.doc_id = inter.inner_doc
+  WHERE i * 100 >= 50 * n
+),
+th AS (SELECT unnest([50, 60, 70, 80, 90]) AS t)
+SELECT CAST(t AS INTEGER) AS threshold_pct,
+       CAST(COUNT(CASE WHEN cp.pct >= th.t THEN 1 END) AS BIGINT)
+         AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN cp.pct >= th.t THEN cp.inner_doc END)
+            AS BIGINT) AS n_inner_docs
+FROM th LEFT JOIN cp ON TRUE
+GROUP BY th.t
+ORDER BY threshold_pct
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
