@@ -2958,3 +2958,107 @@ def test_hand_containment_threshold_sweep(spark, tmp_path):
         spark, "dedup_containment_threshold_sweep", d)
     assert got_spark == hand, "SPARK diverges from the hand derivation"
     assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_label_cohesion(spark, tmp_path):
+    """Label 0: [1,0],[0,1],[1,1] -> sims {0, 0.707107, 0.707107}
+    (round 6) -> mean 0.4714 over 3 pairs. Label 1: singleton -> 0
+    pairs, NULL mean. Label 2: zero vector + [1,0] -> the pair's sim
+    is NULL (zero norm) -> 0 counted pairs, NULL mean."""
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [1.0, 1.0], 0),
+        (4, [1.0, 0.0], 1),
+        (5, [0.0, 0.0], 2),
+        (6, [1.0, 0.0], 2),
+    ]))
+    hand = [(0, 3, 3, 0.4714), (1, 1, 0, None), (2, 2, 0, None)]
+    got_spark, got_ora = _run_both(spark, "embedding_label_cohesion_audit", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_intersession_gaps(spark, tmp_path):
+    """user 1 has sessions starting 00:00, 02:00, 05:00 -> gaps 120
+    and 180 min; user 2 has one session (no gap). median = 150,
+    p90 = 120 + 0.9*60 = 174."""
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-01T00:10:00"), 1, "view", 1.0),
+        (3, _ts("2024-01-01T02:00:00"), 1, "view", 1.0),
+        (4, _ts("2024-01-01T05:00:00"), 1, "view", 1.0),
+        (5, _ts("2024-01-01T00:00:00"), 2, "view", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [(2, 150.0, 174.0)]
+    got_spark, got_ora = _run_both(spark, "events_intersession_gap_stats", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_ttr_profile(spark, tmp_path):
+    """'a b a' -> 2/3 = 6666 bp (bucket 6); 'x y' -> 10000 (bucket
+    10); 'z z z z' -> 2500 (bucket 2)."""
+    docs = _documents([
+        (1, "a b a", "s"),
+        (2, "x y", "s"),
+        (3, "z z z z", "s"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [
+        (2, 1, 4, 2500, 2500), (6, 1, 3, 6666, 6666),
+        (10, 1, 2, 10000, 10000),
+    ]
+    got_spark, got_ora = _run_both(spark, "text_type_token_ratio_profile", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_embedding_dup_census(spark, tmp_path):
+    """[1,2] x3 + [3,4] x1 (NULL embedding excluded): 4 vectors, 2
+    distinct, 1 dup group holding 3 vectors, max group 3."""
+    d = _mk_sf(tmp_path, embeddings=_embeddings([
+        (1, [1.0, 2.0], 1),
+        (2, [1.0, 2.0], 1),
+        (3, [1.0, 2.0], 2),
+        (4, [3.0, 4.0], 1),
+        (5, None, 1),
+    ]))
+    hand = [(4, 2, 1, 3, 3)]
+    got_spark, got_ora = _run_both(spark, "embedding_exact_dup_census", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_source_vocab_jaccard(spark, tmp_path):
+    """s1 vocab {a,b,c} (from 'a b' + 'b c'), s2 vocab {b,c,d} ->
+    intersection 2, union 4 -> 5000 bp."""
+    docs = _documents([
+        (1, "a b", "s1"),
+        (2, "b c", "s1"),
+        (3, "b c d", "s2"),
+    ])
+    d = _mk_sf(tmp_path, documents=docs)
+    hand = [("s1", "s2", 3, 3, 5000)]
+    got_spark, got_ora = _run_both(spark, "documents_source_vocab_jaccard", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"
+
+
+def test_hand_dau_trend(spark, tmp_path):
+    """DAU series over day index: (0,2), (1,1), (2,3) -> slope
+    cov/var = 1/2 = 0.5, intercept 2 - 0.5*1 = 1.5."""
+    rows = [
+        (1, _ts("2024-01-01T08:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-01T09:00:00"), 2, "view", 1.0),
+        (3, _ts("2024-01-02T08:00:00"), 1, "view", 1.0),
+        (4, _ts("2024-01-03T08:00:00"), 1, "view", 1.0),
+        (5, _ts("2024-01-03T09:00:00"), 2, "view", 1.0),
+        (6, _ts("2024-01-03T10:00:00"), 3, "view", 1.0),
+    ]
+    d = _mk_sf(tmp_path, events=_events(rows))
+    hand = [(3, 0.5, 1.5)]
+    got_spark, got_ora = _run_both(spark, "events_dau_trend_slope", d)
+    assert got_spark == hand, "SPARK diverges from the hand derivation"
+    assert got_ora == hand, "ORACLE diverges from the hand derivation"

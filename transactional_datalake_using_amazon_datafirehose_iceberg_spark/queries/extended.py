@@ -11634,6 +11634,444 @@ ORDER BY threshold_pct
 ))
 
 
+def _label_cohesion_build(spark, sf):
+    # embedding-quality audit: mean intra-label cosine per label over a
+    # DETERMINISTIC md5-ranked sample of <= 32 vectors per label (the
+    # sample_hash_topk idiom) — all-pairs cosine is quadratic in label
+    # size, so the cap bounds each label at C(32,2) pairs regardless of
+    # corpus scale. Zero-norm vectors contribute NULL sims (dropped by
+    # the mean, matching the repo's zero-vector contract).
+    from ..operators.similarity import dot_product, with_norm
+
+    base = with_norm(
+        spark.table("embeddings").filter(
+            F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    samp = (
+        base.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 32)
+        .select("label", "vec_id", "embedding", "__norm")
+    )
+    a = samp.select(
+        "label", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), F.col("__norm").alias("na"),
+    )
+    b = samp.select(
+        "label", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("__norm").alias("nb"),
+    )
+    prod = F.col("na") * F.col("nb")
+    sim = F.when(
+        prod > 0, F.round(dot_product(F.col("ea"), F.col("eb")) / prod, 6)
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("label", sim.alias("sim"))
+    )
+    n_samp = samp.groupBy("label").agg(F.count(F.lit(1)).alias("n_sampled"))
+    stats = pairs.groupBy("label").agg(
+        F.count("sim").alias("n_pairs"),
+        F.round(F.avg("sim"), 4).cast("double").alias("mean_intra_cos"),
+    )
+    return (
+        n_samp.join(stats, "label", "left")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_sampled").cast("bigint").alias("n_sampled"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint")
+            .alias("n_pairs"),
+            "mean_intra_cos",
+        )
+        .orderBy("label")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="embedding_label_cohesion_audit",
+    doc="Per-label embedding cohesion: mean pairwise cosine inside each "
+        "label over a deterministic md5-ranked sample of <= 32 vectors "
+        "per label — all-pairs is quadratic in label size, the cap "
+        "bounds every label at C(32,2) pairs at any corpus scale. The "
+        "label-quality audit behind triplet mining.",
+    tags=("llm", "similarity", "embedding"),
+    build=_label_cohesion_build,
+    oracle="""
+WITH base AS (
+  SELECT label, vec_id, embedding
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+rk AS (
+  SELECT label, vec_id, embedding,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS r
+  FROM base
+),
+samp AS (SELECT label, vec_id, embedding FROM rk WHERE r <= 32),
+norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS u FROM samp) t
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM samp a JOIN samp b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT label, id_a, id_b, SUM(CAST(u AS DOUBLE) * CAST(v AS DOUBLE)) AS dot
+  FROM (
+    SELECT p.label, p.id_a, p.id_b,
+           unnest(ea.embedding) AS u, unnest(eb.embedding) AS v
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+  ) z
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT d.label,
+         CASE WHEN na.nrm * nb.nrm > 0
+              THEN ROUND(d.dot / (na.nrm * nb.nrm), 6) END AS sim
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+),
+ns AS (SELECT label, COUNT(*) AS n_sampled FROM samp GROUP BY label)
+SELECT CAST(ns.label AS INTEGER) AS label,
+       CAST(ns.n_sampled AS BIGINT) AS n_sampled,
+       CAST(COUNT(s.sim) AS BIGINT) AS n_pairs,
+       CAST(ROUND(AVG(s.sim), 4) AS DOUBLE) AS mean_intra_cos
+FROM ns LEFT JOIN sims s ON s.label = ns.label
+GROUP BY ns.label, ns.n_sampled
+ORDER BY label
+""",
+))
+
+
+def _intersession_sql(epoch_us_fn: str, idiv: str) -> str:
+    """Return-gap profile: minutes BETWEEN a user's consecutive
+    sessions (canonical 30-min-gap sessionization), global count +
+    exact interpolated median/p90 — one row."""
+    q = ("percentile" if idiv == "div" else "quantile_cont")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, {epoch_us_fn} AS t FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > 1800000000
+              OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, t,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), starts AS (
+  SELECT user_id, sid, MIN(t) AS t0 FROM s GROUP BY user_id, sid
+), gaps AS (
+  SELECT (t0 - LAG(t0) OVER (PARTITION BY user_id ORDER BY t0, sid))
+           {idiv} 60000000 AS gap_min
+  FROM starts
+)
+SELECT CAST(COUNT(gap_min) AS BIGINT) AS n_gaps,
+       CAST(ROUND({q}(gap_min, 0.5), 4) AS DOUBLE) AS median_gap_min,
+       CAST(ROUND({q}(gap_min, 0.9), 4) AS DOUBLE) AS p90_gap_min
+FROM gaps
+WHERE gap_min IS NOT NULL
+"""
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="events_intersession_gap_stats",
+    doc="Return-gap profile: minutes between a user's consecutive "
+        "session STARTS over the canonical 30-min sessionization, "
+        "with exact interpolated median/p90 — the comeback-cadence "
+        "complement of inactivity churn (how long until users return, "
+        "not whether). User-keyed windows; session-scale after.",
+    tags=("events", "session", "agg"),
+    sql=_intersession_sql("unix_micros(ts)", "div"),
+    oracle=_intersession_sql("(epoch_ns(ts) // 1000)", "//"),
+))
+
+
+def _ttr_profile_build(spark, sf):
+    # lexical-diversity profile: per-doc type-token ratio (distinct
+    # whitespace tokens / tokens, bp) bucketed in 1000-bp bins — the
+    # repetitive-doc detector quality filters threshold on. Per-doc
+    # distinctness via array_distinct INSIDE the projection (the r16
+    # shave idiom — no (doc, token) shuffle); one bucket-scale agg.
+    d = (
+        spark.table("documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            F.size(F.split(F.lower("text"), " ")).cast("bigint")
+            .alias("ntok"),
+            F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+            .cast("bigint").alias("ndis"),
+        )
+        .select(
+            "ntok",
+            F.expr("ndis * 10000 div greatest(ntok, 1)").alias("ttr_bp"),
+        )
+    )
+    return (
+        d.groupBy(
+            F.expr("ttr_bp div 1000").cast("int").alias("ttr_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.min("ttr_bp").cast("bigint").alias("min_ttr_bp"),
+            F.max("ttr_bp").cast("bigint").alias("max_ttr_bp"),
+        )
+        .orderBy("ttr_bucket")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="text_type_token_ratio_profile",
+    doc="Type-token-ratio histogram (distinct/total whitespace tokens "
+        "in bp, 1000-bp buckets, with bucket extremes): the lexical-"
+        "diversity profile quality filters threshold on — low TTR is "
+        "the repetition signal at vocabulary granularity. Per-doc "
+        "distinctness via array_distinct in the projection; one "
+        "bucket-scale aggregation.",
+    tags=("llm", "text", "quality"),
+    build=_ttr_profile_build,
+    oracle="""
+WITH d AS (
+  SELECT len(string_split(lower(text), ' ')) AS ntok,
+         len(list_distinct(string_split(lower(text), ' '))) AS ndis
+  FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0
+),
+t AS (
+  SELECT ntok, ndis * 10000 // GREATEST(ntok, 1) AS ttr_bp FROM d
+)
+SELECT CAST(ttr_bp // 1000 AS INTEGER) AS ttr_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(MIN(ttr_bp) AS BIGINT) AS min_ttr_bp,
+       CAST(MAX(ttr_bp) AS BIGINT) AS max_ttr_bp
+FROM t
+GROUP BY 1
+ORDER BY ttr_bucket
+""",
+))
+
+
+def _emb_dup_census_build(spark, sf):
+    # exact-duplicate vector census: grouping by the raw float array
+    # (bit-exact equality) — re-embedded or re-ingested duplicates
+    # inflate ANN neighborhoods and bias centroid fits; this is the
+    # one-row accounting a vector-store load should log. Array-keyed
+    # aggregation; always exactly one row.
+    d = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    grp = d.groupBy("embedding").agg(F.count(F.lit(1)).alias("n"))
+    # SUMs coalesced to 0: on an EMPTY table the census must still read
+    # all-zeros on both engines (the oracle coalesces identically)
+    return grp.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.count(F.when(F.col("n") >= 2, 1)).cast("bigint")
+        .alias("n_dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_vecs_in_dup_groups"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("bigint")
+        .alias("max_group_size"),
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="embedding_exact_dup_census",
+    doc="Exact-duplicate vector census (bit-exact array grouping): "
+        "vectors, distinct vectors, duplicate groups, vectors inside "
+        "them, and the largest group — the vector-store load "
+        "accounting that catches re-embedded/re-ingested rows before "
+        "they bias ANN neighborhoods. Array-keyed aggregation, one "
+        "row always.",
+    tags=("llm", "embedding", "dedup"),
+    build=_emb_dup_census_build,
+    oracle="""
+WITH grp AS (
+  SELECT embedding, COUNT(*) AS n
+  FROM embeddings WHERE embedding IS NOT NULL
+  GROUP BY embedding
+)
+SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(COUNT(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_dup_groups,
+       CAST(COALESCE(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END), 0) AS BIGINT)
+         AS n_vecs_in_dup_groups,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_group_size
+FROM grp
+""",
+))
+
+
+def _source_vocab_jaccard_build(spark, sf):
+    # cross-source vocabulary overlap: pairwise Jaccard of the distinct
+    # lowercase-token vocabularies of the top-16 sources by doc count
+    # (deterministic cap — source-pair fan-out is bounded at C(16,2)
+    # regardless of how many sources a crawl has; per token the join
+    # fans out to at most 16 sources a side). The mixture-dedup signal:
+    # two sources sharing most of their vocabulary are near-duplicate
+    # feeds. Integer-exact Jaccard in bp.
+    d = spark.table("documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    top = (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("__nd"))
+        .orderBy(F.col("__nd").desc(), "source")
+        .limit(16)
+        .select("source")
+    )
+    vocab = materialize(
+        d.join(F.broadcast(top), "source")  # 16-row metadata dim
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), " "))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct(),
+        storage="disk",
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "tok")
+    b = vocab.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "source_a").join(sb, "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("na").cast("bigint").alias("vocab_a"),
+            F.col("nb").cast("bigint").alias("vocab_b"),
+            F.expr("i * 10000 div (na + nb - i)").cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="documents_source_vocab_jaccard",
+    doc="Pairwise vocabulary Jaccard (bp) between the top-16 sources "
+        "by doc count: near-duplicate FEEDS share vocabulary long "
+        "before they share documents — the source-level mixture-dedup "
+        "signal. Deterministic source cap bounds pair fan-out at "
+        "C(16,2); per-doc token dedup via array_distinct; vocab "
+        "relation materialized once for sizes + both join sides.",
+    tags=("llm", "dedup", "text"),
+    build=_source_vocab_jaccard_build,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+),
+top AS (
+  SELECT source FROM d GROUP BY source
+  ORDER BY COUNT(*) DESC, source LIMIT 16
+),
+vocab AS (
+  SELECT DISTINCT d.source, tok
+  FROM d JOIN top USING (source),
+       UNNEST(string_split(lower(d.text), ' ')) AS u(tok)
+  WHERE tok <> ''
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(sa.n AS BIGINT) AS vocab_a,
+       CAST(sb.n AS BIGINT) AS vocab_b,
+       CAST(i * 10000 // (sa.n + sb.n - i) AS BIGINT) AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b
+""",
+))
+
+
+def _dau_trend_build(spark, sf):
+    # trend alarm: least-squares slope of daily active users over the
+    # day index (0 = first active day) — "is engagement growing or
+    # decaying", one number with its intercept and day count. Day-scale
+    # regression aggregate (regr_slope/intercept parity convention,
+    # ROUND 4); the origin day is a driver scalar.
+    ev = spark.table("events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    daily = materialize(daily)
+    d0 = daily.agg(F.min("d")).collect()[0][0]  # one driver scalar
+    if d0 is None:
+        return spark.createDataFrame(
+            [], "n_days bigint, slope double, intercept double"
+        )
+    rel = daily.select(
+        F.datediff(F.col("d"), F.lit(d0)).cast("double").alias("x"),
+        F.col("dau").cast("double").alias("y"),
+    )
+    return rel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.regr_slope("y", "x"), 4).cast("double").alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 4).cast("double")
+        .alias("intercept"),
+    )
+
+
+_STAGED_OVERFLOW.append(QuerySpec(
+    name="events_dau_trend_slope",
+    doc="Engagement trend: least-squares slope and intercept of daily "
+        "active users over the day index (0 = first active day) — the "
+        "one-number growing-or-decaying alarm over the DAU series. "
+        "Day-scale regression aggregate; origin day is a driver "
+        "scalar.",
+    tags=("events", "analytics", "agg"),
+    build=_dau_trend_build,
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS dau
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+),
+o AS (SELECT MIN(d) AS d0 FROM daily)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(ROUND(regr_slope(CAST(dau AS DOUBLE),
+                             CAST(date_diff('day', o.d0, d) AS DOUBLE)), 4)
+            AS DOUBLE) AS slope,
+       CAST(ROUND(regr_intercept(CAST(dau AS DOUBLE),
+                                 CAST(date_diff('day', o.d0, d) AS DOUBLE)), 4)
+            AS DOUBLE) AS intercept
+FROM daily, o
+GROUP BY o.d0
+""",
+))
+
+
 # Round-14 declaration: the full 12-spec staged lane. Window math
 # (registry `_GREEN_BY_ROUND` after folding CORRECTNESS_r13): 12
 # never-green + the 7 displaced r8 greens (q9/q11/q16/q20 shapes,
