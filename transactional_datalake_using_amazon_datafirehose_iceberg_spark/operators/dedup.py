@@ -230,14 +230,22 @@ def lsh_candidate_pairs(
             )
         ).alias("x"),
     ).select(id_col, "x.band_idx", "x.band_val")
-    # materialize once: both sides of the self-join would otherwise
-    # recompute the whole signature pipeline (hashing the corpus twice).
-    # Banded signatures are O(#docs) — tiny next to the corpus — so this
-    # is the standard "signature table" materialization at any scale.
-    stacked = materialize(stacked)
-    # bucket sizes: one window count keyed exactly like the join shuffle
-    sized = stacked.withColumn(
-        "__bsz", F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    # bucket sizes: one window count keyed exactly like the join shuffle.
+    # Materialize AFTER the window, not before it: the sized relation
+    # feeds FOUR consumers (both clique self-join sides, the hot hub
+    # aggregate, the star join's probe side), and materializing the bare
+    # banded relation left each consumer to re-shuffle + re-sort + re-
+    # count the same O(#docs x bands) rows — 4 Exchange+Sort+Window
+    # passes where one suffices (round-16 optimization; plan diff in
+    # plans/r16/dedup_minhash_lsh_pairs_{before,after}.txt). The
+    # signature pipeline still executes exactly once (its only consumer
+    # is the window's shuffle), and the materialized relation stays
+    # O(#docs x bands) — one int column wider than before.
+    sized = materialize(
+        stacked.withColumn(
+            "__bsz",
+            F.count("*").over(Window.partitionBy("band_idx", "band_val")),
+        )
     )
     small = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
     hot = sized.filter(F.col("__bsz") > max_bucket).drop("__bsz")

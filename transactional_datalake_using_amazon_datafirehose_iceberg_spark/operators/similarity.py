@@ -61,6 +61,15 @@ def _l2sq_rounded(a, b):
     )
 
 
+def _default_parallelism(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, surviving non-numeric
+    values like 'auto' (same contract as dedup._shuffle_partitions)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("__norm", _norm(F.col(vec_col)))
 
@@ -83,27 +92,51 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query id (self excluded)."""
-    base = with_norm(emb, vec_col)
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    Two round-16 optimization-pass changes (results identical):
+
+    - The corpus side is repartitioned to the session's shuffle
+      parallelism before the broadcast join: a single-file input scans
+      as ONE partition and the whole O(|corpus| x |queries| x dim)
+      cosine fold then runs serialized on one core (the same
+      single-file trap minhash_signature_mapside documents; the
+      profiled bench stage was a 1-task job). The id+vector shuffle is
+      trivial next to the fold, and at real scale a multi-file corpus
+      makes the repartition a cheap rebalance.
+    - The NULL-sim filter (zero-norm vectors have no direction) runs
+      AFTER the top-k window, as ``sim IS NOT NULL AND rn <= k``,
+      instead of directly on the join output. The optimizer pushed the
+      pre-window filter into the broadcast-join condition, where the
+      full dot-product fold was evaluated ONCE for the condition and
+      AGAIN for the projected ``sim`` — doubling the per-pair compute
+      (guide §4.4's duplicated-expression class, visible as the fold
+      appearing twice in plans/r16/similarity_topk_cosine_before.txt).
+      Equivalence: ``sim DESC NULLS LAST`` ranks every NULL below every
+      real similarity and the rounded sim rides unchanged, so non-NULL
+      rows receive identical row_numbers either way and the post-window
+      NULL filter discards exactly the rows the pre-window filter did
+      (a query with < k real neighbors returns the same short list).
+    """
+    n_part = _default_parallelism(emb.sparkSession)
+    base = with_norm(emb.repartition(n_part), vec_col)
+    q = with_norm(
+        emb.filter(F.col(id_col).isin(query_ids)), vec_col
+    ).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("__qe"),
         F.col("__norm").alias("__qnorm"),
     )
-    sims = (
-        base.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
-        .withColumn(
-            "sim",
-            _cosine_sim(
-                F.col("__qe"), F.col("__qnorm"), F.col(vec_col), F.col("__norm")
-            ),
-        )
-        .filter(F.col("sim").isNotNull())
+    sims = base.join(F.broadcast(q), F.col(id_col) != F.col("qid")).withColumn(
+        "sim",
+        _cosine_sim(
+            F.col("__qe"), F.col("__qnorm"), F.col(vec_col), F.col("__norm")
+        ),
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
         sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        .filter((F.col("rn") <= k) & F.col("sim").isNotNull())
         .select("qid", F.col(id_col).alias("vec_id_n"), "sim", F.col("rn").cast("bigint").alias("rn"))
         .orderBy("qid", "rn")
     )
