@@ -79,6 +79,14 @@ def char_shingles(
     identical — doc_id rides the row, so (doc_id, sh) distinctness IS
     per-doc array distinctness."""
     n_part = _shuffle_partitions(df.sparkSession)
+    # lower() the text ONCE per row, before the lambda: an expression
+    # inside a higher-order-function lambda is evaluated per ELEMENT, so
+    # `substring(lower(text), i, k)` re-lowered the whole document for
+    # every shingle position — O(len^2) character work per doc (round-16
+    # optimization pass; measured 0.651 -> 0.371 s on the sf0.1 corpus
+    # explode). Projecting the lowered text first also prunes every
+    # other column before the repartition shuffle.
+    df = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
     df = df.repartition(n_part, F.col(id_col))
     return (
         df.select(
@@ -86,8 +94,8 @@ def char_shingles(
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1)),"
-                        f" i -> substring(lower(`{text_col}`), i, {k}))"
+                        f"transform(sequence(1, greatest(length(__lt) - {k - 1}, 1)),"
+                        f" i -> substring(__lt, i, {k}))"
                     )
                 )
             ).alias("sh"),
@@ -164,12 +172,17 @@ def minhash_signature_mapside(
     # stride-2 shingling halves the hash work; k=12 chars still overlap
     # by 10 so near-dup recall is essentially unchanged (candidates are
     # verified by exact stride-1 Jaccard downstream anyway)
+    # lower() hoisted out of the lambda: per-element evaluation
+    # re-lowered the full document per shingle position (same O(len^2)
+    # trap as char_shingles; round-16 optimization pass)
     hashes = F.expr(
-        f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1), {stride}),"
-        f" i -> md5(substring(lower(`{text_col}`), i, {k})))"
+        f"transform(sequence(1, greatest(length(__lt) - {k - 1}, 1), {stride}),"
+        f" i -> md5(substring(__lt, i, {k})))"
     )
-    hashed = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col), hashes.alias("__h")
+    hashed = (
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+        .repartition(n_part, F.col(id_col))
+        .select(F.col(id_col), hashes.alias("__h"))
     )
     cols = []
     for j in range(num_hashes):

@@ -8609,13 +8609,16 @@ def _minhash_err_build(spark, sf):
     # relation lands in the materialize already deduped (r16 shave,
     # same move as the shingle-df profile)
     shc = materialize(
-        docs_c.select(
+        # lower() hoisted out of the lambda (one lower per row, not per
+        # shingle position — the char_shingles O(len^2) trap, r16
+        # optimization pass)
+        docs_c.select("doc_id", F.lower(F.col("text")).alias("__lt")).select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(1, greatest(length(text) - 11, 1)),"
-                        " i -> substring(lower(text), i, 12))"
+                        "transform(sequence(1, greatest(length(__lt) - 11, 1)),"
+                        " i -> substring(__lt, i, 12))"
                     )
                 )
             ).alias("sh"),
@@ -9319,12 +9322,15 @@ def _shingle_df_build(spark, sf):
     # the same whole-stage-codegen span, so the ONLY shuffle left is
     # the gram-keyed aggregation (map-side combinable). r16 staged-lane
     # shave: 5.3 s -> measured in r16_scaling_staged.jsonl.
-    sh = d.select(
+    # lower() hoisted out of the lambda (one lower per row, not per
+    # shingle position — the char_shingles O(len^2) trap, r16
+    # optimization pass)
+    sh = d.select(F.lower(F.col("text")).alias("__lt")).select(
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, length(text) - 11),"
-                    " i -> substring(lower(text), i, 12))"
+                    "transform(sequence(1, length(__lt) - 11),"
+                    " i -> substring(__lt, i, 12))"
                 )
             )
         ).alias("sh"),
