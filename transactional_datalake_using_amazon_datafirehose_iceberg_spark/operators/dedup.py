@@ -554,10 +554,18 @@ def _connected_components(
     # before either path (the distributed label joins silently lose
     # NULL-keyed edges anyway — review round 10 — which used to split
     # components that routed through the old driver-path defer)
+    # the edge count rides the materialize action as an Observation
+    # metric (the _propagate convergence idiom) instead of a separate
+    # count() job against the checkpoint — the small-graph gate below
+    # needs the number anyway, so the probe job was pure overhead
+    # (round-16 optimization pass)
+    from pyspark.sql import Observation
+
+    n_obs = Observation("cc_edge_count")
     pairs = materialize(
-        pairs.select(col_a, col_b).filter(
-            F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
-        ),
+        pairs.select(col_a, col_b)
+        .filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .observe(n_obs, F.count(F.lit(1)).alias("n")),
         truncate_required=True,
     )
     pairs_id = _ckpt_id(pairs)
@@ -569,7 +577,7 @@ def _connected_components(
         # mixed endpoint types would need the distributed union's type
         # coercion; keep the shortcut to the plain same-type case
         and dtypes[col_a] == dtypes[col_b]
-        and pairs.count() <= driver_max_edges
+        and (n_obs.get["n"] or 0) <= driver_max_edges
     ):
         edges = [(r[col_a], r[col_b]) for r in pairs.collect()]
         lbl = _union_find_min_label(edges)
