@@ -8483,6 +8483,14 @@ def _novelty_build(spark, sf):
         .select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .filter(F.size("w") >= 3)
     )
+    # relational .distinct() kept DELIBERATELY (round-16 optimization
+    # pass measured the alternatives): grams feeds TWO consumers (the
+    # first-seen aggregate and the join-back probe), and the distinct's
+    # exchange is reused by both — explode runs once. The array_distinct-
+    # in-projection variant (the char_shingles shave) re-exploded the
+    # corpus per consumer and measured 1.04 -> 1.54 s (interleaved
+    # best-of-4 at sf0.1); that shave only pays when the exploded
+    # relation has a single consumer.
     grams = d.select(
         "doc_id",
         F.explode(

@@ -1388,10 +1388,12 @@ def _tfidf_build(spark, sf):
         .filter(F.col("token") != "")
     )
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = (
-        tokens.select("doc_id", "token").distinct()
-        .groupBy("token").agg(F.count("*").alias("df"))
-    )
+    # document frequency FROM the tf relation: tf already holds exactly
+    # one row per (doc_id, token), so counting its rows per token IS df
+    # — the old distinct re-exploded the corpus and shuffled the full
+    # token relation a second time for a fact the tf aggregate already
+    # established (round-16 optimization pass)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # driver-side scalar: one tiny job
     scored = (
         tf.join(dfreq, "token")
