@@ -339,8 +339,16 @@ def _jaccard_on_restricted(
     sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n"))
     s1 = sh_c.select(F.col(id_col).alias("doc_a"), "sh")
     s2 = sh_c.select(F.col(id_col).alias("doc_b"), "sh")
+    # broadcast the pair list into the shingle fan-out: the checkpointed
+    # candidates relation carries no size statistics, so the planner
+    # shuffle-joined it — and AQE's byte-based coalescing then ran the
+    # whole intersection cascade on ONE post-shuffle partition (a
+    # 525 ms single-task stage in the round-16 profile). The pair list
+    # is pair-bounded by the LSH hot-bucket cap — the same broadcast
+    # scale-class as the forced cand_docs broadcast above — so the
+    # candidate-volume shingle side now never shuffles for this join.
     inter = (
-        candidates.select("doc_a", "doc_b")
+        F.broadcast(candidates.select("doc_a", "doc_b"))
         .join(s1, "doc_a")
         .join(s2, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
