@@ -349,11 +349,18 @@ def ivf_topk(
             F.col("p.__qe"), F.col("p.__qnorm"),
             F.col(f"b.{vec_col}"), F.col("b.__norm"),
         ),
-    ).filter(F.col("sim").isNotNull())
+    )
+    # NULL-sim filter AFTER the top-k window (the cosine_topk move,
+    # round-16 optimization pass): a pre-window filter is pushed into
+    # the join condition and the optimizer then evaluates the full
+    # dot-product fold twice per pair. sim DESC NULLS LAST ranks every
+    # NULL below every real similarity, so non-NULL rows get identical
+    # row numbers and the post-window filter discards exactly the same
+    # rows.
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(f"b.{id_col}").asc())
     return (
         sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        .filter((F.col("rn") <= k) & F.col("sim").isNotNull())
         .select(
             "qid",
             F.col(f"b.{id_col}").alias("vec_id_n"),
@@ -403,12 +410,13 @@ def lsh_bucket_topk(
                 F.col("__qe"), F.col("__qnorm"), F.col(vec_col), F.col("__norm")
             ),
         )
-        .filter(F.col("sim").isNotNull())
     )
+    # post-window NULL-sim filter: same double-evaluation fix and same
+    # NULLS-LAST equivalence argument as cosine_topk/ivf_topk (r16)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
         sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        .filter((F.col("rn") <= k) & F.col("sim").isNotNull())
         .select(
             "qid",
             F.col(id_col).alias("vec_id_n"),
