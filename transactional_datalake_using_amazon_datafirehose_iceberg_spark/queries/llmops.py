@@ -702,8 +702,18 @@ def _embedding_neardup_build(spark, sf, max_bucket=256):
     base = with_norm(spark.table("embeddings")).withColumn(
         "__bucket", sign_bucket("embedding", 8)
     )
-    base = base.withColumn(
-        "__bsz", F.count("*").over(Window.partitionBy("__bucket"))
+    # materialize AFTER the bucket-size window: the sized relation feeds
+    # FIVE consumers (both small-side aliases, the hot hub aggregate and
+    # both hot-side aliases), each of which otherwise re-ran the norm
+    # fold + Exchange + Sort + Window over the full embedding table —
+    # the lsh_candidate_pairs fix applied to the sign-LSH miner
+    # (round-16 optimization pass)
+    from ..operators.materialize import materialize
+
+    base = materialize(
+        base.withColumn(
+            "__bsz", F.count("*").over(Window.partitionBy("__bucket"))
+        )
     )
     small = base.filter(F.col("__bsz") <= max_bucket)
     hot = base.filter(F.col("__bsz") > max_bucket)
