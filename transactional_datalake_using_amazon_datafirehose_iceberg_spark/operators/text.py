@@ -411,8 +411,8 @@ def bigram_fluency(
     the module's shared-subtree pattern, cf. connected_components)
     because three consumers read it (pair
     counts, the scoring join, and via pair_c the V scalar); without
-    the checkpoint each consumer would re-run the posexplode + window
-    over the full corpus. ``pair_c`` (already aggregated, vocabulary
+    the checkpoint each consumer would re-run the tokenize + bigram
+    explode over the full corpus. ``pair_c`` (already aggregated, vocabulary
     scale) is checkpointed too so its three consumers (prev_c, V, the
     scoring join) don't re-shuffle the corpus-scale bigram stream.
     V is ONE number — collected (metadata scale, like a centroid
