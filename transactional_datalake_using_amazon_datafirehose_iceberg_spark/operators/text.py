@@ -151,23 +151,32 @@ def rolling_hashes(
     mod keeps every intermediate < 2^35, exact in int64 on both engines.
     """
     t = f"`{text_col}`"  # backtick: names with spaces/keywords must parse
-    # explicit empty-text guard: sequence(1, 0) DESCENDS in Spark, so an
-    # empty doc folded over the spurious [1, 0] index list and landed on
-    # 0 only because ascii('') happens to be 0 (the same hazard
-    # repetition_metrics guards; the oracle guards it with CASE n=0)
+    # Code-point array computed ONCE per row (round-16 optimization
+    # pass): the old per-index `ascii(substring(t, i, 1))` navigated the
+    # string's UTF-8 bytes from the start on EVERY call — O(len^2)
+    # character work per doc for the poly fold, worse for the windowed
+    # min. `split(t, '')` yields the identical per-character array
+    # (verified incl. multibyte; the one divergence is the empty string,
+    # which the existing length=0 guard already short-circuits — that
+    # guard exists because sequence(1, 0) DESCENDS in Spark and an empty
+    # doc used to fold over a spurious [1, 0] index list).
+    cs = f"transform(split({t}, ''), c -> ascii(c))"
+    # explicit empty-text guard, as before (oracle guards with CASE n=0)
     poly = (
         f"CASE WHEN length({t}) = 0 THEN 0L ELSE "
-        f"aggregate(transform(sequence(1, length({t})), i -> ascii(substring({t}, i, 1))), "
-        f"0L, (acc, c) -> (acc * {base} + c) % {mod}) END"
+        f"aggregate(__cs, 0L, (acc, c) -> (acc * {base} + c) % {mod}) END"
     )
+    # slice(__cs, i, w) truncates at the array end — identical to the
+    # old sequence(i, least(i + w - 1, length)) window bound
     win = (
         f"CASE WHEN length({t}) = 0 THEN 0L ELSE "
-        f"array_min(transform(sequence(1, greatest(length({t}) - {window - 1}, 1)), "
-        f"i -> aggregate(transform(sequence(i, least(i + {window - 1}, length({t}))), "
-        f"j -> ascii(substring({t}, j, 1))), "
+        f"array_min(transform(sequence(1, greatest(size(__cs) - {window - 1}, 1)), "
+        f"i -> aggregate(slice(__cs, i, {window}), "
         f"0L, (acc, c) -> (acc * {base} + c) % {mod}))) END"
     )
     return df.select(
+        F.col(id_col), F.col(text_col), F.expr(cs).alias("__cs")
+    ).select(
         F.col(id_col),
         F.expr(poly).cast("bigint").alias("fp_poly"),
         F.expr(win).cast("bigint").alias("fp_winnow_min"),

@@ -6745,14 +6745,13 @@ def _entropy_build(spark, sf):
     d = spark.table("documents").filter(
         F.col("text").isNotNull() & (F.length("text") >= 1)
     )
+    # split(text, '') yields the identical per-character array without
+    # the O(len^2) per-index substring navigation (round-16 optimization
+    # pass; the length >= 1 filter above already excludes the empty
+    # string, the one input where split and the index transform diverge)
     chars = d.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)),"
-                " i -> substring(text, i, 1))"
-            )
-        ).alias("ch"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
     )
     cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c")
