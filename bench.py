@@ -762,6 +762,24 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # compact host-health stamp ON the headline record
+                # (round-16 verdict item 7): the full sentinels already
+                # ride their own section line, but the driver keeps only
+                # a ~2 KB stdout tail and PERF comparisons read just the
+                # final JSON line — these six numbers let a polluted run
+                # (CPU steal / degraded read band) be discounted
+                # mechanically instead of by post-hoc forensics.
+                # Clean bands on this box: cal ~0.1-0.3 s, read 650+ MB/s.
+                "sentinel": {
+                    "pre_cal_sec": sentinel_pre.get("min_sec"),
+                    "post_cal_sec": sentinel_post.get("min_sec"),
+                    "pre_read_mb_s": sentinel_pre.get("read_mb_s"),
+                    "warm_read_mb_s": sentinel_pre.get("prewarm", {}).get(
+                        "warm_read_mb_s"
+                    ),
+                    "load1_pre": sentinel_pre.get("loadavg_1m"),
+                    "load1_post": sentinel_post.get("loadavg_1m"),
+                },
             }
         )
     )

@@ -97,3 +97,39 @@ def test_connected_components_rounds_logarithmic(spark):
     labels = connected_components(chain, max_iter=10).collect()
     assert len(labels) == 100
     assert all(r["cluster_id"] == 0 for r in labels)
+
+
+def test_pair_broadcast_gate_parity(spark, monkeypatch):
+    """The verify-stage pair-list broadcast is gated on a counted row
+    bound (round-17: an unconditional broadcast of a corpus-scale pair
+    list would hit the 8 GB broadcast cap at 100 TB). Forcing the gate
+    shut must route both verify entry points through the distributed
+    fallback with identical results."""
+    from transactional_datalake_using_amazon_datafirehose_iceberg_spark.operators import (
+        dedup as D,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate text body padding padding padding "),
+            (F.col("id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    sh = D.char_shingles(docs, "text", "doc_id")
+    sigs = D.minhash_signature_mapside(docs, "text", "doc_id")
+    cands = D.lsh_candidate_pairs(sigs, "doc_id")
+
+    broad_v = sorted(map(tuple, D.jaccard_verify(sh, cands, "doc_id").collect()))
+    broad_d = sorted(
+        map(tuple, D.jaccard_verify_docs(docs, cands, "text", "doc_id").collect())
+    )
+    assert broad_v, "fixture produced no verified pairs"
+
+    monkeypatch.setattr(D, "_PAIR_BROADCAST_MAX_ROWS", 0)
+    dist_v = sorted(map(tuple, D.jaccard_verify(sh, cands, "doc_id").collect()))
+    dist_d = sorted(
+        map(tuple, D.jaccard_verify_docs(docs, cands, "text", "doc_id").collect())
+    )
+    assert broad_v == dist_v
+    assert broad_d == dist_d

@@ -286,6 +286,32 @@ def lsh_candidate_pairs(
     )
 
 
+# candidate-pair relations at or under this row count are broadcast into
+# the verify joins (a 5M-pair list is ~100-400 MB built, far under the
+# 8 GB / 512M-row broadcast hard cap); above it the verify falls back to
+# a distributed join with an explicit repartition. The per-bucket LSH
+# hot-bucket cap bounds pairs PER BUCKET, but bucket count grows with
+# the corpus, so at 100 TB the pair list is corpus-scale and an
+# unconditional broadcast would OOM the driver (round-16 verdict item 2)
+_PAIR_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _materialize_counted(df: DataFrame) -> tuple[DataFrame, int | None]:
+    """Materialize ``df`` and return (df, row count) with the count
+    riding the materialize action as an Observation — no dedicated
+    count job. None = unknown (the observed node was optimized away,
+    e.g. a statically-empty LocalRelation input), which callers treat
+    as "assume small" since that corner is trivially broadcastable."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = materialize(df.observe(obs, F.count(F.lit(1)).alias("n")))
+    try:
+        return out, int(obs.get["n"] or 0)
+    except Exception:
+        return out, None
+
+
 def jaccard_verify(
     shingled: DataFrame,
     candidates: DataFrame,
@@ -304,20 +330,24 @@ def jaccard_verify(
     shingle of every document."""
     # materialize the pair list once: it feeds both the doc-set semi-join
     # and the intersection join, and it is O(pairs) small by construction
-    # (the LSH star-collapse bounds bucket fan-out)
-    candidates = materialize(candidates.select("doc_a", "doc_b"))
+    # (the LSH star-collapse bounds bucket fan-out); the count rides the
+    # materialize action and gates the broadcasts below
+    candidates, n_pairs = _materialize_counted(
+        candidates.select("doc_a", "doc_b")
+    )
     cand_docs = _cand_docs(candidates, id_col)
     # candidate-volume shingles feed THREE consumers (sizes, both sides
     # of the intersection join); materialize once or each consumer
-    # re-runs the explode+distinct AND its upstream corpus scan
-    # broadcast scale-class: cand_docs is ≤ 2x the candidate-pair count,
-    # which the LSH hot-bucket cap bounds — the forced broadcast is the
-    # deliberate trade that keeps the corpus side shuffle-free (a hinted
-    # shuffle semi-join here would move corpus-volume shingle bytes)
-    sh_c = materialize(
-        shingled.join(F.broadcast(cand_docs), id_col, "left_semi")
-    )
-    return _jaccard_on_restricted(sh_c, candidates, id_col, threshold)
+    # re-runs the explode+distinct AND its upstream corpus scan.
+    # cand_docs is ≤ 2x the counted pair rows: under the gate the forced
+    # broadcast keeps the corpus side shuffle-free (a hinted shuffle
+    # semi-join here would move corpus-volume shingle bytes); above it
+    # the distributed semi-join is the honest cost of a corpus-scale
+    # pair list
+    if n_pairs is None or n_pairs <= _PAIR_BROADCAST_MAX_ROWS:
+        cand_docs = F.broadcast(cand_docs)
+    sh_c = materialize(shingled.join(cand_docs, id_col, "left_semi"))
+    return _jaccard_on_restricted(sh_c, candidates, id_col, threshold, n_pairs)
 
 
 def _cand_docs(candidates: DataFrame, id_col: str) -> DataFrame:
@@ -329,13 +359,19 @@ def _cand_docs(candidates: DataFrame, id_col: str) -> DataFrame:
 
 
 def _jaccard_on_restricted(
-    sh_c: DataFrame, candidates: DataFrame, id_col: str, threshold: float
+    sh_c: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    threshold: float,
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Core verify over ALREADY candidate-restricted, materialized
     shingles and a materialized pair list — shared by jaccard_verify
     and jaccard_verify_docs so neither re-checkpoints or re-restricts
     what the other prepared (review round 10: the _docs entry paid a
-    second candidates checkpoint job plus a no-op semi-join per query)."""
+    second candidates checkpoint job plus a no-op semi-join per query).
+    ``n_pairs``: the pair list's counted row count (rides the callers'
+    materialize Observation); None = unknown-but-small."""
     sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n"))
     s1 = sh_c.select(F.col(id_col).alias("doc_a"), "sh")
     s2 = sh_c.select(F.col(id_col).alias("doc_b"), "sh")
@@ -343,12 +379,21 @@ def _jaccard_on_restricted(
     # candidates relation carries no size statistics, so the planner
     # shuffle-joined it — and AQE's byte-based coalescing then ran the
     # whole intersection cascade on ONE post-shuffle partition (a
-    # 525 ms single-task stage in the round-16 profile). The pair list
-    # is pair-bounded by the LSH hot-bucket cap — the same broadcast
-    # scale-class as the forced cand_docs broadcast above — so the
-    # candidate-volume shingle side now never shuffles for this join.
+    # 525 ms single-task stage in the round-16 profile). GATED on the
+    # counted pair rows (round-16 verdict item 2): per-bucket the LSH
+    # hot-bucket cap bounds pairs, but bucket count grows with the
+    # corpus, so at 100 TB the list exceeds the broadcast hard cap —
+    # above the gate an explicit repartition keeps the join distributed
+    # at full fan-out instead of AQE's 1-task coalesce.
+    pair_rel = candidates.select("doc_a", "doc_b")
+    if n_pairs is None or n_pairs <= _PAIR_BROADCAST_MAX_ROWS:
+        pair_rel = F.broadcast(pair_rel)
+    else:
+        pair_rel = pair_rel.repartition(
+            _shuffle_partitions(candidates.sparkSession), "doc_a"
+        )
     inter = (
-        F.broadcast(candidates.select("doc_a", "doc_b"))
+        pair_rel
         .join(s1, "doc_a")
         .join(s2, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
@@ -384,15 +429,21 @@ def jaccard_verify_docs(
     (corpus-volume shuffle); with the restriction first, the entire
     verify stage — scan, explode, distinct, intersection — moves
     candidate-volume bytes only."""
-    candidates = materialize(candidates.select("doc_a", "doc_b"))
+    candidates, n_pairs = _materialize_counted(
+        candidates.select("doc_a", "doc_b")
+    )
     cand_docs = _cand_docs(candidates, id_col)
-    # same broadcast scale-class as jaccard_verify: pair-bounded doc ids,
-    # forced so the full-corpus side never shuffles for the restriction
-    docs_c = docs.join(F.broadcast(cand_docs), id_col, "left_semi")
+    # same gated broadcast scale-class as jaccard_verify: under the
+    # counted bound the forced broadcast keeps the full-corpus side
+    # shuffle-free for the restriction; above it the distributed
+    # semi-join is the honest cost
+    if n_pairs is None or n_pairs <= _PAIR_BROADCAST_MAX_ROWS:
+        cand_docs = F.broadcast(cand_docs)
+    docs_c = docs.join(cand_docs, id_col, "left_semi")
     # shingles are candidate-restricted by construction here: skip the
     # core's semi-join and feed it the one materialized relation
     sh_c = materialize(char_shingles(docs_c, text_col, id_col, k))
-    return _jaccard_on_restricted(sh_c, candidates, id_col, threshold)
+    return _jaccard_on_restricted(sh_c, candidates, id_col, threshold, n_pairs)
 
 
 _CC_DRIVER_MAX_EDGES = 200_000
@@ -567,8 +618,6 @@ def _connected_components(
     # count() job against the checkpoint — the small-graph gate below
     # needs the number anyway, so the probe job was pure overhead
     # (round-16 optimization pass)
-    from pyspark.sql import Observation
-
     n_obs = Observation("cc_edge_count")
     pairs = materialize(
         pairs.select(col_a, col_b)

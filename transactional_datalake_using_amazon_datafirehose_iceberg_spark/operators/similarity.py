@@ -61,13 +61,9 @@ def _l2sq_rounded(a, b):
     )
 
 
-def _default_parallelism(spark) -> int:
-    """spark.sql.shuffle.partitions as an int, surviving non-numeric
-    values like 'auto' (same contract as dedup._shuffle_partitions)."""
-    try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    except (TypeError, ValueError):
-        return spark.sparkContext.defaultParallelism
+# one definition of the session fan-out contract (advice r16: this was
+# a verbatim copy of dedup._shuffle_partitions under a misleading name)
+from .dedup import _shuffle_partitions as _default_parallelism  # noqa: E402
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -278,17 +278,25 @@ def _merge_into_cow(
         if range_key
         else None
     )
+    src_obs = None
     if assume_unique:
         # dedup already guaranteed (D4): plain min/max agg, no groupBy
-        # shuffle; composite/unordered keys skip the stats agg but still
-        # pay ONE limit-1 emptiness probe — without it an idle streaming
-        # trigger (0 rows) bypassed the empty-batch exit below and ran a
-        # FULL-TABLE probe scan + empty merge commit per trigger
-        # (review round 12)
+        # shuffle. Composite/unordered keys have no fused stats aggregate
+        # to ride, and the old dedicated isEmpty() probe was one extra
+        # driver-sequential job per merge (3x per scd2 build, review
+        # round 16 verdict). The row count now rides an Observation on
+        # whichever job consumes the source first — the touched-file
+        # probe, or the no-candidates fast-path write — and the
+        # empty-batch exit below moves to those sites intact: an empty
+        # broadcast side AQE-eliminates the probe's table scan, so an
+        # idle streaming trigger still never pays a full-table probe
+        # scan or burns a snapshot (guide §2.4: fewer jobs).
         if not range_key:
+            from pyspark.sql import Observation
+
             stats = [{"__lo": None}]
-            if src.isEmpty():
-                src_rows = 0
+            src_obs = Observation()
+            src = src.observe(src_obs, F.count(F.lit(1)).alias("__n"))
         else:
             stats = src.agg(
                 F.min(range_key).alias("__lo"),
@@ -424,6 +432,21 @@ def _merge_into_cow(
             .collect()
         ]
         touched_rel = sorted({table._relpath(p) for p in touched if p})
+        if src_obs is not None:
+            # the probe consumed the observed source: harvest the row
+            # count (NMBS modes never reach this branch, so an empty
+            # source means the empty-batch exit the upfront isEmpty()
+            # used to provide — and src_rows now also sizes the rewrite
+            # shuffle for composite-key merges, which the old path left
+            # unhinted)
+            src_rows = _observed_rows(src_obs, src)
+            if src_rows == 0:
+                if extra_summary is None:
+                    return table.current_version()
+                return table.commit(
+                    [], operation="merge",
+                    extra_summary={"matched_files": 0, **extra_summary},
+                )
 
     # rough in-parquet volume of the source rows (sizes the clustered
     # write shuffle; order-of-magnitude is all the hint needs — the
@@ -438,6 +461,21 @@ def _merge_into_cow(
     if not touched_rel:
         inserts = src.filter(~is_delete).select(*data_cols)
         added = table._write_files(inserts, size_hint_bytes=src_bytes)
+        if src_obs is not None and src_rows is None:
+            # probe skipped (no candidate files, e.g. a brand-new table):
+            # the write just consumed the observed source, so the count
+            # is free now — preserve the empty-batch contract (an idle
+            # trigger must not burn a snapshot version). NMBS modes give
+            # an empty source real semantics and must still commit.
+            src_rows = _observed_rows(src_obs, src)
+            if (
+                src_rows == 0
+                and not added
+                and extra_summary is None
+                and not not_matched_by_source_delete
+                and not not_matched_by_source_update
+            ):
+                return table.current_version()
         return table.commit(
             added,
             operation="merge",
@@ -535,6 +573,25 @@ def _merge_into_cow(
         operation="merge",
         extra_summary={"matched_files": len(touched_rel), **(extra_summary or {})},
     )
+
+
+def _observed_rows(obs, src: DataFrame) -> int | None:
+    """Row count from a merge-source Observation after an action has
+    consumed the observed plan. A statically-empty source (an empty
+    LocalRelation) lets PropagateEmptyRelation eliminate the
+    CollectMetrics node before execution, so the metric row never
+    materializes and ``get`` raises — fall back to the direct probe,
+    which is near-free on exactly that corner (no scan to run). Any
+    other failure returns None = unknown, which every caller treats as
+    "do not take the empty-batch exit" (fail-safe: a merge is never
+    skipped on a source that might hold rows)."""
+    try:
+        return int(obs.get["__n"] or 0)
+    except Exception:
+        try:
+            return 0 if src.isEmpty() else None
+        except Exception:
+            return None
 
 
 def source_key_stats(
