@@ -5545,6 +5545,27 @@ FROM seg GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
 
 
 def _basket_build(spark, sf):
+    # Round-17 optimization pass, measured and LEFT AS IS. The plan
+    # duplicates the scan+distinct subtree (one copy feeds the
+    # broadcast build, one the probe side — no ReusedExchange across a
+    # BroadcastExchange boundary), which looks like the r16
+    # shared-exchange defect class, but both candidate fixes measured
+    # worse or neutral at sf0.1 (interleaved noop best-of-5, same
+    # session):
+    # - per-order array pairing (collect_set -> array_sort -> nested
+    #   transform explode, the bigram_fluency idiom): best 1.803 s vs
+    #   1.491 s here — the ObjectHashAggregate + per-row struct
+    #   allocation costs more than the broadcast join it removes, and
+    #   shuffle bytes are unchanged (the pair explode ships the same
+    #   (part_a, part_b) volume the join's partial agg ships).
+    # - materialize(li) to share the distinct across both join sides:
+    #   best 1.453 s / mean 1.953 vs mean 1.876 — the checkpoint
+    #   write+read of the corpus-scale distinct relation costs what the
+    #   saved second scan+distinct pass saves.
+    # At 100 TB the broadcast side outgrows the threshold and the
+    # planner falls back to SMJ on its own (the q3 scale-adaptive
+    # argument); the duplicated subtree then shares one shuffle via
+    # ReusedExchange.
     li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
@@ -6004,6 +6025,16 @@ def _phash_build(spark, sf):
             F.expr("ph div 4294967296").alias("b2"),
         )
     )
+    # Round-17 optimization pass, measured and LEFT AS IS: collapsing
+    # the three per-band equi joins into ONE join over a stacked
+    # (band_idx, band_val) relation (the lsh_candidate_pairs banding
+    # shape) produced an identical 23,757-pair result but measured
+    # neutral-to-slightly-worse at sf0.1 (interleaved noop best-of-4:
+    # 2.288 s here vs 2.352 s stacked; means 2.40 vs 2.59). No shuffle
+    # bytes are saved — the stacked relation carries 3x rows per side,
+    # exactly the three per-band exchanges' total — and h is already
+    # materialized, so the per-band joins re-read checkpoint blocks,
+    # not the corpus. The union form stays.
     a, b = h.alias("a"), h.alias("b")
     lt = F.col("a.doc_id") < F.col("b.doc_id")
     sel = [
