@@ -254,6 +254,14 @@ def lsh_candidate_pairs(
     # signature pipeline still executes exactly once (its only consumer
     # is the window's shuffle), and the materialized relation stays
     # O(#docs x bands) — one int column wider than before.
+    # Round-17: an explicit repartition(n, band_idx, band_val) before
+    # the window (to undo AQE's 1-task byte-based coalesce of this
+    # string-heavy, small-byte stage) was measured WORSE at sf0.1 —
+    # interleaved noop best-of-5: 1.380 s coalesced vs 1.604 s
+    # repartitioned, identical 3,947 pairs — the ~40k-row banded
+    # relation can't amortize 32-task scheduling overhead. At real
+    # scale the relation is corpus x bands and AQE sizes the exchange
+    # by bytes on its own; leave the coalesce alone.
     sized = materialize(
         stacked.withColumn(
             "__bsz",

@@ -127,11 +127,20 @@ _BLOOM_K = 7
 _BLOOM_MAX_ROWS = 65536
 _BLOOM_BITS_PER_KEY = 10
 # commits whose bloom-eligible files total at most this many rows build
-# blooms with an in-process read — the micro-batch MERGE hot path, where
-# a per-commit Spark job would dominate the commit. Bounded by a small
-# constant, this is the same metadata-scale class as a collected
-# aggregate; anything larger runs the distributed executor-side build.
-_BLOOM_DRIVER_ROWS = 4096
+# blooms with an in-process read — the micro-batch MERGE / small-append
+# hot path, where a per-commit Spark job would dominate the commit.
+# Raised 4096 -> 65536 (= _BLOOM_MAX_ROWS, round-17 optimization): the
+# crossover is one Spark job's fixed latency (~0.4-0.6 s measured on
+# the commit path) vs driver-hashing at most 65k keys (~0.1 s), and the
+# driver read stays bounded — KEY COLUMNS ONLY of files each already
+# row-capped for bloom eligibility, so <= 65536 rows x key width per
+# commit, the same metadata-scale class as a collected aggregate.
+# Measured on the partition-evolution append (15k rows, 25 files):
+# 1.06 -> 0.53 s mean, bloom bitsets bit-identical across both paths.
+# Anything larger runs the distributed executor-side build (at 100 TB
+# every real data commit exceeds this and the driver never reads data
+# volume).
+_BLOOM_DRIVER_ROWS = 65536
 
 # target bytes per written data file when a caller supplies a write-size
 # hint (Iceberg's write.target-file-size-bytes analogue)
