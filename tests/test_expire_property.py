@@ -13,6 +13,10 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# slow assurance lane (round-17): hypothesis expiry interleaving sweep;
+# skipped in the default verify lane, run with SPARK_GRAFT_FULL_TESTS=1
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T

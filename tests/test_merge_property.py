@@ -9,6 +9,10 @@ keys within a batch, deletes of unknown keys, and replayed batches.
 from __future__ import annotations
 
 import pytest
+
+# slow assurance lane (round-17): hypothesis merge interleaving sweeps (~4 min);
+# skipped in the default verify lane, run with SPARK_GRAFT_FULL_TESTS=1
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T

@@ -32,6 +32,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+# slow assurance lane (round-17): degenerate-fixture parity sweeps over the whole registry (~13 min);
+# skipped in the default verify lane, run with SPARK_GRAFT_FULL_TESTS=1
+pytestmark = pytest.mark.slow
+
 from transactional_datalake_using_amazon_datafirehose_iceberg_spark.queries import (
     QUERY_SPECS,
 )
