@@ -8513,26 +8513,38 @@ def _novelty_build(spark, sf):
         .select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .filter(F.size("w") >= 3)
     )
-    # relational .distinct() kept DELIBERATELY (round-16 optimization
-    # pass measured the alternatives): grams feeds TWO consumers (the
-    # first-seen aggregate and the join-back probe), and the distinct's
-    # exchange is reused by both — explode runs once. The array_distinct-
-    # in-projection variant (the char_shingles shave) re-exploded the
-    # corpus per consumer and measured 1.04 -> 1.54 s (interleaved
-    # best-of-4 at sf0.1); that shave only pays when the exploded
-    # relation has a single consumer.
+    # One explode + a min-over-gram WINDOW (round-17 optimization; the
+    # containment_pairs r16 fix shape). The previous distinct -> agg +
+    # join-back form ran the explode TWICE: the optimizer collapses
+    # distinct+min into one aggregate on the first-seen side, so the
+    # two subtrees carry DIFFERENT exchanges (gram vs doc_id+gram) and
+    # nothing is reused (visible in plans/r17/..._before.txt: two
+    # Generate nodes, no ReusedExchange) — r16's pinned note assumed
+    # the reuse held; the plan says otherwise. Per-doc dedup moves into
+    # the projection (array_distinct — valid here because a doc's grams
+    # live in its own row's array, so per-row distinctness IS
+    # (doc_id, gram) distinctness), and the window replaces the
+    # aggregate + join back, which at scale also removes a BROADCAST of
+    # the corpus-scale gram domain (a latent scale bug: gram count
+    # grows with the corpus). r16's array_distinct negative measured a
+    # variant that still had TWO consumers re-exploding; this form has
+    # one consumer chain — exactly the single-consumer rule that note
+    # extracted. Interleaved noop best-of-5 at sf0.1: 1.163 -> 0.882 s
+    # best, 1.309 -> 0.985 mean (-25%), identical 5,000 rows.
     grams = d.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 2),"
-                " i -> concat_ws(' ', slice(w, i, 3)))"
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
             )
         ).alias("gram"),
-    ).distinct()
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    )
+    w_gram = Window.partitionBy("gram")
     return (
-        grams.join(first, "gram")
+        grams.withColumn("first_doc", F.min("doc_id").over(w_gram))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
