@@ -419,6 +419,31 @@ _GREEN_BY_ROUND: dict[int, frozenset[str]] = {
         "udtf_analyze_dynamic_schema", "udtf_first_tokens",
         "widen_column_lifecycle",
     }),
+    16: frozenset({
+        "agg_bitmap_distinct", "agg_collect_sorted", "agg_correlation",
+        "agg_mode_median", "array_posexplode_map_values", "array_set_ops",
+        "asof_join_tolerance_bounded", "catalog_ddl_lifecycle",
+        "cdc_schema_drift_policy", "changelog_incremental_read",
+        "dedup_semantic_cluster_audit", "dpp_partitioned_scan_proof",
+        "events_bot_rate_flags", "events_gap_fill_interpolate",
+        "join_anti_not_exists", "join_broadcast_dims",
+        "join_full_outer_months", "join_left_outer_agg", "join_right_outer",
+        "join_semi_exists", "json_tuple_schema_of",
+        "lake_shallow_clone_divergence", "maintenance_zorder_cluster",
+        "merge_evolve_widening", "merge_not_matched_update_stale",
+        "merge_schema_evolution", "meta_partitions_inspect",
+        "metadata_tables_inspect", "pack_greedy_firstfit_bins",
+        "pipeline_curate_corpus", "pivot_multi_agg",
+        "sample_stratified_proportional", "scalar_date_arith",
+        "scalar_string_extras", "schema_evolution_add_drop",
+        "similarity_ann_pq", "similarity_ivf_recall_audit",
+        "sql_execute_immediate_variables", "streaming_skip_change_commits",
+        "streaming_static_enrich", "text_bigram_fluency",
+        "text_novelty_first_seen_ratio", "text_redact_scrub",
+        "text_top_ngrams_per_lang", "text_url_parse", "unpivot_stack",
+        "wap_branch_publish", "wap_cherry_pick_publish",
+        "window_distinct_running", "window_lead_range_frame",
+    }),
 }
 
 
