@@ -747,11 +747,34 @@ def _embedding_neardup_build(spark, sf, max_bucket=256):
     pairs = pairs.select("id_a", "ea", "na", "id_b", "eb", "nb").unionByName(
         hot_pairs.select("id_a", "ea", "na", "id_b", "eb", "nb")
     )
-    return (
-        pairs.withColumn(
-            "sim", F.round(dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    # compute the O(dim) cosine fold exactly ONCE per candidate pair
+    # (round-17 optimization): filtering directly on the sim column let
+    # the optimizer push the threshold INTO both bucket-join conditions,
+    # where the full dot-product fold was evaluated once per pair for
+    # the condition and AGAIN in the projection (guide §4.4's
+    # duplicated-expression class — the same defect r16 fixed in
+    # cosine_topk, visible verbatim in
+    # plans/r17/dedup_embedding_cosine_before.txt's join conditions).
+    # No window exists here to hide the filter behind, so the fold is
+    # materialized into a pairs-scale 3-column relation (bounded by the
+    # hot-bucket cap) and the threshold filters checkpoint blocks.
+    # Interleaved noop best-of-5 at sf0.1: 1.003 -> 0.863 s mean (-14%),
+    # identical 24 pairs; at production dims the per-pair saving doubles.
+    from ..operators.materialize import materialize as _materialize
+
+    scored = _materialize(
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_product(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim"),
         )
-        .filter(F.col("sim") >= 0.4)
+    )
+    return (
+        scored.filter(F.col("sim") >= 0.4)
         .select("id_a", "id_b", F.col("sim").cast("double").alias("sim"))
         .orderBy("id_a", "id_b")
     )
