@@ -102,3 +102,25 @@ def test_ledger_names_all_declared():
     declared = set(registry.QUERY_SPECS)
     for rnd, green in registry._GREEN_BY_ROUND.items():
         assert green <= declared, (rnd, sorted(green - declared))
+
+
+def test_window_composition_r17():
+    """The exact 50-spec prefix the driver will sample in round 17:
+    zero never-green specs remain (281/281 have a green ledger row), so
+    the window is pure rotation — the 31 remaining r11-stale greens and
+    the 19-spec r12-stale cohort (31 + 19 = 50).
+
+    Same pin-then-skip convention as the prior pins: once round-17
+    greens fold into _GREEN_BY_ROUND the window legitimately changes
+    and this pin skips."""
+    import pytest
+
+    if max(registry._GREEN_BY_ROUND) != 16:
+        pytest.skip("window pin describes the r16-ledger state")
+    specs = list(registry.QUERY_SPECS.values())
+    window = specs[: registry.SAMPLING_WINDOW]
+    never = [s.name for s in window if registry._last_green_round(s.name) == 0]
+    assert never == [], never
+    r11 = [s.name for s in window if registry._last_green_round(s.name) == 11]
+    r12 = [s.name for s in window if registry._last_green_round(s.name) == 12]
+    assert len(r11) == 31 and len(r12) == 19, (len(r11), len(r12))
