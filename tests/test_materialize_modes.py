@@ -112,7 +112,28 @@ def _fluency(spark):
     return sorted(tuple(r) for r in TX.bigram_fluency(_docs(spark)).collect())
 
 
-@pytest.mark.parametrize("op", [_containment, _components, _fluency])
+def _verify(spark):
+    # jaccard_verify's pair count rides an Observation ON the
+    # materialize action (round-17 broadcast gate): the metric must
+    # fire — and the gate stay result-neutral — in every checkpoint
+    # mode, including reliable's persist-then-checkpoint path
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate body padding padding padding "),
+            (F.col("id") % 4).cast("string"),
+        ).alias("text"),
+    )
+    sh = D.char_shingles(docs, "text", "doc_id")
+    cands = D.lsh_candidate_pairs(
+        D.minhash_signature_mapside(docs, "text", "doc_id"), "doc_id"
+    )
+    return sorted(
+        tuple(r) for r in D.jaccard_verify(sh, cands, "doc_id").collect()
+    )
+
+
+@pytest.mark.parametrize("op", [_containment, _components, _fluency, _verify])
 def test_operator_result_identity_across_modes(spark, op):
     baseline = None
     for mode in MODES:
