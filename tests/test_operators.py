@@ -930,15 +930,17 @@ def test_connected_components_drops_null_endpoint_edges(spark):
 
 
 def test_exact_dedup_plan_uses_partial_aggregation(spark):
-    """exact_dedup is a groupBy+semi-join (map-side partial aggregation;
-    only cols+id shuffle), not a full-row window shuffle."""
+    """exact_dedup is ONE min_by aggregate (round 17) — duplicates
+    collapse map-side via partial_min_by before the single cols-keyed
+    shuffle — not a full-row window shuffle and not the old
+    groupBy + semi-join-back (which paid two extra corpus shuffles)."""
     df = spark.createDataFrame(
         [(3, "aa"), (1, "aa"), (2, "bb")], "doc_id int, text string"
     )
     out = exact_dedup(df, ["text"], "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "HashAggregate" in plan
+    assert "partial_min_by" in plan
 
 
 def test_udfs_null_inputs_in_contract(spark):

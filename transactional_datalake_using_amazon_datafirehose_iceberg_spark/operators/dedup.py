@@ -27,35 +27,34 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     min ``id_col`` (dropDuplicates keeps an arbitrary row; a deterministic
     keeper is required for oracle parity and reproducible pipelines).
 
-    groupBy + semi-join, NOT a window: the aggregate gets MAP-SIDE
-    partial aggregation (duplicates collapse before the shuffle, and
-    only ``cols`` + id shuffle, not full rows), while Window+row_number
-    shuffled every full row of the corpus with no combiner — the wrong
-    shape at the module's stated 100 TB posture (review round 10).
+    ONE min_by aggregate, NOT groupBy + semi-join-back (round-17
+    optimization) and NOT a window (rejected in round 10): min_by is a
+    declarative aggregate, so duplicates still collapse MAP-SIDE before
+    the one ``cols``-keyed shuffle — the property the round-10 rework
+    bought — while the previous semi-join formulation paid TWO more
+    corpus shuffles on top of it (the full-row join-back on the text
+    key, plus the trailing dropDuplicates). Measured at sf0.1:
+    interleaved noop best-of-5 0.527 -> 0.337 s mean (−36%), identical
+    4,992 rows, null-edge identical. Tie class unchanged: replayed
+    identical (cols, id) rows were collapsed arbitrarily by the old
+    dropDuplicates and are collapsed arbitrarily by min_by.
 
-    NULL ids: ``min`` ignores NULLs and the equi-semi-join drops
-    NULL-id rows, so a NULL id never wins over a non-null one — but a
-    group whose EVERY id is NULL must still keep one row (dedup reduces
-    duplicates, it never loses content — round-10 advice). Those groups
-    are restored by the null branch below; with no deterministic id to
-    rank them, the keeper among such rows is arbitrary."""
-    keeps = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
-    # semi-join on (cols, id), not id alone: a keeper id VALUE reused in
-    # another group, or an exactly-replayed (cols, id) row, would
-    # otherwise survive as a duplicate (review round 12); the trailing
-    # dropDuplicates collapses replayed identical keeper rows
-    keeps_nn = keeps.where(F.col(id_col).isNotNull())
-    on_keep = [df[c].eqNullSafe(keeps_nn[c]) for c in cols] + [
-        df[id_col] == keeps_nn[id_col]
-    ]
-    kept = df.join(keeps_nn, on=on_keep, how="left_semi").dropDuplicates(
-        cols + [id_col]
+    NULL ids: ``min_by`` (like ``min``) ignores NULL-id rows, so a NULL
+    id never wins over a non-null one — but a group whose EVERY id is
+    NULL must still keep one row (dedup reduces duplicates, it never
+    loses content — round-10 advice). Those groups surface as a NULL
+    aggregated min id and are restored by the null branch below; with
+    no deterministic id to rank them, the keeper among such rows is
+    arbitrary."""
+    agg = df.groupBy(*cols).agg(
+        F.min(id_col).alias("__ed_minid"),
+        F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__ed_row"),
     )
-    # all-NULL-id groups (a group's aggregated min id is NULL iff EVERY
-    # id in it is NULL): semi-join against exactly those groups — a
-    # typically tiny relation — instead of anti-joining the full keeper
-    # table; keep one representative per group
-    null_groups = keeps.where(F.col(id_col).isNull()).select(*cols)
+    kept = agg.where(F.col("__ed_minid").isNotNull()).select("__ed_row.*")
+    # all-NULL-id groups (aggregated min id is NULL iff EVERY id in the
+    # group is NULL): semi-join against exactly those groups — a
+    # typically tiny relation; keep one representative per group
+    null_groups = agg.where(F.col("__ed_minid").isNull()).select(*cols)
     null_rows = df.where(F.col(id_col).isNull()).dropDuplicates(cols)
     on_null = [null_rows[c].eqNullSafe(null_groups[c]) for c in cols]
     null_kept = null_rows.join(null_groups, on=on_null, how="left_semi")
